@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as
+(spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the DuckDB twin
+for the value-hash correctness gate.  Numeric convention shared by
+both sides: additive double aggregates go through
+SUM(CAST(x AS DECIMAL(25,6))) then back to double — order-independent
+decimal addition makes results bit-identical across engines and
+partitionings (see gdelt_extractor_spark/plans/queries.py docstring).
+
+Entries without an oracle (rows-only gate): dedup_minhash_lsh,
+dedup_simhash, ann_lsh_topk — approximate/hash-seeded operators whose
+exactness is instead property-tested against their exact baselines in
+tests/.
 """
 
 from __future__ import annotations
@@ -12,27 +19,425 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdelt_extractor_spark.functions.lookups import event_type_dim_df
+from gdelt_extractor_spark.operators import dedup as D
+from gdelt_extractor_spark.operators import similarity as S
+from gdelt_extractor_spark.operators import textstats as TS
+from gdelt_extractor_spark.operators.enrich import enrich_articles
+from gdelt_extractor_spark.operators.geo import geo_project
+from gdelt_extractor_spark.operators.keywords import keyword_freq
+from gdelt_extractor_spark.plans import queries as Q
+from gdelt_extractor_spark.sources.tables import load_table
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-shaped pricing summary on sf0.001."""
+    return Q.q1_pricing_summary(spark, SF0001)
+
+
+# ---------------------------------------------------------------- §2a
+
+def _dedup_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_keep_first(docs, key="source", order="doc_id")
+
+
+def _enrich_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_articles(load_table(spark, sf_dir, "documents"))
+
+
+def _keyword_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keyword_freq(enrich_articles(load_table(spark, sf_dir, "documents")))
+
+
+def _lookup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dim = event_type_dim_df(spark)
+    return (
+        e.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            Q.dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
+    )
+
+
+def _geo_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    derived = e.select(
+        "event_id",
+        ((F.col("value") * 3.7) % 180 - 90).alias("lat_raw"),
+        ((F.col("value") * 7.3) % 360 - 180).alias("lon_raw"),
+    )
+    return geo_project(derived, "lat_raw", "lon_raw", "event_id")
+
+
+# ---------------------------------------------------------------- §2c
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.6)
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.6)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_simhash(docs, "text", "doc_id", max_hamming=3)
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.dedup_embedding(emb, threshold=0.3)
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ann_bruteforce(emb, q, k=5)
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ann_lsh(emb, q, k=5)
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.fingerprint(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "fp_md5")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # §2b core engine
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q3_top_unshipped": Q.q3_top_unshipped,
+        "q5_region_volume": Q.q5_region_volume,
+        "topk_per_group": Q.topk_per_group,
+        "events_hourly": Q.events_hourly,
+        "sessionize": Q.sessionize,
+        "pivot_event_values": Q.pivot_event_values,
+        "anti_join_inactive": Q.anti_join_inactive,
+        # §2a reference parity
+        "dedup_first_by_key": _dedup_first_by_key,
+        "enrich_articles": _enrich_articles,
+        "keyword_freq": _keyword_freq,
+        "lookup_rollup": _lookup_rollup,
+        "geo_project": _geo_project,
+        # §2c LLM-data ops
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "ann_topk": _ann_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "lang_id": _lang_id,
+        "quality_score": _quality_score,
+        "token_stats": _token_stats,
+        "fingerprint": _fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------- oracle SQL
+
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+_SCRUB = "regexp_replace({c}, '[^a-zA-Z0-9 \\n]', '', 'g')"
+_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+def _toks(c: str) -> str:
+    return f"string_split({_NORM.format(c=c)}, ' ')"
+
+
+_NETLOC = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:\/\/)?(?:[^\/@?#]*@)?([^\/?#]+)"
+
+_EN = "('the','a','of','and','is','to','in')"
+_DE = "('der','die','das','und','ist','nicht')"
+_FR = "('le','la','les','et','est','dans')"
+_ES = "('el','los','las','y','es','en')"
+_STOP = "('the','a','of','and','is','to','in','it','that','this','for','on','with')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks_text = _toks("text")
+    toks_scrub = _toks(_SCRUB.format(c="text"))
+    kw_list = f"list_sort(list_distinct(list_filter({toks_scrub}, w -> length(w) > 4)))"
+    mk_list = f"list_sort(list_distinct(list_filter({toks_scrub}, w -> length(w) > 6)))"
+    geo_lat = "(value*3.7) % 180 - 90"
+    geo_lon = "(value*7.3) % 360 - 180"
+
+    def wkt(lon: str, lat: str) -> str:
+        return (
+            "'POINT(' || CAST(CAST(round(" + lon + ", 6) AS DECIMAL(10,6)) AS VARCHAR)"
+            " || ' ' || CAST(CAST(round(" + lat + ", 6) AS DECIMAL(10,6)) AS VARCHAR) || ')'"
+        )
+
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+              {_dsum('l_quantity')} AS sum_qty,
+              {_dsum('l_extendedprice')} AS sum_base_price,
+              {_dsum('l_extendedprice*(1-l_discount)')} AS sum_disc_price,
+              {_dsum('l_extendedprice*(1-l_discount)*(1+l_tax)')} AS sum_charge,
+              {_dsum('l_quantity')}/COUNT(*) AS avg_qty,
+              {_dsum('l_extendedprice')}/COUNT(*) AS avg_price,
+              {_dsum('l_discount')}/COUNT(*) AS avg_disc,
+              COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_unshipped": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+              {_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_region_volume": f"""
+            SELECT n_name, {_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
+            FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                row_number() OVER (
+                  PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+              FROM orders)
+            WHERE rank <= 3
+        """,
+        "events_hourly": f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+              COUNT(*) AS n_events,
+              {_dsum('value')} AS sum_value,
+              COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": f"""
+            WITH x AS (
+              SELECT *, epoch_us(ts)/1000000.0 AS ts_s,
+                lag(epoch_us(ts)/1000000.0) OVER (
+                  PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+              FROM events),
+            y AS (
+              SELECT *, CASE WHEN prev IS NULL OR ts_s - prev > 1800
+                             THEN 1 ELSE 0 END AS is_new FROM x),
+            z AS (
+              SELECT *, SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS session_seq FROM y)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+              COUNT(*) AS n_events,
+              MIN(ts) AS session_start, MAX(ts) AS session_end,
+              {_dsum('value')} AS sum_value
+            FROM z GROUP BY user_id, session_seq
+        """,
+        "pivot_event_values": f"""
+            SELECT date_trunc('day', ts) AS day,
+              COUNT(*) AS n_events,
+              {_dsum("CASE WHEN event_type='click' THEN value END")} AS v_click,
+              {_dsum("CASE WHEN event_type='view' THEN value END")} AS v_view,
+              {_dsum("CASE WHEN event_type='purchase' THEN value END")} AS v_purchase,
+              {_dsum("CASE WHEN event_type='signup' THEN value END")} AS v_signup,
+              {_dsum("CASE WHEN event_type='error' THEN value END")} AS v_error
+            FROM events GROUP BY 1
+        """,
+        "anti_join_inactive": """
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "dedup_first_by_key": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn = 1
+        """,
+        "enrich_articles": f"""
+            SELECT doc_id,
+              COALESCE(array_to_string(list_slice({toks_scrub}, 1, 6), ' '), '') AS title,
+              regexp_extract(source, '{_NETLOC}', 1) AS site,
+              substring(text, 1, 500) || ' . . . ' AS summary,
+              COALESCE(array_to_string({kw_list}, '; '), '') AS keywords,
+              COALESCE(array_to_string({mk_list}, '; '), '') AS meta_keys
+            FROM documents
+        """,
+        "keyword_freq": f"""
+            WITH kw AS (
+              SELECT unnest({kw_list}) AS keyword FROM documents)
+            SELECT keyword, COUNT(*) AS freq
+            FROM kw WHERE keyword <> 'state'
+            GROUP BY keyword
+        """,
+        "lookup_rollup": f"""
+            SELECT d.category,
+              COUNT(*) AS n_events,
+              {_dsum('e.value * CAST(d.weight AS DOUBLE)')} AS weighted_value
+            FROM events e
+            JOIN (VALUES
+              ('click','engagement',1.0), ('view','engagement',0.5),
+              ('purchase','commerce',5.0), ('signup','growth',3.0),
+              ('error','reliability',-1.0)) AS d(event_type, category, weight)
+              ON e.event_type = d.event_type
+            GROUP BY d.category
+        """,
+        "geo_project": f"""
+            SELECT event_id,
+              {geo_lat} AS lat,
+              {geo_lon} AS lon,
+              {wkt(geo_lon, geo_lat)} AS geom_wkt
+            FROM events WHERE value > 0
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM.format(c='text')}) AS content_hash,
+              MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+              FROM t, unnest(range(1, greatest(len(toks)-2, 1)+1)) AS u(i)),
+            sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(COUNT(*)/CAST(sa.set_size + sb.set_size - COUNT(*) AS DOUBLE), 6) AS jaccard
+            FROM sh a
+            JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN sz sa ON a.doc_id = sa.doc_id
+            JOIN sz sb ON b.doc_id = sb.doc_id
+            GROUP BY a.doc_id, b.doc_id, sa.set_size, sb.set_size
+            HAVING round(COUNT(*)/CAST(sa.set_size + sb.set_size - COUNT(*) AS DOUBLE), 6) >= 0.6
+        """,
+        "dedup_embedding": """
+            WITH v AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            n AS (SELECT vec_id, label, vv,
+                sqrt(list_dot_product(vv, vv)) AS nrm FROM v)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_dot_product(a.vv, b.vv)/(a.nrm*b.nrm), 6) AS cosine
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.vv, b.vv)/(a.nrm*b.nrm), 6) >= 0.3
+        """,
+        "ann_topk": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            n AS (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nrm FROM v),
+            scored AS (
+              SELECT q.vec_id AS query_id, v.vec_id AS nbr_id,
+                list_dot_product(q.vv, v.vv)/(q.nrm*v.nrm) AS cos
+              FROM n q JOIN n v ON v.vec_id <> q.vec_id
+              WHERE q.vec_id < 8),
+            ranked AS (
+              SELECT query_id, nbr_id, cos,
+                row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
+              round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "lang_id": f"""
+            WITH s AS (
+              SELECT doc_id,
+                len(list_filter({toks_text}, w -> w IN {_EN})) AS en,
+                len(list_filter({toks_text}, w -> w IN {_DE})) AS de,
+                len(list_filter({toks_text}, w -> w IN {_FR})) AS fr,
+                len(list_filter({toks_text}, w -> w IN {_ES})) AS es,
+                length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN cjk > 0 THEN 'zh'
+                   WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+                   WHEN en = greatest(en,de,fr,es) THEN 'en'
+                   WHEN de = greatest(en,de,fr,es) THEN 'de'
+                   WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        "quality_score": f"""
+            WITH s AS (
+              SELECT doc_id, text, {toks_text} AS toks FROM documents),
+            m AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                len(list_filter(toks, w -> w IN {_STOP}))/CAST(len(toks) AS DOUBLE) AS stop_ratio,
+                length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))/CAST(length(text) AS DOUBLE) AS alpha_ratio
+              FROM s)
+            SELECT doc_id, n_tokens,
+              round(stop_ratio, 6) AS stopword_ratio,
+              round(alpha_ratio, 6) AS alpha_ratio,
+              round(least(n_tokens/100.0, 1.0)*0.4 + alpha_ratio*0.3 + (1-stop_ratio)*0.3, 6) AS quality
+            FROM m
+        """,
+        "token_stats": f"""
+            WITH s AS (
+              SELECT doc_id, text, {toks_text} AS toks FROM documents)
+            SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+              round(len(list_distinct(toks))/CAST(len(toks) AS DOUBLE), 6) AS ttr,
+              CAST(list_sum(list_transform(toks, w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+              CAST(length({_NORM.format(c='text')}) AS BIGINT) AS n_chars_norm
+            FROM s
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({_NORM.format(c='text')}) AS fp_md5 FROM documents
+        """,
+    }

@@ -1,0 +1,321 @@
+"""Deduplication operators, exact → fuzzy, all shuffle-frugal.
+
+Reference parity: ``df.drop_duplicates("SOURCEURL")`` keep-first
+(reference/extractor/extractor.py:256) generalizes to
+``dedup_keep_first``.  The rest are the LLM-training-data dedup
+family (SURVEY.md §2c): exact content hash, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding cosine.
+
+Scale posture (100 TB):
+- ``dedup_keep_first`` / ``dedup_exact``: ONE shuffle keyed on the
+  dedup key / content hash; hash keys are uniform by construction so
+  no skew.  Aggregation is partial (map-side combine) before the
+  shuffle.
+- ``dedup_ngram_jaccard`` is the exact baseline: its shuffle key is
+  the shingle, and the pair-join is restricted to docs sharing a
+  shingle — never a cartesian product.  Still O(pairs-sharing-a-
+  shingle); at 100 TB use ``dedup_minhash_lsh`` whose candidate set
+  is bounded by LSH bands.
+- ``dedup_minhash_lsh``: signatures computed per-row JVM-side (no
+  shuffle), candidates from a (band_id, band_hash) equi-join, then
+  exact-Jaccard verification only on candidates.
+- ``dedup_embedding`` uses a blocking key (``label``) so the pair
+  join is per-block, mirroring production blocked-dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokens
+
+
+def dedup_keep_first(df: DataFrame, key: str, order: str) -> DataFrame:
+    """Keep one row per ``key``, the first by ``order``.
+
+    The reference relies on pandas file order; a distributed engine
+    needs an explicit deterministic order column.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def with_content_hash(df: DataFrame, text_col: str, out: str = "content_hash") -> DataFrame:
+    """md5 of whitespace-normalized lowercase text (JVM-side)."""
+    return df.withColumn(out, F.md5(normalize_text(text_col)))
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-dup: group by normalized-content hash, keep the
+    lowest id; report group size so callers can audit collapses."""
+    return (
+        with_content_hash(df, text_col)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Pure expression (sequence + transform) — stays in codegen; no
+    Python, no shuffle.
+    """
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle, set_size) — one row per distinct shingle."""
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    ).withColumn("set_size", F.size("sh"))
+    return base.select("id", "set_size", F.explode("sh").alias("shingle"))
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Pairs (id_a < id_b) whose n-gram shingle-set Jaccard ≥ threshold.
+
+    Exact (no approximation): the join key is the shared shingle, so
+    only documents with ≥1 common shingle ever meet.
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures.
+
+    Each of the ``num_hashes`` permutations is xxhash64(shingle, seed);
+    the signature element is the min over the doc's shingle set.
+    Entirely per-row JVM expression work — zero shuffle.
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+
+    def perm(seed: int):
+        # unary-lambda factory: a default arg would make pyspark treat
+        # the lambda as (element, index) and shadow the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform("sh", perm(i))) for i in range(num_hashes)]
+    )
+    return sh.select("id", sig.alias("sig"))
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-dup: band signatures, bucket-join candidates,
+    verify candidates with exact Jaccard, emit pairs ≥ threshold.
+
+    With r = num_hashes/bands rows per band, P(candidate) =
+    1-(1-s^r)^bands — the standard S-curve.  The only shuffles are
+    the (band, hash) candidate join and the verification join, both
+    equi-joins on uniform hash keys.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    a = band_rows.alias("a")
+    b_ = band_rows.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    verified = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash bigint): 64-bit SimHash over token xxhash64s.
+
+    Bit j of the fingerprint is the sign of sum over tokens of
+    (+1 if token-hash bit j else -1).  Pure JVM expressions: the
+    per-bit vote is an aggregate over the token-hash array.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    # votes[j] = sum_tokens(2*bit_j - 1); bit_j of hash h = (h >> j) & 1
+    def voter(bit: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, bit).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+        )
+
+    bit_cols = []
+    for j in range(64):
+        vote = F.aggregate("th", F.lit(0).cast("long"), voter(j))
+        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{j}"))
+    with_bits = toks.select("id", *bit_cols)
+    fp = None
+    for j in range(64):
+        term = F.shiftleft(F.col(f"b{j}"), j)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return with_bits.select("id", fp.alias("simhash"))
+
+
+def dedup_simhash(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming.
+
+    Candidate generation by pigeonhole: split the 64-bit fingerprint
+    into 4 16-bit chunks; hamming ≤ 3 ⇒ at least one chunk matches
+    exactly, so the join key is (chunk_idx, chunk_value) — an
+    equi-join, never a cross product.
+    """
+    fp = simhash(df, text_col, id_col)
+    chunks = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.c", "ch.v")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+def dedup_embedding(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup: pairs within a blocking key whose cosine
+    similarity ≥ threshold.
+
+    Blocking (here on ``label``; in production a coarse cluster id)
+    keeps the pair join per-block instead of all-pairs.  The dot
+    product is a JVM ``aggregate`` over ``zip_with`` — no Python.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,121 @@
+"""Article enrichment — the Spark re-expression of the reference's
+newspaper3k NLP stage (reference/extractor/extractor.py:80-121 and
+230-245: title, site netloc, 500-char summary, sorted ';'-joined
+keywords / meta-keywords, multiprocessing pool).
+
+Two paths:
+
+- ``enrich_articles`` (the default): derives the same shaped columns
+  with pure JVM expressions.  On a cluster this is the fast path —
+  no Python workers, whole-stage codegen, scales linearly with the
+  scan.
+- ``enrich_articles_fetch``: the real network+NLP path.  The article
+  fetch/parse libraries (requests/newspaper3k) are not in this
+  environment and network is out of scope, so the fetch step is a
+  clearly-marked stub; the Spark plumbing (Arrow-batched
+  ``mapInPandas``, schema, partition-parallel fan-out replacing the
+  reference's multiprocessing.Pool) is real and tested with an
+  injectable fake fetcher.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import text_filter, tokens, url_site
+
+ENRICH_SCHEMA = (
+    "doc_id bigint, title string, site string, summary string, "
+    "keywords string, meta_keys string"
+)
+
+
+def enrich_articles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Reference-shaped enrichment columns from the document text.
+
+    - title: first 6 tokens of the scrubbed text
+    - site: netloc of the source (url_site; plain source names pass
+      through)
+    - summary: first 500 chars + " . . . " (reference
+      extractor.py:98)
+    - keywords: sorted distinct tokens len>4, '; '-joined (reference
+      joins sorted scrubbed keywords with ';')
+    - meta_keys: sorted distinct tokens len>6, '; '-joined
+    """
+    toks = tokens(text_filter(F.col(text_col)))
+    kw = F.array_sort(F.array_distinct(F.filter(toks, lambda t: F.length(t) > 4)))
+    mk = F.array_sort(F.array_distinct(F.filter(toks, lambda t: F.length(t) > 6)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 6)).alias("title"),
+        url_site(F.col(source_col)).alias("site"),
+        F.concat(F.substring(F.col(text_col), 1, 500), F.lit(" . . . ")).alias("summary"),
+        F.array_join(kw, "; ").alias("keywords"),
+        F.array_join(mk, "; ").alias("meta_keys"),
+    )
+
+
+def _stub_fetcher(url: str) -> dict:
+    """Deterministic fake for the newspaper3k download/parse/nlp step.
+
+    The real implementation would download ``url`` and run NLP
+    (reference extractor.py:88-93).  Network + newspaper3k are not
+    available here; raise if someone expects real articles.
+    """
+    raise NotImplementedError(
+        "article fetching requires network + newspaper3k; inject a "
+        "fetcher into enrich_articles_fetch for the real path"
+    )
+
+
+def enrich_articles_fetch(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "source",
+    fetcher: Callable[[str], dict] = _stub_fetcher,
+) -> DataFrame:
+    """Distributed article fetch+parse via Arrow-batched mapInPandas.
+
+    Replaces the reference's driver-side multiprocessing.Pool
+    (extractor.py:230-245) with executor-parallel batches: each
+    partition pulls its own URLs, so a 1000-executor cluster fetches
+    1000-wide without driver involvement.  ``fetcher`` maps a URL to
+    a dict with title/site/summary/keywords/meta_keys (None values on
+    failure, mirroring the reference's except-path
+    extractor.py:118-119).
+    """
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(url_col).alias("_url"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, url in zip(pdf["doc_id"], pdf["_url"]):
+                try:
+                    d = fetcher(url)
+                    rows.append(
+                        (
+                            doc_id,
+                            d.get("title"),
+                            d.get("site"),
+                            d.get("summary"),
+                            d.get("keywords"),
+                            d.get("meta_keys"),
+                        )
+                    )
+                except Exception:
+                    rows.append((doc_id, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "title", "site", "summary", "keywords", "meta_keys"],
+            )
+
+    return src.mapInPandas(run, ENRICH_SCHEMA)

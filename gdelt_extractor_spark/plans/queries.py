@@ -1,0 +1,188 @@
+"""Core engine query plans (SURVEY.md §2b).
+
+The reference delegates all querying to PostgreSQL; these plans are
+the Spark-native replacement, exercised on the TPC-H-ish testdata.
+
+Numeric-determinism convention (shared with the DuckDB oracles in
+__spark_entry__.py): additive aggregates over doubles are computed
+as ``SUM(CAST(expr AS DECIMAL(25,6)))`` then cast back to double.
+Per-row double arithmetic is IEEE-deterministic across engines, and
+decimal addition is order-independent — so results are bit-identical
+regardless of partitioning/merge order, on any cluster size.  A
+plain double SUM would drift in the last bits with partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def dsum(expr: Column) -> Column:
+    """Order-independent sum of a double expression (see module doc)."""
+    return F.sum(expr.cast("decimal(25,6)")).cast("double")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan+filter+8 aggregates on lineitem.
+
+    Filter + column pruning push into the parquet scan; aggregation
+    is hash-partial then one shuffle on (returnflag, linestatus).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered fact-fact join + agg + top-10.
+
+    customer is small → broadcast; orders⋈lineitem shuffles once on
+    the order key.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join (2 facts + 4 dims, all dims
+    broadcast) with co-located nation keys, revenue per nation."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k orders by totalprice within each priority (window)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the event stream table."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    """Sessionization: per-user sessions split at >gap_s idle gaps.
+
+    lag + running-sum-of-boundaries windows; one shuffle on user_id
+    reused by both windows and the final aggregate (same key).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_s = F.col("ts").cast("double")
+    prev = F.lag(ts_s).over(w)
+    is_new = F.when(prev.isNull() | ((ts_s - prev) > gap_s), 1).otherwise(0)
+    sess = (
+        e.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / conditional aggregation: daily value by event type in
+    fixed columns (stable names, engine-portable)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+
+    def vsum(t: str) -> Column:
+        return dsum(F.when(F.col("event_type") == t, F.col("value")).otherwise(F.lit(None)))
+
+    return e.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        vsum("click").alias("v_click"),
+        vsum("view").alias("v_view"),
+        vsum("purchase").alias("v_purchase"),
+        vsum("signup").alias("v_signup"),
+        vsum("error").alias("v_error"),
+    )
+
+
+def anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (anti join = NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    )

@@ -1,0 +1,33 @@
+"""SparkSession factory tuned for the test environment (local[N]) but
+with settings that carry to a real cluster (AQE, UTC, Arrow).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "gdelt_extractor_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Local-mode knobs come from env: ``SPARK_GRAFT_CPUS`` (default 32).
+    Cluster-portable settings: AQE on (runtime skew/coalesce), UTC
+    session timezone (oracle comparability), Arrow for any Pandas-UDF
+    edge, shuffle partitions sized to cores rather than the 200
+    default.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,94 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry at sf0.001 and compare against its
+``oracle_sql()`` twin in DuckDB — same columns, same row count, and
+exactly equal values after sorting columns by name and rows by all
+columns (mirroring an order-insensitive value hash).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF0001
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df) -> list[tuple]:
+    """pandas frame → column-name-sorted, row-sorted list of tuples
+    with NaN→None so equality is well-defined."""
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        norm = []
+        for v in row:
+            if isinstance(v, float) and math.isnan(v):
+                norm.append(None)
+            else:
+                norm.append(v)
+        out.append(tuple(norm))
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+    return out
+
+
+def test_every_query_has_oracle_or_is_declared():
+    rows_only = {"dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk"}
+    missing = set(QUERIES) - set(ORACLES) - rows_only
+    assert not missing, f"queries without oracle: {missing}"
+    stale = set(ORACLES) - set(QUERIES)
+    assert not stale, f"oracles without query: {stale}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity(name, spark):
+    sdf = QUERIES[name](spark, SF0001).toPandas()
+    con = duck_con(SF0001)
+    ddf = con.sql(ORACLES[name]).df()
+
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    )
+    assert len(sdf) == len(ddf), f"{name}: rows {len(sdf)} vs {len(ddf)}"
+
+    s_rows, d_rows = canon(sdf), canon(ddf)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk"])
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF0001)
+    assert df.count() >= 0
+    assert len(df.columns) >= 2
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
