@@ -1,0 +1,133 @@
+"""Multimodal column plumbing (SURVEY.md §2c 35).
+
+Images/audio/video ride as opaque ``binary`` columns + a typed
+metadata struct; per-item work (decode, resize, frame-sample,
+feature-extract) runs in Arrow-batched ``mapInPandas`` so each
+executor processes its own partitions' bytes — the bytes never visit
+the driver.
+
+The decode libraries (PIL/ffmpeg/librosa) are NOT in this container:
+``decode_image``'s real path raises NotImplementedError behind an
+import-try, and tests exercise the deterministic fake decoder, which
+keeps every piece of Spark plumbing (schema, batch iteration,
+partitioning, output shape) real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, width int, height int, mean_intensity double, "
+    "feature array<double>"
+)
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_bytes binary"
+
+
+def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic synthetic media rows for plumbing tests: content
+    = sha256 stream keyed by id, meta derived from id.  Stands in for
+    ``spark.read.format('binaryFile')`` over an object store."""
+    idc = F.col(id_col).cast("long")
+    content = F.sha2(F.concat(F.lit("media:"), idc.cast("string")), 256).cast("binary")
+    meta = F.struct(
+        F.lit("fake/raw").alias("format"),
+        (idc % 64 + 16).cast("int").alias("width"),
+        (idc % 48 + 16).cast("int").alias("height"),
+        (idc % 8 + 1).cast("int").alias("n_frames"),
+        ((idc % 300) / 10.0).alias("duration_s"),
+    )
+    return df.select(idc.alias("media_id"), content.alias("content"), meta.alias("meta"))
+
+
+def _fake_decode(content: bytes, width: int, height: int) -> list[float]:
+    """Deterministic stand-in for a pixel decode: stretch the content
+    hash into width*height 'pixels' in [0,1)."""
+    out: list[float] = []
+    seed = content or b""
+    i = 0
+    while len(out) < width * height:
+        h = hashlib.sha256(seed + i.to_bytes(4, "big")).digest()
+        out.extend(b / 255.0 for b in h)
+        i += 1
+    return out[: width * height]
+
+
+def image_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """Per-image features via mapInPandas.
+
+    Real path (PIL) is unavailable here → NotImplementedError; the
+    fake decoder keeps the distributed plumbing exercised.
+    """
+    if use_real_decoder:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image decode needs PIL; not present in this "
+                "environment — use the deterministic fake decoder"
+            ) from exc
+
+    src = media.select("media_id", "content", "meta.width", "meta.height")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
+            ):
+                px = _fake_decode(bytes(content), int(w), int(h))
+                mean = sum(px) / len(px) if px else 0.0
+                rows.append((mid, int(w), int(h), mean, px[:8]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean_intensity", "feature"],
+            )
+
+    return src.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Sample every Nth frame of 'video' media.
+
+    Frame extraction itself is the stubbed decode (deterministic
+    bytes per frame); the explode/partition shape is the real
+    pipeline one: one output row per sampled frame, executor-local.
+    """
+    src = media.select("media_id", "content", "meta.n_frames")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, n in zip(pdf["media_id"], pdf["content"], pdf["n_frames"]):
+                for idx in range(0, int(n), every_n):
+                    fb = hashlib.sha256(bytes(content) + idx.to_bytes(4, "big")).digest()
+                    rows.append((mid, idx, fb))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+
+    return src.mapInPandas(run, FRAME_SCHEMA)

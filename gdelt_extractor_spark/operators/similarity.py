@@ -88,32 +88,78 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     return bucket
 
 
+def lsh_multitable_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """Pandas UDF: vector → array of one bucket id per hash table.
+
+    Multi-table LSH is the standard recall lever: a true neighbor is
+    a candidate if it collides in ANY of the ``n_tables``
+    independently-seeded plane sets — P(miss) = (1-p^k)^L instead of
+    1-p^k.  All tables are evaluated in one Arrow batch pass.
+    """
+    rs = np.random.RandomState(seed)
+    planes = rs.standard_normal((n_tables, dim, n_planes))  # (L, d, k)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        per_table = [((m @ planes[t]) > 0) @ weights for t in range(n_tables)]
+        stacked = np.stack(per_table, axis=1)  # (batch, L)
+        return pd.Series(list(stacked))
+
+    return buckets
+
+
 def ann_lsh(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 6,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: exact rerank restricted to the query's LSH
-    bucket.  The bucket equality join replaces the full scan; recall
-    is tested against ann_bruteforce in tests/test_similarity.py."""
-    bucket = lsh_bucket_udf(dim, n_planes, seed)
-    v = vectors.select(
-        F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v")
-    ).withColumn("vb", bucket("v"))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qb", bucket("qv"))
-    scored = (
-        v.join(
-            F.broadcast(q),
-            (F.col("vb") == F.col("qb")) & (F.col("nbr_id") != F.col("query_id")),
+    """Approximate top-k: exact cosine rerank restricted to LSH
+    candidates (multi-table random-hyperplane).
+
+    Plan shape at scale: one scan of the vector table computing all
+    table buckets in a single Arrow pass, posexplode to
+    (table, bucket) rows, equi-join with the (broadcast) query
+    buckets, distinct candidate pairs, rerank.  No full scan per
+    query, no cartesian product; recall tuned by (n_planes,
+    n_tables) and tested against ann_bruteforce."""
+    buckets = lsh_multitable_udf(dim, n_planes, n_tables, seed)
+    v = (
+        vectors.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v"))
+        .withColumn("bks", buckets("v"))
+        .select("nbr_id", "v", F.posexplode("bks").alias("tbl", "bkt"))
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
         )
+        .withColumn("bks", buckets("qv"))
+        .select("query_id", "qv", F.posexplode("bks").alias("tbl", "bkt"))
+    )
+    candidates = (
+        v.join(
+            F.broadcast(q.select("query_id", "tbl", "bkt")),
+            ["tbl", "bkt"],
+        )
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    vv = vectors.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v"))
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(vv, "nbr_id")
         .withColumn("cos", cosine(F.col("qv"), F.col("v")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())

@@ -1,0 +1,227 @@
+"""GDELT feed sources, Spark-native.
+
+Parity targets:
+- column sets: reference/extractor/schema.py:1-65 (v2 export, 61
+  cols), :67-126 (v1 events, 58 cols), :128-147 (v2 mentions, 16
+  cols).  The reference reads everything as pandas object dtype with
+  two str overrides; here the schemas are properly typed per the
+  public GDELT codebooks so filters/aggregates push down.
+- ``parse_lastupdate`` — reference/extractor/extractor.py:288-312
+  (fetch lastupdate.txt, take last space-separated field per line,
+  label = url.split('.')[-3], expect 3 keys).
+- ``read_gdelt_zip`` — reference/extractor/extractor.py:203-228
+  downloads + unzips to a driver temp dir; here zip members are
+  decompressed executor-side from a ``binaryFile`` scan via
+  Arrow-batched ``mapInPandas``, so a 1000-file backfill fans out
+  across the cluster with no driver bottleneck.
+- ``process_gdelt_events`` — reference/extractor/extractor.py:247-274
+  (dedup keep-first on SOURCEURL, lowercase column names).
+
+Network fetch of http://data.gdeltproject.org is out of scope in this
+environment; readers take local paths/globs.  The manifest parser is
+a pure function over the fetched text.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import dedup_keep_first
+
+# ---- column name lists (order matters; mirrors reference schema.py)
+
+_ACTOR_COLS = [
+    "Code", "Name", "CountryCode", "KnownGroupCode", "EthnicCode",
+    "Religion1Code", "Religion2Code", "Type1Code", "Type2Code", "Type3Code",
+]
+
+
+def _actor(prefix: str) -> list[tuple[str, T.DataType]]:
+    return [(f"{prefix}{c}", T.StringType()) for c in _ACTOR_COLS]
+
+
+def _geo(prefix: str, adm2: bool) -> list[tuple[str, T.DataType]]:
+    cols: list[tuple[str, T.DataType]] = [
+        (f"{prefix}_Type", T.IntegerType()),
+        (f"{prefix}_FullName", T.StringType()),
+        (f"{prefix}_CountryCode", T.StringType()),
+        (f"{prefix}_ADM1Code", T.StringType()),
+    ]
+    if adm2:
+        cols.append((f"{prefix}_ADM2Code", T.StringType()))
+    cols += [
+        (f"{prefix}_Lat", T.DoubleType()),
+        (f"{prefix}_Long", T.DoubleType()),
+        (f"{prefix}_FeatureID", T.StringType()),
+    ]
+    return cols
+
+
+def _events_fields(adm2: bool) -> list[tuple[str, T.DataType]]:
+    return (
+        [
+            ("GLOBALEVENTID", T.LongType()),
+            ("SQLDATE", T.IntegerType()),
+            ("MonthYear", T.IntegerType()),
+            ("Year", T.IntegerType()),
+            ("FractionDate", T.DoubleType()),
+        ]
+        + _actor("Actor1")
+        + _actor("Actor2")
+        + [
+            ("IsRootEvent", T.IntegerType()),
+            ("EventCode", T.StringType()),      # str per reference dtypes
+            ("EventBaseCode", T.StringType()),
+            ("EventRootCode", T.StringType()),  # str per reference dtypes
+            ("QuadClass", T.IntegerType()),
+            ("GoldsteinScale", T.DoubleType()),
+            ("NumMentions", T.IntegerType()),
+            ("NumSources", T.IntegerType()),
+            ("NumArticles", T.IntegerType()),
+            ("AvgTone", T.DoubleType()),
+        ]
+        + _geo("Actor1Geo", adm2)
+        + _geo("Actor2Geo", adm2)
+        + _geo("ActionGeo", adm2)
+        + [
+            ("DATEADDED", T.LongType()),
+            ("SOURCEURL", T.StringType()),
+        ]
+    )
+
+
+def _schema(fields: list[tuple[str, T.DataType]]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+V2_EVENTS_SCHEMA = _schema(_events_fields(adm2=True))    # 61 cols
+V1_EVENTS_SCHEMA = _schema(_events_fields(adm2=False))   # 58 cols
+MENTIONS_SCHEMA = _schema(
+    [
+        ("GLOBALEVENTID", T.LongType()),
+        ("EventTimeDate", T.LongType()),
+        ("MentionTimeDate", T.LongType()),
+        ("MentionType", T.IntegerType()),
+        ("MentionSourceName", T.StringType()),
+        ("MentionIdentifier", T.StringType()),
+        ("SentenceID", T.IntegerType()),
+        ("Actor1CharOffset", T.IntegerType()),
+        ("Actor2CharOffset", T.IntegerType()),
+        ("ActionCharOffset", T.IntegerType()),
+        ("InRawText", T.IntegerType()),
+        ("Confidence", T.IntegerType()),
+        ("MentionDocLen", T.IntegerType()),
+        ("MentionDocTone", T.DoubleType()),
+        ("MentionDocTranslationInfo", T.StringType()),
+        ("Extras", T.StringType()),
+    ]
+)
+
+assert len(V2_EVENTS_SCHEMA) == 61 and len(V1_EVENTS_SCHEMA) == 58
+assert len(MENTIONS_SCHEMA) == 16
+
+
+def _read_tsv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_gdelt_v2(spark: SparkSession, path: str) -> DataFrame:
+    """GDELT 2.0 export TSV(s) with the 61-column typed schema."""
+    return _read_tsv(spark, path, V2_EVENTS_SCHEMA)
+
+
+def read_gdelt_v1(spark: SparkSession, path: str) -> DataFrame:
+    """GDELT 1.0 daily events TSV(s), 58-column typed schema."""
+    return _read_tsv(spark, path, V1_EVENTS_SCHEMA)
+
+
+def read_gdelt_mentions(spark: SparkSession, path: str) -> DataFrame:
+    """GDELT 2.0 mentions TSV(s), 16-column typed schema."""
+    return _read_tsv(spark, path, MENTIONS_SCHEMA)
+
+
+def parse_lastupdate(text: str) -> dict[str, str]:
+    """Parse lastupdate.txt → {label: url} (export/mentions/gkg).
+
+    Pure function mirroring reference extractor.py:288-312 including
+    the 3-key invariant.
+    """
+    data: dict[str, str] = {}
+    for row in text.split("\n"):
+        if not row:
+            continue
+        url = row.split(" ")[-1]
+        label = url.split(".")[-3]
+        data[label] = url
+    if len(data) != 3:
+        raise ValueError(f"Expecting 3 Keys for GDELT 2.0. Received: {list(data)}")
+    return data
+
+
+def read_gdelt_zip(
+    spark: SparkSession, path: str, schema: T.StructType = V2_EVENTS_SCHEMA
+) -> DataFrame:
+    """Read zipped GDELT TSVs, decompressing executor-side.
+
+    ``binaryFile`` scans the zips (each file one row); mapInPandas
+    unzips in memory and emits string columns which are then cast to
+    the typed schema.  Unlike the reference's driver temp-dir flow,
+    this parallelizes across however many zip files the glob matches.
+    """
+    names = [f.name for f in schema.fields]
+    str_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+
+    def unzip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    for member in zf.namelist():
+                        text = zf.read(member).decode("utf-8", errors="replace")
+                        rows = [
+                            line.split("\t")
+                            for line in text.split("\n")
+                            if line.strip()
+                        ]
+                        rows = [
+                            r[: len(names)] + [None] * max(0, len(names) - len(r))
+                            for r in rows
+                        ]
+                        yield pd.DataFrame(rows, columns=names)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(unzip, str_schema)
+    )
+    # empty TSV fields → NULL (matching the csv reader's nullValue="")
+    casts = [
+        F.when(F.col(f.name) == "", None)
+        .otherwise(F.col(f.name))
+        .cast(f.dataType)
+        .alias(f.name)
+        for f in schema.fields
+    ]
+    return raw.select(*casts)
+
+
+def process_gdelt_events(df: DataFrame) -> DataFrame:
+    """The reference's post-read cleanup (extractor.py:247-274):
+    keep-first dedup on SOURCEURL (deterministically: lowest event
+    id) and lowercase column names.  Article enrichment is the
+    separate operators.enrich stage."""
+    deduped = dedup_keep_first(df, key="SOURCEURL", order="GLOBALEVENTID")
+    return deduped.toDF(*[c.lower() for c in deduped.columns])

@@ -1,0 +1,112 @@
+"""Structured-Streaming re-expression of the reference's 15-minute
+update loop (reference/v2.py + cron: every tick, fetch the newest
+export zip, clean it, replace the DB table).
+
+Spark-first shape: a file-source stream watches a landing directory
+(where a fetcher drops unzipped TSVs), the SAME batch transforms run
+incrementally, keep-first URL dedup becomes watermarked
+``dropDuplicates``, and the sink is ``foreachBatch`` (JDBC/parquet,
+exactly-once per epoch) or a windowed aggregate for live rollups.
+
+At 100 TB/day this is the architecture that replaces cron+replace:
+incremental processing, late-data tolerance via watermark, no
+re-truncating the target.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.gdelt import V2_EVENTS_SCHEMA
+
+
+def stream_gdelt_dir(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType = V2_EVENTS_SCHEMA,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """File-source stream of GDELT TSV drops."""
+    return (
+        spark.readStream.format("csv")
+        .option("sep", "\t")
+        .option("header", "false")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .schema(schema)
+        .load(landing_dir)
+    )
+
+
+def with_event_time(df: DataFrame, col: str = "DATEADDED") -> DataFrame:
+    """DATEADDED (yyyyMMddHHmmss integer) → event_time timestamp."""
+    return df.withColumn(
+        "event_time", F.to_timestamp(F.col(col).cast("string"), "yyyyMMddHHmmss")
+    )
+
+
+def dedup_stream(
+    df: DataFrame, key: str = "SOURCEURL", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming keep-first on ``key``: state-backed dropDuplicates
+    bounded by the event-time watermark (the reference's
+    drop_duplicates, made incremental and late-data-safe)."""
+    return df.withWatermark("event_time", watermark).dropDuplicates([key])
+
+
+def windowed_counts(
+    df: DataFrame,
+    window: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-window event counts by root code — the live rollup the
+    reference approximates by re-running its keyword/geom queries
+    each tick."""
+    return (
+        df.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("EventRootCode"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("NumArticles").cast("long")).alias("n_articles"),
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming query over everything currently in the
+    source and stop — the synchronous harness used by tests and
+    local smoke runs."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once-per-epoch arbitrary sink (e.g. JDBC append) —
+    the streaming replacement for the reference's replace-mode
+    to_sql."""
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

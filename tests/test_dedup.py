@@ -1,0 +1,107 @@
+"""Dedup-family behavior tests on crafted micro-corpora: exact
+semantics, LSH recall vs the exact jaccard baseline, simhash
+properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_extractor_spark.operators import dedup as D
+
+DOCS = [
+    # two exact dups (normalized): 0 & 1
+    (0, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the  quick brown fox jumps over the lazy dog near the river bank "),
+    # near-dup of 0 (one word changed): 2
+    (2, "The quick brown fox jumps over the lazy cat near the river bank"),
+    # unrelated: 3
+    (3, "spark plans shuffle exchange broadcast join aggregate window partition parquet pushdown"),
+    # near-dup pair 4/5 (tail changed)
+    (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa nu xi"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(3, "u1"), (1, "u1"), (2, "u2")], "id long, url string"
+    )
+    out = D.dedup_keep_first(df, "url", "id").collect()
+    assert {(r.id, r.url) for r in out} == {(1, "u1"), (2, "u2")}
+
+
+def test_dedup_exact_groups(docs):
+    out = {r.keep_id: r.n_dups for r in D.dedup_exact(docs, "text", "doc_id").collect()}
+    assert out[0] == 2          # 0 and 1 collapse
+    assert 1 not in out         # 1 absorbed into 0's group
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.dedup_ngram_jaccard(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0                     # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)           # unrelated isolated
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.dedup_ngram_jaccard(docs, "text", "doc_id", threshold=0.6).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in D.dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.6).collect()
+    }
+    # verification step makes LSH output a subset of the exact pairs;
+    # on this tiny corpus the high-sim pairs must all be recalled
+    assert approx <= exact
+    assert (0, 1) in approx
+    assert len(approx) >= len(exact) - 1
+
+
+def test_minhash_signature_determinism_and_shape(docs):
+    s1 = {r.id: r.sig for r in D.minhash_signatures(docs, "text", "doc_id", 16).collect()}
+    s2 = {r.id: r.sig for r in D.minhash_signatures(docs, "text", "doc_id", 16).collect()}
+    assert s1 == s2
+    assert all(len(sig) == 16 for sig in s1.values())
+    # identical docs → identical signatures; distinct docs → not all equal
+    assert s1[0] == s1[1]
+    assert s1[0] != s1[3]
+
+
+def test_simhash_properties(docs, spark):
+    fp = {r.id: r.simhash for r in D.simhash(docs, "text", "doc_id").collect()}
+    assert fp[0] == fp[1]       # normalization-identical docs
+    ham02 = bin(fp[0] ^ fp[2]).count("1")
+    ham03 = bin(fp[0] ^ fp[3]).count("1")
+    assert ham02 < ham03        # near-dup closer than unrelated
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.dedup_simhash(docs, "text", "doc_id", max_hamming=10).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+
+
+def test_embedding_dedup_blocked(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),     # same block, near-identical
+        (3, [0.0, 1.0, 0.0], 0),        # same block, orthogonal
+        (4, [1.0, 0.0, 0.0], 1),        # other block: never paired w/ 1
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {(r.id_a, r.id_b) for r in D.dedup_embedding(emb, threshold=0.95).collect()}
+    assert out == {(1, 2)}

@@ -1,0 +1,80 @@
+"""ANN tests: brute-force correctness on a crafted geometry and LSH
+recall against the brute-force baseline on real embeddings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_extractor_spark.operators import similarity as S
+from gdelt_extractor_spark.sources.tables import load_table
+
+
+def test_bruteforce_topk_crafted(spark):
+    vecs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),
+            (11, [0.9, 0.1]),
+            (12, [0.0, 1.0]),
+            (13, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(10, [1.0, 0.0])], "query_id long, embedding array<double>")
+    out = S.ann_bruteforce(vecs, q, k=2).collect()
+    assert [r.nbr_id for r in sorted(out, key=lambda r: r.rank)] == [11, 12]
+    assert out[0].cosine <= 1.0
+
+
+def test_lsh_recall_on_clustered_vectors(spark):
+    """Recall where ANN is meaningful: clustered vectors.  True
+    neighbors are near-parallel → per-plane collision prob → 1 →
+    multi-table recall must be high."""
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    rows = []
+    for c in range(10):
+        center = rs.standard_normal(16)
+        for j in range(20):
+            v = center + 0.05 * rs.standard_normal(16)
+            rows.append((c * 100 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.nbr_id) for r in S.ann_bruteforce(emb, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.nbr_id)
+        for r in S.ann_lsh(emb, q, k=5, dim=16, n_planes=8, n_tables=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall on clustered data: {recall}"
+
+
+def test_lsh_sanity_on_diffuse_vectors(spark, sf_dir):
+    """The testdata embeddings are near-orthogonal (max cosine ≈
+    0.47): per-plane collision prob ≈ 0.6 → p^k·L predicts only a few
+    % recall.  Assert the machinery produces valid, nonempty,
+    correctly-shaped output rather than a recall level the geometry
+    cannot support."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.ann_lsh(emb, q, k=5, n_planes=8, n_tables=6).collect()
+    assert len(out) > 0
+    assert all(r.rank <= 5 and r.query_id < 5 and -1.0 <= r.cosine <= 1.0 for r in out)
+
+
+def test_lsh_bucket_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    b = S.lsh_bucket_udf(dim=64, n_planes=8, seed=7)
+    v = emb.select(
+        "vec_id",
+        S._as_double("embedding").alias("v"),
+    ).withColumn("bkt", b("v"))
+    r1 = {r.vec_id: r.bkt for r in v.collect()}
+    r2 = {r.vec_id: r.bkt for r in v.collect()}
+    assert r1 == r2
+    assert all(0 <= x < 256 for x in r1.values())

@@ -1,0 +1,85 @@
+"""Sink wiring and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_extractor_spark.operators import multimodal as M
+from gdelt_extractor_spark.sinks import files as FS
+from gdelt_extractor_spark.sinks import jdbc as J
+from gdelt_extractor_spark.sources.tables import load_table
+
+
+def test_jdbc_options_shape():
+    cfg = {
+        "db_name": "gdelt_news",
+        "db_user": "postgres",
+        "db_pass": "postgres",
+        "db_host": "localhost",
+        "db_port": "5432",
+    }
+    opts = J.jdbc_options(cfg, "v2_exports")
+    assert opts["url"] == "jdbc:postgresql://localhost:5432/gdelt_news"
+    assert opts["dbtable"] == "v2_exports"
+    assert opts["driver"] == "org.postgresql.Driver"
+
+
+def test_jdbc_write_gated(spark):
+    df = spark.range(3)
+    cfg = dict(db_name="x", db_user="u", db_pass="p", db_host="nohost", db_port="1")
+    with pytest.raises(RuntimeError, match="JDBC write failed"):
+        J.write_jdbc(df, "t", cfg, num_partitions=1)
+
+
+def test_lastrun_df(spark):
+    r = J.lastrun_df(spark).collect()
+    assert len(r) == 1 and r[0].runtime > 0
+
+
+def test_write_parquet_partitioned(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    FS.write_parquet(e, str(tmp_path / "out"), partition_by=["dt"])
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == e.count()
+    assert "dt" in back.columns
+
+
+def test_media_schema_and_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = M.attach_fake_media(docs, "doc_id")
+    # simpleString ignores nullability (computed cols are non-null)
+    assert media.schema.simpleString() == M.MEDIA_SCHEMA.simpleString()
+
+    feats = M.image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(0.0 <= r.mean_intensity <= 1.0 for r in rows)
+    assert all(len(r.feature) == 8 for r in rows)
+    # determinism across runs
+    again = {r.media_id: r.mean_intensity for r in M.image_features(media).collect()}
+    assert {r.media_id: r.mean_intensity for r in rows} == again
+
+
+def test_real_decoder_gated(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = M.attach_fake_media(docs, "doc_id")
+    with pytest.raises(NotImplementedError):
+        M.image_features(media, use_real_decoder=True)
+
+
+def test_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = M.attach_fake_media(docs, "doc_id")
+    frames = M.frame_sample(media, every_n=2).collect()
+    n_frames = {r.media_id: r for r in M.attach_fake_media(docs, "doc_id").select("media_id", "meta.n_frames").collect()}
+    for r in frames:
+        assert r.frame_idx % 2 == 0
+        assert len(r.frame_bytes) == 32
+    # every media contributes ceil(n_frames/2) frames
+    from collections import Counter
+    per = Counter(r.media_id for r in frames)
+    for mid, row in n_frames.items():
+        assert per[mid] == (row.n_frames + 1) // 2

@@ -1,0 +1,114 @@
+"""GDELT source tests: schema shape, TSV/zip round-trip, manifest
+parse, reference-cleanup semantics — on synthetic fixture rows shaped
+like the public GDELT feeds."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+
+from gdelt_extractor_spark.sources import gdelt as G
+
+N_V2 = 61
+N_V1 = 58
+
+
+def _v2_row(eid: int, url: str, root: str = "14") -> str:
+    vals = [""] * N_V2
+    vals[0] = str(eid)            # GLOBALEVENTID
+    vals[1] = "20240101"          # SQLDATE
+    vals[2] = "202401"
+    vals[3] = "2024"
+    vals[4] = "2024.0027"
+    vals[6] = "GOVERNMENT"        # Actor1Name
+    vals[25] = "1"                # IsRootEvent
+    vals[26] = root + "0"         # EventCode
+    vals[27] = root + "0"
+    vals[28] = root               # EventRootCode
+    vals[29] = "3"                # QuadClass
+    vals[30] = "-2.0"             # GoldsteinScale
+    vals[31] = "5"                # NumMentions
+    vals[32] = "1"
+    vals[33] = "5"                # NumArticles
+    vals[34] = "-1.5"             # AvgTone
+    vals[56] = "39.04"            # ActionGeo_Lat
+    vals[57] = "-77.49"           # ActionGeo_Long
+    vals[59] = "20240101083000"   # DATEADDED
+    vals[60] = url                # SOURCEURL
+    return "\t".join(vals)
+
+
+@pytest.fixture(scope="module")
+def v2_tsv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("gdelt") / "20240101083000.export.CSV"
+    rows = [
+        _v2_row(1, "http://example.com/a", "14"),
+        _v2_row(2, "http://example.com/a", "14"),   # dup URL
+        _v2_row(3, "http://example.com/b", "19"),
+    ]
+    p.write_text("\n".join(rows))
+    return str(p)
+
+
+def test_schema_shapes():
+    assert len(G.V2_EVENTS_SCHEMA) == 61
+    assert len(G.V1_EVENTS_SCHEMA) == 58
+    assert len(G.MENTIONS_SCHEMA) == 16
+    names = [f.name for f in G.V2_EVENTS_SCHEMA.fields]
+    assert names[0] == "GLOBALEVENTID" and names[-1] == "SOURCEURL"
+    assert "Actor1Geo_ADM2Code" in names
+    v1_names = [f.name for f in G.V1_EVENTS_SCHEMA.fields]
+    assert "Actor1Geo_ADM2Code" not in v1_names
+
+
+def test_read_v2_typed(spark, v2_tsv):
+    df = G.read_gdelt_v2(spark, v2_tsv)
+    rows = {r.GLOBALEVENTID: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3}
+    r = rows[1]
+    assert r.GoldsteinScale == -2.0 and r.QuadClass == 3
+    assert r.EventRootCode == "14"          # stays string (ref dtype)
+    assert r.ActionGeo_Lat == pytest.approx(39.04)
+    assert r.Actor1Name == "GOVERNMENT"
+    assert r.Actor2Name is None             # empty → NULL
+
+
+def test_process_events_dedup_and_lowercase(spark, v2_tsv):
+    df = G.process_gdelt_events(G.read_gdelt_v2(spark, v2_tsv))
+    rows = df.collect()
+    assert sorted(r.globaleventid for r in rows) == [1, 3]  # keep-first
+    assert all(c == c.lower() for c in df.columns)
+
+
+def test_read_zip_roundtrip(spark, v2_tsv, tmp_path):
+    zpath = tmp_path / "20240101083000.export.CSV.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(v2_tsv, arcname=os.path.basename(v2_tsv))
+    df = G.read_gdelt_zip(spark, str(zpath))
+    plain = G.read_gdelt_v2(spark, v2_tsv)
+    assert df.schema == plain.schema
+    assert sorted(df.collect()) == sorted(plain.collect())
+
+
+def test_parse_lastupdate():
+    text = (
+        "132906 a1b2 http://data.gdeltproject.org/gdeltv2/20240101083000.export.CSV.zip\n"
+        "150465 c3d4 http://data.gdeltproject.org/gdeltv2/20240101083000.mentions.CSV.zip\n"
+        "11564031 e5f6 http://data.gdeltproject.org/gdeltv2/20240101083000.gkg.csv.zip\n"
+    )
+    d = G.parse_lastupdate(text)
+    assert set(d) == {"export", "mentions", "gkg"}
+    assert d["export"].endswith("export.CSV.zip")
+    with pytest.raises(ValueError):
+        G.parse_lastupdate("one http://x.y.export.CSV.zip")
+
+
+def test_mentions_reader(spark, tmp_path):
+    p = tmp_path / "m.mentions.CSV"
+    p.write_text("1\t20240101083000\t20240101084500\t1\texample.com\thttp://example.com/a\t3\t10\t20\t30\t1\t80\t1200\t-2.5\t\t\n")
+    df = G.read_gdelt_mentions(spark, str(p))
+    r = df.collect()[0]
+    assert r.GLOBALEVENTID == 1 and r.Confidence == 80
+    assert r.MentionDocTone == pytest.approx(-2.5)
