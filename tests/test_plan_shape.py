@@ -1,0 +1,84 @@
+"""Physical-plan shape assertions — the 100 TB posture guards.
+
+These tests pin the properties that make the plans scale: predicate
+pushdown into the parquet scan, column pruning (ReadSchema), and
+broadcast joins for dimension tables.  A regression here (e.g. a
+refactor that hides a filter behind a UDF, or a dim that stops
+broadcasting) is invisible at test scale but catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = entry_mod.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def read_schemas(plan: str) -> list[str]:
+    return [l.strip() for l in plan.split("\n") if "ReadSchema" in l]
+
+
+def pushed_filter_lines(plan: str) -> list[str]:
+    return [
+        l.strip()
+        for l in plan.split("\n")
+        if "PushedFilters" in l and "PushedFilters: []" not in l
+    ]
+
+
+def test_q1_pruning_and_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    assert pushed_filter_lines(plan), "shipdate filter must push into the scan"
+    (rs,) = read_schemas(plan)
+    # 7 of 11 lineitem columns — the projection must prune the scan
+    assert "l_shipdate" in rs and "l_orderkey" not in rs and "l_partkey" not in rs
+
+
+def test_q3_broadcasts_and_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "q3_top_unshipped", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert len(pushed_filter_lines(plan)) >= 3, "all three scans filter at source"
+
+
+def test_q5_star_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, "q5_region_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # the two fact tables must come out column-pruned
+    assert any("l_extendedprice" in rs and "l_quantity" not in rs for rs in read_schemas(plan))
+
+
+def test_geo_project_prunes_to_two_columns(spark, sf_dir):
+    plan = plan_of(spark, "geo_project", sf_dir)
+    (rs,) = read_schemas(plan)
+    assert "event_id" in rs and "value" in rs
+    assert "props" not in rs and "user_id" not in rs
+    assert pushed_filter_lines(plan), "value>0 must push into the scan"
+
+
+def test_lookup_rollup_broadcasts_dim(spark, sf_dir):
+    plan = plan_of(spark, "lookup_rollup", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    (rs,) = read_schemas(plan)
+    assert "event_type" in rs and "value" in rs and "props" not in rs
+
+
+def test_ann_topk_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(spark, "ann_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_in_pair_generators(spark, sf_dir):
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, f"{name} must never cross-join"
