@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gdelt_extractor_spark.functions.lookups import event_type_dim_df
+from gdelt_extractor_spark.operators import curation as C
 from gdelt_extractor_spark.operators import dedup as D
 from gdelt_extractor_spark.operators import similarity as S
 from gdelt_extractor_spark.operators import textstats as TS
@@ -137,6 +138,23 @@ def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fp_md5")
 
 
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.decontaminate(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        max_overlap=0.1,
+    )
+
+
+def _sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.sample_split(load_table(spark, sf_dir, "documents"), "doc_id")
+
+
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2b core engine
@@ -148,6 +166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": Q.sessionize,
         "pivot_event_values": Q.pivot_event_values,
         "anti_join_inactive": Q.anti_join_inactive,
+        "rollup_daily": Q.rollup_daily,
+        "value_quantiles": Q.value_quantiles,
+        "asof_last_click": Q.asof_last_click,
         # §2a reference parity
         "dedup_first_by_key": _dedup_first_by_key,
         "enrich_articles": _enrich_articles,
@@ -166,6 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality_score,
         "token_stats": _token_stats,
         "fingerprint": _fingerprint,
+        "decontaminate": _decontaminate,
+        "sample_split": _sample_split,
+        "corpus_stats": _corpus_stats,
     }
 
 
@@ -299,6 +323,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_nationkey, c_mktsegment
             FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "rollup_daily": f"""
+            SELECT event_type, date_trunc('day', ts) AS day,
+              COUNT(*) AS n_events, {_dsum('value')} AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.9), 6) AS p90,
+              round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "asof_last_click": """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+              r.click_value AS asof_click_value
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value AS click_value FROM events
+                  WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts > r.ts
         """,
         "dedup_first_by_key": """
             SELECT doc_id, text, lang, source, n_chars FROM (
@@ -439,5 +486,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             SELECT doc_id, md5({_NORM.format(c='text')}) AS fp_md5 FROM documents
+        """,
+        "decontaminate": f"""
+            WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+              FROM t, unnest(range(1, greatest(len(toks)-2, 1)+1)) AS u(i)
+              WHERE doc_id >= 5),
+            sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+            bs AS (
+              SELECT DISTINCT
+                concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+              FROM t, unnest(range(1, greatest(len(toks)-2, 1)+1)) AS u(i)
+              WHERE doc_id < 5),
+            ov AS (
+              SELECT sh.doc_id,
+                SUM(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+              FROM sh LEFT JOIN bs ON sh.shingle = bs.shingle
+              GROUP BY sh.doc_id)
+            SELECT z.doc_id,
+              CAST(z.n_shingles AS BIGINT) AS n_shingles,
+              CAST(o.n_overlap AS BIGINT) AS n_overlap,
+              round(o.n_overlap/CAST(z.n_shingles AS DOUBLE), 6) AS overlap_frac,
+              round(o.n_overlap/CAST(z.n_shingles AS DOUBLE), 6) <= 0.1 AS keep
+            FROM sz z JOIN ov o ON z.doc_id = o.doc_id
+        """,
+        "sample_split": """
+            SELECT doc_id, text, lang, source, n_chars,
+              CAST(('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket,
+              CASE WHEN CAST(('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90
+                   THEN 'train' ELSE 'val' END AS split
+            FROM documents
+        """,
+        "corpus_stats": f"""
+            SELECT source, lang, COUNT(*) AS n_docs,
+              CAST(SUM(len({toks_text})) AS BIGINT) AS total_tokens,
+              CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+              CAST(SUM(len({toks_text})) AS BIGINT) / COUNT(*) AS avg_tokens
+            FROM documents GROUP BY source, lang
         """,
     }

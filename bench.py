@@ -46,6 +46,12 @@ HEADLINE = [
     "quality_score",
     "token_stats",
     "fingerprint",
+    "rollup_daily",
+    "value_quantiles",
+    "asof_last_click",
+    "decontaminate",
+    "sample_split",
+    "corpus_stats",
 ]
 
 

@@ -178,6 +178,48 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (GROUPING SETS): per (event_type, day),
+    per event_type, and grand total in one pass."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (the engine's
+    answer to approx_percentile when the oracle needs exactness)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join demo: each purchase event annotated with the
+    user's most recent strictly-earlier click (operators.temporal)."""
+    from ..operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by="user_id", value_cols=["click_value"]
+    )
+
+
 def anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no orders (anti join = NOT EXISTS)."""
     c = load_table(spark, sf_dir, "customer")

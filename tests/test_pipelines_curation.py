@@ -1,0 +1,115 @@
+"""Batch pipeline (run_v2/run_v1 equivalents), as-of join edge
+cases, and curation operator behavior."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_extractor_spark.operators import curation as C
+from gdelt_extractor_spark.operators.temporal import asof_join
+from gdelt_extractor_spark.pipelines.batch import run_v1_batch, run_v2_batch
+from gdelt_extractor_spark.sources.tables import load_table
+from tests.test_sources_gdelt import _v2_row
+
+
+@pytest.fixture()
+def v2_zip(tmp_path):
+    tsv = tmp_path / "20240101083000.export.CSV"
+    tsv.write_text(
+        "\n".join(
+            [
+                _v2_row(1, "http://example.com/a"),
+                _v2_row(2, "http://example.com/a"),
+                _v2_row(3, "http://example.com/b", "19"),
+            ]
+        )
+    )
+    z = tmp_path / "20240101083000.export.CSV.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.write(tsv, arcname=tsv.name)
+    os.remove(tsv)
+    return str(z)
+
+
+def test_run_v2_batch(spark, v2_zip, tmp_path):
+    out = str(tmp_path / "wh")
+
+    def fake_fetcher(url):
+        return {"title": f"t:{url}", "site": "example.com", "summary": "s",
+                "keywords": "k1; k2", "meta_keys": "m"}
+
+    tables = run_v2_batch(spark, v2_zip, out, fetcher=fake_fetcher)
+    assert set(tables) == {"v2_exports", "v2_articles", "v2_geom", "v2_lastrun"}
+    exports = spark.read.parquet(f"{out}/v2_exports")
+    assert exports.count() == 2  # URL dedup
+    assert "globaleventid" in exports.columns
+    geom = spark.read.parquet(f"{out}/v2_geom").collect()
+    assert geom == []  # fixture rows have no actor1 coords → filtered
+    arts = {r.doc_id: r.title for r in spark.read.parquet(f"{out}/v2_articles").collect()}
+    assert arts[1] == "t:http://example.com/a"
+    assert spark.read.parquet(f"{out}/v2_lastrun").count() == 1
+
+
+def test_run_v1_batch(spark, tmp_path):
+    # v1 = 58 cols; reuse the v2 row minus the three ADM2 fields
+    row = _v2_row(7, "http://example.com/x").split("\t")
+    for idx in sorted((40, 48, 57), reverse=True):  # ADM2 positions in v2
+        del row[idx]
+    assert len(row) == 58
+    tsv = tmp_path / "20240101.export.CSV"
+    tsv.write_text("\t".join(row))
+    tables = run_v1_batch(spark, str(tsv), str(tmp_path / "wh1"))
+    assert spark.read.parquet(str(tmp_path / "wh1/v1")).count() == 1
+    assert set(tables) == {"v1", "v1_geom", "v1_lastrun"}
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 150, 15.0)],
+        "id long, ts long, value double",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 2.0), (3, 100, 9.0)],
+        "id long, ts long, v double",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {
+        (r.id, r.ts.timestamp()): r.asof_v
+        for r in asof_join(left, right, on="ts", by="id", value_cols=["v"]).collect()
+    }
+    assert out[(1, 100.0)] is None          # strict: equal ts invisible
+    assert out[(1, 200.0)] == 2.0           # latest earlier right row
+    assert out[(2, 150.0)] is None          # no right rows for id=2
+    non_strict = {
+        (r.id, r.ts.timestamp()): r.asof_v
+        for r in asof_join(left, right, on="ts", by="id", value_cols=["v"], strict=False).collect()
+    }
+    assert non_strict[(1, 100.0)] == 1.0    # <= admits equal ts
+
+
+def test_sample_split_deterministic_and_balanced(spark, sf_dir_mid):
+    docs = load_table(spark, sf_dir_mid, "documents")
+    s1 = {r.doc_id: r.split for r in C.sample_split(docs, "doc_id").collect()}
+    s2 = {r.doc_id: r.split for r in C.sample_split(docs, "doc_id").collect()}
+    assert s1 == s2
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.8 < frac < 0.97
+    # different salt ⇒ different draw
+    s3 = {r.doc_id: r.split for r in C.sample_split(docs, "doc_id", salt="v2").collect()}
+    assert s3 != s1
+
+
+def test_decontaminate_self_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    # benchmark == docs → overlap 100%, nothing kept
+    out = C.decontaminate(docs, docs).collect()
+    assert all(r.overlap_frac == 1.0 and not r.keep for r in out)
+    # disjoint benchmark → overlap may exist only via shared trigrams
+    other = spark.createDataFrame(
+        [(999, "zzz yyy xxx www vvv uuu")], "doc_id long, text string"
+    )
+    out2 = C.decontaminate(docs, other).collect()
+    assert all(r.n_overlap == 0 and r.keep for r in out2)
