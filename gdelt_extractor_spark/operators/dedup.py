@@ -77,9 +77,7 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i + 1).cast("int"), n)),
     )
     return F.array_distinct(grams)
 
@@ -91,27 +89,28 @@ def shingles(text_col: str, n: int = 3) -> Column:
 
 
 def shingle_hashes_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct 64-bit shingle hashes (array<bigint>): xxhash64 over
-    the n token columns directly — no intermediate shingle strings.
-    This is the scale path for MinHash: equality of hashes stands in
-    for equality of shingles (collision prob ~2^-64)."""
+    """Distinct 64-bit shingle hashes (array<bigint>): xxhash64 of
+    the space-joined n-gram.  This is the scale path for MinHash:
+    equality of hashes stands in for equality of shingles (collision
+    prob ~2^-64), and downstream set ops work on fixed-width longs
+    instead of strings."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx,
-        lambda i: F.xxhash64(
-            *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, (i + 1).cast("int"), n))),
     )
     return F.array_distinct(grams)
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle, set_size) — one row per distinct shingle.
-    Tokens materialized in a separate projection so the tokenize runs
-    once per row (see shingles_from_tokens)."""
+    """(id, shingle-hash, set_size) — one row per distinct shingle.
+    Shingles are xxhash64'd (see shingle_hashes_from_tokens) so the
+    self-join shuffles fixed-width longs, not n-gram strings.  Tokens
+    materialized in a separate projection so the tokenize runs once
+    per row (see shingles_from_tokens)."""
     base = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
-        .select("id", shingles_from_tokens(F.col("_toks"), n).alias("sh"))
+        .select("id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("sh"))
         .withColumn("set_size", F.size("sh"))
     )
     return base.select("id", "set_size", F.explode("sh").alias("shingle"))
