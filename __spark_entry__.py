@@ -9,9 +9,9 @@ decimal addition makes results bit-identical across engines and
 partitionings (see gdelt_extractor_spark/plans/queries.py docstring).
 
 Entries without an oracle (rows-only gate): dedup_minhash_lsh,
-dedup_simhash, ann_lsh_topk — approximate/hash-seeded operators whose
-exactness is instead property-tested against their exact baselines in
-tests/.
+dedup_simhash, ann_lsh_topk, ann_ivf_topk, approx_distinct_users —
+approximate/hash-seeded operators whose exactness is instead
+property-tested against their exact baselines in tests/.
 """
 
 from __future__ import annotations
@@ -120,6 +120,14 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh(emb, q, k=5)
 
 
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ann_ivf(emb, q, k=5)
+
+
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -169,6 +177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_daily": Q.rollup_daily,
         "value_quantiles": Q.value_quantiles,
         "asof_last_click": Q.asof_last_click,
+        "q17_small_qty_revenue": Q.q17_small_qty_revenue,
+        "window_running": Q.window_running,
+        "range_count_clicks_after_error": Q.range_count_clicks_after_error,
+        "user_set_ops": Q.user_set_ops,
+        "approx_distinct_users": Q.approx_distinct_users,
         # §2a reference parity
         "dedup_first_by_key": _dedup_first_by_key,
         "enrich_articles": _enrich_articles,
@@ -183,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "lang_id": _lang_id,
         "quality_score": _quality_score,
         "token_stats": _token_stats,
@@ -346,6 +360,52 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, ts, value AS click_value FROM events
                   WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts > r.ts
+        """,
+        "q17_small_qty_revenue": f"""
+            WITH branded AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#11'),
+            avgq AS (
+              SELECT l_partkey AS ap_partkey,
+                {_dsum('l_quantity')}/COUNT(*) AS avg_qty
+              FROM branded GROUP BY l_partkey)
+            SELECT COUNT(*) AS n_small,
+              {_dsum('l_extendedprice')} AS small_qty_revenue
+            FROM branded JOIN avgq ON l_partkey = ap_partkey
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "window_running": """
+            SELECT event_id, user_id, ts, value,
+              CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value,
+              round(AVG(value) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+            FROM events
+        """,
+        "range_count_clicks_after_error": f"""
+            SELECT e.event_id,
+              COUNT(c.click_us) AS n_clicks,
+              {_dsum('COALESCE(c.click_value, 0.0)')} AS click_value_sum
+            FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+                  WHERE event_type = 'error') e
+            LEFT JOIN (SELECT epoch_us(ts) AS click_us, value AS click_value
+                       FROM events WHERE event_type = 'click') c
+              ON c.click_us > e.ts_us AND c.click_us <= e.ts_us + 300000000
+            GROUP BY e.event_id
+        """,
+        "user_set_ops": """
+            SELECT user_id, 'purchase_and_signup' AS tag FROM (
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'signup')
+            UNION ALL
+            SELECT user_id, 'click_no_purchase' AS tag FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'purchase')
         """,
         "dedup_first_by_key": """
             SELECT doc_id, text, lang, source, n_chars FROM (

@@ -52,6 +52,12 @@ HEADLINE = [
     "decontaminate",
     "sample_split",
     "corpus_stats",
+    "q17_small_qty_revenue",
+    "window_running",
+    "range_count_clicks_after_error",
+    "user_set_ops",
+    "approx_distinct_users",
+    "ann_ivf_topk",
 ]
 
 

@@ -110,6 +110,133 @@ def lsh_multitable_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
     return buckets
 
 
+def ivf_fit_centroids(
+    vectors: DataFrame,
+    m: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means coarse quantizer for IVF.
+
+    Init = the ``m`` vectors with the smallest ids (deterministic,
+    no RNG).  Each iteration: assign via the broadcast centroid
+    matrix (vectorized pandas UDF), recompute per-cluster means with
+    a posexplode + decimal-sum aggregation (order-independent, so
+    centroids are bit-stable across partitionings).  Only m·dim
+    aggregated floats ever reach the driver — at 100 TB you fit on a
+    sample scan; assignment stays fully distributed.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    cents = np.vstack(
+        [r.v for r in v.orderBy("id").limit(m).collect()]
+    )  # (m, dim)
+    for _ in range(n_iter):
+        assign = _ivf_assign_udf(cents)
+        means = (
+            v.withColumn("c", assign("v"))
+            .select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mu")
+            )
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their old centroid
+        for r in means:
+            nxt[r.c, r.pos] = r.mu
+        cents = nxt
+    return cents
+
+
+def _ivf_assign_udf(centroids: np.ndarray):
+    """Pandas UDF: vector → nearest centroid id by L2 (ties → lowest
+    id via argmin).  Centroid matrix rides the closure to executors
+    once per task set."""
+    c = centroids  # (m, dim)
+    c_sq = (c * c).sum(axis=1)  # (m,)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        # argmin over ||v-c||^2 = ||c||^2 - 2 v·c (+ ||v||^2 const)
+        d = c_sq[None, :] - 2.0 * (mat @ c.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _ivf_probe_udf(centroids: np.ndarray, nprobe: int):
+    """Pandas UDF: query vector → the ``nprobe`` nearest centroid ids
+    (ascending distance, deterministic tie-break by id)."""
+    c = centroids
+    c_sq = (c * c).sum(axis=1)
+    npb = min(nprobe, c.shape[0])
+
+    @F.pandas_udf("array<int>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        d = c_sq[None, :] - 2.0 * (mat @ c.T)
+        # stable argsort → deterministic on ties
+        order = np.argsort(d, axis=1, kind="stable")[:, :npb].astype(np.int32)
+        return pd.Series(list(order))
+
+    return probe
+
+
+def ann_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means
+    quantizer, vectors partitioned into m cells, queries probe only
+    their ``nprobe`` nearest cells, exact cosine rerank inside.
+
+    Plan shape at scale: centroid fit touches m·dim aggregated
+    floats; the main table is scanned once to tag each vector with
+    its cell; the probe join is a broadcast equi-join on cell id —
+    the classic IVF cost model (scan fraction ≈ nprobe/m).  Size m ≈
+    √N so cells stay executor-memory friendly.  Recall is tested
+    against ann_bruteforce (tests/test_similarity.py)."""
+    cents = ivf_fit_centroids(vectors, m=m, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    assign = _ivf_assign_udf(cents)
+    probe = _ivf_probe_udf(cents, nprobe)
+    v = (
+        vectors.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v"))
+        .withColumn("cell", assign("v"))
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+        .withColumn("cells", probe("qv"))
+        .select("query_id", "qv", F.explode("cells").alias("cell"))
+    )
+    scored = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def ann_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1,4 +1,4 @@
-"""Temporal operators Spark lacks natively: as-of join.
+"""Temporal operators Spark lacks natively: as-of join, range join.
 
 Spark has no ASOF JOIN; the composition here is the standard
 union-and-window trick: tag both sides, union them, sort within the
@@ -65,3 +65,67 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_col: str,
+    bin_width: int,
+    by: list[str] | None = None,
+    how: str = "left",
+    interval_id: str | None = None,
+) -> DataFrame:
+    """Interval×point range join via coarse-bin equi-join.
+
+    Spark plans a pure range predicate as a broadcast-nested-loop
+    join — O(|L|·|R|) and undistributable.  The bin trick
+    manufactures an equi-key: each interval explodes to the
+    ``bin_width``-sized bins it covers, each point lands in exactly
+    one bin, the join is a plain (skew-handleable, AQE-friendly)
+    equi-join on the bin id, and the exact half-open predicate
+    ``start < point ≤ end`` is re-checked after.  No duplicate
+    pairs: a point exists in one bin only.  Pick ``bin_width`` ≈
+    the typical interval length so intervals explode to ~2 bins.
+
+    Columns must be numeric (callers convert timestamps with
+    ``unix_micros`` for exact boundary semantics).  ``by`` adds
+    optional extra equi-keys.  ``how='left'`` keeps intervals with
+    no points (point columns null, exactly one row each) and needs
+    ``interval_id`` — a unique interval key — for the backfill
+    anti-join; 'inner' drops them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if how == "left" and interval_id is None:
+        raise ValueError("how='left' requires interval_id")
+    by = list(by or [])
+    bins = F.sequence(
+        F.floor(F.col(start_col) / bin_width).cast("long"),
+        F.floor(F.col(end_col) / bin_width).cast("long"),
+    )
+    lb = intervals.withColumn("_lbin", F.explode(bins))
+    rb = points.withColumn(
+        "_rbin", F.floor(F.col(point_col) / bin_width).cast("long")
+    )
+    on = (
+        (lb["_lbin"] == rb["_rbin"])
+        & (rb[point_col] > lb[start_col])
+        & (rb[point_col] <= lb[end_col])
+    )
+    for c in by:
+        on = on & (lb[c] == rb[c])
+    matched = lb.join(rb, on, "inner").drop(lb["_lbin"]).drop(rb["_rbin"])
+    for c in by:
+        matched = matched.drop(rb[c])
+    if how == "inner":
+        return matched
+    point_fields = [f for f in points.schema.fields if f.name not in by]
+    unmatched = intervals.join(
+        matched.select(interval_id).distinct(), interval_id, "left_anti"
+    ).select(
+        "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in point_fields]
+    )
+    return matched.unionByName(unmatched)

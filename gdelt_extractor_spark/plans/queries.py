@@ -228,3 +228,116 @@ def anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group scalar aggregate subquery —
+    revenue from Brand#11 lineitems whose quantity is below 20% of
+    that part's average quantity.
+
+    The per-part average is a partial-aggregated shuffle on
+    l_partkey; the fact re-join is on the same key so AQE reuses the
+    partitioning (and broadcasts the agg side when it is small).
+    The brand dim filter is broadcast into the fact scan."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = l.join(F.broadcast(p.select("p_partkey")),
+                     F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        branded.join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+        )
+    )
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running window frames per user: cumulative sum (decimal, so
+    order-independent) and a 3-row moving average over event time.
+    One shuffle on user_id shared by both frames (same window
+    spec)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("cum_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("ma3"),
+    )
+
+
+def range_count_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×point range join WITHOUT an equi-key: for every
+    error event, how many clicks (any user) landed in the 5 minutes
+    after it (operators.temporal.range_join bin trick — Spark would
+    otherwise fall back to a broadcast nested-loop join)."""
+    from ..operators.temporal import range_join
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    win = 300 * 1_000_000
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id"),
+        F.col("ts_us").alias("win_start"),
+        (F.col("ts_us") + win).alias("win_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("ts_us").alias("click_us"), F.col("value").alias("click_value")
+    )
+    joined = range_join(
+        errors, clicks, start_col="win_start", end_col="win_end",
+        point_col="click_us", bin_width=win, interval_id="event_id",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.col("click_us")).alias("n_clicks"),
+        dsum(F.coalesce(F.col("click_value"), F.lit(0.0))).alias("click_value_sum"),
+    )
+
+
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT (users who purchased AND signed up)
+    and EXCEPT (users who clicked but never purchased), tagged and
+    unioned.  Both compile to aggregate/join plans with partial
+    aggregation — no row-by-row distinct."""
+    e = load_table(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return e.filter(F.col("event_type") == t).select("user_id")
+
+    both = (
+        users("purchase")
+        .intersect(users("signup"))
+        .withColumn("tag", F.lit("purchase_and_signup"))
+    )
+    click_only = (
+        users("click")
+        .subtract(users("purchase"))  # EXCEPT DISTINCT semantics
+        .withColumn("tag", F.lit("click_no_purchase"))
+    )
+    return both.unionByName(click_only)
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch next to the exact count.
+    Approximate by construction → rows-only driver check; the
+    relative-error contract is unit-tested instead (tests assert
+    |approx-exact|/exact ≤ 5·rsd).  At 100 TB the sketch is the only
+    viable per-key distinct: fixed-size state, no second shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

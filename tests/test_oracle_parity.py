@@ -56,8 +56,17 @@ def canon(df) -> list[tuple]:
     return out
 
 
+ROWS_ONLY = (
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "approx_distinct_users",
+)
+
+
 def test_every_query_has_oracle_or_is_declared():
-    rows_only = {"dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk"}
+    rows_only = set(ROWS_ONLY)
     missing = set(QUERIES) - set(ORACLES) - rows_only
     assert not missing, f"queries without oracle: {missing}"
     stale = set(ORACLES) - set(QUERIES)
@@ -82,11 +91,24 @@ def test_parity(name, spark):
     assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk"])
+@pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(name, spark):
     df = QUERIES[name](spark, SF0001)
     assert df.count() >= 0
     assert len(df.columns) >= 2
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ at rsd=0.01 must land within 5·rsd of the exact count
+    (generous: the guarantee is probabilistic)."""
+    rows = QUERIES["approx_distinct_users"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users), (
+            r.event_type,
+            r.approx_users,
+            r.exact_users,
+        )
 
 
 def test_entry_smoke(spark):

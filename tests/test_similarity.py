@@ -67,6 +67,41 @@ def test_lsh_sanity_on_diffuse_vectors(spark, sf_dir):
     assert all(r.rank <= 5 and r.query_id < 5 and -1.0 <= r.cosine <= 1.0 for r in out)
 
 
+def test_ivf_recall_on_clustered_vectors(spark):
+    """IVF with m=#true clusters and nprobe≥1 must recover nearly
+    all true neighbors: Lloyd snaps centroids onto the generating
+    clusters, so each query's cell holds its whole neighborhood."""
+    import numpy as np
+
+    rs = np.random.RandomState(1)
+    rows = []
+    for c in range(8):
+        center = 3.0 * rs.standard_normal(16)
+        for j in range(25):
+            v = center + 0.05 * rs.standard_normal(16)
+            rows.append((c * 100 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.nbr_id) for r in S.ann_bruteforce(emb, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.nbr_id)
+        for r in S.ann_ivf(emb, q, k=5, m=8, nprobe=2, n_iter=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall on clustered data: {recall}"
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = S.ivf_fit_centroids(emb, m=4, n_iter=1)
+    c2 = S.ivf_fit_centroids(emb.repartition(7), m=4, n_iter=1)
+    assert np.array_equal(c1, c2), "centroids must not depend on partitioning"
+
+
 def test_lsh_bucket_determinism(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     b = S.lsh_bucket_udf(dim=64, n_planes=8, seed=7)

@@ -1,0 +1,103 @@
+"""Unit tests for the temporal operators (as-of join, range join)
+on crafted frames where the expected output is computable by hand."""
+
+from __future__ import annotations
+
+import pytest
+
+from gdelt_extractor_spark.operators.temporal import asof_join, range_join
+
+
+def test_asof_join_strict_and_nonstrict(spark):
+    trades = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "ts long, sym string, price double",
+    )
+    quotes = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (5, "b", 5.0)],
+        "ts long, sym string, bid double",
+    )
+    strict = {
+        (r.ts, r.sym): r.asof_bid
+        for r in asof_join(
+            trades, quotes, on="ts", by="sym", value_cols=["bid"], strict=True
+        ).collect()
+    }
+    # strict: quote at the same ts is NOT visible
+    assert strict == {(1, "a"): None, (2, "a"): 1.0, (3, "b"): None}
+    nonstrict = {
+        (r.ts, r.sym): r.asof_bid
+        for r in asof_join(
+            trades, quotes, on="ts", by="sym", value_cols=["bid"], strict=False
+        ).collect()
+    }
+    assert nonstrict == {(1, "a"): 1.0, (2, "a"): 2.0, (3, "b"): None}
+
+
+@pytest.fixture()
+def interval_frames(spark):
+    intervals = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 150), (3, 900, 1000)],
+        "iid long, s long, e long",
+    )
+    points = spark.createDataFrame(
+        [(10, 60), (11, 100), (12, 150), (13, 500)],
+        "pid long, p long",
+    )
+    return intervals, points
+
+
+def test_range_join_inner(spark, interval_frames):
+    intervals, points = interval_frames
+    got = {
+        (r.iid, r.pid)
+        for r in range_join(
+            intervals, points, "s", "e", "p", bin_width=100, how="inner"
+        ).collect()
+    }
+    # half-open (s, e]: iid=1 gets p=60,100; iid=2 gets 60,100,150; iid=3 none
+    assert got == {(1, 10), (1, 11), (2, 10), (2, 11), (2, 12)}
+
+
+def test_range_join_left_backfills_empty_intervals(spark, interval_frames):
+    intervals, points = interval_frames
+    rows = range_join(
+        intervals, points, "s", "e", "p", bin_width=100,
+        how="left", interval_id="iid",
+    ).collect()
+    by_iid: dict[int, list] = {}
+    for r in rows:
+        by_iid.setdefault(r.iid, []).append(r.pid)
+    assert sorted(by_iid[1]) == [10, 11]
+    assert sorted(by_iid[2]) == [10, 11, 12]
+    assert by_iid[3] == [None]  # exactly one null row, not one per bin
+
+
+def test_range_join_with_by_key(spark):
+    intervals = spark.createDataFrame(
+        [(1, "u1", 0, 100), (2, "u2", 0, 100)], "iid long, u string, s long, e long"
+    )
+    points = spark.createDataFrame(
+        [(10, "u1", 50), (11, "u2", 60)], "pid long, u string, p long"
+    )
+    got = {
+        (r.iid, r.pid)
+        for r in range_join(
+            intervals, points, "s", "e", "p", bin_width=64,
+            by=["u"], how="inner",
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 11)}
+
+
+def test_range_join_no_duplicate_pairs_across_bins(spark):
+    # interval spans many bins; each point must appear exactly once
+    intervals = spark.createDataFrame([(1, 0, 1000)], "iid long, s long, e long")
+    points = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 100)], "pid long, p long"
+    )
+    out = range_join(
+        intervals, points, "s", "e", "p", bin_width=100, how="inner"
+    ).collect()
+    pids = [r.pid for r in out]
+    assert len(pids) == len(set(pids)) == 99
