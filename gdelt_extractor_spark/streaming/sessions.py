@@ -1,0 +1,127 @@
+"""Custom stateful streaming operator: per-user sessionization with
+``applyInPandasWithState``.
+
+The batch engine sessionizes with windows (plans/queries.sessionize);
+a stream can't — session membership depends on unbounded history.
+This is the operator Structured Streaming's built-ins lack: per-key
+mutable state (the open session) + event-time timeout (close it when
+the watermark passes last_ts + gap).
+
+Scale posture: state is one tiny tuple per active user, partitioned
+by the grouping key across executors; timeouts bound state size, so
+memory is O(active users), not O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+# state: (session_start_us, last_ts_us, n_events, sum_value)
+_STATE_SCHEMA = "start_us long, last_us long, n long, s double"
+
+
+def _sessionize_fn(gap_s: int):
+    gap_us = gap_s * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, s = state.get
+            state.remove()
+            yield _emit(user_id, [(start_us, last_us, n, s)])
+            return
+
+        if state.exists:
+            start_us, last_us, n, s = state.get
+        else:
+            start_us = last_us = None
+            n, s = 0, 0.0
+
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_time")
+            ts_us = pdf["event_time"].astype("int64") // 1000  # ns → µs
+            for t, v in zip(ts_us.to_numpy(), pdf["value"].to_numpy()):
+                t = int(t)
+                if last_us is not None and t - last_us > gap_us:
+                    closed.append((start_us, last_us, n, s))
+                    start_us, n, s = t, 0, 0.0
+                if start_us is None:
+                    start_us = t
+                last_us = t
+                n += 1
+                s += float(v)
+
+        timeout_ms = last_us // 1000 + gap_s * 1000
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            # the open session is already expired (this batch's data
+            # arrived behind the watermark): emit it now — a timeout
+            # in the past is invalid
+            closed.append((start_us, last_us, n, s))
+            state.remove()
+        else:
+            state.update((start_us, last_us, n, s))
+            # close the open session once the watermark passes last + gap
+            state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield _emit(user_id, closed)
+
+    return fn
+
+
+def _emit(user_id: int, sessions: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": [pd.Timestamp(s[0] * 1000) for s in sessions],
+            "session_end": [pd.Timestamp(s[1] * 1000) for s in sessions],
+            "n_events": [s[2] for s in sessions],
+            "sum_value": [s[3] for s in sessions],
+        }
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "30 minutes",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Incremental sessionization of a stream with columns
+    (user_id long, event_time timestamp, value double).
+
+    Sessions close (and emit) when a gap > ``gap_s`` appears within
+    the data, or when the event-time watermark passes the open
+    session's last event + gap (state timeout).  Mirrors the batch
+    ``sessionize`` semantics, incrementally and with bounded state.
+    """
+    if time_col != "event_time":
+        events = events.withColumnRenamed(time_col, "event_time")
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_s),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

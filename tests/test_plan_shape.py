@@ -82,3 +82,32 @@ def test_no_cartesian_in_pair_generators(spark, sf_dir):
     for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"):
         plan = plan_of(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, f"{name} must never cross-join"
+
+
+def test_q17_broadcasts_brand_dim(spark, sf_dir):
+    plan = plan_of(spark, "q17_small_qty_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert pushed_filter_lines(plan), "brand filter must push into the part scan"
+    # lineitem scan pruned to the three columns the query touches
+    assert any(
+        "l_partkey" in rs and "l_quantity" in rs and "l_shipdate" not in rs
+        for rs in read_schemas(plan)
+    )
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The whole point of the bin trick: the interval×point join must
+    plan as a hash/sort-merge equi-join on the bin id, never as the
+    O(n·m) BroadcastNestedLoopJoin Spark uses for pure range
+    predicates."""
+    plan = plan_of(spark, "range_count_clicks_after_error", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_is_scan_plus_broadcast_only(spark, sf_dir):
+    """broadcast_set strategy: the corpus side must not shuffle — no
+    Exchange above the documents scan before the intersect project."""
+    plan = plan_of(spark, "decontaminate", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,79 @@
+"""Stateful-streaming sessionization test: two micro-batches, gap
+closure within a batch and watermark-timeout closure across batches."""
+
+from __future__ import annotations
+
+import pytest
+
+from gdelt_extractor_spark.streaming.sessions import streaming_sessionize
+
+SCHEMA = "user_id long, event_time timestamp, value double"
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "sessions"
+    d.mkdir()
+    # batch 1: user 1's session + user 9 far in the future (drives the
+    # watermark past user 1's last event + gap, so the timeout fires
+    # in batch 2)
+    (d / "b1.csv").write_text(
+        "1,2024-01-01 10:00:00,1.5\n"
+        "1,2024-01-01 10:00:10,2.5\n"
+        "9,2024-01-01 12:00:00,0.5\n"
+    )
+    # batch 2: user 2 with an in-batch gap > 30 min -> first session
+    # closes immediately; second stays open in state
+    (d / "b2.csv").write_text(
+        "2,2024-01-01 12:00:05,1.0\n"
+        "2,2024-01-01 12:00:06,1.0\n"
+        "2,2024-01-01 13:30:00,9.0\n"
+    )
+    # the file source orders batches by modification time — pin it
+    import os
+    import time
+
+    now = time.time()
+    os.utime(d / "b1.csv", (now - 60, now - 60))
+    os.utime(d / "b2.csv", (now, now))
+    return str(d)
+
+
+def test_streaming_sessionize(spark, landing):
+    stream = (
+        spark.readStream.format("csv")
+        .option("maxFilesPerTrigger", "1")
+        .schema(SCHEMA)
+        .load(landing)
+    )
+    out = streaming_sessionize(stream, gap_s=1800, watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM sessions_out ORDER BY user_id, session_start"
+    ).collect()
+    got = [
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in rows
+    ]
+    # closed by watermark timeout across batches:
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:00:10", 2, 4.0) in got
+    # closed by in-batch gap:
+    assert (2, "2024-01-01 12:00:05", "2024-01-01 12:00:06", 2, 2.0) in got
+    # user 2's second session is still open (watermark 13:00 < its
+    # 14:00 timeout) — must NOT be emitted yet
+    assert not any(r.user_id == 2 and str(r.session_start).startswith("2024-01-01 13:30") for r in rows)
+    # any user-9 emission must be its complete single-event session
+    for r in rows:
+        if r.user_id == 9:
+            assert (str(r.session_start), r.n_events, r.sum_value) == (
+                "2024-01-01 12:00:00", 1, 0.5,
+            )
