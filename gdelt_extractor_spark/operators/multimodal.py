@@ -48,6 +48,15 @@ FEATURE_SCHEMA = (
 
 FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_bytes binary"
 
+RESIZE_SCHEMA = (
+    "media_id bigint, width int, height int, pixels array<double>"
+)
+
+AUDIO_SCHEMA = (
+    "media_id bigint, n_windows int, rms array<double>, "
+    "zero_crossing_rate array<double>"
+)
+
 
 def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic synthetic media rows for plumbing tests: content
@@ -110,6 +119,67 @@ def image_features(media: DataFrame, use_real_decoder: bool = False) -> DataFram
             )
 
     return src.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize every image to (target_w, target_h) via nearest-neighbor
+    sampling — the resize math is REAL (vectorized numpy index grid);
+    only the pixel source is the deterministic fake decode.  Output
+    is the flattened pixel array, the shape an embedding model's
+    preprocessor expects."""
+    import numpy as np
+
+    src = media.select("media_id", "content", "meta.width", "meta.height")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                px = np.asarray(_fake_decode(bytes(content), w, h)).reshape(h, w)
+                ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+                xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+                resized = px[np.ix_(ys, xs)]
+                rows.append((mid, target_w, target_h, resized.ravel().tolist()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixels"]
+            )
+
+    return src.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
+    """Windowed audio features: RMS energy and zero-crossing rate per
+    window — real vectorized DSP over a waveform whose decode
+    (librosa/ffmpeg, absent here) is the deterministic fake.  The
+    waveform length follows meta.duration_s so batch shapes vary as
+    they would in production."""
+    import numpy as np
+
+    src = media.select("media_id", "content", "meta.duration_s")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_s"]
+            ):
+                n = max(window, int(float(dur) * 100) + window)
+                raw = np.asarray(_fake_decode(bytes(content), n, 1))
+                sig = raw * 2.0 - 1.0  # [0,1) → [-1,1) waveform
+                nw = len(sig) // window
+                frames = sig[: nw * window].reshape(nw, window)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+                rows.append((mid, nw, rms.tolist(), zcr.tolist()))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_windows", "rms", "zero_crossing_rate"],
+            )
+
+    return src.mapInPandas(run, AUDIO_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:

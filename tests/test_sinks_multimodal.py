@@ -70,6 +70,33 @@ def test_real_decoder_gated(spark, sf_dir):
         M.image_features(media, use_real_decoder=True)
 
 
+def test_resize_images(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = M.attach_fake_media(docs, "doc_id")
+    out = M.resize_images(media, target_w=8, target_h=6).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r.width, r.height) == (8, 6)
+        assert len(r.pixels) == 48
+        assert all(0.0 <= p <= 1.0 for p in r.pixels)
+    # resize of a resize-sized image is identity on the sample grid
+    again = {r.media_id: r.pixels for r in M.resize_images(media, 8, 6).collect()}
+    assert {r.media_id: r.pixels for r in out} == again
+
+
+def test_audio_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = M.attach_fake_media(docs, "doc_id")
+    out = M.audio_features(media, window=128).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_windows >= 1
+        assert len(r.rms) == r.n_windows == len(r.zero_crossing_rate)
+        # fake waveform is uniform in [-1,1): RMS ≈ 1/√3, ZCR ≈ 0.5
+        assert all(0.3 < x < 0.9 for x in r.rms)
+        assert all(0.2 < z < 0.8 for z in r.zero_crossing_rate)
+
+
 def test_frame_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(10)
     media = M.attach_fake_media(docs, "doc_id")
