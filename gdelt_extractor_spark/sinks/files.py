@@ -27,3 +27,29 @@ def write_parquet(
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", sep: str = "\t") -> None:
     df.write.mode(mode).option("sep", sep).option("header", "true").csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sort-within-bucket)
+    table.
+
+    Bucketing is THE shuffle-elimination lever for repeated big-big
+    joins: two tables bucketed on the join key with the same bucket
+    count join with NO Exchange on either side (asserted in
+    tests/test_bucketed.py), and sorted buckets skip the sort of a
+    sort-merge join.  At 100 TB, bucketing lineitem+orders on the
+    order key turns every subsequent join into a zip of co-located
+    files.
+    """
+    w = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

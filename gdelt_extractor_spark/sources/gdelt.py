@@ -124,8 +124,44 @@ MENTIONS_SCHEMA = _schema(
     ]
 )
 
+# GDELT 2.0 GKG (Global Knowledge Graph) — the third feed in
+# lastupdate.txt (reference extractor.py:288-312 downloads it; the
+# public V2 GKG codebook defines these 27 columns).
+GKG_SCHEMA = _schema(
+    [
+        ("GKGRECORDID", T.StringType()),
+        ("DATE", T.LongType()),
+        ("SourceCollectionIdentifier", T.IntegerType()),
+        ("SourceCommonName", T.StringType()),
+        ("DocumentIdentifier", T.StringType()),
+        ("Counts", T.StringType()),
+        ("V2Counts", T.StringType()),
+        ("Themes", T.StringType()),
+        ("V2Themes", T.StringType()),
+        ("Locations", T.StringType()),
+        ("V2Locations", T.StringType()),
+        ("Persons", T.StringType()),
+        ("V2Persons", T.StringType()),
+        ("Organizations", T.StringType()),
+        ("V2Organizations", T.StringType()),
+        ("V2Tone", T.StringType()),
+        ("Dates", T.StringType()),
+        ("GCAM", T.StringType()),
+        ("SharingImage", T.StringType()),
+        ("RelatedImages", T.StringType()),
+        ("SocialImageEmbeds", T.StringType()),
+        ("SocialVideoEmbeds", T.StringType()),
+        ("Quotations", T.StringType()),
+        ("AllNames", T.StringType()),
+        ("Amounts", T.StringType()),
+        ("TranslationInfo", T.StringType()),
+        ("Extras", T.StringType()),
+    ]
+)
+
 assert len(V2_EVENTS_SCHEMA) == 61 and len(V1_EVENTS_SCHEMA) == 58
 assert len(MENTIONS_SCHEMA) == 16
+assert len(GKG_SCHEMA) == 27
 
 
 def _read_tsv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -151,6 +187,27 @@ def read_gdelt_v1(spark: SparkSession, path: str) -> DataFrame:
 def read_gdelt_mentions(spark: SparkSession, path: str) -> DataFrame:
     """GDELT 2.0 mentions TSV(s), 16-column typed schema."""
     return _read_tsv(spark, path, MENTIONS_SCHEMA)
+
+
+def read_gdelt_gkg(spark: SparkSession, path: str) -> DataFrame:
+    """GDELT 2.0 GKG TSV(s), 27-column typed schema."""
+    return _read_tsv(spark, path, GKG_SCHEMA)
+
+
+def gkg_themes(gkg: DataFrame) -> DataFrame:
+    """Explode the ';'-delimited Themes field into (GKGRECORDID,
+    theme) rows — the GKG equivalent of the keyword split
+    (reference extractor.py:398-406 does this driver-side with
+    Counter; here it is explode + groupBy-ready rows)."""
+    return gkg.select(
+        "GKGRECORDID",
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col("Themes"), F.lit("")), ";"),
+                lambda s: s != "",
+            )
+        ).alias("theme"),
+    )
 
 
 def parse_lastupdate(text: str) -> dict[str, str]:

@@ -112,3 +112,37 @@ def test_mentions_reader(spark, tmp_path):
     r = df.collect()[0]
     assert r.GLOBALEVENTID == 1 and r.Confidence == 80
     assert r.MentionDocTone == pytest.approx(-2.5)
+
+
+def _gkg_row(rid: str, themes: str) -> str:
+    cols = [""] * 27
+    cols[0] = rid
+    cols[1] = "20240101083000"
+    cols[2] = "1"
+    cols[3] = "example.com"
+    cols[4] = "http://example.com/a"
+    cols[7] = themes
+    return "\t".join(cols)
+
+
+def test_gkg_reader_and_themes(spark, tmp_path):
+    p = tmp_path / "g.gkg.csv"
+    p.write_text(
+        _gkg_row("20240101083000-1", "ENV_CLIMATE;TAX_FNCACT;")
+        + "\n"
+        + _gkg_row("20240101083000-2", "")
+        + "\n"
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    assert len(gkg.schema) == 27
+    rows = gkg.collect()
+    assert {r.GKGRECORDID for r in rows} == {"20240101083000-1", "20240101083000-2"}
+    assert rows[0].DATE == 20240101083000
+
+    themes = G.gkg_themes(gkg).collect()
+    got = {(t.GKGRECORDID, t.theme) for t in themes}
+    # empty segments and the themeless record drop out
+    assert got == {
+        ("20240101083000-1", "ENV_CLIMATE"),
+        ("20240101083000-1", "TAX_FNCACT"),
+    }
