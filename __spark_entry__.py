@@ -163,6 +163,11 @@ def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.corpus_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.stratified_sample(docs, "source", "doc_id", n_per_stratum=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2b core engine
@@ -182,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_count_clicks_after_error": Q.range_count_clicks_after_error,
         "user_set_ops": Q.user_set_ops,
         "approx_distinct_users": Q.approx_distinct_users,
+        "props_json_extract": Q.props_json_extract,
         # §2a reference parity
         "dedup_first_by_key": _dedup_first_by_key,
         "enrich_articles": _enrich_articles,
@@ -204,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "sample_split": _sample_split,
         "corpus_stats": _corpus_stats,
+        "stratified_sample": _stratified_sample,
     }
 
 
@@ -406,6 +413,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id FROM events WHERE event_type = 'click'
               EXCEPT
               SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "props_json_extract": """
+            SELECT event_type,
+              COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "stratified_sample": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5('sample-v1:' || CAST(doc_id AS VARCHAR)) ASC,
+                         doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn <= 2
         """,
         "dedup_first_by_key": """
             SELECT doc_id, text, lang, source, n_chars FROM (

@@ -58,6 +58,8 @@ HEADLINE = [
     "user_set_ops",
     "approx_distinct_users",
     "ann_ivf_topk",
+    "props_json_extract",
+    "stratified_sample",
 ]
 
 

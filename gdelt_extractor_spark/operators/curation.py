@@ -113,6 +113,29 @@ def sample_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` rows of
+    each stratum with the smallest md5(salt:id) — content-stable
+    (unlike ``sampleBy``), reproducible on any cluster, and
+    re-drawable by changing the salt.  One shuffle on the stratum
+    key; the per-stratum sort is bounded by the window."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def corpus_stats(
     docs: DataFrame,
     group_cols: tuple[str, ...] = ("source", "lang"),

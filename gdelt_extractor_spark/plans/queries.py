@@ -330,6 +330,23 @@ def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(click_only)
 
 
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON
+    ``props`` column (get_json_object stays in codegen — no Python)
+    and aggregate it per event type."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch next to the exact count.
     Approximate by construction → rows-only driver check; the
