@@ -117,7 +117,7 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ann_lsh(emb, q, k=5)
+    return S.ann_lsh(emb, q, k=5, multiprobe=1)
 
 
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

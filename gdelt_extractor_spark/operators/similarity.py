@@ -237,6 +237,41 @@ def ann_ivf(
     )
 
 
+def lsh_query_probes_udf(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42, multiprobe: int = 0
+):
+    """Pandas UDF: query vector → per-table probe bucket lists
+    (array<array<long>>).
+
+    multiprobe=0 probes only the query's own bucket per table;
+    multiprobe=1 adds every bucket at Hamming distance 1 (each
+    single bit flip) — the standard multi-probe LSH recall lever:
+    near-miss neighbors usually differ in exactly the plane whose
+    projection was closest to zero, so probing adjacent buckets
+    recovers them without more tables (Lv et al., VLDB'07)."""
+    rs = np.random.RandomState(seed)
+    planes = rs.standard_normal((n_tables, dim, n_planes))
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<array<long>>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        out = []
+        per_table = []
+        for t in range(n_tables):
+            base = ((m @ planes[t]) > 0) @ weights  # (batch,)
+            if multiprobe >= 1:
+                flips = base[:, None] ^ weights[None, :]  # (batch, n_planes)
+                per_table.append(np.concatenate([base[:, None], flips], axis=1))
+            else:
+                per_table.append(base[:, None])
+        for i in range(m.shape[0]):
+            out.append([pt[i].tolist() for pt in per_table])
+        return pd.Series(out)
+
+    return probes
+
+
 def ann_lsh(
     vectors: DataFrame,
     queries: DataFrame,
@@ -245,20 +280,22 @@ def ann_lsh(
     n_planes: int = 8,
     n_tables: int = 6,
     seed: int = 42,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: exact cosine rerank restricted to LSH
-    candidates (multi-table random-hyperplane).
+    candidates (multi-table random-hyperplane, optional multi-probe).
 
     Plan shape at scale: one scan of the vector table computing all
     table buckets in a single Arrow pass, posexplode to
     (table, bucket) rows, equi-join with the (broadcast) query
     buckets, distinct candidate pairs, rerank.  No full scan per
     query, no cartesian product; recall tuned by (n_planes,
-    n_tables) and tested against ann_bruteforce."""
+    n_tables, multiprobe) and tested against ann_bruteforce."""
     buckets = lsh_multitable_udf(dim, n_planes, n_tables, seed)
+    probes = lsh_query_probes_udf(dim, n_planes, n_tables, seed, multiprobe)
     v = (
         vectors.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v"))
         .withColumn("bks", buckets("v"))
@@ -268,8 +305,9 @@ def ann_lsh(
         queries.select(
             F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
         )
-        .withColumn("bks", buckets("qv"))
-        .select("query_id", "qv", F.posexplode("bks").alias("tbl", "bkt"))
+        .withColumn("pbs", probes("qv"))
+        .select("query_id", "qv", F.posexplode("pbs").alias("tbl", "bkts"))
+        .select("query_id", "qv", "tbl", F.explode("bkts").alias("bkt"))
     )
     candidates = (
         v.join(

@@ -67,6 +67,30 @@ def test_lsh_sanity_on_diffuse_vectors(spark, sf_dir):
     assert all(r.rank <= 5 and r.query_id < 5 and -1.0 <= r.cosine <= 1.0 for r in out)
 
 
+def test_lsh_multiprobe_recall_dominates(spark, sf_dir):
+    """On the diffuse testdata embeddings (near-orthogonal, worst
+    case for LSH), hamming-1 multi-probe must find a superset of the
+    single-probe candidates → recall vs brute force can only go up,
+    and measurably does."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.nbr_id) for r in S.ann_bruteforce(emb, q, k=5).collect()}
+    single = {
+        (r.query_id, r.nbr_id)
+        for r in S.ann_lsh(emb, q, k=5, n_planes=8, n_tables=6, multiprobe=0).collect()
+    }
+    multi = {
+        (r.query_id, r.nbr_id)
+        for r in S.ann_lsh(emb, q, k=5, n_planes=8, n_tables=6, multiprobe=1).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.3, f"multiprobe recall on diffuse data: {r_multi}"
+
+
 def test_ivf_recall_on_clustered_vectors(spark):
     """IVF with m=#true clusters and nprobe≥1 must recover nearly
     all true neighbors: Lloyd snaps centroids onto the generating
