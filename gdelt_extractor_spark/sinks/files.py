@@ -29,6 +29,31 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", sep: str = "\t"
     df.write.mode(mode).option("sep", sep).option("header", "true").csv(path)
 
 
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Incremental partition upsert: overwrite ONLY the partitions
+    present in ``df``, leaving the rest of the dataset untouched
+    (dynamic partition overwrite).
+
+    This is the scale-correct version of the reference's
+    replace-mode ``to_sql`` (reference/extractor/extractor.py:
+    408-457): a 15-minute GDELT tick rewrites its own date
+    partition(s) idempotently instead of truncating the table —
+    re-running a tick converges, and readers never see a dropped
+    dataset.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -47,6 +47,31 @@ def test_write_parquet_partitioned(spark, sf_dir, tmp_path):
     assert "dt" in back.columns
 
 
+def test_upsert_partitions_touches_only_incoming(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"), ("2024-01-02", 3, "c")],
+        "dt string, id long, v string",
+    )
+    FS.write_parquet(full, out, partition_by=["dt"])
+    # re-load day 2 with corrected data; day 1 must be untouched
+    fix = spark.createDataFrame(
+        [("2024-01-02", 3, "c2"), ("2024-01-02", 4, "d")], "dt string, id long, v string"
+    )
+    FS.upsert_partitions(fix, out, ["dt"])
+    # partition values come back type-inferred (date) → compare as str
+    back = {(str(r.dt), r.id, r.v) for r in spark.read.parquet(out).collect()}
+    assert back == {
+        ("2024-01-01", 1, "a"),
+        ("2024-01-01", 2, "b"),
+        ("2024-01-02", 3, "c2"),
+        ("2024-01-02", 4, "d"),
+    }
+    # idempotent: re-running the same tick converges
+    FS.upsert_partitions(fix, out, ["dt"])
+    assert {(str(r.dt), r.id, r.v) for r in spark.read.parquet(out).collect()} == back
+
+
 def test_media_schema_and_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = M.attach_fake_media(docs, "doc_id")
