@@ -32,22 +32,31 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic language ID: CJK codepoint presence → zh, else
     argmax of marker-lexicon hit counts (priority en>de>fr>es on
-    ties), 'und' (undetermined, BCP-47) when no marker hits."""
-    toks = tokens(text_col)
+    ties), 'und' (undetermined, BCP-47) when no marker hits.
+
+    Tokens are materialized in their own projection (Catalyst does
+    not CSE inside lambdas, so inlining would re-tokenize once per
+    lexicon); CJK detection is an ``rlike`` existence check, not a
+    full scrub of the string."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("_toks"),
+        F.col(text_col).rlike("[一-鿿]").alias("_cjk"),
+    )
+    toks = F.col("_toks")
     en, de, fr, es = (
         _marker_hits(toks, LANG_MARKERS[l]) for l in ("en", "de", "fr", "es")
     )
-    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
     best = F.greatest(en, de, fr, es)
     pred = (
-        F.when(cjk > 0, F.lit("zh"))
+        F.when(F.col("_cjk"), F.lit("zh"))
         .when(best == 0, F.lit("und"))
         .when(en == best, F.lit("en"))
         .when(de == best, F.lit("de"))
         .when(fr == best, F.lit("fr"))
         .otherwise(F.lit("es"))
     )
-    return df.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+    return base.select("doc_id", pred.alias("lang_pred"))
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -58,19 +67,24 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ceil(len(word)/4) summed over words — cheap, deterministic, and
     good enough for per-corpus budget accounting.
     """
-    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("_toks"),  # materialized: tokenize once
+        F.length(normalize_text(text_col)).cast("long").alias("n_chars_norm"),
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     subw = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.ceil(F.length(t) / 4.0)
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         n_uniq.cast("long").alias("n_unique"),
         F.round(n_uniq / n_tok, 6).alias("ttr"),
         subw.alias("n_subwords"),
-        F.length(normalize_text(text_col)).cast("long").alias("n_chars_norm"),
+        "n_chars_norm",
     )
 
 
@@ -82,19 +96,25 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     The components mirror standard quality filters (Gopher/C4-style
     length, symbol, and stopword heuristics).
     """
-    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("_toks"),  # materialized: tokenize once
+        (
+            F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))
+            / F.length(F.col(text_col))
+        ).alias("_alpha"),
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     stop_ratio = _marker_hits(toks, EN_STOPWORDS) / n_tok
-    alpha_ratio = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")) / F.length(
-        F.col(text_col)
-    )
+    alpha_ratio = F.col("_alpha")
     score = (
         F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
         + alpha_ratio * 0.3
         + (1 - stop_ratio) * 0.3
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
