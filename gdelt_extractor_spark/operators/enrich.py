@@ -51,14 +51,24 @@ def enrich_articles(
       joins sorted scrubbed keywords with ';')
     - meta_keys: sorted distinct tokens len>6, '; '-joined
     """
-    toks = tokens(text_filter(F.col(text_col)))
+    # scrub+tokenize materialized once (Catalyst does not CSE the
+    # three consumers below if the expression is inlined)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_filter(F.col(text_col))).alias("_toks"),
+        url_site(F.col(source_col)).alias("site"),
+        F.concat(F.substring(F.col(text_col), 1, 500), F.lit(" . . . ")).alias(
+            "summary"
+        ),
+    )
+    toks = F.col("_toks")
     kw = F.array_sort(F.array_distinct(F.filter(toks, lambda t: F.length(t) > 4)))
     mk = F.array_sort(F.array_distinct(F.filter(toks, lambda t: F.length(t) > 6)))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         F.concat_ws(" ", F.slice(toks, 1, 6)).alias("title"),
-        url_site(F.col(source_col)).alias("site"),
-        F.concat(F.substring(F.col(text_col), 1, 500), F.lit(" . . . ")).alias("summary"),
+        "site",
+        "summary",
         F.array_join(kw, "; ").alias("keywords"),
         F.array_join(mk, "; ").alias("meta_keys"),
     )

@@ -75,6 +75,17 @@ def windowed_counts(
     )
 
 
+def join_static_dim(
+    stream_df: DataFrame, dim: DataFrame, on: str | list[str]
+) -> DataFrame:
+    """Stream-static broadcast join: enrich a stream with a (small)
+    dimension table.  The dim is broadcast once per micro-batch —
+    no stream state, no watermark needed; the standard lookup-join
+    shape for code→label enrichment (e.g. CAMEO roots) in the live
+    update loop."""
+    return stream_df.join(F.broadcast(dim), on)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

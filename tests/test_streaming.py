@@ -53,6 +53,21 @@ def test_stream_windowed_counts(spark, landing):
     assert counts == {"14": 2, "19": 3}
 
 
+def test_stream_static_dim_join(spark, landing):
+    from gdelt_extractor_spark.functions.lookups import cameo_root_df
+
+    stream = U.with_event_time(U.stream_gdelt_dir(spark, landing))
+    dim = cameo_root_df(spark).withColumnRenamed("root_code", "EventRootCode")
+    enriched = U.join_static_dim(
+        stream.select("GLOBALEVENTID", "EventRootCode"), dim, "EventRootCode"
+    )
+    U.run_to_memory_sink(enriched, "dim_join_out")
+    rows = spark.sql("SELECT * FROM dim_join_out").collect()
+    assert len(rows) == 5
+    labels = {r.EventRootCode: r.root_label for r in rows}
+    assert labels == {"14": "Protest", "19": "Fight"}
+
+
 def test_stream_foreach_batch_sink(spark, landing, tmp_path):
     stream = U.with_event_time(U.stream_gdelt_dir(spark, landing))
     out = tmp_path / "sink"
