@@ -1,0 +1,41 @@
+"""Operator namespace — every operator is a DataFrame→DataFrame
+function; import from here for the public API."""
+
+from .curation import corpus_stats, decontaminate, sample_split, stratified_sample
+from .dedup import (
+    dedup_embedding,
+    dedup_exact,
+    dedup_keep_first,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    minhash_signatures,
+    simhash,
+)
+from .enrich import enrich_articles, enrich_articles_fetch
+from .geo import geo_project
+from .keywords import keyword_freq
+from .multimodal import (
+    attach_fake_media,
+    audio_features,
+    frame_sample,
+    image_features,
+    resize_images,
+)
+from .similarity import ann_bruteforce, ann_ivf, ann_lsh, ivf_fit_centroids
+from .skew import salted_agg, salted_join
+from .temporal import asof_join, range_join
+from .textstats import fingerprint, lang_id, quality_score, token_stats
+
+__all__ = [
+    "ann_bruteforce", "ann_ivf", "ann_lsh", "asof_join",
+    "attach_fake_media", "audio_features", "corpus_stats",
+    "decontaminate", "dedup_embedding", "dedup_exact",
+    "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
+    "fingerprint", "frame_sample", "geo_project", "image_features",
+    "ivf_fit_centroids", "keyword_freq", "lang_id",
+    "minhash_signatures", "quality_score", "range_join",
+    "resize_images", "salted_agg", "salted_join", "sample_split",
+    "simhash", "stratified_sample", "token_stats",
+]
