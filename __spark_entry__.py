@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_set_ops": Q.user_set_ops,
         "approx_distinct_users": Q.approx_distinct_users,
         "props_json_extract": Q.props_json_extract,
+        "user_top_event": Q.user_top_event,
         # §2a reference parity
         "dedup_first_by_key": _dedup_first_by_key,
         "enrich_articles": _enrich_articles,
@@ -415,6 +416,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id FROM events WHERE event_type = 'click'
               EXCEPT
               SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "user_top_event": """
+            WITH m AS (
+              SELECT user_id AS m_user, MAX(value) AS top_value
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+              arg_min(event_type, event_id) AS top_type,
+              arg_min(ts, event_id) AS top_ts,
+              any_value(top_value) AS top_value
+            FROM events e JOIN m
+              ON e.user_id = m.m_user AND e.value = m.top_value
+            GROUP BY user_id
         """,
         "props_json_extract": """
             SELECT event_type,

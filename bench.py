@@ -60,6 +60,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "props_json_extract",
     "stratified_sample",
+    "user_top_event",
 ]
 
 

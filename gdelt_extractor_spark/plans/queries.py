@@ -330,6 +330,30 @@ def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(click_only)
 
 
+def user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation (min_by/arg_min): per user, the type and
+    time of their single highest-value event.  Two-phase because
+    (user, value) ties exist in the data: per-user max (partial-agg
+    shuffle), equi-join back on the max (same user_id key — AQE
+    reuses the partitioning), then min_by on the globally-unique
+    event_id breaks ties deterministically without a window."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    m = e.groupBy(F.col("user_id").alias("m_user")).agg(
+        F.max("value").alias("top_value")
+    )
+    top_rows = e.join(
+        m,
+        (F.col("user_id") == F.col("m_user")) & (F.col("value") == F.col("top_value")),
+    )
+    return top_rows.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("top_type"),
+        F.min_by("ts", "event_id").alias("top_ts"),
+        F.first("top_value").alias("top_value"),
+    )
+
+
 def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull a field out of the JSON
     ``props`` column (get_json_object stays in codegen — no Python)
