@@ -29,6 +29,39 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", sep: str = "\t"
     df.write.mode(mode).option("sep", sep).option("header", "true").csv(path)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_mb`` based on its current on-disk size.
+
+    Streaming sinks and 15-minute ticks accrete thousands of small
+    files; at 100 TB unmanaged small files dominate scan cost
+    (driver-side file listing + per-file open overhead).  This is the
+    maintenance pass: size-based repartition, atomic swap via a
+    temp-dir write then overwrite.  Returns the new file count.
+    """
+    import math
+    import shutil
+    import os
+
+    df = spark.read.parquet(path)
+    size_b = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size_b / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 def upsert_partitions(
     df: DataFrame,
     path: str,

@@ -210,6 +210,41 @@ def gkg_themes(gkg: DataFrame) -> DataFrame:
     )
 
 
+def gkg_theme_cooccurrence(gkg: DataFrame, min_count: int = 1) -> DataFrame:
+    """Theme co-occurrence counts: (theme_a < theme_b, n_records).
+
+    Pairs are generated per record from the theme array with a
+    nested transform + flatten — pure JVM expression work, one
+    partial-aggregated shuffle on the pair.  Never a self-join of
+    the exploded theme table (which would shuffle |records|·|themes|
+    rows twice); at 100 TB the pair explosion is bounded by
+    per-record theme-list length, not corpus size."""
+    staged = gkg.select(
+        F.array_distinct(
+            F.filter(
+                F.split(F.coalesce(F.col("Themes"), F.lit("")), ";"),
+                lambda s: s != "",
+            )
+        ).alias("_themes")  # materialized: parsed once per row
+    )
+    t = F.col("_themes")
+    pairs = F.flatten(
+        F.transform(
+            t,
+            lambda a: F.filter(
+                F.transform(t, lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                lambda p: p["a"] < p["b"],
+            ),
+        )
+    )
+    return (
+        staged.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("theme_a"), F.col("p.b").alias("theme_b"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") >= min_count)
+    )
+
+
 def parse_lastupdate(text: str) -> dict[str, str]:
     """Parse lastupdate.txt → {label: url} (export/mentions/gkg).
 

@@ -75,6 +75,35 @@ def windowed_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows match left
+    rows with the same key whose event time lies in
+    [left_time, left_time + max_delay].
+
+    Both sides are watermarked so the join state is bounded — Spark
+    drops buffered rows once the watermark passes the time-range
+    upper bound.  This is the streaming mentions⋈events shape: a
+    mention (right) joins its event (left) only while the event is
+    recent, with O(watermark window) state instead of O(stream).
+    """
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_time] >= l[left_time])
+        & (r[right_time] <= l[left_time] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").drop(r[on])
+
+
 def join_static_dim(
     stream_df: DataFrame, dim: DataFrame, on: str | list[str]
 ) -> DataFrame:

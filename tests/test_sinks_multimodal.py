@@ -47,6 +47,20 @@ def test_write_parquet_partitioned(spark, sf_dir, tmp_path):
     assert "dt" in back.columns
 
 
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    import glob
+
+    out = str(tmp_path / "frag")
+    e = load_table(spark, sf_dir, "events")
+    e.repartition(40).write.parquet(out)  # fragment: 40 small files
+    before = len(glob.glob(out + "/*.parquet"))
+    assert before >= 40
+    n = FS.compact_parquet(spark, out, target_file_mb=256)
+    after = len(glob.glob(out + "/*.parquet"))
+    assert after == n < before
+    assert spark.read.parquet(out).count() == e.count()
+
+
 def test_upsert_partitions_touches_only_incoming(spark, tmp_path):
     out = str(tmp_path / "ds")
     full = spark.createDataFrame(

@@ -146,3 +146,24 @@ def test_gkg_reader_and_themes(spark, tmp_path):
         ("20240101083000-1", "ENV_CLIMATE"),
         ("20240101083000-1", "TAX_FNCACT"),
     }
+
+
+def test_gkg_theme_cooccurrence(spark, tmp_path):
+    p = tmp_path / "g2.gkg.csv"
+    p.write_text(
+        "\n".join(
+            [
+                _gkg_row("r1", "A;B;C"),
+                _gkg_row("r2", "A;B"),
+                _gkg_row("r3", "B;A"),   # order-insensitive
+                _gkg_row("r4", "C"),     # no pair
+                _gkg_row("r5", ""),      # no themes
+            ]
+        )
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    got = {
+        (r.theme_a, r.theme_b): r.n_records
+        for r in G.gkg_theme_cooccurrence(gkg).collect()
+    }
+    assert got == {("A", "B"): 3, ("A", "C"): 1, ("B", "C"): 1}

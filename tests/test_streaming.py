@@ -68,6 +68,38 @@ def test_stream_static_dim_join(spark, landing):
     assert labels == {"14": "Protest", "19": "Fight"}
 
 
+def test_stream_stream_time_bounded_join(spark, tmp_path):
+    """Events stream ⋈ mentions stream on key within a time bound:
+    only the mention inside [event_time, event_time+15min] joins."""
+    ev_dir = tmp_path / "ev"; ev_dir.mkdir()
+    mn_dir = tmp_path / "mn"; mn_dir.mkdir()
+    (ev_dir / "e.csv").write_text("1,2024-01-01 10:00:00\n2,2024-01-01 11:00:00\n")
+    (mn_dir / "m.csv").write_text(
+        # eid 1: one in-window (+5m) and one out-of-window (+40m) mention
+        "1,2024-01-01 10:05:00,inwin\n"
+        "1,2024-01-01 10:40:00,late\n"
+        # eid 2: mention BEFORE the event → no match
+        "2,2024-01-01 10:59:00,early\n"
+    )
+    ev = (
+        spark.readStream.format("csv")
+        .schema("eid long, ev_time timestamp")
+        .load(str(ev_dir))
+    )
+    mn = (
+        spark.readStream.format("csv")
+        .schema("eid long, mn_time timestamp, tag string")
+        .load(str(mn_dir))
+    )
+    joined = U.stream_stream_join(
+        ev, mn, on="eid", left_time="ev_time", right_time="mn_time",
+        max_delay="15 minutes",
+    )
+    U.run_to_memory_sink(joined.select("eid", "tag"), "ss_join_out")
+    rows = spark.sql("SELECT * FROM ss_join_out").collect()
+    assert {(r.eid, r.tag) for r in rows} == {(1, "inwin")}
+
+
 def test_stream_foreach_batch_sink(spark, landing, tmp_path):
     stream = U.with_event_time(U.stream_gdelt_dir(spark, landing))
     out = tmp_path / "sink"
