@@ -30,9 +30,42 @@ from gdelt_extractor_spark.operators.enrich import enrich_articles
 from gdelt_extractor_spark.operators.geo import geo_project
 from gdelt_extractor_spark.operators.keywords import keyword_freq
 from gdelt_extractor_spark.plans import queries as Q
-from gdelt_extractor_spark.sources.tables import load_table
+from gdelt_extractor_spark.sources.tables import load_table, parallelized
 
 SF0001 = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str, width: int | None = None) -> DataFrame:
+    """documents scan with an explicit parallelism posture.
+
+    ``width`` is the minimum scan partition count handed to
+    ``parallelized`` (no-op once the scan already has that many
+    splits — always true at real scale):
+      - None: plain scan.  For cheap per-row work (hash, md5, salted
+        sample) the extra repartition stage's task overhead exceeds
+        the parallelism gain (measured on local[32] @ sf0.1).
+      - 0: full cluster width — tokenize/shingle-heavy consumers
+        where serial per-row CPU dominates.
+      - k>0: capped width — Arrow/pandas-UDF consumers where many
+        tiny batches cost more than fewer large ones.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    if width is None:
+        return df
+    return parallelized(
+        df, f"{sf_dir}/documents.parquet", width or None
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str, width: int | None = None) -> DataFrame:
+    """embeddings scan; same width posture as ``_docs``."""
+    df = load_table(spark, sf_dir, "embeddings")
+    if width is None:
+        return df
+    return parallelized(
+        df, f"{sf_dir}/embeddings.parquet", width or None
+    )
+
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -43,16 +76,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------- §2a
 
 def _dedup_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return D.dedup_keep_first(docs, key="source", order="doc_id")
 
 
 def _enrich_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return enrich_articles(load_table(spark, sf_dir, "documents"))
+    return enrich_articles(_docs(spark, sf_dir, width=0))
 
 
 def _keyword_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return keyword_freq(enrich_articles(load_table(spark, sf_dir, "documents")))
+    return keyword_freq(enrich_articles(_docs(spark, sf_dir, width=8)))
 
 
 def _lookup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,31 +114,31 @@ def _geo_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- §2c
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.dedup_exact(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    return D.dedup_exact(_docs(spark, sf_dir), "text", "doc_id")
 
 
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir, width=0)
     return D.dedup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.6)
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir, width=0)
     return D.dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.6)
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir, width=8)
     return D.dedup_simhash(docs, "text", "doc_id", max_hamming=3)
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return D.dedup_embedding(emb, threshold=0.3)
 
 
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir, width=8)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -113,7 +146,7 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -121,7 +154,7 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -131,25 +164,25 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TS.lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return TS.lang_id(_docs(spark, sf_dir, width=0), "doc_id", "text")
 
 
 def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TS.quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return TS.quality_score(_docs(spark, sf_dir, width=0), "doc_id", "text")
 
 
 def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TS.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return TS.token_stats(_docs(spark, sf_dir, width=0), "doc_id", "text")
 
 
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.fingerprint(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        _docs(spark, sf_dir), "doc_id", "text"
     ).select("doc_id", "fp_md5")
 
 
 def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir, width=0)
     return C.decontaminate(
         docs.filter(F.col("doc_id") >= 5),
         docs.filter(F.col("doc_id") < 5),
@@ -158,15 +191,15 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return C.sample_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return C.sample_split(_docs(spark, sf_dir), "doc_id")
 
 
 def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return C.corpus_stats(load_table(spark, sf_dir, "documents"))
+    return C.corpus_stats(_docs(spark, sf_dir))
 
 
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return C.stratified_sample(docs, "source", "doc_id", n_per_stratum=2)
 
 

@@ -14,15 +14,34 @@ plain double SUM would drift in the last bits with partition count.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallelized
 
 
 def dsum(expr: Column) -> Column:
     """Order-independent sum of a double expression (see module doc)."""
     return F.sum(expr.cast("decimal(25,6)")).cast("double")
+
+
+def pload(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + ``parallelized`` — for scans feeding heavy
+    single-branch map-side work (q1: eight decimal partial aggregates
+    over every row).
+
+    Measured policy (local[32], sf0.1): the repartition pays off only
+    when per-row compute above the scan exceeds ~1 s serial; for
+    cheap scans the extra stage's task overhead dominates, so all
+    other §2b queries keep the plain load.  ``parallelized`` is a
+    no-op once the scan has cluster-width splits (always true at real
+    scale), and dims are never widened — they get broadcast.
+    """
+    return parallelized(
+        load_table(spark, sf_dir, name), os.path.join(sf_dir, f"{name}.parquet")
+    )
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,7 +50,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Filter + column pruning push into the parquet scan; aggregation
     is hash-partial then one shuffle on (returnflag, linestatus).
     """
-    l = load_table(spark, sf_dir, "lineitem")
+    l = pload(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
