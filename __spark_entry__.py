@@ -198,6 +198,18 @@ def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.corpus_stats(_docs(spark, sf_dir))
 
 
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.tfidf_top_terms(_docs(spark, sf_dir, width=0), "doc_id", "text", k=3)
+
+
+def _top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.top_bigrams(_docs(spark, sf_dir, width=0), "text", k=20)
+
+
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return C.stratified_sample(docs, "source", "doc_id", n_per_stratum=2)
@@ -224,6 +236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": Q.approx_distinct_users,
         "props_json_extract": Q.props_json_extract,
         "user_top_event": Q.user_top_event,
+        "cube_volume": Q.cube_volume,
+        "q4_priority_exists": Q.q4_priority_exists,
+        "order_price_ranks": Q.order_price_ranks,
         # §2a reference parity
         "dedup_first_by_key": _dedup_first_by_key,
         "enrich_articles": _enrich_articles,
@@ -247,6 +262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _sample_split,
         "corpus_stats": _corpus_stats,
         "stratified_sample": _stratified_sample,
+        "repetition_stats": _repetition_stats,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "top_bigrams": _top_bigrams,
     }
 
 
@@ -649,6 +667,76 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN CAST(('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90
                    THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "cube_volume": f"""
+            SELECT event_type, date_trunc('day', ts) AS day,
+              COUNT(*) AS n_events, {_dsum('value')} AS sum_value
+            FROM events
+            GROUP BY CUBE(event_type, date_trunc('day', ts))
+        """,
+        "q4_priority_exists": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "order_price_ranks": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice ASC, o_orderkey ASC)
+        """,
+        "repetition_stats": """
+            WITH s AS (
+              SELECT doc_id,
+                list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                            x -> x <> '') AS lines
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+              CASE WHEN len(lines) = 0 THEN 0.0
+                   ELSE round(1 - len(list_distinct(lines))/CAST(len(lines) AS DOUBLE), 6)
+              END AS dup_line_frac
+            FROM s
+        """,
+        "tfidf_top_terms": f"""
+            WITH t AS (
+              SELECT doc_id, unnest({toks_text}) AS term FROM documents),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+            df AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                round(tf.tf * (ln((n.n_docs + 1)/CAST(df.df + 1 AS DOUBLE)) + 1), 6) AS tfidf
+              FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term, tfidf,
+                row_number() OVER (
+                  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored)
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+            FROM ranked WHERE rank <= 3
+        """,
+        "top_bigrams": f"""
+            WITH t AS (SELECT {toks_text} AS toks FROM documents),
+            b AS (
+              SELECT toks[i] || ' ' || toks[i+1] AS bigram
+              FROM t, unnest(range(1, len(toks))) AS u(i))
+            SELECT bigram, COUNT(*) AS n
+            FROM b GROUP BY bigram
+            ORDER BY n DESC, bigram ASC
+            LIMIT 20
         """,
         "corpus_stats": f"""
             SELECT source, lang, COUNT(*) AS n_docs,

@@ -61,6 +61,12 @@ HEADLINE = [
     "props_json_extract",
     "stratified_sample",
     "user_top_event",
+    "cube_volume",
+    "q4_priority_exists",
+    "order_price_ranks",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "top_bigrams",
 ]
 
 

@@ -122,6 +122,99 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition metrics: per-document duplicate-line
+    fraction (boilerplate / templated-page detector).
+
+    Lines are trimmed and empties dropped; ``dup_line_frac`` is
+    1 − distinct/total (0 for line-free docs).  Pure per-row JVM
+    array expressions — no shuffle, runs at scan speed.
+    """
+    lines = F.filter(
+        # explicit unary lambda: F.trim's optional 2nd arg would make
+        # transform bind it as an (element, index) function
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), lines.alias("_lines"))
+    n = F.size("_lines")
+    nd = F.size(F.array_distinct("_lines"))
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_lines"),
+        nd.cast("long").alias("n_distinct_lines"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(1 - nd / n, 6))
+        .alias("dup_line_frac"),
+    )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k terms per document by TF-IDF.
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed); scores are rounded to 6
+    decimals BEFORE ranking so the ordering is reproducible across
+    engines, with the term as deterministic tie-break.
+
+    Scale shape: one shuffle on (doc, term) for TF, one on term for
+    DF, the corpus size joins in as a broadcast scalar, and the
+    final top-k is a window on the doc key.  Document frequency is
+    a full-vocabulary aggregate — never collected to the driver.
+    """
+    t = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+def top_bigrams(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k token bigrams (collocation mining).
+
+    Bigrams come from zipping the token array with its own tail —
+    per-row JVM work, no per-position explode of a window function.
+    One partial-aggregated shuffle on the bigram, then a global
+    top-k (the ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    per-partition heaps, no full sort)."""
+    toks = tokens(text_col)
+    base = df.select(toks.alias("_toks"))
+    t = F.col("_toks")
+    n = F.size(t)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    return (
+        base.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: md5 of the normalized text (exact-dup
     key) plus a 64-bit xxhash64 (cheap join/bucket key).  The

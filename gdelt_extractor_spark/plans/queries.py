@@ -373,6 +373,65 @@ def user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping sets in one
+    pass — per pair, per type, per day, grand total.  Catalyst plans
+    this as a single Expand + one partial-aggregated shuffle; four
+    separate GROUP BYs would scan and shuffle four times."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders in a date window
+    having at least one returned lineitem, counted by priority.
+
+    The EXISTS compiles to a LEFT SEMI join on the order key: one
+    shuffle each side, no duplication of matching orders (a plain
+    inner join + distinct would shuffle the multiplicity too)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per priority class:
+    percent_rank, cume_dist, and quartile (ntile) of each order's
+    totalprice.  One shuffle on the partition key serves all three
+    frames (identical window spec); ordering is made total with the
+    order key so ranks are reproducible across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull a field out of the JSON
     ``props`` column (get_json_object stays in codegen — no Python)

@@ -1,0 +1,65 @@
+"""Unit tests for the newer text-analysis operators: repetition
+stats, TF-IDF top terms, bigram mining (SURVEY.md §2c)."""
+
+from __future__ import annotations
+
+from gdelt_extractor_spark.operators import textstats as TS
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_dup_lines(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha\nbeta\nalpha\n  alpha  \ngamma"),  # alpha ×3 after trim
+            (2, "one line only"),
+            (3, "\n \n  \n"),  # whitespace-only lines drop -> 0 lines
+        ],
+    )
+    got = {r.doc_id: r for r in TS.repetition_stats(df, "doc_id", "text").collect()}
+    assert (got[1].n_lines, got[1].n_distinct_lines) == (5, 3)
+    assert got[1].dup_line_frac == 0.4
+    assert (got[2].n_lines, got[2].dup_line_frac) == (1, 0.0)
+    assert (got[3].n_lines, got[3].dup_line_frac) == (0, 0.0)
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    # 'common' appears in every doc (idf floor = 1), 'rare' in one
+    # (idf = ln(4/2)+1 ≈ 1.693), equal tf -> rare outranks common
+    df = _docs(
+        spark,
+        [
+            (1, "common rare"),
+            (2, "common filler"),
+            (3, "common other words"),
+        ],
+    )
+    out = TS.tfidf_top_terms(df, "doc_id", "text", k=2)
+    top1 = {r.doc_id: r.term for r in out.filter("rank = 1").collect()}
+    assert top1[1] == "rare"
+    ranks = [(r.doc_id, r.rank) for r in out.collect()]
+    assert all(rk in (1, 2) for _, rk in ranks)
+
+
+def test_tfidf_tiebreak_by_term(spark):
+    df = _docs(spark, [(1, "zebra apple"), (2, "zebra apple")])
+    out = TS.tfidf_top_terms(df, "doc_id", "text", k=2).filter("doc_id = 1")
+    rows = sorted((r.rank, r.term) for r in out.collect())
+    # identical tf and df -> identical score -> lexicographic term order
+    assert rows == [(1, "apple"), (2, "zebra")]
+
+
+def test_top_bigrams_counts_and_limit(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b"),   # 'a b' ×2, 'b a' ×1
+            (2, "a b"),       # 'a b' ×1
+            (3, "single"),    # no bigram
+        ],
+    )
+    rows = [(r.bigram, r.n) for r in TS.top_bigrams(df, "text", k=2).collect()]
+    assert rows == [("a b", 3), ("b a", 1)]
