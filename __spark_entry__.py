@@ -158,9 +158,7 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # n_iter=1: on diffuse vectors extra Lloyd rounds barely move the
-    # centroids; fit cost is one assignment scan instead of two
-    return S.ann_ivf(emb, q, k=5, n_iter=1)
+    return S.ann_ivf(emb, q, k=5)
 
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -317,36 +317,51 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return toks.select("id", _simhash_fp_udf()("th").alias("simhash"))
 
 
-def dedup_simhash(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+def hamming_pairs(
+    fp: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs with hamming distance ≤ max_hamming.
+    """Pairs (id_a < id_b, hamming) of 64-bit fingerprints with
+    hamming distance ≤ max_hamming.
 
-    Candidate generation by pigeonhole: split the 64-bit fingerprint
-    into 4 16-bit chunks; hamming ≤ 3 ⇒ at least one chunk matches
-    exactly, so the join key is (chunk_idx, chunk_value) — an
-    equi-join, never a cross product.
+    Candidate generation by pigeonhole: split the fingerprint into
+    ``n_chunks`` equal bit chunks; hamming ≤ n_chunks-1 ⇒ at least
+    one chunk matches exactly, so the join key is
+    (chunk_idx, chunk_value) — an equi-join on uniform hash-derived
+    keys, never a cross product.  Shared by SimHash text dedup and
+    perceptual image-hash dedup.
     """
-    fp = simhash(df, text_col, id_col)
+    # pigeonhole needs > max_hamming disjoint chunks; widen if the
+    # caller's max_hamming outgrows the default 4
+    n_chunks = max(n_chunks, max_hamming + 1)
+    width = -(-64 // n_chunks)  # ceil: uneven last chunk still covers bit 63
+
+    def chunk_val(c: int) -> Column:
+        lo = c * width
+        mask = (1 << min(width, 64 - lo)) - 1
+        return (
+            F.shiftright(hash_col, lo)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            .alias("v")
+        )
+
     chunks = fp.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("fp"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("c"),
-                        F.shiftright("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
-                        .alias("v"),
-                    )
-                    for c in range(4)
+                    F.struct(F.lit(c).alias("c"), chunk_val(c))
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),
-    ).select("id", "simhash", "ch.c", "ch.v")
+    ).select("id", "fp", "ch.c", "ch.v")
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.c") == F.col("b.c"))
@@ -356,15 +371,24 @@ def dedup_simhash(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+            F.col("a.fp").alias("h_a"),
+            F.col("b.fp").alias("h_b"),
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return pairs
+
+
+def dedup_simhash(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming
+    (candidate generation via the pigeonhole chunk equi-join —
+    see ``hamming_pairs``)."""
+    fp = simhash(df, text_col, id_col)
+    return hamming_pairs(fp, "id", "simhash", max_hamming)
 
 
 def dedup_embedding(

@@ -182,6 +182,52 @@ def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
     return src.mapInPandas(run, AUDIO_SCHEMA)
 
 
+AHASH_SCHEMA = "media_id bigint, ahash bigint"
+
+
+def image_ahash(media: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """64-bit perceptual average-hash per image.
+
+    Classic aHash: downsample to hash_w×hash_h (real nearest-neighbor
+    resize, same index-grid math as ``resize_images``), threshold each
+    cell at the mean, pack the bits.  Only the pixel source is the
+    deterministic fake decode.  Output is one long per image — the
+    join/bucket key for perceptual dedup.
+    """
+    import numpy as np
+
+    src = media.select("media_id", "content", "meta.width", "meta.height")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                px = np.asarray(_fake_decode(bytes(content), w, h)).reshape(h, w)
+                ys = np.minimum((np.arange(hash_h) * h) // hash_h, h - 1)
+                xs = np.minimum((np.arange(hash_w) * w) // hash_w, w - 1)
+                small = px[np.ix_(ys, xs)].ravel()
+                bits = small > small.mean()
+                val = np.packbits(bits, bitorder="little")[:8].view(np.int64)[0]
+                rows.append((mid, int(val)))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return src.mapInPandas(run, AHASH_SCHEMA)
+
+
+def dedup_images(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual image near-dup pairs: aHash fingerprints, then the
+    same pigeonhole hamming equi-join as text SimHash
+    (``dedup.hamming_pairs``) — one Arrow decode pass over the bytes,
+    one equi-join shuffle keyed on hash chunks, never all-pairs."""
+    from .dedup import hamming_pairs
+
+    fp = image_ahash(media)
+    return hamming_pairs(fp, "media_id", "ahash", max_hamming)
+
+
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Sample every Nth frame of 'video' media.
 

@@ -116,40 +116,47 @@ def ivf_fit_centroids(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_size: int | None = None,
 ) -> np.ndarray:
-    """Deterministic Lloyd k-means coarse quantizer for IVF.
+    """Deterministic Lloyd k-means coarse quantizer for IVF,
+    trained on a bounded sample (the standard IVF recipe — e.g.
+    FAISS trains its quantizer on ~(tens of)·m vectors, not the
+    corpus).
 
-    Init = the ``m`` vectors with the smallest ids (deterministic,
-    no RNG).  Each iteration: assign via the broadcast centroid
-    matrix (vectorized pandas UDF), recompute per-cluster means with
-    a posexplode + decimal-sum aggregation (order-independent, so
-    centroids are bit-stable across partitionings).  Only m·dim
-    aggregated floats ever reach the driver — at 100 TB you fit on a
-    sample scan; assignment stays fully distributed.
+    The sample is the top ``sample_size`` rows by a salted content
+    hash with the id as tiebreak — an unbiased, reproducible choice
+    that is independent of partitioning (TakeOrdered), and the ONE
+    Spark job this fit runs regardless of ``n_iter``.  Lloyd then
+    iterates driver-side on the (S, dim) numpy matrix: at 100 TB the
+    driver holds S·dim doubles (a few MB), while assignment of the
+    full table stays distributed (`_ivf_assign_udf`).
+
+    Determinism: sample membership and order are fixed by the
+    (hash, id) total order, init is the m lowest-id sample rows, and
+    numpy reductions over a fixed-order array are bit-stable — so
+    centroids never depend on cluster layout.
     """
-    v = vectors.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    )
-    cents = np.vstack(
-        [r.v for r in v.orderBy("id").limit(m).collect()]
-    )  # (m, dim)
-    for _ in range(n_iter):
-        assign = _ivf_assign_udf(cents)
-        means = (
-            v.withColumn("c", assign("v"))
-            .select("c", F.posexplode("v").alias("pos", "x"))
-            .groupBy("c", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mu")
-            )
-            .collect()
+    S = sample_size or max(64 * m, 1024)
+    v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    sample = (
+        v.orderBy(
+            F.xxhash64(F.col("id").cast("string"), F.lit("ivf-fit")).asc(),
+            F.col("id").asc(),
         )
+        .limit(S)
+        .collect()
+    )
+    ids = np.array([r.id for r in sample])
+    X = np.vstack([r.v for r in sample])  # (S, dim)
+    cents = X[np.argsort(ids, kind="stable")[:m]].copy()
+    for _ in range(n_iter):
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+        a = np.argmin(d, axis=1)  # ties -> lowest centroid id
         nxt = cents.copy()  # empty clusters keep their old centroid
-        for r in means:
-            nxt[r.c, r.pos] = r.mu
+        for c in range(cents.shape[0]):
+            mask = a == c
+            if mask.any():
+                nxt[c] = X[mask].mean(axis=0)
         cents = nxt
     return cents
 
@@ -204,8 +211,8 @@ def ann_ivf(
     quantizer, vectors partitioned into m cells, queries probe only
     their ``nprobe`` nearest cells, exact cosine rerank inside.
 
-    Plan shape at scale: centroid fit touches m·dim aggregated
-    floats; the main table is scanned once to tag each vector with
+    Plan shape at scale: the quantizer trains on a bounded sample
+    (one TakeOrdered job); the main table is scanned once to tag each vector with
     its cell; the probe join is a broadcast equi-join on cell id —
     the classic IVF cost model (scan fraction ≈ nprobe/m).  Size m ≈
     √N so cells stay executor-memory friendly.  Recall is tested

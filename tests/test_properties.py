@@ -97,3 +97,99 @@ def test_token_stats_bounds(spark, texts):
     for r in rows:
         assert 0 <= r.n_unique <= r.n_tokens
         assert r.n_subwords >= r.n_tokens or r.n_tokens == 0 or r.n_subwords >= 0
+
+
+# ---------------------------------------------------- temporal ops
+
+from gdelt_extractor_spark.operators.temporal import asof_join, range_join  # noqa: E402
+
+ASOF_CASE = st.tuples(
+    # left: (user, ts) rows
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=20
+    ),
+    # right: unique (user, ts) -> value (dict kills equal-ts ambiguity
+    # between two right rows, which no engine orders deterministically)
+    st.dictionaries(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        st.integers(-100, 100),
+        max_size=20,
+    ),
+    st.booleans(),
+)
+
+
+@given(ASOF_CASE)
+@PROP
+def test_asof_join_matches_naive(spark, case):
+    left_rows, right_map, strict = case
+    left = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(left_rows)],
+        "event_id long, user_id long, ts long",
+    )
+    right_rows = [(u, t, v) for (u, t), v in right_map.items()]
+    right = spark.createDataFrame(
+        right_rows or [(99, 99, 0)], "user_id long, ts long, val long"
+    )
+    if not right_rows:
+        right = right.filter("user_id < 0")
+    got = {
+        r.event_id: r.asof_val
+        for r in asof_join(
+            left, right, on="ts", by="user_id", value_cols=["val"], strict=strict
+        ).collect()
+    }
+
+    def naive(u, t):
+        cand = [
+            (rt, v)
+            for (ru, rt), v in right_map.items()
+            if ru == u and (rt < t if strict else rt <= t)
+        ]
+        return max(cand)[1] if cand else None
+
+    assert got == {i: naive(u, t) for i, (u, t) in enumerate(left_rows)}
+
+
+RANGE_CASE = st.tuples(
+    st.lists(  # (start, length) intervals
+        st.tuples(st.integers(-20, 40), st.integers(0, 15)), min_size=1, max_size=15
+    ),
+    st.lists(st.integers(-25, 60), max_size=25),  # points
+    st.integers(1, 12),  # bin width
+)
+
+
+@given(RANGE_CASE)
+@PROP
+def test_range_join_matches_naive(spark, case):
+    ivals, pts, bw = case
+    intervals = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(ivals)],
+        "iid long, lo long, hi long",
+    )
+    points = spark.createDataFrame(
+        [(j, p) for j, p in enumerate(pts)] or [(0, 0)], "pid long, pt long"
+    )
+    if not pts:
+        points = points.filter("pid < 0")
+    joined = range_join(
+        intervals, points, start_col="lo", end_col="hi", point_col="pt",
+        bin_width=bw, interval_id="iid", how="left",
+    ).collect()
+    got_pairs = {(r.iid, r.pid) for r in joined if r.pid is not None}
+    want_pairs = {
+        (i, j)
+        for i, (s, ln) in enumerate(ivals)
+        for j, p in enumerate(pts)
+        if s < p <= s + ln
+    }
+    assert got_pairs == want_pairs
+    # left semantics: every interval appears; unmatched exactly once, null point
+    matched_ids = {i for i, _ in want_pairs}
+    for i in range(len(ivals)):
+        rows_i = [r for r in joined if r.iid == i]
+        if i in matched_ids:
+            assert all(r.pid is not None for r in rows_i)
+        else:
+            assert len(rows_i) == 1 and rows_i[0].pid is None

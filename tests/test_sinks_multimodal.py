@@ -149,3 +149,28 @@ def test_frame_sample(spark, sf_dir):
     per = Counter(r.media_id for r in frames)
     for mid, row in n_frames.items():
         assert per[mid] == (row.n_frames + 1) // 2
+
+
+def test_image_ahash_deterministic_and_dedup(spark):
+    media = M.attach_fake_media(spark.range(0, 12), "id")
+    fp1 = {r.media_id: r.ahash for r in M.image_ahash(media).collect()}
+    fp2 = {r.media_id: r.ahash for r in M.image_ahash(media.repartition(5)).collect()}
+    assert fp1 == fp2  # content-derived, partition-independent
+    # clone id 3's bytes+meta under a new id -> exact perceptual dup
+    dup = media.filter("media_id = 3").withColumn(
+        "media_id", F.lit(100).cast("long")
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.dedup_images(media.unionByName(dup), max_hamming=0).collect()
+    }
+    assert pairs.get((3, 100)) == 0
+    assert all(a == 3 and b == 100 for a, b in pairs)  # no spurious 0-dist pairs
+
+
+def test_image_ahash_resize_invariance(spark):
+    """aHash of an image equals aHash of its own 8x8 resize --- the
+    downsample grid is the same math, so hashing commutes with it."""
+    media = M.attach_fake_media(spark.range(0, 6), "id")
+    direct = {r.media_id: r.ahash for r in M.image_ahash(media).collect()}
+    assert len(direct) == 6 and len(set(direct.values())) == 6
