@@ -111,3 +111,52 @@ def test_decontaminate_is_scan_plus_broadcast_only(spark, sf_dir):
     plan = plan_of(spark, "decontaminate", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q4_plans_as_semi_join(spark, sf_dir):
+    """EXISTS must compile to a semi join (no row duplication before
+    the aggregate) with both filters pushed into their scans."""
+    plan = plan_of(spark, "q4_priority_exists", sf_dir)
+    assert "LeftSemi" in plan or "Semi" in plan
+    assert len(pushed_filter_lines(plan)) >= 2
+    # lineitem scan pruned to the join key + predicate column
+    assert any(
+        "l_orderkey" in rs and "l_returnflag" in rs and "l_extendedprice" not in rs
+        for rs in read_schemas(plan)
+    )
+
+
+def test_top_bigrams_uses_topk_not_full_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition heaps) — a global Sort of the bigram table would
+    shuffle the whole vocabulary at 100 TB."""
+    plan = plan_of(spark, "top_bigrams", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_broadcasts_corpus_size_only(spark, sf_dir):
+    """The 1-row corpus-count side must broadcast; the vocabulary DF
+    join stays a distributed equi-join (it is NOT broadcast-safe at
+    scale, so we only require no cartesian/nested-loop)."""
+    plan = plan_of(spark, "tfidf_top_terms", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_is_single_expand_pass(spark, sf_dir):
+    plan = plan_of(spark, "cube_volume", sf_dir)
+    assert "Expand" in plan
+    # one scan only: four grouping sets must not mean four reads
+    assert len(read_schemas(plan)) == 1
+
+
+def test_order_price_ranks_single_window_exchange(spark, sf_dir):
+    """All three distribution functions share one window spec — the
+    plan must contain exactly one shuffle (hashpartitioning on the
+    priority key), not one per function."""
+    plan = plan_of(spark, "order_price_ranks", sf_dir)
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")
+    )
+    n_windows = sum(1 for l in plan.splitlines() if l.strip().startswith("(") and l.strip().endswith("Window"))
+    assert n_exchanges == 1 and n_windows == 1, plan[:2000]
