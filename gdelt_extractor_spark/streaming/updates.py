@@ -51,10 +51,21 @@ def with_event_time(df: DataFrame, col: str = "DATEADDED") -> DataFrame:
 def dedup_stream(
     df: DataFrame, key: str = "SOURCEURL", watermark: str = "30 minutes"
 ) -> DataFrame:
-    """Streaming keep-first on ``key``: state-backed dropDuplicates
-    bounded by the event-time watermark (the reference's
-    drop_duplicates, made incremental and late-data-safe)."""
-    return df.withWatermark("event_time", watermark).dropDuplicates([key])
+    """Streaming keep-first on ``key`` (the reference's
+    drop_duplicates, made incremental and late-data-safe).
+
+    Uses ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates([key])`` only evicts state when the watermark
+    column is part of the dedup subset, so keyed-only dedup would
+    grow state forever — the silent unbounded-state trap at
+    100 TB/day.  WithinWatermark keeps one state entry per key per
+    watermark horizon and drops it once the watermark passes, at the
+    (documented, reference-matching) cost that re-posts of a URL
+    farther apart than the watermark count as new.
+    """
+    return df.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
 
 
 def windowed_counts(

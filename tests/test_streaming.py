@@ -112,3 +112,34 @@ def test_stream_foreach_batch_sink(spark, landing, tmp_path):
     U.run_foreach_batch(stream, sink, str(tmp_path / "ckpt"))
     assert sum(seen) == 5
     assert spark.read.parquet(str(out)).count() == 5
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, landing, tmp_path):
+    """Exactly-once across restarts: a second run over the same
+    checkpoint must skip already-committed files and pick up only the
+    drop that arrived in between -- the property that lets the
+    15-minute loop die and resume without re-loading history."""
+    out = tmp_path / "sink2"
+    ckpt = str(tmp_path / "ckpt2")
+
+    def sink(batch_df, epoch_id):
+        batch_df.select("GLOBALEVENTID").write.mode("append").parquet(str(out))
+
+    def run():
+        stream = U.with_event_time(U.stream_gdelt_dir(spark, landing))
+        U.run_foreach_batch(stream, sink, ckpt)
+
+    run()  # first life: 5 rows from t1+t2
+    assert spark.read.parquet(str(out)).count() == 5
+    run()  # restart with nothing new: no duplicates
+    assert spark.read.parquet(str(out)).count() == 5
+    import pathlib
+
+    (pathlib.Path(landing) / "t3.export.CSV").write_text(
+        "\n".join([_v2_row(6, "http://example.com/d", "14")])
+    )
+    run()  # restart after a new drop: only the new file flows
+    got = sorted(
+        r.GLOBALEVENTID for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == [1, 2, 3, 4, 5, 6]
