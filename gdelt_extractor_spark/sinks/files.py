@@ -8,6 +8,7 @@ what a Spark pipeline actually writes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -60,6 +61,33 @@ def compact_parquet(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet write: ``repartitionByRange`` +
+    ``sortWithinPartitions`` on ``cluster_col`` so each output file
+    covers a disjoint key range.
+
+    Point/range predicates on the cluster key then prune to O(1)
+    files via parquet column min/max statistics instead of scanning
+    the dataset — the single highest-leverage layout choice for a
+    100 TB table queried by key (the poor man's Z-order; for one key
+    column it is exactly optimal).  Range boundaries come from
+    Spark's reservoir sampling of the key distribution, so files are
+    balanced even when the key is skewed.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def upsert_partitions(

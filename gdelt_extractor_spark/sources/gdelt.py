@@ -317,3 +317,75 @@ def process_gdelt_events(df: DataFrame) -> DataFrame:
     separate operators.enrich stage."""
     deduped = dedup_keep_first(df, key="SOURCEURL", order="GLOBALEVENTID")
     return deduped.toDF(*[c.lower() for c in deduped.columns])
+
+
+QUAD_CLASS = {
+    1: "Verbal Cooperation",
+    2: "Material Cooperation",
+    3: "Verbal Conflict",
+    4: "Material Conflict",
+}
+
+
+def quad_class_rollup(events: DataFrame) -> DataFrame:
+    """Event counts / article volume / mean tone per CAMEO QuadClass.
+
+    The four-way conflict-cooperation split is the standard GDELT
+    dashboard cut (the reference surfaces root-code labels for the
+    same purpose, reference/extractor/schema.py:153-174).  Labeling
+    is a literal CASE expression — no join at all for a 4-row dim.
+    """
+    label = F.col("QuadClass").cast("int")
+    expr = F.lit(None).cast("string")
+    for k in sorted(QUAD_CLASS, reverse=True):
+        expr = F.when(label == k, F.lit(QUAD_CLASS[k])).otherwise(expr)
+    return (
+        events.select(
+            expr.alias("quad_class"),
+            F.col("NumArticles").cast("long").alias("n_articles"),
+            F.col("AvgTone").cast("double").alias("tone"),
+        )
+        .groupBy("quad_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_articles").alias("total_articles"),
+            F.round(F.avg("tone"), 6).alias("avg_tone"),
+        )
+    )
+
+
+def goldstein_daily(
+    events: DataFrame, by: str = "Actor1CountryCode", window_days: int = 7
+) -> DataFrame:
+    """Daily Goldstein stability index per actor group with a
+    trailing ``window_days`` rolling mean.
+
+    Two-level plan: the daily aggregate shuffles once on
+    (group, day) with map-side partial agg; the rolling mean is a
+    RANGE window over epoch-days partitioned by group — the same
+    shuffle key, so AQE plans no extra exchange.  At 100 TB the
+    window state is one row per (group, day), not per event.
+    """
+    from pyspark.sql import Window
+
+    day = F.to_date(F.col("SQLDATE").cast("string"), "yyyyMMdd")
+    daily = (
+        events.select(
+            F.col(by).alias("grp"),
+            day.alias("day"),
+            F.col("GoldsteinScale").cast("double").alias("g"),
+        )
+        .groupBy("grp", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("g"), 6).alias("avg_goldstein"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.withColumn(
+        "rolling_goldstein", F.round(F.avg("avg_goldstein").over(w), 6)
+    )

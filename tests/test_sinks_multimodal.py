@@ -174,3 +174,30 @@ def test_image_ahash_resize_invariance(spark):
     media = M.attach_fake_media(spark.range(0, 6), "id")
     direct = {r.media_id: r.ahash for r in M.image_ahash(media).collect()}
     assert len(direct) == 6 and len(set(direct.values())) == 6
+
+
+def test_write_clustered_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Each clustered file must cover a disjoint key range (that is
+    what makes parquet min/max stats prune point lookups to one
+    file), and the data must round-trip unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "clustered")
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    FS.write_clustered(e, out, cluster_col="user_id", n_files=8)
+    ranges = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(idx["user_id"]).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
+    back = spark.read.parquet(out)
+    assert back.count() == e.count()
+    one_user = back.filter("user_id = 7").count()
+    assert one_user == e.filter("user_id = 7").count()

@@ -167,3 +167,36 @@ def test_gkg_theme_cooccurrence(spark, tmp_path):
         for r in G.gkg_theme_cooccurrence(gkg).collect()
     }
     assert got == {("A", "B"): 3, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_quad_class_rollup(spark, tmp_path):
+    p = tmp_path / "q.export.CSV"
+    p.write_text("\n".join([_v2_row(i, f"http://x/{i}") for i in range(4)]))
+    ev = G.read_gdelt_v2(spark, str(p))  # fixture rows: QuadClass=3
+    rows = G.quad_class_rollup(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.quad_class == "Verbal Conflict"
+    assert r.n_events == 4 and r.total_articles == 20
+    assert r.avg_tone == -1.5
+
+
+def test_goldstein_daily_rolling(spark):
+    rows = [
+        ("US", 20240101, -2.0),
+        ("US", 20240101, -4.0),   # day 1 avg -3.0
+        ("US", 20240102, 3.0),    # day 2 avg 3.0, rolling (−3+3)/2 = 0.0
+        ("US", 20240120, 1.0),    # outside 7d window: rolling = own avg
+        ("FR", 20240101, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "Actor1CountryCode string, SQLDATE int, GoldsteinScale double"
+    )
+    out = {
+        (r.grp, str(r.day)): (r.avg_goldstein, r.rolling_goldstein)
+        for r in G.goldstein_daily(ev).collect()
+    }
+    assert out[("US", "2024-01-01")] == (-3.0, -3.0)
+    assert out[("US", "2024-01-02")] == (3.0, 0.0)
+    assert out[("US", "2024-01-20")] == (1.0, 1.0)
+    assert out[("FR", "2024-01-01")] == (5.0, 5.0)
