@@ -34,6 +34,7 @@ def compact_parquet(
     spark,
     path: str,
     target_file_mb: int = 256,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet dataset into files of
     ~``target_file_mb`` based on its current on-disk size.
@@ -42,7 +43,11 @@ def compact_parquet(
     files; at 100 TB unmanaged small files dominate scan cost
     (driver-side file listing + per-file open overhead).  This is the
     maintenance pass: size-based repartition, atomic swap via a
-    temp-dir write then overwrite.  Returns the new file count.
+    temp-dir write then overwrite.  Pass ``partition_by`` for a
+    hive-partitioned dataset — the rewrite keeps the layout (and the
+    repartition keys on the partition columns, so each output
+    partition dir gets coalesced files, not a shard of every task).
+    Returns the new file count.
     """
     import math
     import shutil
@@ -57,7 +62,11 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(size_b / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compacting"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    if partition_by:
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
