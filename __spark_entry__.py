@@ -196,6 +196,10 @@ def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.corpus_stats(_docs(spark, sf_dir))
 
 
+def _remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.remove_boilerplate_lines(_docs(spark, sf_dir), "doc_id", "text", min_docs=2)
+
+
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -261,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _corpus_stats,
         "stratified_sample": _stratified_sample,
         "repetition_stats": _repetition_stats,
+        "remove_boilerplate": _remove_boilerplate,
         "tfidf_top_terms": _tfidf_top_terms,
         "top_bigrams": _top_bigrams,
     }
@@ -691,6 +696,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice ASC, o_orderkey ASC)
+        """,
+        "remove_boilerplate": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+            l AS (
+              SELECT doc_id, i AS pos, lines[i] AS line, trim(lines[i]) AS norm_line
+              FROM d, unnest(range(1, len(lines)+1)) AS u(i)),
+            b AS (
+              SELECT norm_line FROM l WHERE norm_line <> ''
+              GROUP BY norm_line HAVING COUNT(DISTINCT doc_id) >= 2),
+            k AS (
+              SELECT l.* FROM l LEFT JOIN b USING (norm_line)
+              WHERE b.norm_line IS NULL),
+            agg AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                COUNT(*) AS n_lines_kept
+              FROM k GROUP BY doc_id)
+            SELECT d.doc_id,
+              COALESCE(agg.clean_text, '') AS clean_text,
+              CAST(COALESCE(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+              CAST(len(d.lines) - COALESCE(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
+            FROM d LEFT JOIN agg USING (doc_id)
         """,
         "repetition_stats": """
             WITH s AS (

@@ -65,6 +65,7 @@ HEADLINE = [
     "q4_priority_exists",
     "order_price_ranks",
     "repetition_stats",
+    "remove_boilerplate",
     "tfidf_top_terms",
     "top_bigrams",
 ]

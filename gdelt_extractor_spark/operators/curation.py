@@ -152,3 +152,61 @@ def corpus_stats(
         F.sum(F.length(text_col).cast("long")).alias("total_chars"),
         (F.sum(n_tok.cast("long")) / F.count(F.lit(1))).alias("avg_tokens"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document line dedup (the C4 recipe): drop every line
+    that occurs, trimmed, in ≥ ``min_docs`` distinct documents —
+    navigation bars, cookie banners, license footers — and
+    reassemble each document's surviving lines in order.
+
+    Plan shape: posexplode to (doc, pos, line) rows; boilerplate
+    detection is ONE partial-aggregated shuffle keyed on the line;
+    the boilerplate set (tiny by construction — only lines repeated
+    across documents) broadcasts into an anti join, so the corpus
+    itself never shuffles for the filter; reassembly is one shuffle
+    on the doc id with ``sort_array(collect_list(struct(pos, line)))``
+    restoring order without a window sort.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm_line", F.trim(F.col("line")))
+    boiler = (
+        lines.filter(F.col("norm_line") != "")
+        .groupBy("norm_line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("norm_line")
+    )
+    kept = lines.join(F.broadcast(boiler), "norm_line", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    # left join from the full corpus: a doc whose every line was
+    # boilerplate must survive as an (empty, fully-removed) row, not
+    # silently disappear from the output
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )

@@ -113,3 +113,25 @@ def test_decontaminate_self_overlap(spark, sf_dir):
     )
     out2 = C.decontaminate(docs, other).collect()
     assert all(r.n_overlap == 0 and r.keep for r in out2)
+
+
+def test_remove_boilerplate_lines(spark):
+    from gdelt_extractor_spark.operators.curation import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE NOTICE\nreal content one\nfooter (c) corp"),
+            (2, "COOKIE NOTICE\nreal content two\nfooter (c) corp"),
+            (3, "  COOKIE NOTICE  \nunique text"),     # trims match
+            (4, "COOKIE NOTICE\nfooter (c) corp"),     # fully boilerplate
+            (5, "all original\n\nwith a blank line"),  # untouched; '' kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_boilerplate_lines(docs, min_docs=2).collect()}
+    assert out[1].clean_text == "real content one"
+    assert out[2].clean_text == "real content two"
+    assert out[3].clean_text == "unique text"
+    assert (out[4].clean_text, out[4].n_lines_kept, out[4].n_lines_removed) == ("", 0, 2)
+    assert out[5].clean_text == "all original\n\nwith a blank line"
+    assert out[5].n_lines_removed == 0
