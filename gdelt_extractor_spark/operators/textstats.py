@@ -161,6 +161,11 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     final top-k is a window on the doc key.  Document frequency is
     a full-vocabulary aggregate — never collected to the driver.
     """
+    # explode + groupBy for TF: a per-row array-expression count
+    # (transform over array_distinct with a filter per term) was
+    # measured SLOWER — nested higher-order functions run
+    # interpreted, outside whole-stage codegen — so the hash-partial
+    # shuffle on (doc, term) is the faster and the scalable path.
     t = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
