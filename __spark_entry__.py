@@ -165,6 +165,14 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.lang_id(_docs(spark, sf_dir, width=0), "doc_id", "text")
 
 
+def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID eval: confusion counts of predicted vs ground
+    truth in ONE scan (the truth column rides through lang_id via
+    keep_cols instead of a self-join on doc_id)."""
+    pred = TS.lang_id(_docs(spark, sf_dir, width=0), "doc_id", "text", keep_cols=("lang",))
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.quality_score(_docs(spark, sf_dir, width=0), "doc_id", "text")
 
@@ -257,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "lang_id": _lang_id,
+        "lang_confusion": _lang_confusion,
         "quality_score": _quality_score,
         "token_stats": _token_stats,
         "fingerprint": _fingerprint,
@@ -609,6 +618,27 @@ def oracle_sql() -> dict[str, str]:
                    WHEN fr = greatest(en,de,fr,es) THEN 'fr'
                    ELSE 'es' END AS lang_pred
             FROM s
+        """,
+        "lang_confusion": f"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                len(list_filter({toks_text}, w -> w IN {_EN})) AS en,
+                len(list_filter({toks_text}, w -> w IN {_DE})) AS de,
+                len(list_filter({toks_text}, w -> w IN {_FR})) AS fr,
+                len(list_filter({toks_text}, w -> w IN {_ES})) AS es,
+                length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+              FROM documents),
+            p AS (
+              SELECT lang,
+                CASE WHEN cjk > 0 THEN 'zh'
+                     WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+                     WHEN en = greatest(en,de,fr,es) THEN 'en'
+                     WHEN de = greatest(en,de,fr,es) THEN 'de'
+                     WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+                     ELSE 'es' END AS lang_pred
+              FROM s)
+            SELECT lang, lang_pred, COUNT(*) AS n
+            FROM p GROUP BY lang, lang_pred
         """,
         "quality_score": f"""
             WITH s AS (

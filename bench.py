@@ -66,6 +66,7 @@ HEADLINE = [
     "order_price_ranks",
     "repetition_stats",
     "remove_boilerplate",
+    "lang_confusion",
     "tfidf_top_terms",
     "top_bigrams",
 ]

@@ -29,7 +29,9 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic language ID: CJK codepoint presence → zh, else
     argmax of marker-lexicon hit counts (priority en>de>fr>es on
     ties), 'und' (undetermined, BCP-47) when no marker hits.
@@ -42,6 +44,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("_toks"),
         F.col(text_col).rlike("[一-鿿]").alias("_cjk"),
+        *keep_cols,
     )
     toks = F.col("_toks")
     en, de, fr, es = (
@@ -56,7 +59,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .when(fr == best, F.lit("fr"))
         .otherwise(F.lit("es"))
     )
-    return base.select("doc_id", pred.alias("lang_pred"))
+    return base.select("doc_id", pred.alias("lang_pred"), *keep_cols)
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
