@@ -159,6 +159,7 @@ def remove_boilerplate_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    broadcast_boiler: bool = False,
 ) -> DataFrame:
     """Cross-document line dedup (the C4 recipe): drop every line
     that occurs, trimmed, in ≥ ``min_docs`` distinct documents —
@@ -167,11 +168,18 @@ def remove_boilerplate_lines(
 
     Plan shape: posexplode to (doc, pos, line) rows; boilerplate
     detection is ONE partial-aggregated shuffle keyed on the line;
-    the boilerplate set (tiny by construction — only lines repeated
-    across documents) broadcasts into an anti join, so the corpus
-    itself never shuffles for the filter; reassembly is one shuffle
-    on the doc id with ``sort_array(collect_list(struct(pos, line)))``
-    restoring order without a window sort.
+    the anti join filtering the corpus is left to Catalyst/AQE by
+    default — on a real web corpus with ``min_docs=2`` the
+    boilerplate side is every line repeated across documents
+    (millions of rows at 100 TB), so forcing a broadcast would OOM
+    the executors; AQE promotes it to broadcast at runtime only when
+    its measured size is actually small, and otherwise shuffles the
+    anti join on ``norm_line`` — a uniform content-derived key.
+    Pass ``broadcast_boiler=True`` only when the caller KNOWS the
+    set is tiny (e.g. high ``min_docs`` over a curated corpus).
+    Reassembly is one shuffle on the doc id with
+    ``sort_array(collect_list(struct(pos, line)))`` restoring order
+    without a window sort.
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
@@ -184,7 +192,8 @@ def remove_boilerplate_lines(
         .filter(F.col("n_docs") >= min_docs)
         .select("norm_line")
     )
-    kept = lines.join(F.broadcast(boiler), "norm_line", "left_anti")
+    boiler_side = F.broadcast(boiler) if broadcast_boiler else boiler
+    kept = lines.join(boiler_side, "norm_line", "left_anti")
     agg = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

@@ -123,32 +123,89 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
 
 
 def dedup_ngram_jaccard(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.6
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) whose n-gram shingle-set Jaccard ≥ threshold.
 
     Exact (no approximation): the join key is the shared shingle, so
     only documents with ≥1 common shingle ever meet.
+
+    ``max_shingle_df`` is the hot-shingle guard for scale: a shingle
+    occurring in k documents contributes O(k²) rows to the self-join,
+    and common phrases ("all rights reserved") make some k huge on a
+    web corpus.  With the cap set, shingles whose document frequency
+    exceeds it are excluded from CANDIDATE GENERATION only; surviving
+    pairs are verified against their FULL shingle sets, so every
+    reported jaccard value is still exact.  A true pair is missed
+    only if ALL of its shared shingles are hot — at threshold ≥ 0.5 a
+    near-dup pair shares most of its shingles, so any cap ≫ the
+    near-dup cluster size preserves the result (property-tested in
+    tests/test_properties.py).  Default None = the uncapped exact
+    baseline (the CORRECTNESS oracle twin).
     """
-    sh = _shingle_table(df, text_col, id_col, n)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
+    if max_shingle_df is None:
+        sh = _shingle_table(df, text_col, id_col, n)
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.set_size").alias("size_a"),
+                F.col("b.set_size").alias("size_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        return (
+            inter.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # capped path: cold shingles generate candidates (the hot-key
+    # quadratic is gone), full sets verify — same shape as the LSH
+    # verification stage, so values stay exact
+    sets_ = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
+        "id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("sh")
+    ).persist()
+    rows = sets_.select("id", F.explode("sh").alias("shingle"))
+    hot = (
+        rows.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))  # sh is distinct per doc → count = doc freq
+        .filter(F.col("n_docs") > max_shingle_df)
+        .select("shingle")
     )
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+    cold = rows.join(hot, "shingle", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)  # bounded result; lets the set cache go
     )
+    sets_.unpersist()
+    return verified
 
 
 def minhash_signatures(
@@ -206,6 +263,12 @@ def dedup_minhash_lsh(
     row instead of three times — the standard signature-cache step of
     production MinHash pipelines (MEMORY_AND_DISK, so at 100 TB it
     spills rather than OOMs; pass False to trade CPU for memory).
+    The cache is released before returning: the (small) verified-pair
+    result is materialized via eager ``localCheckpoint`` — cutting
+    its lineage from the cache — and the shingle frame unpersisted,
+    so repeated calls in a long-lived session do not accumulate
+    cached blocks (checkpoint blocks themselves are context-cleaned
+    once the caller drops the result).
     """
     r = num_hashes // bands
     base = (
@@ -278,6 +341,11 @@ def dedup_minhash_lsh(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if cache_shingles:
+        # materialize the (bounded: pairs ≥ threshold) result eagerly
+        # so the big shingle cache can be dropped deterministically
+        verified = verified.localCheckpoint(eager=True)
+        base.unpersist()
     return verified
 
 

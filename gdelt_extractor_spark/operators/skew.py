@@ -35,7 +35,18 @@ def salted_join(
     per salt via an exploded sequence (size × n_salts — keep the
     right side the smaller one).  Join keys become on + [salt], so
     the shuffle partitions a hot key n_salts ways.
+
+    Only ``how`` in ('inner', 'left', 'left_semi', 'left_anti') is
+    supported: the right side is replicated n_salts times, so any
+    right-preserving join ('right', 'full') would emit each unmatched
+    right row once PER SALT — n_salts duplicates.  Salt the other
+    side (swap the arguments) for those.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated right side "
+            "would duplicate unmatched right rows n_salts times; swap sides instead"
+        )
     l = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_by]), F.lit(n_salts))
     )

@@ -38,11 +38,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
+    # nanosAsLong is session-wide; save/restore around the read so a
+    # later TIMESTAMP(NANOS) read elsewhere in the session still gets
+    # a timestamp, not a silent bigint.  The analyzed plan captures
+    # the conf value at read time, so restoring immediately is safe.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        # integer div: double division would lose precision at ~1e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    try:
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div: double division would lose precision at ~1e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return df
 
 

@@ -135,3 +135,30 @@ def test_remove_boilerplate_lines(spark):
     assert (out[4].clean_text, out[4].n_lines_kept, out[4].n_lines_removed) == ("", 0, 2)
     assert out[5].clean_text == "all original\n\nwith a blank line"
     assert out[5].n_lines_removed == 0
+
+
+def test_remove_boilerplate_scales_past_broadcast(spark, sf_dir):
+    """The C4 anti join must work when the boilerplate side is too
+    large to broadcast: with broadcasting disabled entirely the plan
+    falls back to a shuffle anti join on norm_line and produces
+    byte-identical results."""
+    from gdelt_extractor_spark.operators.curation import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    expected = {
+        (r.doc_id, r.clean_text, r.n_lines_kept)
+        for r in remove_boilerplate_lines(docs, broadcast_boiler=True).collect()
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = remove_boilerplate_lines(docs)  # default: no broadcast hint
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        got = {(r.doc_id, r.clean_text, r.n_lines_kept) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+    assert got == expected

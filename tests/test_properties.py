@@ -99,6 +99,48 @@ def test_token_stats_bounds(spark, texts):
         assert r.n_subwords >= r.n_tokens or r.n_tokens == 0 or r.n_subwords >= 0
 
 
+from gdelt_extractor_spark.operators.dedup import dedup_ngram_jaccard  # noqa: E402
+
+# repeated phrases across docs → real hot shingles; suffixes keep
+# some docs near-dup and others not
+HOT_DOCS = st.lists(
+    st.tuples(st.sampled_from(["all rights reserved by corp", "breaking news today now"]),
+              st.text(alphabet="abcdef ", min_size=0, max_size=30)),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(HOT_DOCS)
+@PROP
+def test_ngram_jaccard_cap_preserves_pairs(spark, parts):
+    """With cap ≥ n_docs (doc frequency can never exceed it) the
+    capped plan must return EXACTLY the uncapped exact baseline —
+    same pairs, same jaccard values; with any cap, reported pairs
+    must be a subset of the exact pairs with identical values."""
+    texts = [f"{p} {s}" for p, s in parts]
+    df = _df(spark, texts)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ngram_jaccard(df, "text", "doc_id", threshold=0.6).collect()
+    }
+    capped_big = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ngram_jaccard(
+            df, "text", "doc_id", threshold=0.6, max_shingle_df=len(texts)
+        ).collect()
+    }
+    assert capped_big == exact
+    capped_small = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ngram_jaccard(
+            df, "text", "doc_id", threshold=0.6, max_shingle_df=1
+        ).collect()
+    }
+    assert set(capped_small) <= set(exact)
+    assert all(exact[k] == v for k, v in capped_small.items())
+
+
 # ---------------------------------------------------- temporal ops
 
 from gdelt_extractor_spark.operators.temporal import asof_join, range_join  # noqa: E402
