@@ -4,26 +4,33 @@ primitives into the table the reference rebuilds from scratch every
 
 Shape: file-source stream of GDELT TSV drops → event-time +
 watermarked keep-first dedup (bounded state) → per-day/root-code
-rollup → ``foreachBatch`` partition upsert (each micro-batch
-rewrites ONLY the day partitions it touched, idempotently) →
+rollup → ``foreachBatch`` MERGE into the serving table (union the
+batch rollup with the existing rows of the day partitions it
+touches, re-aggregate, dynamic-partition-overwrite those days) →
 optional small-file compaction.
 
 Why this is the 100 TB architecture:
-- the stream processes each drop once (checkpointed, exactly-once
-  per epoch across restarts — tests/test_streaming.py),
+- the stream processes each drop once (checkpointed; a replayed
+  epoch is skipped via the per-checkpoint epoch ledger, so the
+  additive merge stays exactly-once across restarts),
+- a day whose drops span many micro-batches (guaranteed at 15-min
+  cadence: ~96 drops/day) accumulates correctly — the merge reads
+  ONLY the touched day partitions (partition-pruned scan), unions
+  the batch rollup, and re-aggregates, so each overwrite holds the
+  complete running total, not just the last batch's counts,
 - the serving table is partitioned parquet updated in place by
   partition, so readers never see a truncate (vs the reference's
   replace-mode ``to_sql``),
-- late data within the watermark lands in its own day partition on
-  the next batch — the upsert recomputes that partition from the
-  batch's rows, converging without full recompute,
 - compaction bounds file counts as ticks accrete.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..sinks.files import compact_parquet, upsert_partitions
 from ..streaming.updates import (
@@ -54,6 +61,39 @@ def rollup_batch(batch: DataFrame) -> DataFrame:
     )
 
 
+def merge_rollup(spark: SparkSession, rolled: DataFrame, out_dir: str) -> DataFrame:
+    """Union the batch rollup with the existing rows of the day
+    partitions it touches and re-aggregate, so the subsequent
+    partition overwrite writes the complete running total for each
+    touched day.
+
+    Scale shape: the touched-days set is a handful of values
+    (broadcast semi join → partition pruning on the read side), the
+    union is batch-rollup-sized + touched-partition-sized, and the
+    re-aggregation shuffles only those rows.  The merged frame is
+    eagerly ``localCheckpoint``ed because its lineage reads the very
+    files the overwrite is about to replace.
+    """
+    try:
+        existing = spark.read.parquet(out_dir)
+    except AnalysisException:  # first epoch: nothing to merge
+        return rolled
+    touched = rolled.select("day").distinct()
+    prior = (
+        existing.withColumn("day", F.col("day").cast("string"))
+        .join(F.broadcast(touched), "day", "left_semi")
+        .select("day", "root_code", "n_events", "n_articles")
+    )
+    return (
+        prior.unionByName(rolled.select("day", "root_code", "n_events", "n_articles"))
+        .groupBy("day", "root_code")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_articles").alias("n_articles"),
+        )
+    )
+
+
 def run_live_rollup(
     spark: SparkSession,
     landing_dir: str,
@@ -65,22 +105,38 @@ def run_live_rollup(
     directory (synchronous; a deployment would leave the query
     running on a trigger).
 
-    NOTE on upsert semantics: within one batch the rollup holds the
-    complete aggregate for every (day, root) the batch saw, because
-    dedup happens upstream — so dynamic partition overwrite replaces
-    each touched day with a consistent value.  Distinct drops landing
-    in different batches for the SAME day are additive across
-    batches only if they carry disjoint events per day; GDELT's
-    15-minute export files are exactly that (each event id appears
-    in one export), matching the reference's tick model.
+    Merge semantics: each epoch ADDS its (deduped) events into the
+    touched day partitions — see ``merge_rollup``.  Because the merge
+    is additive, a replayed epoch (crash between sink completion and
+    checkpoint commit) must not run twice: the sink records finished
+    epoch ids in a ledger under the CHECKPOINT directory (so wiping
+    the checkpoint wipes the ledger with it) and skips epochs already
+    recorded.  The ledger is local-/HDFS-file based; resetting the
+    checkpoint requires rebuilding ``out_dir`` from scratch, as with
+    any non-transactional streaming sink.
     """
     stream = dedup_stream(with_event_time(stream_gdelt_dir(spark, landing_dir)))
+    ledger_dir = os.path.join(checkpoint_dir, "_sink_epochs")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(ledger_dir, str(epoch_id))
+        if os.path.exists(marker):
+            # replayed epoch: the merge already happened.  Still drain
+            # the batch — Spark 4 validates that foreachBatch processes
+            # every partition so the stateful dedup upstream can commit
+            # its state store; an early return would fail the query.
+            batch_df.count()
+            return
         rolled = rollup_batch(batch_df)
         if rolled.isEmpty():
             return
-        upsert_partitions(rolled, out_dir, partition_by=["day"])
+        merged = merge_rollup(batch_df.sparkSession, rolled, out_dir)
+        # cut lineage from the files the overwrite replaces
+        merged = merged.localCheckpoint(eager=True)
+        upsert_partitions(merged, out_dir, partition_by=["day"])
+        os.makedirs(ledger_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("done")
 
     run_foreach_batch(stream, sink, checkpoint_dir)
     if compact:
