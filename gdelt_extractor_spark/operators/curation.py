@@ -26,7 +26,8 @@ def decontaminate(
     text_col: str = "text",
     n: int = 3,
     max_overlap: float = 0.1,
-    strategy: str = "broadcast_set",
+    strategy: str = "auto",
+    broadcast_limit: int = 100_000,
 ) -> DataFrame:
     """Benchmark decontamination: per-document fraction of n-gram
     shingles that appear anywhere in the benchmark corpus, plus a
@@ -34,12 +35,23 @@ def decontaminate(
     contamination filter (GPT-3 Appendix C style n-gram overlap);
     shingles are xxhash64'd so all set work is on fixed-width longs.
 
-    strategy='broadcast_set' (default): the distinct benchmark
-    shingle-hash set is gathered into ONE array row and broadcast;
-    overlap is ``size(array_intersect(...))`` per doc — zero
-    shuffle, no explode, one scan of the corpus.  Right for real
-    eval suites (≤ ~10^5 distinct shingles; measured 14× faster
-    than the join plan at that size).
+    strategy='auto' (default): ONE probe job on the SMALL side
+    collects the distinct benchmark shingle set, truncated at
+    ``broadcast_limit + 1`` so the driver transfer is bounded
+    (≤ ~800 KB of longs) regardless of benchmark size.  If the set
+    fits, it is re-injected as a one-row literal frame — the main
+    query then runs the broadcast_set plan WITHOUT recomputing the
+    benchmark shingles, so auto costs only one extra job-scheduling
+    round trip over a hard-coded broadcast_set.  If it does not fit,
+    fall to shuffle_join.  Callers no longer have to know the
+    broadcast limit.
+
+    strategy='broadcast_set': the distinct benchmark shingle-hash
+    set is gathered into ONE array row and broadcast; overlap is
+    ``size(array_intersect(...))`` per doc — zero shuffle, no
+    explode, one scan of the corpus.  Right for real eval suites
+    (≤ ~10^5 distinct shingles; measured 14× faster than the join
+    plan at that size).
 
     strategy='shuffle_join': explode doc shingles and left-join the
     (still broadcast) benchmark shingle rows, then re-aggregate per
@@ -53,8 +65,23 @@ def decontaminate(
         .select(F.explode("sh").alias("h"))
         .distinct()
     )
+    bench_arr = None
+    if strategy == "auto":
+        probe = (
+            bench_distinct.limit(broadcast_limit + 1)
+            .agg(F.collect_list("h").alias("_bench"))
+            .first()["_bench"]
+        )
+        if len(probe) <= broadcast_limit:
+            strategy = "broadcast_set"
+            bench_arr = docs.sparkSession.createDataFrame(
+                [(probe,)], "_bench array<bigint>"
+            )
+        else:
+            strategy = "shuffle_join"
     if strategy == "broadcast_set":
-        bench_arr = bench_distinct.agg(F.collect_list("h").alias("_bench"))
+        if bench_arr is None:
+            bench_arr = bench_distinct.agg(F.collect_list("h").alias("_bench"))
         counted = doc_sh.crossJoin(F.broadcast(bench_arr)).select(
             "doc_id",
             F.size("sh").alias("n_shingles"),

@@ -42,16 +42,44 @@ def compact_parquet(
     Streaming sinks and 15-minute ticks accrete thousands of small
     files; at 100 TB unmanaged small files dominate scan cost
     (driver-side file listing + per-file open overhead).  This is the
-    maintenance pass: size-based repartition, atomic swap via a
-    temp-dir write then overwrite.  Pass ``partition_by`` for a
-    hive-partitioned dataset — the rewrite keeps the layout (and the
-    repartition keys on the partition columns, so each output
-    partition dir gets coalesced files, not a shard of every task).
-    Returns the new file count.
+    maintenance pass: size-based repartition, then a crash-safe swap
+    — write to a temp dir, rename the live dir aside as a backup,
+    rename the temp dir in, delete the backup.  A crash at any point
+    leaves the full dataset in either ``path`` or the backup (never
+    only in a temp dir), and a prior interrupted swap is recovered on
+    the next call.  Pass ``partition_by`` for a hive-partitioned
+    dataset — the rewrite keeps the layout (and the repartition keys
+    on the partition columns, so each output partition dir gets
+    coalesced files, not a shard of every task).  Returns the new
+    file count.
+
+    LOCAL-FILESYSTEM ONLY (guarded): the size scan and the rename
+    swap use POSIX APIs.  On an object store, compaction belongs to a
+    table format (Iceberg/Delta rewrite-data-files) whose metadata
+    commit IS the atomic swap; a bare-parquet rename "swap" on S3 is
+    a copy and is not atomic.
     """
     import math
     import shutil
     import os
+
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            "compact_parquet is local-filesystem-only; use a table format's "
+            "compaction (e.g. Iceberg rewrite_data_files) on object stores"
+        )
+    path = path.rstrip("/")
+    tmp = path + "__compacting"
+    backup = path + "__precompact"
+    # recover an interrupted previous swap: the backup is authoritative
+    # when the live dir vanished mid-swap; stale otherwise
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)
+        else:
+            shutil.rmtree(backup)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale partial write from a crashed run
 
     df = spark.read.parquet(path)
     size_b = sum(
@@ -61,14 +89,14 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(size_b / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + "__compacting"
     if partition_by:
         out = df.repartition(n_files, *[F.col(c) for c in partition_by])
         out.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    os.rename(path, backup)
     os.rename(tmp, path)
+    shutil.rmtree(backup)
     return n_files
 
 

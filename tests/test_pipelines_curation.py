@@ -115,6 +115,60 @@ def test_decontaminate_self_overlap(spark, sf_dir):
     assert all(r.n_overlap == 0 and r.keep for r in out2)
 
 
+def test_decontaminate_strategies_agree(spark, sf_dir):
+    """auto / broadcast_set / shuffle_join must be value-identical;
+    auto must take the shuffle_join path when the benchmark exceeds
+    the broadcast limit (forced here with broadcast_limit=1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, bench = docs.filter("doc_id >= 5"), docs.filter("doc_id < 5")
+
+    def run(**kw):
+        return {
+            r.doc_id: (r.n_shingles, r.n_overlap, r.overlap_frac, r.keep)
+            for r in C.decontaminate(corpus, bench, **kw).collect()
+        }
+
+    auto = run()
+    assert auto == run(strategy="broadcast_set")
+    assert auto == run(strategy="shuffle_join")
+    assert auto == run(strategy="auto", broadcast_limit=1)  # forced join path
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path):
+    """The swap must never leave the dataset only in a temp dir: a
+    leftover backup with no live dir (crash mid-swap) is restored; a
+    stale backup next to a live dir is discarded; a normal pass
+    compacts in place."""
+    import os
+    from gdelt_extractor_spark.sinks.files import compact_parquet, write_parquet
+
+    path = str(tmp_path / "ds")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    write_parquet(df.repartition(16), path)
+    assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == 16
+
+    n = compact_parquet(spark, path)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + "__precompact")
+    assert not os.path.exists(path + "__compacting")
+
+    # crash mid-swap: live dir renamed aside, temp never promoted
+    os.rename(path, path + "__precompact")
+    compact_parquet(spark, path)  # recovery restores, then compacts
+    assert spark.read.parquet(path).count() == 1000
+
+    # stale backup next to a live dir: discarded, live wins
+    write_parquet(df.limit(10), path + "__precompact")
+    compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + "__precompact")
+
+    # object-store path: explicit refusal, not silent corruption
+    with pytest.raises(NotImplementedError):
+        compact_parquet(spark, "s3://bucket/ds")
+
+
 def test_remove_boilerplate_lines(spark):
     from gdelt_extractor_spark.operators.curation import remove_boilerplate_lines
 
