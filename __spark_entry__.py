@@ -21,7 +21,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gdelt_extractor_spark.functions.lookups import event_type_dim_df
+from gdelt_extractor_spark.functions.lookups import (
+    event_type_dim_df,
+    load_lookup,
+    lookup_rows,
+)
 from gdelt_extractor_spark.operators import curation as C
 from gdelt_extractor_spark.operators import dedup as D
 from gdelt_extractor_spark.operators import similarity as S
@@ -97,6 +101,41 @@ def _lookup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             Q.dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
+    )
+
+
+def _lookup_country_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exercise of the reference's six TSV lookup tables
+    (reference/extractor/lookups/*.txt): derive country + actor-type
+    codes from the events fact deterministically, then label them by
+    broadcast-joining the BUNDLED country/types lookup FILES through
+    load_lookup_tsv — the exact file→dim→join path a GDELT user runs.
+    The oracle builds its VALUES lists from the same files
+    (lookup_rows), so the two sides cannot drift."""
+    countries = lookup_rows("country")
+    types_ = lookup_rows("types")
+    e = load_table(spark, sf_dir, "events")
+    ccode = F.element_at(
+        F.array(*[F.lit(c) for c, _ in countries]),
+        (F.pmod(F.col("event_id"), F.lit(len(countries))) + 1).cast("int"),
+    )
+    tcode = F.element_at(
+        F.array(*[F.lit(c) for c, _ in types_]),
+        (F.pmod(F.col("user_id"), F.lit(len(types_))) + 1).cast("int"),
+    )
+    fact = e.select(ccode.alias("code"), tcode.alias("tcode"), "value")
+    country_dim = load_lookup(spark, "country").withColumnRenamed("label", "country")
+    type_dim = load_lookup(spark, "types").select(
+        F.col("code").alias("tcode"), F.col("label").alias("actor_type")
+    )
+    return (
+        fact.join(F.broadcast(country_dim), "code")
+        .join(F.broadcast(type_dim), "tcode")
+        .groupBy("country", "actor_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            Q.dsum(F.col("value")).alias("sum_value"),
         )
     )
 
@@ -254,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_articles": _enrich_articles,
         "keyword_freq": _keyword_freq,
         "lookup_rollup": _lookup_rollup,
+        "lookup_country_rollup": _lookup_country_rollup,
         "geo_project": _geo_project,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
@@ -310,6 +350,15 @@ def oracle_sql() -> dict[str, str]:
     mk_list = f"list_sort(list_distinct(list_filter({toks_scrub}, w -> length(w) > 6)))"
     geo_lat = "(value*3.7) % 180 - 90"
     geo_lon = "(value*7.3) % 360 - 180"
+    # lookup VALUES built from the SAME bundled TSV files the Spark
+    # query loads, so the two sides cannot drift
+    _c_rows, _t_rows = lookup_rows("country"), lookup_rows("types")
+    country_vals = ", ".join(
+        f"({i}, '{c}', '{l}')" for i, (c, l) in enumerate(_c_rows)
+    )
+    type_vals = ", ".join(
+        f"({j}, '{c}', '{l}')" for j, (c, l) in enumerate(_t_rows)
+    )
 
     def wkt(lon: str, lat: str) -> str:
         return (
@@ -529,6 +578,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT keyword, COUNT(*) AS freq
             FROM kw WHERE keyword <> 'state'
             GROUP BY keyword
+        """,
+        "lookup_country_rollup": f"""
+            SELECT c.country, t.actor_type,
+              COUNT(*) AS n_events,
+              {_dsum('e.value')} AS sum_value
+            FROM events e
+            JOIN (VALUES {country_vals})
+              AS c(i, code, country) ON e.event_id % {len(_c_rows)} = c.i
+            JOIN (VALUES {type_vals})
+              AS t(j, tcode, actor_type) ON e.user_id % {len(_t_rows)} = t.j
+            GROUP BY c.country, t.actor_type
         """,
         "lookup_rollup": f"""
             SELECT d.category,

@@ -21,9 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gdelt_extractor_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
 
-# Headline set: every §2 family represented, sized to run at sf0.1.
-# (dedup_embedding / dedup_ngram_jaccard pair-joins are correctness
-# queries, benched via their scalable LSH/minhash counterparts.)
+# Headline set: ALL queries() entries, so every operator's regression
+# is visible round-over-round (VERDICT r1: the exact pair-join
+# baselines and LSH ANN are benched too, not just their scale paths).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
@@ -37,11 +37,15 @@ HEADLINE = [
     "enrich_articles",
     "keyword_freq",
     "lookup_rollup",
+    "lookup_country_rollup",
     "geo_project",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding",
     "ann_topk",
+    "ann_lsh_topk",
     "lang_id",
     "quality_score",
     "token_stats",
@@ -82,6 +86,8 @@ def main() -> None:
     spark = get_spark("gdelt-extractor-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
+    missing = sorted(set(queries) - set(HEADLINE))
+    assert not missing, f"queries() entries missing from bench HEADLINE: {missing}"
 
     for name in HEADLINE:  # warmup: tiny SF, same plans
         materialize(queries[name](spark, "/root/testdata/sf0.001"))

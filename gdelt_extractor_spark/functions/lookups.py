@@ -70,3 +70,45 @@ def load_lookup_tsv(spark: SparkSession, path: str) -> DataFrame:
         .csv(path)
         .select(F.col("CODE").alias("code"), F.col("LABEL").alias("label"))
     )
+
+
+# The six code→label lookup tables the reference ships
+# (reference/extractor/lookups/{cameo,country,ethnic,groups,religion,
+# types}.txt).  Bundled fixtures live in sources/lookups/ in the same
+# CODE\tLABEL TSV format — hand-picked subsets of the public CAMEO /
+# FIPS taxonomies, so load_lookup_tsv round-trips the reference's file
+# shape end-to-end.
+LOOKUP_NAMES = ("cameo", "country", "ethnic", "groups", "religion", "types")
+
+
+def lookup_path(name: str) -> str:
+    """Filesystem path of a bundled lookup fixture."""
+    import os
+
+    if name not in LOOKUP_NAMES:
+        raise ValueError(f"unknown lookup {name!r}; expected one of {LOOKUP_NAMES}")
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(pkg_root, "sources", "lookups", f"{name}.txt")
+
+
+def load_lookup(spark: SparkSession, name: str) -> DataFrame:
+    """One bundled lookup table as a (code, label) DataFrame."""
+    return load_lookup_tsv(spark, lookup_path(name))
+
+
+def load_all_lookups(spark: SparkSession) -> dict[str, DataFrame]:
+    """All six lookup dimensions, keyed by name.  Each is dimension-
+    sized (tens of rows) — broadcast them into fact joins."""
+    return {n: load_lookup(spark, n) for n in LOOKUP_NAMES}
+
+
+def lookup_rows(name: str) -> list[tuple[str, str]]:
+    """Driver-side (code, label) rows of a bundled lookup — the
+    oracle-SQL side reads the same file so the Spark query and its
+    DuckDB twin can never drift from each other."""
+    import csv
+
+    with open(lookup_path(name), newline="") as f:
+        rdr = csv.reader(f, delimiter="\t")
+        next(rdr)  # header
+        return [(r[0], r[1]) for r in rdr if r]

@@ -86,7 +86,13 @@ def run_v1_batch(
     spark: SparkSession, tsv_path: str, out_dir: str
 ) -> dict[str, DataFrame]:
     """run_v1, Spark-native: daily events TSV → cleaned table +
-    geometry + lastrun (reference extractor.py:436-457)."""
+    geometry + lastrun (reference extractor.py:436-457).
+
+    Discovery: a deployment resolves ``tsv_path`` from the v1 index
+    page via ``sources.gdelt.parse_v1_index`` (the pure twin of the
+    reference's fetch_last_v1_url) after an env-gated fetch, exactly
+    as the v2 flow resolves its zip URLs via ``parse_lastupdate``.
+    """
     clean = process_gdelt_events(read_gdelt_v1(spark, tsv_path))
     tables = {
         "v1": clean,

@@ -263,6 +263,28 @@ def parse_lastupdate(text: str) -> dict[str, str]:
     return data
 
 
+def parse_v1_index(html: str, base_url: str = "http://data.gdeltproject.org/events") -> str:
+    """Newest GDELT v1 daily-CSV URL from the v1 events index page.
+
+    Pure twin of the reference's ``fetch_last_v1_url``
+    (reference/extractor/extractor.py:314-321): the reference soups
+    only the FIRST 2000 bytes of index.html and takes the 4th
+    anchor's href — the index leads with three header/sort anchors,
+    then lists files newest-first, so anchor[3] is the latest daily
+    export zip.  Fetching is the caller's (env-gated, no-network-in-
+    tests) job; this only parses.  Used by the v1 flow the same way
+    ``parse_lastupdate`` feeds the v2 flow (see pipelines/batch.py
+    ``run_v1_batch``).
+    """
+    import re
+
+    head = html[:2000]
+    hrefs = re.findall(r"<a\s+[^>]*href=[\"']([^\"']+)[\"']", head, flags=re.IGNORECASE)
+    if len(hrefs) < 4:
+        raise ValueError(f"v1 index page: expected >= 4 anchors, got {len(hrefs)}")
+    return f"{base_url.rstrip('/')}/{hrefs[3]}"
+
+
 def read_gdelt_zip(
     spark: SparkSession, path: str, schema: T.StructType = V2_EVENTS_SCHEMA
 ) -> DataFrame:

@@ -200,3 +200,56 @@ def test_goldstein_daily_rolling(spark):
     assert out[("US", "2024-01-02")] == (3.0, 0.0)
     assert out[("US", "2024-01-20")] == (1.0, 1.0)
     assert out[("FR", "2024-01-01")] == (5.0, 5.0)
+
+
+def test_parse_v1_index():
+    # Apache-style index: 3 header/sort anchors, then files newest-first
+    html = (
+        "<html><head><title>Index of /events</title></head><body>"
+        '<h1>Index of /events</h1><table>'
+        '<tr><th><a href="?C=N;O=D">Name</a></th>'
+        '<th><a href="?C=M;O=A">Last modified</a></th>'
+        '<th><a href="?C=S;O=A">Size</a></th></tr>'
+        '<tr><td><a href="20240102.export.CSV.zip">20240102.export.CSV.zip</a></td></tr>'
+        '<tr><td><a href="20240101.export.CSV.zip">20240101.export.CSV.zip</a></td></tr>'
+        "</table></body></html>"
+    )
+    from gdelt_extractor_spark.sources.gdelt import parse_v1_index
+
+    assert (
+        parse_v1_index(html)
+        == "http://data.gdeltproject.org/events/20240102.export.CSV.zip"
+    )
+    # only parses the first 2000 bytes, like the reference: pushing
+    # the file anchors past the window leaves <4 anchors -> error
+    import pytest as _pytest
+
+    padded = html.replace("<table>", "<table>" + " " * 3000)
+    with _pytest.raises(ValueError):
+        parse_v1_index(padded)
+    with _pytest.raises(ValueError):
+        parse_v1_index("<html><a href='a'></a></html>")
+
+
+def test_bundled_lookups_load(spark):
+    from gdelt_extractor_spark.functions.lookups import (
+        LOOKUP_NAMES,
+        load_all_lookups,
+        lookup_rows,
+    )
+
+    dims = load_all_lookups(spark)
+    assert set(dims) == set(LOOKUP_NAMES)
+    for name, df in dims.items():
+        rows = df.collect()
+        assert len(rows) >= 14, name
+        codes = [r.code for r in rows]
+        assert len(set(codes)) == len(codes), f"{name}: duplicate codes"
+        assert all(r.label for r in rows), name
+        # driver-side reader sees the same rows as the Spark reader
+        assert sorted((r.code, r.label) for r in rows) == sorted(lookup_rows(name))
+    # reference-parity spot checks (public CAMEO/FIPS taxonomy)
+    cameo = {r.code: r.label for r in dims["cameo"].collect()}
+    assert cameo["14"] == "Protest" and cameo["19"] == "Fight"
+    country = {r.code: r.label for r in dims["country"].collect()}
+    assert country["US"] == "United States" and country["GM"] == "Germany"
