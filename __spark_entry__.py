@@ -157,8 +157,15 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-value n-gram Jaccard pairs with the hot-shingle guard on
+    (max_shingle_df=100): shingles shared by >100 docs are excluded
+    from candidate generation (killing the O(k²) hot-key join rows),
+    and surviving pairs are verified against FULL shingle sets so
+    every reported jaccard is exact.  The oracle mirrors the cap."""
     docs = _docs(spark, sf_dir, width=0)
-    return D.dedup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.6)
+    return D.dedup_ngram_jaccard(
+        docs, "text", "doc_id", n=3, threshold=0.6, max_shingle_df=100
+    )
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,7 +179,11 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    # width=0 (full): the blocked pair join is broadcast-shaped, so
+    # parallelism == scan splits; a single-file embeddings scan would
+    # otherwise evaluate every pair on one core (measured 6.7s -> 1.1s
+    # at sf0.1)
+    emb = _emb(spark, sf_dir, width=0)
     return D.dedup_embedding(emb, threshold=0.3)
 
 
@@ -614,21 +625,37 @@ def oracle_sql() -> dict[str, str]:
               MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
             FROM documents GROUP BY 1
         """,
+        # mirrors the Spark entry's hot-shingle guard: shingles in
+        # >100 docs are dropped for CANDIDATE GENERATION only; shared-
+        # shingle counts for surviving pairs use the full sets, so the
+        # jaccard values are exact
         "dedup_ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
             sh AS (
               SELECT DISTINCT doc_id,
                 concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
               FROM t, unnest(range(1, greatest(len(toks)-2, 1)+1)) AS u(i)),
-            sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              round(COUNT(*)/CAST(sa.set_size + sb.set_size - COUNT(*) AS DOUBLE), 6) AS jaccard
-            FROM sh a
-            JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            JOIN sz sa ON a.doc_id = sa.doc_id
-            JOIN sz sb ON b.doc_id = sb.doc_id
-            GROUP BY a.doc_id, b.doc_id, sa.set_size, sb.set_size
-            HAVING round(COUNT(*)/CAST(sa.set_size + sb.set_size - COUNT(*) AS DOUBLE), 6) >= 0.6
+            sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+            dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+            cold AS (
+              SELECT sh.doc_id, sh.shingle
+              FROM sh JOIN dfreq USING (shingle) WHERE dfreq.df <= 100),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM cold a JOIN cold b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+              FROM sh a
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT i.id_a, i.id_b,
+              round(i.n_common/CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE), 6) AS jaccard
+            FROM inter i
+            JOIN sz sa ON i.id_a = sa.doc_id
+            JOIN sz sb ON i.id_b = sb.doc_id
+            WHERE round(i.n_common/CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE), 6) >= 0.6
         """,
         "dedup_embedding": """
             WITH v AS (

@@ -80,6 +80,20 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def release(spark) -> None:
+    """Free the finished query's leftover blocks (persisted/checkpoint
+    RDDs, broadcasts) before timing the next one.  Spark's context
+    cleaner only releases them when the Python/JVM references are
+    garbage-collected, so 48 back-to-back queries in one JVM otherwise
+    accrete executor memory and the later queries pay the eviction/GC
+    pressure of the earlier ones — a bench-harness artifact, not a
+    property of the queries."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -92,11 +106,13 @@ def main() -> None:
     for name in HEADLINE:  # warmup: tiny SF, same plans
         materialize(queries[name](spark, "/root/testdata/sf0.001"))
 
+    release(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        release(spark)
 
     print(
         json.dumps(

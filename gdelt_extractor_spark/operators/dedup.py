@@ -108,18 +108,21 @@ def shingle_hashes_from_tokens(toks: Column, n: int = 3, distinct: bool = True) 
     return F.array_distinct(grams) if distinct else grams
 
 
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle-hash, set_size) — one row per distinct shingle.
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle-hash) — one row per DISTINCT shingle per doc.
+
     Shingles are xxhash64'd (see shingle_hashes_from_tokens) so the
-    self-join shuffles fixed-width longs, not n-gram strings.  Tokens
-    materialized in a separate projection so the tokenize runs once
-    per row (see shingles_from_tokens)."""
-    base = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
-        .select("id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("sh"))
-        .withColumn("set_size", F.size("sh"))
+    self-join shuffles fixed-width longs, not n-gram strings.  Dedup
+    happens at ROW level (explode raw arrays, then ``distinct()``):
+    the per-row ``array_distinct`` alternative was measured 5× slower
+    than the raw build at sf0.1 (3.9s vs 0.7s for 5k docs) — one
+    extra shuffle of the (uniformly keyed) shingle rows is far
+    cheaper than the per-row O(len²) dedup, and at 100 TB that
+    shuffle is partial-aggregated map-side first."""
+    raw = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
+        "id", shingle_hashes_from_tokens(F.col("_toks"), n, distinct=False).alias("sh")
     )
-    return base.select("id", "set_size", F.explode("sh").alias("shingle"))
+    return raw.select("id", F.explode("sh").alias("shingle")).distinct()
 
 
 def dedup_ngram_jaccard(
@@ -149,36 +152,47 @@ def dedup_ngram_jaccard(
     baseline (the CORRECTNESS oracle twin).
     """
     if max_shingle_df is None:
-        sh = _shingle_table(df, text_col, id_col, n)
-        a = sh.alias("a")
-        b = sh.alias("b")
+        rows = _shingle_rows(df, text_col, id_col, n).persist()
+        sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+        a, b = rows.alias("a"), rows.alias("b")
         inter = (
             a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-            .groupBy(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.set_size").alias("size_a"),
-                F.col("b.set_size").alias("size_b"),
-            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
+        # sizes is doc-count-sized: no broadcast hint (AQE promotes it
+        # at runtime when small; forcing it would OOM at corpus scale)
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
         jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-        return (
-            inter.withColumn("jaccard", F.round(jac, 6))
+        out = (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True)  # bounded result; lets the cache go
         )
+        rows.unpersist()
+        return out
 
-    # capped path: cold shingles generate candidates (the hot-key
-    # quadratic is gone), full sets verify — same shape as the LSH
-    # verification stage, so values stay exact
+    # capped path: hot shingles NEVER enter a self-join — their
+    # O(k²) pair rows are never formed anywhere.  Candidates come
+    # from the cold self-join; verification joins the candidate pairs
+    # to the docs' full RAW shingle arrays by doc id (the per-doc
+    # array frame is megabytes even for millions of docs per
+    # partition, so AQE broadcast-joins it) — array_intersect /
+    # array_union are set-ops, so raw multiset arrays give the same
+    # exact jaccard as distinct arrays while skipping the per-row
+    # array_distinct (measured 5× the build cost).  A true pair is
+    # missed only if ALL its shared shingles are hot.
     sets_ = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
-        "id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("sh")
+        "id", shingle_hashes_from_tokens(F.col("_toks"), n, distinct=False).alias("sh")
     ).persist()
-    rows = sets_.select("id", F.explode("sh").alias("shingle"))
+    rows = sets_.select("id", F.explode("sh").alias("shingle")).distinct()
     hot = (
         rows.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("n_docs"))  # sh is distinct per doc → count = doc freq
+        .agg(F.count(F.lit(1)).alias("n_docs"))  # rows distinct → count = doc freq
         .filter(F.col("n_docs") > max_shingle_df)
         .select("shingle")
     )
@@ -471,7 +485,13 @@ def dedup_embedding(
 
     Blocking (here on ``label``; in production a coarse cluster id)
     keeps the pair join per-block instead of all-pairs.  The dot
-    product is a JVM ``aggregate`` over ``zip_with`` — no Python.
+    product is a JVM ``aggregate`` over ``zip_with`` — no Python, and
+    codegen'd in Spark 4 (measured FASTER than an unrolled 64-term
+    add chain, which overflows whole-stage codegen and falls back to
+    interpretation).  NOTE the join against a broadcast side keeps
+    the INPUT partitioning, so callers must feed a scan wide enough
+    for the pair-evaluation CPU (see ``tables.parallelized``) — a
+    single-split scan serializes the whole pair loop on one core.
     """
     v = emb.select(
         F.col(id_col).alias("id"),
