@@ -81,17 +81,20 @@ def materialize(df) -> None:
 
 
 def release(spark) -> None:
-    """Free the finished query's leftover blocks (persisted/checkpoint
-    RDDs, broadcasts) before timing the next one.  Spark's context
-    cleaner only releases them when the Python/JVM references are
-    garbage-collected, so 48 back-to-back queries in one JVM otherwise
-    accrete executor memory and the later queries pay the eviction/GC
-    pressure of the earlier ones — a bench-harness artifact, not a
-    property of the queries."""
-    import gc
+    """Drop the finished query's leftover storage blocks (persisted
+    frames, localCheckpoint RDDs) before timing the next one, so 48
+    back-to-back queries in one JVM don't accrete executor memory and
+    make later queries pay the earlier ones' eviction pressure — a
+    bench-harness artifact, not a property of the queries.
 
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
+    Targeted unpersist, NOT a forced full GC: System.gc() was measured
+    to slow every subsequent query ~1.5× uniformly (it throws away
+    JIT/codegen warm state), while doing nothing for localCheckpoint
+    blocks until the Python wrapper died anyway."""
+    spark.catalog.clearCache()  # Dataset.persist entries (CacheManager)
+    jsc = spark.sparkContext._jsc
+    for rdd in jsc.getPersistentRDDs().values():  # RDD.persist (localCheckpoint)
+        rdd.unpersist()
 
 
 def main() -> None:
