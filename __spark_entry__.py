@@ -161,8 +161,16 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max_shingle_df=100): shingles shared by >100 docs are excluded
     from candidate generation (killing the O(k²) hot-key join rows),
     and surviving pairs are verified against FULL shingle sets so
-    every reported jaccard is exact.  The oracle mirrors the cap."""
-    docs = _docs(spark, sf_dir, width=0)
+    every reported jaccard is exact.  The oracle mirrors the cap.
+
+    Plain scan (width=None): the r3 restructure moved the per-doc
+    stats onto the cold rows and checkpoints them before the
+    self-join; measured at sf0.1 the plain scan is a stable 4.2-4.3s
+    while the width=0 repartitioned lineage is 12-17s with high
+    variance (repartition × persist × localCheckpoint interplay).
+    At real scale the scan has many splits and the repartition is a
+    no-op anyway (see ``parallelized``)."""
+    docs = _docs(spark, sf_dir)
     return D.dedup_ngram_jaccard(
         docs, "text", "doc_id", n=3, threshold=0.6, max_shingle_df=100
     )

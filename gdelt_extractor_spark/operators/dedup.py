@@ -190,46 +190,69 @@ def dedup_ngram_jaccard(
         "id", shingle_hashes_from_tokens(F.col("_toks"), n, distinct=False).alias("sh")
     ).persist()
     rows = sets_.select("id", F.explode("sh").alias("shingle")).distinct()
-    hot = (
-        rows.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("n_docs"))  # rows distinct → count = doc freq
-        .filter(F.col("n_docs") > max_shingle_df)
-        .select("shingle")
+    # ONE shingle-keyed pass classifies hot vs cold: a window count
+    # over partitionBy(shingle) replaces the r2 groupBy(shingle) +
+    # left_anti join (which re-exchanged the full row set a second
+    # time), and leaves `cold` already partitioned by shingle — the
+    # exact layout the self-join needs, so Spark reuses the exchange
+    # for both join branches.
+    w_sh = Window.partitionBy("shingle")
+    flagged = rows.withColumn("nd", F.count(F.lit(1)).over(w_sh))
+    # per-doc stats in ONE id-keyed pass: distinct-set size sz AND
+    # hot-shingle count h (the prune bound needs both; r2 derived h
+    # as sz - cold_sz from two separate groupBys)
+    stats = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum((F.col("nd") > max_shingle_df).cast("int")).alias("h"),
     )
-    cold = rows.join(hot, "shingle", "left_anti")
+    # sizes ride ON the cold rows (one row-level join — AQE
+    # broadcasts the doc-count-sized stats frame; at corpus scale it
+    # degrades to a single SMJ of the ROW frame, still far cheaper
+    # than re-shuffling the much larger PAIR frame) so the pair
+    # groupBy below carries them as grouping keys for free — the r2
+    # version paid four sort-merge re-exchanges of the 1.13M-pair
+    # frame to attach the same four numbers afterwards.
+    # eager localCheckpoint: the cold-row frame feeds BOTH self-join
+    # branches; without it each branch re-runs explode → distinct →
+    # window → stats join (measured: 2× recompute plus AQE re-plan
+    # jitter, 9-16s at sf0.1).  The frame is 4 longs + a hash per
+    # distinct (doc, cold-shingle) — a sliver of the corpus — and at
+    # cluster scale the same role is played by the shuffle files a
+    # reused exchange would leave behind.
+    cold = (
+        flagged.filter(F.col("nd") <= max_shingle_df)
+        .select("id", "shingle")
+        .join(stats, "id")
+        .localCheckpoint(eager=True)
+    )
     a, b = cold.alias("a"), cold.alias("b")
     # pair dedup doubles as the COLD-INTERSECTION counter: the
-    # groupBy((id_a,id_b)) shuffle is the exact same exchange the old
-    # ``.distinct()`` paid, but the count comes back for free and
-    # powers a lossless candidate prune (below)
+    # groupBy((id_a,id_b)) shuffle is the exact same exchange a
+    # ``.distinct()`` would pay, but the count comes back for free
+    # and powers a lossless candidate prune (below)
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
         .agg(F.count(F.lit(1)).alias("nc"))
     )
-    # lossless upper-bound prune before the expensive full-array
-    # verify join.  With per-doc distinct sizes sz and hot-shingle
-    # counts h = sz - cold_sz:
+    # lossless upper-bound prune before the full-array verify join.
+    # With per-doc distinct sizes sz and hot-shingle counts h:
     #   n_common_full ≤ nc + min(h_a, h_b)          (hot overlap bound)
     #   jaccard = ncf / (sz_a + sz_b - ncf)  — increasing in ncf —
     #   so ub = (nc+min(h)) / (sz_a+sz_b-(nc+min(h))) ≥ true jaccard.
     # Random pairs share few cold shingles → ub ≪ τ → the verify join
     # collapses to ~the true near-dup set (measured at sf0.1:
     # 1,130,536 candidates → 256 verify pairs = the exact output set).
-    # Both size frames are doc-count rows of (id, long): AQE
-    # broadcast-joins them, and their exchanges reuse the hot/cold
-    # shuffles already paid.
-    sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    cold_sizes = cold.groupBy("id").agg(F.count(F.lit(1)).alias("csz"))
-    ubc = F.col("nc") + F.least(
-        F.col("sz_a") - F.col("csz_a"), F.col("sz_b") - F.col("csz_b")
-    )
+    ubc = F.col("nc") + F.least(F.col("h_a"), F.col("h_b"))
     cand = (
-        cand.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .join(cold_sizes.select(F.col("id").alias("id_a"), F.col("csz").alias("csz_a")), "id_a")
-        .join(cold_sizes.select(F.col("id").alias("id_b"), F.col("csz").alias("csz_b")), "id_b")
-        .filter(ubc / (F.col("sz_a") + F.col("sz_b") - ubc) >= threshold)
+        cand.filter(ubc / (F.col("sz_a") + F.col("sz_b") - ubc) >= threshold)
         .select("id_a", "id_b")
     )
     verified = (
