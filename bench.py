@@ -106,28 +106,39 @@ def main() -> None:
     missing = sorted(set(queries) - set(HEADLINE))
     assert not missing, f"queries() entries missing from bench HEADLINE: {missing}"
 
+    # One broken query must not sink the whole bench (r3 lost ALL perf
+    # data to a single warmup AnalysisException): catch per query,
+    # record {"err": ...}, keep timing the rest.
+    errors: dict[str, str] = {}
     for name in HEADLINE:  # warmup: tiny SF, same plans
-        materialize(queries[name](spark, "/root/testdata/sf0.001"))
+        try:
+            materialize(queries[name](spark, "/root/testdata/sf0.001"))
+        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     release(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in errors:
+            continue
         t0 = time.perf_counter()
-        materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            materialize(queries[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         release(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Always exit 0 with the JSON line emitted: the driver's parse of
+    # stdout is the gate; per-query errors are visible in "queries".
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -26,6 +26,10 @@ def get_spark(app_name: str = "gdelt_extractor_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark >=4.1 infers parquet isAdjustedToUTC=0 micros as
+        # TIMESTAMP_NTZ, which rejects cast-to-double / unix_micros;
+        # keep the pre-4.1 TIMESTAMP (LTZ) inference engine-wide.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -28,29 +28,53 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default; read nanos as long
-    (spark.sql.legacy.parquet.nanosAsLong) and convert to a
-    microsecond timestamp column-side, truncating sub-microseconds —
-    the same truncation DuckDB applies reading the file, keeping the
-    two engines comparable.
+    ``events.parquet`` stores its ``ts`` with parquet
+    ``isAdjustedToUTC=0``, which different Spark versions surface
+    differently; normalize to a plain TIMESTAMP (LTZ) here so every
+    query downstream sees one type:
+
+    * TIMESTAMP(NANOS): rejected by default — read nanos as long
+      (spark.sql.legacy.parquet.nanosAsLong) and convert to a
+      microsecond timestamp column-side, truncating sub-microseconds —
+      the same truncation DuckDB applies reading the file.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=0): Spark ≥4.1 infers
+      TIMESTAMP_NTZ, which rejects ``cast(.. as double)`` /
+      ``unix_micros`` — disable spark.sql.parquet.inferTimestampNTZ
+      around the read so the stored micros surface as TIMESTAMP
+      (no value shift; the reader labels the same int64 micros).
+      DuckDB reads the file naively, so values stay comparable under
+      the UTC session timezone.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    # nanosAsLong is session-wide; save/restore around the read so a
-    # later TIMESTAMP(NANOS) read elsewhere in the session still gets
-    # a timestamp, not a silent bigint.  The analyzed plan captures
-    # the conf value at read time, so restoring immediately is safe.
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # These confs are session-wide; save/restore around the read so
+    # later parquet reads elsewhere in the session are unaffected.
+    # The analyzed plan captures conf values at read time (schema
+    # inference is eager in spark.read.parquet), so restoring
+    # immediately is safe.
+    confs = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer div: double division would lose precision at ~1e18 ns
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # belt-and-braces: never leak NTZ to query code
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return df
 
 
