@@ -109,10 +109,11 @@ def _lookup_country_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end exercise of the reference's six TSV lookup tables
     (reference/extractor/lookups/*.txt): derive country + actor-type
     codes from the events fact deterministically, then label them by
-    broadcast-joining the BUNDLED country/types lookup FILES through
-    load_lookup_tsv — the exact file→dim→join path a GDELT user runs.
-    The oracle builds its VALUES lists from the same files
-    (lookup_rows), so the two sides cannot drift."""
+    broadcast-joining the BUNDLED full-taxonomy country/types lookup
+    files through load_lookup (keep-first map semantics) — the
+    file→dim→join path a GDELT user runs.  The oracle builds its
+    VALUES lists from the same files via the same lookup_rows, so the
+    two sides cannot drift."""
     countries = lookup_rows("country")
     types_ = lookup_rows("types")
     e = load_table(spark, sf_dir, "events")
@@ -370,13 +371,17 @@ def oracle_sql() -> dict[str, str]:
     geo_lat = "(value*3.7) % 180 - 90"
     geo_lon = "(value*7.3) % 360 - 180"
     # lookup VALUES built from the SAME bundled TSV files the Spark
-    # query loads, so the two sides cannot drift
+    # query loads, so the two sides cannot drift; single quotes in
+    # labels (e.g. "Cote d'Ivoire") are doubled for SQL literals
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
     _c_rows, _t_rows = lookup_rows("country"), lookup_rows("types")
     country_vals = ", ".join(
-        f"({i}, '{c}', '{l}')" for i, (c, l) in enumerate(_c_rows)
+        f"({i}, {_q(c)}, {_q(l)})" for i, (c, l) in enumerate(_c_rows)
     )
     type_vals = ", ".join(
-        f"({j}, '{c}', '{l}')" for j, (c, l) in enumerate(_t_rows)
+        f"({j}, {_q(c)}, {_q(l)})" for j, (c, l) in enumerate(_t_rows)
     )
 
     def wkt(lon: str, lat: str) -> str:
@@ -604,9 +609,11 @@ def oracle_sql() -> dict[str, str]:
               {_dsum('e.value')} AS sum_value
             FROM events e
             JOIN (VALUES {country_vals})
-              AS c(i, code, country) ON e.event_id % {len(_c_rows)} = c.i
+              AS c(i, code, country)
+              ON ((e.event_id % {len(_c_rows)}) + {len(_c_rows)}) % {len(_c_rows)} = c.i
             JOIN (VALUES {type_vals})
-              AS t(j, tcode, actor_type) ON e.user_id % {len(_t_rows)} = t.j
+              AS t(j, tcode, actor_type)
+              ON ((e.user_id % {len(_t_rows)}) + {len(_t_rows)}) % {len(_t_rows)} = t.j
             GROUP BY c.country, t.actor_type
         """,
         "lookup_rollup": f"""

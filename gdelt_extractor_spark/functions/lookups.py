@@ -74,15 +74,27 @@ def load_lookup_tsv(spark: SparkSession, path: str) -> DataFrame:
 
 # The six code→label lookup tables the reference ships
 # (reference/extractor/lookups/{cameo,country,ethnic,groups,religion,
-# types}.txt).  Bundled fixtures live in sources/lookups/ in the same
-# CODE\tLABEL TSV format — hand-picked subsets of the public CAMEO /
-# FIPS taxonomies, so load_lookup_tsv round-trips the reference's file
-# shape end-to-end.
+# types}.txt).  Bundled copies live in sources/lookups/ in the same
+# CODE\tLABEL TSV format — the COMPLETE public CAMEO / FIPS taxonomies
+# (cameo 310, country 261, ethnic 646, groups 117, religion 31,
+# types 40 data rows), so real GDELT actor codes resolve.
 LOOKUP_NAMES = ("cameo", "country", "ethnic", "groups", "religion", "types")
+
+# Data-row counts of the bundled taxonomies (header excluded) — the
+# parity contract with the reference's lookup files, pinned by
+# tests/test_sources_gdelt.py.
+LOOKUP_ROW_COUNTS = {
+    "cameo": 310,
+    "country": 261,
+    "ethnic": 646,
+    "groups": 117,
+    "religion": 31,
+    "types": 40,
+}
 
 
 def lookup_path(name: str) -> str:
-    """Filesystem path of a bundled lookup fixture."""
+    """Filesystem path of a bundled lookup table."""
     import os
 
     if name not in LOOKUP_NAMES:
@@ -92,23 +104,48 @@ def lookup_path(name: str) -> str:
 
 
 def load_lookup(spark: SparkSession, name: str) -> DataFrame:
-    """One bundled lookup table as a (code, label) DataFrame."""
-    return load_lookup_tsv(spark, lookup_path(name))
+    """One bundled lookup table as a (code, label) dimension with MAP
+    semantics: exactly one row per code (keep-first in file order).
+
+    The public taxonomy files contain a handful of duplicate codes
+    (e.g. types.txt lists UIS twice, groups.txt reuses CEM for two
+    bodies); a code-keyed dimension join must never fan out the fact
+    table, so duplicates collapse here.  The files are dimension-sized
+    (≤646 rows), so the keep-first pass runs driver-side where file
+    order is well-defined; callers broadcast the result into joins.
+    ``load_lookup_tsv`` remains the raw distributed reader for
+    arbitrary-size code→label files.
+    """
+    return spark.createDataFrame(lookup_rows(name), "code string, label string")
 
 
 def load_all_lookups(spark: SparkSession) -> dict[str, DataFrame]:
     """All six lookup dimensions, keyed by name.  Each is dimension-
-    sized (tens of rows) — broadcast them into fact joins."""
+    sized (hundreds of rows) — broadcast them into fact joins."""
     return {n: load_lookup(spark, n) for n in LOOKUP_NAMES}
 
 
-def lookup_rows(name: str) -> list[tuple[str, str]]:
+def lookup_rows(name: str, *, dedup: bool = True) -> list[tuple[str, str]]:
     """Driver-side (code, label) rows of a bundled lookup — the
     oracle-SQL side reads the same file so the Spark query and its
-    DuckDB twin can never drift from each other."""
+    DuckDB twin can never drift from each other.
+
+    ``dedup=True`` (default) applies the same keep-first-per-code map
+    semantics as ``load_lookup``; ``dedup=False`` returns the raw file
+    rows (duplicates included).
+    """
     import csv
 
     with open(lookup_path(name), newline="") as f:
         rdr = csv.reader(f, delimiter="\t")
         next(rdr)  # header
-        return [(r[0], r[1]) for r in rdr if r]
+        rows = [(r[0], r[1]) for r in rdr if r]
+    if not dedup:
+        return rows
+    seen: set[str] = set()
+    out: list[tuple[str, str]] = []
+    for code, label in rows:
+        if code not in seen:
+            seen.add(code)
+            out.append((code, label))
+    return out
