@@ -141,6 +141,35 @@ def _lookup_country_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gkg_theme_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theme co-occurrence over a GKG-shaped frame derived
+    deterministically from documents: a ';'-joined Themes string
+    (lang/source/length taxonomy tags + modular buckets, with an
+    occasional duplicate tag so array_distinct is exercised), fed
+    through the REAL operator (sources/gdelt.py gkg_theme_cooccurrence
+    — per-record pair expansion, never a self-join of the exploded
+    theme table).  The oracle re-derives the same Themes string and
+    unnests the same per-record a<b pair list."""
+    from gdelt_extractor_spark.sources.gdelt import gkg_theme_cooccurrence
+
+    d = load_table(spark, sf_dir, "documents")
+    lang_t = F.concat(F.lit("TAX_LANG_"), F.upper("lang"))
+    themes = F.concat_ws(
+        ";",
+        lang_t,
+        F.concat(F.lit("TAX_SOURCE_"), F.upper("source")),
+        F.when(F.col("n_chars") >= 250, F.lit("WB_LEN_LONG")).otherwise(
+            F.lit("WB_LEN_SHORT")
+        ),
+        F.concat(F.lit("ECON_BUCKET_"), (F.col("doc_id") % 3).cast("string")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("TAX_MEDIA")),
+        F.when(F.col("doc_id") % 10 == 0, lang_t),  # dup tag
+    )
+    # GKG Themes fields carry a trailing ';' — reproduce it
+    g = d.select(F.concat(themes, F.lit(";")).alias("Themes"))
+    return gkg_theme_cooccurrence(g, min_count=2)
+
+
 def _geo_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     derived = e.select(
@@ -314,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_freq": _keyword_freq,
         "lookup_rollup": _lookup_rollup,
         "lookup_country_rollup": _lookup_country_rollup,
+        "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
         "geo_project": _geo_project,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
@@ -627,6 +657,28 @@ def oracle_sql() -> dict[str, str]:
               ('error','reliability',-1.0)) AS d(event_type, category, weight)
               ON e.event_type = d.event_type
             GROUP BY d.category
+        """,
+        "gkg_theme_cooccurrence": """
+            WITH g AS (
+              SELECT concat_ws(';',
+                'TAX_LANG_' || upper(lang),
+                'TAX_SOURCE_' || upper(source),
+                CASE WHEN n_chars >= 250 THEN 'WB_LEN_LONG'
+                     ELSE 'WB_LEN_SHORT' END,
+                'ECON_BUCKET_' || CAST(doc_id % 3 AS VARCHAR),
+                CASE WHEN doc_id % 7 = 0 THEN 'TAX_MEDIA' END,
+                CASE WHEN doc_id % 10 = 0 THEN 'TAX_LANG_' || upper(lang) END
+              ) || ';' AS themes FROM documents),
+            t AS (
+              SELECT list_distinct(list_filter(
+                string_split(themes, ';'), x -> x <> '')) AS ts FROM g),
+            p AS (
+              SELECT unnest(flatten(list_transform(ts, a ->
+                list_transform(list_filter(ts, b -> a < b),
+                               b -> {'a': a, 'b': b})))) AS pr
+              FROM t)
+            SELECT pr.a AS theme_a, pr.b AS theme_b, COUNT(*) AS n_records
+            FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
         """,
         "geo_project": f"""
             SELECT event_id,

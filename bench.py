@@ -38,6 +38,7 @@ HEADLINE = [
     "keyword_freq",
     "lookup_rollup",
     "lookup_country_rollup",
+    "gkg_theme_cooccurrence",
     "geo_project",
     "dedup_exact",
     "dedup_ngram_jaccard",
