@@ -71,13 +71,7 @@ def compact_parquet(
     path = path.rstrip("/")
     tmp = path + "__compacting"
     backup = path + "__precompact"
-    # recover an interrupted previous swap: the backup is authoritative
-    # when the live dir vanished mid-swap; stale otherwise
-    if os.path.exists(backup):
-        if not os.path.exists(path):
-            os.rename(backup, path)
-        else:
-            shutil.rmtree(backup)
+    recover_interrupted_compaction(path)
     if os.path.exists(tmp):
         shutil.rmtree(tmp)  # stale partial write from a crashed run
 
@@ -98,6 +92,27 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(backup)
     return n_files
+
+
+def recover_interrupted_compaction(path: str) -> None:
+    """Recover a ``compact_parquet`` swap that crashed between its two
+    renames: the ``__precompact`` backup is authoritative when the
+    live dir vanished mid-swap, stale otherwise.
+
+    Callers that read ``path`` and treat absence as "first write"
+    MUST call this first — otherwise a crashed compaction reads as an
+    empty dataset and the backup holding the real data gets deleted
+    as "stale" on the next compaction (ADVICE r3).
+    """
+    import os
+    import shutil
+
+    backup = path.rstrip("/") + "__precompact"
+    if os.path.exists(backup):
+        if not os.path.exists(path.rstrip("/")):
+            os.rename(backup, path.rstrip("/"))
+        else:
+            shutil.rmtree(backup)
 
 
 def write_clustered(

@@ -88,3 +88,132 @@ def test_live_rollup_epoch_ledger_blocks_replay(spark, tmp_path):
     run_live_rollup(spark, str(landing), out, str(ckpt))
     # without the ledger this would read (1,5) + replayed (1,5) = (2,10)
     assert _totals(spark, out) == {("2024-01-01", "14"): (1, 5)}
+
+
+def test_live_rollup_recovers_interrupted_compaction(spark, tmp_path):
+    """A compaction that crashed between its two renames (live dir
+    gone, __precompact backup holds the data) must NOT read as
+    'first epoch': the merge restores the backup and stays additive
+    (ADVICE r3)."""
+    import os
+
+    landing = tmp_path / "landing"; landing.mkdir()
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    (landing / "t1.export.CSV").write_text(_v2_row(1, "http://x/a", "14"))
+    run_live_rollup(spark, str(landing), out, ckpt)
+    assert _totals(spark, out) == {("2024-01-01", "14"): (1, 5)}
+
+    # simulate compact_parquet dying after rename(path, backup)
+    os.rename(out, out + "__precompact")
+
+    (landing / "t2.export.CSV").write_text(_v2_row(2, "http://x/b", "14"))
+    run_live_rollup(spark, str(landing), out, ckpt)
+    # without recovery: history lost (1,5) AND the backup doomed;
+    # with recovery: tick 2 adds onto restored tick-1 totals
+    assert _totals(spark, out) == {("2024-01-01", "14"): (2, 10)}
+    assert not os.path.exists(out + "__precompact")
+
+
+def test_live_rollup_discards_unmarked_staging(spark, tmp_path):
+    """Crash after staging but BEFORE the ledger marker: the live data
+    is untouched, so the replayed epoch must discard the stale stage
+    and recompute — a poisoned leftover staging dir must not leak into
+    the dataset."""
+    import os
+    import pathlib
+
+    landing = tmp_path / "landing"; landing.mkdir()
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    # leftover staging from a crashed epoch 0 with garbage content
+    stale = pathlib.Path(out + "__epoch0__staging")
+    (stale / "day=1999-12-31").mkdir(parents=True)
+    (stale / "day=1999-12-31" / "junk.parquet").write_text("not parquet")
+
+    (landing / "t1.export.CSV").write_text(_v2_row(1, "http://x/a", "14"))
+    run_live_rollup(spark, str(landing), out, ckpt)
+    assert _totals(spark, out) == {("2024-01-01", "14"): (1, 5)}
+    assert not stale.exists()
+
+
+def test_live_rollup_replay_completes_marked_swap(spark, tmp_path):
+    """Crash AFTER the ledger marker but before/during the swap: the
+    replayed epoch must finish the swap from the authoritative staged
+    totals instead of re-running the merge (which would double-add)."""
+    import shutil
+
+    import pathlib
+
+    landing = tmp_path / "landing"; landing.mkdir()
+    out = str(tmp_path / "rollup")
+    ckpt = tmp_path / "ckpt"
+
+    (landing / "t1.export.CSV").write_text(_v2_row(1, "http://x/a", "14"))
+    run_live_rollup(spark, str(landing), out, str(ckpt))
+
+    # simulate: epoch 0's marker exists (it does — the run committed)
+    # and its staged output was never fully swapped in.  Stage a
+    # recognizable version of the day partition, then force Spark to
+    # re-deliver epoch 0 by wiping its offset/commit logs.
+    staged = spark.createDataFrame(
+        [("2024-01-01", "14", 7, 70)],
+        "day string, root_code string, n_events long, n_articles long",
+    )
+    staged.write.partitionBy("day").parquet(out + "__epoch0__staging")
+    for sub in ("commits", "offsets", "sources", "state"):
+        p = ckpt / sub
+        if p.exists():
+            shutil.rmtree(p)
+    run_live_rollup(spark, str(landing), out, str(ckpt))
+    # the staged totals (authoritative) replaced the partition; a
+    # re-run merge would instead have produced (2, 10)
+    assert _totals(spark, out) == {("2024-01-01", "14"): (7, 70)}
+    assert not pathlib.Path(out + "__epoch0__staging").exists()
+    # no _stale__ debris left behind
+    assert not list(pathlib.Path(out).glob("_stale__*"))
+
+
+def test_complete_epoch_swap_resumes_from_any_point(tmp_path):
+    """Pure-FS idempotency of the partition swap: resuming after a
+    partial swap (old partition already renamed aside) converges and
+    cleans all debris."""
+    import os
+
+    from gdelt_extractor_spark.pipelines.live import _complete_epoch_swap
+
+    out = tmp_path / "out"; out.mkdir()
+    staging = tmp_path / "out__epoch3__staging"
+    for d in ("day=2024-01-01", "day=2024-01-02"):
+        (staging / d).mkdir(parents=True)
+        (staging / d / "part-0.parquet").write_text("new")
+    (staging / "_SUCCESS").write_text("")
+    (out / "day=2024-01-01").mkdir()
+    (out / "day=2024-01-01" / "part-0.parquet").write_text("old")
+
+    # simulate a crash mid-swap: the live dir was renamed aside but
+    # the staged dir never made it in
+    os.rename(out / "day=2024-01-01", out / "_stale__day=2024-01-01")
+    _complete_epoch_swap(str(staging), str(out))
+
+    assert (out / "day=2024-01-01" / "part-0.parquet").read_text() == "new"
+    assert (out / "day=2024-01-02" / "part-0.parquet").read_text() == "new"
+    assert not list(out.glob("_stale__*"))
+    assert not staging.exists()
+
+
+def test_live_rollup_refuses_non_local_uris(spark, tmp_path):
+    """The ledger + swap are POSIX-file based; a non-local URI would
+    silently lose replay protection, so it must be refused loudly."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="local"):
+        run_live_rollup(
+            spark, str(tmp_path), "s3://bucket/rollup", str(tmp_path / "ck")
+        )
+    with pytest.raises(NotImplementedError, match="local"):
+        run_live_rollup(
+            spark, str(tmp_path), str(tmp_path / "out"), "hdfs://nn/ck"
+        )
