@@ -111,13 +111,20 @@ def main() -> None:
     # data to a single warmup AnalysisException): catch per query,
     # record {"err": ...}, keep timing the rest.
     errors: dict[str, str] = {}
-    for name in HEADLINE:  # warmup: tiny SF, same plans
+    for name in HEADLINE:  # warmup 1: tiny SF — JIT/codegen first-touch
         try:
             materialize(queries[name](spark, "/root/testdata/sf0.001"))
         except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-
     release(spark)
+    for name in HEADLINE:  # warmup 2: target SF — page cache, AQE
+        if name in errors:  # plans, and allocation paths at real size
+            continue
+        try:
+            materialize(queries[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        release(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name in errors:
