@@ -230,6 +230,74 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_embedding(emb, threshold=0.3)
 
 
+def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: embedding cosine pairs
+    (the exact blocked pair join of dedup_embedding) collapsed by
+    connected components, so transitive duplicates (A~B, B~C) land in
+    one cluster even though (A,C) never surfaced as a pair.  The
+    oracle computes the same closure with a recursive CTE."""
+    emb = _emb(spark, sf_dir, width=0)
+    pairs = D.dedup_embedding(emb, threshold=0.3)
+    return D.connected_components(pairs).select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
+
+
+def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over documents with deterministically
+    injected PII (the synthetic corpus contains none): emails on even
+    doc_ids, phones on %3, SSNs on %5, IPv4s on %7.  Both engines
+    build the identical injected text, count matches per kind on it,
+    and md5 the redacted form — so the value hash covers detection
+    AND redaction."""
+    from gdelt_extractor_spark.operators.pii import redact_expr, scan_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lower("source"), F.lit("."), did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("415-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("219-09-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit("10.0."), (did % 256).cast("string"),
+                F.lit("."), (did % 100).cast("string"),
+            ),
+        ),
+    )
+    scanned = scan_pii(d.select("doc_id", injected.alias("text")), "text")
+    return scanned.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        "has_pii",
+        F.md5(redact_expr(F.col("text"))).alias("redacted_md5"),
+    )
+
+
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir, width=8)
     q = emb.filter(F.col("vec_id") < 8).select(
@@ -356,6 +424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
+        "dup_clusters": _dup_clusters,
+        "pii_scan": _pii_scan,
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -418,6 +488,29 @@ def oracle_sql() -> dict[str, str]:
     type_vals = ", ".join(
         f"({j}, {_q(c)}, {_q(l)})" for j, (c, l) in enumerate(_t_rows)
     )
+
+    # PII oracle pieces generated from the operator's own pattern
+    # list, so detection/redaction definitions cannot drift
+    from gdelt_extractor_spark.operators.pii import PII_PATTERNS
+
+    pii_inj = """concat_ws(' ', text,
+        CASE WHEN doc_id % 2 = 0 THEN lower(source) || '.'
+          || CAST(doc_id AS VARCHAR) || '@example.com' END,
+        CASE WHEN doc_id % 3 = 0 THEN '415-555-'
+          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+        CASE WHEN doc_id % 5 = 0 THEN '219-09-'
+          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+        CASE WHEN doc_id % 7 = 0 THEN '10.0.'
+          || CAST(doc_id % 256 AS VARCHAR) || '.'
+          || CAST(doc_id % 100 AS VARCHAR) END)"""
+    pii_counts = ",\n              ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS
+    )
+    pii_redact = "t"
+    for kind, pat in PII_PATTERNS:
+        pii_redact = f"regexp_replace({pii_redact}, '{pat}', '[{kind.upper()}]', 'g')"
+    pii_flag = " OR ".join(f"n_{kind} > 0" for kind, _ in PII_PATTERNS)
 
     def wkt(lon: str, lat: str) -> str:
         return (
@@ -740,6 +833,38 @@ def oracle_sql() -> dict[str, str]:
               round(list_dot_product(a.vv, b.vv)/(a.nrm*b.nrm), 6) AS cosine
             FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.vv, b.vv)/(a.nrm*b.nrm), 6) >= 0.3
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE vv0 AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            nn AS (SELECT vec_id, label, vv,
+                sqrt(list_dot_product(vv, vv)) AS nrm FROM vv0),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.vv, b.vv)/(a.nrm*b.nrm), 6) >= 0.3),
+            edges AS (
+              SELECT id_a AS u, id_b AS w FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(u, w) AS (
+              SELECT u, w FROM edges
+              UNION
+              SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u)
+            SELECT u AS vec_id, least(u, MIN(w)) AS cluster_id
+            FROM reach GROUP BY u
+        """,
+        "pii_scan": f"""
+            WITH g AS (SELECT doc_id, {pii_inj} AS t FROM documents),
+            c AS (
+              SELECT doc_id, t,
+              {pii_counts}
+              FROM g)
+            SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+              ({pii_flag}) AS has_pii,
+              md5({pii_redact}) AS redacted_md5
+            FROM c
         """,
         "ann_topk": """
             WITH v AS (

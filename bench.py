@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",
+    "dup_clusters",
+    "pii_scan",
     "ann_topk",
     "ann_lsh_topk",
     "lang_id",

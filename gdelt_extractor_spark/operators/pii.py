@@ -1,0 +1,57 @@
+"""PII detection and redaction over a text column.
+
+A training-data pipeline has to find and strip personally
+identifiable information before anything ships; at 100 TB that means
+pure JVM regexp work inside whole-stage codegen — one scan, no
+Python, no UDFs.  Patterns are deliberately engine-portable (same
+semantics under Java regex and RE2) so the DuckDB oracle can apply
+the identical definitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Ordered: redaction applies top to bottom, and detection counts are
+# computed on the ORIGINAL text, so order only matters for redaction
+# (email first so its local-part digits can't be half-eaten by the
+# phone pattern; SSN before phone since both are digit-dash shapes).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def scan_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add one ``n_<kind>`` count column per PII pattern plus a
+    ``has_pii`` flag.  All counts run on the original text in a
+    single projection — one codegen stage, zero shuffles."""
+    out = df
+    for kind, pat in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    flag = None
+    for kind, _ in PII_PATTERNS:
+        c = F.col(f"n_{kind}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag)
+
+
+def redact_expr(col: Column) -> Column:
+    """The chained-replace expression: each PII kind replaced by its
+    ``[KIND]`` tag, applied in ``PII_PATTERNS`` order."""
+    out = col
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace every PII match with its ``[KIND]`` tag (in place by
+    default).  Pure projection — composes with any downstream
+    operator without breaking pushdown or partitioning."""
+    return df.withColumn(out_col or text_col, redact_expr(F.col(text_col)))

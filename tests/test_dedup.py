@@ -105,3 +105,36 @@ def test_embedding_dedup_blocked(spark):
     )
     out = {(r.id_a, r.id_b) for r in D.dedup_embedding(emb, threshold=0.95).collect()}
     assert out == {(1, 2)}
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C must form ONE cluster rooted at the min id, even
+    though (A,C) was never a pair; separate components stay apart."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 20)], "id_a long, id_b long"
+    )
+    cc = {
+        r.node: r.cluster_id
+        for r in D.connected_components(edges).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_chain_beyond_one_hop(spark):
+    """A long path needs multiple propagation rounds: the label of
+    the far end must still reach the minimum."""
+    n = 9
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    cc = D.connected_components(edges).collect()
+    assert {r.cluster_id for r in cc} == {0}
+    assert len(cc) == n + 1
+
+
+def test_connected_components_converges_under_max_iter(spark):
+    """Near-dup cliques converge in one round regardless of size."""
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edges = spark.createDataFrame(clique, "id_a long, id_b long")
+    cc = D.connected_components(edges, max_iter=2).collect()
+    assert all(r.cluster_id == 0 for r in cc) and len(cc) == 6

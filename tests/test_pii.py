@@ -1,0 +1,57 @@
+"""Unit tests for PII detection/redaction (operators/pii.py)."""
+
+from pyspark.sql import functions as F
+
+from gdelt_extractor_spark.operators.pii import redact_pii, scan_pii
+
+
+def _df(spark, *texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+
+
+def test_scan_counts_each_kind(spark):
+    rows = scan_pii(
+        _df(
+            spark,
+            "mail me at alice.smith+x@mail.example.org today",
+            "call 415-555-0199 or 415.555.0123",
+            "ssn 123-45-6789 on file",
+            "host 192.168.0.1 and 10.0.0.255",
+            "nothing sensitive here",
+        )
+    ).orderBy("id").collect()
+    assert [r.n_email for r in rows] == [1, 0, 0, 0, 0]
+    assert [r.n_phone for r in rows] == [0, 2, 0, 0, 0]
+    assert [r.n_ssn for r in rows] == [0, 0, 1, 0, 0]
+    assert [r.n_ipv4 for r in rows] == [0, 0, 0, 2, 0]
+    assert [r.has_pii for r in rows] == [True, True, True, True, False]
+
+
+def test_ssn_not_double_counted_as_phone(spark):
+    r = scan_pii(_df(spark, "id 123-45-6789")).collect()[0]
+    assert (r.n_ssn, r.n_phone) == (1, 0)
+
+
+def test_redact_replaces_with_tags(spark):
+    out = redact_pii(
+        _df(spark, "bob@x.io called 415-555-0199 from 10.0.0.1 re 123-45-6789")
+    ).collect()[0].text
+    assert out == "[EMAIL] called [PHONE] from [IPV4] re [SSN]"
+
+
+def test_redact_preserves_clean_text(spark):
+    clean = "no identifiers in this sentence at all"
+    assert redact_pii(_df(spark, clean)).collect()[0].text == clean
+
+
+def test_redact_to_new_column_keeps_original(spark):
+    row = redact_pii(_df(spark, "a@b.co"), out_col="clean").collect()[0]
+    assert row.text == "a@b.co" and row.clean == "[EMAIL]"
+
+
+def test_scan_is_pure_projection(spark):
+    """Detection must stay a single codegen projection — no shuffle,
+    no Python eval — so it composes into any scan for free."""
+    plan = scan_pii(_df(spark, "x")).withColumn("t2", F.lit(1))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
