@@ -175,6 +175,47 @@ def _gkg_theme_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gkg_theme_cooccurrence(g, min_count=2)
 
 
+def _quad_class_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuadClass dashboard rollup over a GDELT-shaped frame derived
+    deterministically from events (QuadClass 1-4 from event_id, with
+    an out-of-range code on %11 rows to exercise the NULL-label
+    fallthrough; NumArticles and AvgTone from user_id/value), fed
+    through the REAL operator (sources/gdelt.py quad_class_rollup)."""
+    from gdelt_extractor_spark.sources.gdelt import quad_class_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    g = e.select(
+        F.when(F.col("event_id") % 11 == 0, F.lit(9))
+        .otherwise((F.col("event_id") % 4 + 1).cast("int"))
+        .alias("QuadClass"),
+        (F.col("user_id") % 50 + 1).alias("NumArticles"),
+        (F.col("value") / 10 - 5).alias("AvgTone"),
+    )
+    return quad_class_rollup(g)
+
+
+def _goldstein_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Goldstein index + 7-day rolling mean over a GDELT-shaped
+    frame derived from events (SQLDATE from ts, actor group from
+    user_id, GoldsteinScale folded into [-10, 10]), through the REAL
+    operator (sources/gdelt.py goldstein_daily).  The rolling mean is
+    a RANGE window over epoch days in both engines."""
+    from gdelt_extractor_spark.sources.gdelt import goldstein_daily
+
+    e = load_table(spark, sf_dir, "events")
+    g = e.select(
+        F.date_format("ts", "yyyyMMdd").cast("int").alias("SQLDATE"),
+        F.concat(F.lit("C"), (F.col("user_id") % 10).cast("string")).alias(
+            "Actor1CountryCode"
+        ),
+        (F.col("value") % 21 - 10).alias("GoldsteinScale"),
+    )
+    # day as timestamp: the proven cross-engine comparison type for
+    # the value-hash gate (date objects vs datetime64 canonicalize
+    # differently; see rollup_daily)
+    return goldstein_daily(g).withColumn("day", F.col("day").cast("timestamp"))
+
+
 def _geo_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     derived = e.select(
@@ -417,6 +458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_rollup": _lookup_rollup,
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
+        "quad_class_rollup": _quad_class_rollup,
+        "goldstein_daily": _goldstein_daily,
         "geo_project": _geo_project,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
@@ -487,6 +530,16 @@ def oracle_sql() -> dict[str, str]:
     )
     type_vals = ", ".join(
         f"({j}, {_q(c)}, {_q(l)})" for j, (c, l) in enumerate(_t_rows)
+    )
+
+    # QuadClass labels from the operator's own dict, so the CASE
+    # cannot drift
+    from gdelt_extractor_spark.sources.gdelt import QUAD_CLASS
+
+    quad_case = (
+        "CASE qc "
+        + " ".join(f"WHEN {k} THEN '{v}'" for k, v in sorted(QUAD_CLASS.items()))
+        + " END"
     )
 
     # PII oracle pieces generated from the operator's own pattern
@@ -777,6 +830,37 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT pr.a AS theme_a, pr.b AS theme_b, COUNT(*) AS n_records
             FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        "quad_class_rollup": f"""
+            WITH g AS (SELECT
+                CASE WHEN event_id % 11 = 0 THEN 9
+                     ELSE CAST(event_id % 4 + 1 AS INT) END AS qc,
+                user_id % 50 + 1 AS n_articles,
+                value/10 - 5 AS tone
+              FROM events)
+            SELECT {quad_case} AS quad_class,
+              COUNT(*) AS n_events,
+              CAST(SUM(n_articles) AS BIGINT) AS total_articles,
+              CAST(SUM(CAST(tone AS DECIMAL(25,6))) AS DOUBLE)
+                / COUNT(*) AS avg_tone
+            FROM g GROUP BY 1
+        """,
+        "goldstein_daily": """
+            WITH daily AS (
+              SELECT 'C' || CAST(user_id % 10 AS VARCHAR) AS grp,
+                date_trunc('day', ts) AS day,
+                COUNT(*) AS n_events,
+                SUM(CAST(value % 21 - 10 AS DECIMAL(25,6))) AS sum_g
+              FROM events GROUP BY 1, 2)
+            SELECT grp, day, n_events,
+              CAST(sum_g AS DOUBLE) / n_events AS avg_goldstein,
+              CAST(SUM(sum_g) OVER w AS DOUBLE)
+                / (SUM(n_events) OVER w) AS rolling_goldstein
+            FROM daily
+            WINDOW w AS (
+              PARTITION BY grp
+              ORDER BY CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT)
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "geo_project": f"""
             SELECT event_id,

@@ -39,6 +39,8 @@ HEADLINE = [
     "lookup_rollup",
     "lookup_country_rollup",
     "gkg_theme_cooccurrence",
+    "quad_class_rollup",
+    "goldstein_daily",
     "geo_project",
     "dedup_exact",
     "dedup_ngram_jaccard",

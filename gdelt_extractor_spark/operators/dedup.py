@@ -612,7 +612,13 @@ def connected_components(
     ecur = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
-    mapping: DataFrame | None = None
+    # per-round node→super-node steps; composed ONCE at the end.
+    # Each step's lineage is one groupBy over that round's
+    # checkpointed edge set, so deferring composition is safe and
+    # saves a driver action per round (measured ~0.1s/round of pure
+    # job-submission overhead in local mode).
+    steps: list[DataFrame] = []
+    converged = False
     for _ in range(max_iter):
         m = (
             ecur.groupBy("u")
@@ -627,25 +633,26 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        step = m.select(F.col("u").alias("node"), F.col("m").alias("label"))
-        if mapping is None:
-            mapping = step
-        else:
-            # left join: nodes whose super-node already collapsed out
-            # of the edge set keep their final label
-            mapping = mapping.join(
-                step.select(F.col("node").alias("ln"), F.col("label").alias("nl")),
-                mapping["label"] == F.col("ln"),
-                "left",
-            ).select("node", F.coalesce("nl", "label").alias("label"))
-        mapping = mapping.localCheckpoint(eager=True)
+        steps.append(m.select(F.col("u").alias("node"), F.col("m").alias("label")))
         ecur = contracted.localCheckpoint(eager=True)
         if ecur.isEmpty():
-            return mapping.select("node", F.col("label").alias("cluster_id"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        "raise max_iter (rounds needed ≈ log2 of the largest component)"
-    )
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed ≈ log2 of the largest component)"
+        )
+    mapping = steps[0]
+    for step in steps[1:]:
+        # left join: nodes whose super-node already collapsed out of
+        # the edge set keep their final label
+        mapping = mapping.join(
+            step.select(F.col("node").alias("ln"), F.col("label").alias("nl")),
+            mapping["label"] == F.col("ln"),
+            "left",
+        ).select("node", F.coalesce("nl", "label").alias("label"))
+    return mapping.select("node", F.col("label").alias("cluster_id"))
 
 
 def dedup_embedding(

@@ -356,11 +356,15 @@ def quad_class_rollup(events: DataFrame) -> DataFrame:
     dashboard cut (the reference surfaces root-code labels for the
     same purpose, reference/extractor/schema.py:153-174).  Labeling
     is a literal CASE expression — no join at all for a 4-row dim.
+    The tone average goes through the repo's decimal-sum convention
+    (sum as decimal(25,6), divide by count) so the result is
+    bit-identical across partitionings and engines.
     """
     label = F.col("QuadClass").cast("int")
     expr = F.lit(None).cast("string")
     for k in sorted(QUAD_CLASS, reverse=True):
         expr = F.when(label == k, F.lit(QUAD_CLASS[k])).otherwise(expr)
+    dsum_tone = F.sum(F.col("tone").cast("decimal(25,6)")).cast("double")
     return (
         events.select(
             expr.alias("quad_class"),
@@ -371,7 +375,10 @@ def quad_class_rollup(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("n_articles").alias("total_articles"),
-            F.round(F.avg("tone"), 6).alias("avg_tone"),
+            # no rounding: identical double division of identical
+            # operands is IEEE-deterministic, while round-to-6 can
+            # flip on exact half boundaries (power-of-two counts)
+            (dsum_tone / F.count(F.lit(1))).alias("avg_tone"),
         )
     )
 
@@ -387,6 +394,15 @@ def goldstein_daily(
     RANGE window over epoch-days partitioned by group — the same
     shuffle key, so AQE plans no extra exchange.  At 100 TB the
     window state is one row per (group, day), not per event.
+
+    Numeric determinism: per-day Goldstein totals are decimal sums
+    (order-independent), and the rolling mean is EVENT-WEIGHTED —
+    rolling decimal total / rolling event count — so every value is
+    a single IEEE division of engine-identical operands, with no
+    rounding (round-to-N can flip on exact half boundaries) and no
+    dependence on window summation order (DuckDB's segment-tree
+    window sums add in a different order than Spark's running
+    frames; decimal addition makes the order irrelevant).
     """
     from pyspark.sql import Window
 
@@ -400,7 +416,7 @@ def goldstein_daily(
         .groupBy("grp", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("g"), 6).alias("avg_goldstein"),
+            F.sum(F.col("g").cast("decimal(25,6)")).alias("_sum_g"),
         )
     )
     w = (
@@ -408,6 +424,12 @@ def goldstein_daily(
         .orderBy(F.unix_date(F.col("day")))
         .rangeBetween(-(window_days - 1), 0)
     )
-    return daily.withColumn(
-        "rolling_goldstein", F.round(F.avg("avg_goldstein").over(w), 6)
+    return daily.select(
+        "grp",
+        "day",
+        "n_events",
+        (F.col("_sum_g").cast("double") / F.col("n_events")).alias("avg_goldstein"),
+        (
+            F.sum("_sum_g").over(w).cast("double") / F.sum("n_events").over(w)
+        ).alias("rolling_goldstein"),
     )

@@ -185,7 +185,8 @@ def test_goldstein_daily_rolling(spark):
     rows = [
         ("US", 20240101, -2.0),
         ("US", 20240101, -4.0),   # day 1 avg -3.0
-        ("US", 20240102, 3.0),    # day 2 avg 3.0, rolling (−3+3)/2 = 0.0
+        ("US", 20240102, 3.0),    # day 2 avg 3.0; rolling is EVENT-
+        #                           weighted: (-2-4+3)/3 events = -1.0
         ("US", 20240120, 1.0),    # outside 7d window: rolling = own avg
         ("FR", 20240101, 5.0),
     ]
@@ -197,7 +198,7 @@ def test_goldstein_daily_rolling(spark):
         for r in G.goldstein_daily(ev).collect()
     }
     assert out[("US", "2024-01-01")] == (-3.0, -3.0)
-    assert out[("US", "2024-01-02")] == (3.0, 0.0)
+    assert out[("US", "2024-01-02")] == (3.0, -1.0)
     assert out[("US", "2024-01-20")] == (1.0, 1.0)
     assert out[("FR", "2024-01-01")] == (5.0, 5.0)
 
