@@ -9,7 +9,8 @@ decimal addition makes results bit-identical across engines and
 partitionings (see gdelt_extractor_spark/plans/queries.py docstring).
 
 Entries without an oracle (rows-only gate): dedup_minhash_lsh,
-dedup_simhash, ann_lsh_topk, ann_ivf_topk, approx_distinct_users —
+dedup_simhash, dedup_semantic, ann_lsh_topk, ann_ivf_topk,
+approx_distinct_users —
 approximate/hash-seeded operators whose exactness is instead
 property-tested against their exact baselines in tests/.
 """
@@ -271,6 +272,16 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_embedding(emb, threshold=0.3)
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over embeddings: IVF-quantize the space, exact cosine
+    pairs within (multi-probed) clusters.  Rows-only gate: the k-means
+    quantizer is not SQL-expressible; soundness (every pair really
+    ≥ τ) and recall vs the exact blocked baseline are property-tested
+    in tests/test_dedup.py."""
+    emb = _emb(spark, sf_dir, width=0)
+    return D.dedup_semantic(emb, threshold=0.3, m=8, nprobe=2)
+
+
 def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters: embedding cosine pairs
     (the exact blocked pair join of dedup_embedding) collapsed by
@@ -467,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
+        "dedup_semantic": _dedup_semantic,
         "dup_clusters": _dup_clusters,
         "pii_scan": _pii_scan,
         "ann_topk": _ann_topk,

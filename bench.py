@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_semantic",
     "dup_clusters",
     "pii_scan",
     "ann_topk",

@@ -565,6 +565,52 @@ def dedup_simhash(
     return hamming_pairs(fp, "id", "simhash", max_hamming)
 
 
+def dedup_semantic(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    m: int = 16,
+    nprobe: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): coarse-quantize the embedding space with the
+    deterministic IVF quantizer, then EXACT cosine pairs within each
+    cluster — the all-pairs O(N²) join becomes m × O((N/m)²) blocked
+    joins, and cluster granularity is the recall/cost knob.
+
+    ``nprobe > 1`` assigns each vector to its ``nprobe`` nearest
+    centroids so near-dups straddling a cluster boundary still meet
+    (pairs sharing several probed clusters are deduped; the cosine is
+    identical wherever the pair meets, so keep-any is exact).
+
+    Scale shape: quantizer fit is one bounded-sample Spark job
+    (``ivf_fit_centroids``); assignment is a vectorized Arrow batch
+    per task; the pair join inherits ``dedup_embedding``'s blocked
+    join.  At 100 TB, ``m`` grows with corpus size to hold the
+    per-cluster pair volume constant — the assignment stays one pass
+    either way.
+    """
+    from .similarity import _ivf_assign_udf, _ivf_probe_udf, ivf_fit_centroids
+
+    cents = ivf_fit_centroids(emb, m=m, id_col=id_col, vec_col=vec_col)
+    if nprobe <= 1:
+        assigned = emb.withColumn(
+            "_sem_cluster", _ivf_assign_udf(cents)(F.col(vec_col))
+        )
+        return dedup_embedding(
+            assigned, id_col, vec_col, block_col="_sem_cluster", threshold=threshold
+        )
+    probed = emb.withColumn(
+        "_sem_cluster", F.explode(_ivf_probe_udf(cents, nprobe)(F.col(vec_col)))
+    )
+    pairs = dedup_embedding(
+        probed, id_col, vec_col, block_col="_sem_cluster", threshold=threshold
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -138,3 +138,44 @@ def test_connected_components_converges_under_max_iter(spark):
     edges = spark.createDataFrame(clique, "id_a long, id_b long")
     cc = D.connected_components(edges, max_iter=2).collect()
     assert all(r.cluster_id == 0 for r in cc) and len(cc) == 6
+
+
+def test_semantic_dedup_sound_and_recall(spark):
+    """SemDeDup soundness: every reported pair's cosine really clears
+    the threshold (subset of the exact all-pairs set); recall: the
+    deterministic quantizer + multi-probe recovers most of the exact
+    pairs on the real embeddings table."""
+    from gdelt_extractor_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # exact all-pairs baseline: reuse the blocked join with ONE block
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.dedup_embedding(
+            emb.withColumn("_all", F.lit(1)),
+            block_col="_all",
+            threshold=0.3,
+        ).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.dedup_semantic(emb, threshold=0.3, m=8, nprobe=2).collect()
+    }
+    assert set(sem) <= exact, "semantic pairs must be a subset of exact"
+    assert all(c >= 0.3 for c in sem.values())
+    recall = len(sem) / max(1, len(exact))
+    assert recall >= 0.5, f"recall {recall:.2f} below floor"
+
+
+def test_semantic_dedup_deterministic(spark):
+    """Fixed quantizer seed + stable assignment: two runs agree."""
+    from gdelt_extractor_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    r1 = sorted(
+        (r.id_a, r.id_b) for r in D.dedup_semantic(emb, threshold=0.3, m=8).collect()
+    )
+    r2 = sorted(
+        (r.id_a, r.id_b) for r in D.dedup_semantic(emb, threshold=0.3, m=8).collect()
+    )
+    assert r1 == r2 and r1

@@ -59,6 +59,7 @@ def canon(df) -> list[tuple]:
 ROWS_ONLY = (
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_semantic",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "approx_distinct_users",
