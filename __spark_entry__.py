@@ -295,6 +295,18 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing placement over documents
+    (8 shards, 512-token budget — small enough that sf0.01 shards
+    span multiple sequences).  The oracle reproduces the md5 order
+    key, the whitespace token count, and the running-sum layout."""
+    from gdelt_extractor_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=512, n_shards=8
+    )
+
+
 def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over documents with deterministically
     injected PII (the synthetic corpus contains none): emails on even
@@ -481,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "dup_clusters": _dup_clusters,
         "pii_scan": _pii_scan,
+        "pack_sequences": _pack_sequences,
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -960,6 +973,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
               ({pii_flag}) AS has_pii,
               md5({pii_redact}) AS redacted_md5
+            FROM c
+        """,
+        "pack_sequences": f"""
+            WITH s AS (
+              SELECT doc_id,
+                CAST(doc_id % 8 AS INT) AS shard,
+                md5('pack-v1:' || CAST(doc_id AS VARCHAR)) AS ok,
+                CAST(len({toks_text}) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                CAST(SUM(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY ok ASC, doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS st
+              FROM s)
+            SELECT doc_id, shard, n_tokens,
+              CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
+              CAST(st % 512 AS BIGINT) AS seq_offset
             FROM c
         """,
         "ann_topk": """

@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_semantic",
     "dup_clusters",
     "pii_scan",
+    "pack_sequences",
     "ann_topk",
     "ann_lsh_topk",
     "lang_id",

@@ -1,0 +1,60 @@
+"""Sequence packing for LM training data prep.
+
+Training consumes fixed-length token sequences, not documents; the
+standard prep is concat-then-chunk — concatenate documents in a
+deterministic order and cut every ``budget`` tokens.  This operator
+assigns every document its place in that layout without materializing
+any concatenated text: one running-sum window per shard.
+
+Scale shape: documents are salted into ``n_shards`` independent
+shards and packed within each — no global ordering, no single-
+partition window; parallelism = n_shards, and each shard's running
+sum is one partial-aggregated window pass.  All expressions are JVM
+codegen (md5 order key, token count, window sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_shards: int = 8,
+    order_salt: str = "pack-v1",
+) -> DataFrame:
+    """Per-document placement in the concat-then-chunk layout:
+    (doc_id, shard, n_tokens, seq_id, seq_offset), where ``seq_id``
+    is the ``budget``-token sequence (within the shard) holding the
+    document's first token and ``seq_offset`` its offset there.  A
+    document crossing a boundary continues into the next sequence —
+    exactly the standard LM packing semantics.
+
+    Determinism: shard = id mod n_shards, order = (md5(salt:id), id)
+    — partition-independent, reproducible, and portable to the
+    DuckDB oracle.  Tokens are the repo-wide whitespace tokenizer
+    (``functions/text.py``), so budgets line up with ``token_stats``.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.md5(
+            F.concat(F.lit(order_salt + ":"), F.col(id_col).cast("string"))
+        ).alias("_ok"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_ok").asc(), F.col("doc_id").asc())
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("seq_id"),
+        (start % budget).cast("long").alias("seq_offset"),
+    )

@@ -63,3 +63,35 @@ def test_top_bigrams_counts_and_limit(spark):
     )
     rows = [(r.bigram, r.n) for r in TS.top_bigrams(df, "text", k=2).collect()]
     assert rows == [("a b", 3), ("b a", 1)]
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-then-chunk semantics: offsets accumulate in order-key
+    order within a shard, wrap at the budget, and a boundary-crossing
+    doc starts in the sequence holding its first token."""
+    from gdelt_extractor_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * 10)) for i in range(8)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=16, n_shards=2).collect()
+    assert len(out) == 8
+    by_shard: dict = {}
+    for r in out:
+        assert r.shard == r.doc_id % 2
+        assert r.n_tokens == 10
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        # reconstruct order by (seq_id, seq_offset): starts must be
+        # 0,10,20,30 -> (seq,off) = (0,0),(0,10),(1,4),(1,14)
+        starts = sorted(r.seq_id * 16 + r.seq_offset for r in rs)
+        assert starts == [0, 10, 20, 30], (shard, starts)
+
+
+def test_pack_sequences_deterministic_and_partition_independent(spark):
+    from gdelt_extractor_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (3 + i % 5))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, pack_sequences(df, budget=32).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(7), budget=32).collect()))
+    assert a == b
