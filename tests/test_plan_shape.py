@@ -160,3 +160,50 @@ def test_order_price_ranks_single_window_exchange(spark, sf_dir):
     )
     n_windows = sum(1 for l in plan.splitlines() if l.strip().startswith("(") and l.strip().endswith("Window"))
     assert n_exchanges == 1 and n_windows == 1, plan[:2000]
+
+
+def n_exchanges(plan: str) -> int:
+    """Count physical Exchange nodes once each (the formatted output
+    lists every node twice: tree line + detail section)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_pack_sequences_single_exchange_and_pruning(spark, sf_dir):
+    """Packing is one shard-keyed window pass: exactly one Exchange
+    (hashpartitioning on shard), and the scan reads only id + text."""
+    plan = plan_of(spark, "pack_sequences", sf_dir)
+    assert n_exchanges(plan) == 1
+    assert "CartesianProduct" not in plan
+    rs = read_schemas(plan)
+    assert rs and all("doc_id" in r and "text" in r and "lang" not in r for r in rs)
+
+
+def test_gkg_cooccurrence_no_self_join(spark, sf_dir):
+    """Pair expansion is per-record expression work: no join operator
+    of the exploded theme table against itself anywhere in the plan."""
+    plan = plan_of(spark, "gkg_theme_cooccurrence", sf_dir)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_pii_scan_is_scan_plus_projection(spark, sf_dir):
+    """Detection+redaction must not shuffle or leave codegen."""
+    plan = plan_of(spark, "pii_scan", sf_dir)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # no row-at-a-time or Arrow UDFs
+
+
+def test_quad_class_rollup_single_agg_pass(spark, sf_dir):
+    """CASE-label dim: no join; one partial+final aggregate pair."""
+    plan = plan_of(spark, "quad_class_rollup", sf_dir)
+    assert "Join" not in plan
+    assert n_exchanges(plan) == 1
+
+
+def test_goldstein_daily_reuses_group_partitioning(spark, sf_dir):
+    """daily groupBy shuffles on (grp, day); the rolling window then
+    re-partitions by grp only — two exchanges total, no join."""
+    plan = plan_of(spark, "goldstein_daily", sf_dir)
+    assert "Join" not in plan
+    assert n_exchanges(plan) <= 2
