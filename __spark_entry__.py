@@ -295,6 +295,17 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+
+
+def _mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture resampling over documents: src0
+    upsampled 2.5×, src1 kept at 25%, src2 dropped, everything else
+    1×.  The oracle rebuilds the same integer floor/threshold tables
+    from MIX_WEIGHTS and replicates rows via UNNEST(range(n))."""
+    return C.mix_sources(_docs(spark, sf_dir), MIX_WEIGHTS)
+
+
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing placement over documents
     (8 shards, 512-token budget — small enough that sf0.01 shards
@@ -494,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _dup_clusters,
         "pii_scan": _pii_scan,
         "pack_sequences": _pack_sequences,
+        "mix_sources": _mix_sources,
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -555,6 +567,21 @@ def oracle_sql() -> dict[str, str]:
     )
     type_vals = ", ".join(
         f"({j}, {_q(c)}, {_q(l)})" for j, (c, l) in enumerate(_t_rows)
+    )
+
+    # mixture-weight CASE tables generated from MIX_WEIGHTS (integer
+    # floor/threshold arithmetic, identical to the operator's)
+    _mf = {s: int(w) for s, w in MIX_WEIGHTS.items()}
+    _mt = {s: round((w - int(w)) * 1_000_000) for s, w in MIX_WEIGHTS.items()}
+    mix_floor_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{s}' THEN {_mf[s]}" for s in sorted(MIX_WEIGHTS))
+        + " ELSE 1 END"
+    )
+    mix_thr_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{s}' THEN {_mt[s]}" for s in sorted(MIX_WEIGHTS))
+        + " ELSE 0 END"
     )
 
     # QuadClass labels from the operator's own dict, so the CASE
@@ -973,6 +1000,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
               ({pii_flag}) AS has_pii,
               md5({pii_redact}) AS redacted_md5
+            FROM c
+        """,
+        "mix_sources": f"""
+            WITH s AS (
+              SELECT *, CAST(('0x' || substring(md5('mix-v1:'
+                || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 1000000 AS u
+              FROM documents),
+            w AS (
+              SELECT *, {mix_floor_case} AS fw, {mix_thr_case} AS thr
+              FROM s),
+            c AS (
+              SELECT *, fw + CASE WHEN u < thr THEN 1 ELSE 0 END AS n
+              FROM w)
+            SELECT doc_id, text, lang, source, n_chars,
+              CAST(UNNEST(range(CAST(n AS BIGINT))) + 1 AS INT) AS copy_id
             FROM c
         """,
         "pack_sequences": f"""

@@ -51,6 +51,7 @@ HEADLINE = [
     "dup_clusters",
     "pii_scan",
     "pack_sequences",
+    "mix_sources",
     "ann_topk",
     "ann_lsh_topk",
     "lang_id",

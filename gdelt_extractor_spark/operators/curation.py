@@ -246,3 +246,51 @@ def remove_boilerplate_lines(
         .cast("long")
         .alias("n_lines_removed"),
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic source-weighted mixture resampling — the step
+    that turns a raw corpus into a training MIXTURE (Pile/C4 style):
+    weight w < 1 keeps a w-fraction of the stratum, w > 1 replicates
+    every doc floor(w) times plus one more for a frac(w) fraction,
+    w = 0 drops the stratum.  Expected stratum size = w × |stratum|.
+
+    Same content-stable hash-threshold discipline as ``sample_split``
+    (salted md5 → uniform millionths), with the fractional part
+    resolved in INTEGER arithmetic driver-side so both engines
+    compare identical ints.  The copy fan-out is
+    ``explode(sequence(1, n_copies))`` — pure expressions, zero
+    shuffles; at 100 TB this is scan-speed, and the emitted
+    ``copy_id`` lets downstream packing/shuffling treat replicas as
+    distinct rows.
+    """
+    floors = {s: int(w) for s, w in weights.items()}
+    thrs = {s: round((w - int(w)) * 1_000_000) for s, w in weights.items()}
+    d_floor, d_thr = int(default_weight), round(
+        (default_weight - int(default_weight)) * 1_000_000
+    )
+    fw: F.Column = F.lit(d_floor)
+    thr: F.Column = F.lit(d_thr)
+    for s in sorted(weights):
+        fw = F.when(F.col(source_col) == s, F.lit(floors[s])).otherwise(fw)
+        thr = F.when(F.col(source_col) == s, F.lit(thrs[s])).otherwise(thr)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    n = (fw + F.when(u < thr, F.lit(1)).otherwise(F.lit(0))).alias("_n")
+    copies = F.when(n > 0, F.sequence(F.lit(1), n))  # NULL (dropped) when n = 0
+    return df.select("*", F.explode(copies).alias("copy_id"))

@@ -216,3 +216,33 @@ def test_remove_boilerplate_scales_past_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
     assert got == expected
+
+
+def test_mix_sources_weights(spark):
+    from gdelt_extractor_spark.operators.curation import mix_sources
+
+    rows = [(i, f"doc {i}", ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mix_sources(df, {"a": 3.0, "b": 0.5, "c": 0.0}).toPandas()
+    by = out.groupby("source").size().to_dict()
+    # a: exactly 3 copies each (integer weight, no fractional draw)
+    assert by["a"] == 300 and set(out[out.source == "a"].copy_id) == {1, 2, 3}
+    # b: ~half kept, single copies
+    assert 30 <= by["b"] <= 70 and set(out[out.source == "b"].copy_id) == {1}
+    # c: dropped entirely
+    assert "c" not in by
+    # default weight 1.0: untouched stratum
+    out2 = mix_sources(df, {"c": 0.0}).toPandas()
+    assert len(out2[out2.source == "a"]) == 100
+
+
+def test_mix_sources_deterministic(spark):
+    from gdelt_extractor_spark.operators.curation import mix_sources
+
+    rows = [(i, "x", "s") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted(map(tuple, mix_sources(df, {"s": 1.7}).collect()))
+    b = sorted(map(tuple, mix_sources(df.repartition(5), {"s": 1.7}).collect()))
+    assert a == b
+    # expected size ≈ 1.7 × 200
+    assert 300 <= len(a) <= 380
