@@ -89,11 +89,20 @@ def shingles(text_col: str, n: int = 3) -> Column:
 
 
 def shingle_hashes_from_tokens(toks: Column, n: int = 3, distinct: bool = True) -> Column:
-    """64-bit shingle hashes (array<bigint>): xxhash64 of the
-    space-joined n-gram.  This is the scale path for MinHash:
+    """64-bit shingle hashes (array<bigint>): multi-arg xxhash64 over
+    the n tokens directly.  This is the scale path for MinHash:
     equality of hashes stands in for equality of shingles (collision
     prob ~2^-64), and downstream set ops work on fixed-width longs
     instead of strings.
+
+    Hashing the tokens as separate xxhash64 arguments skips the
+    per-shingle slice-array + concat-string allocations of the
+    ``xxhash64(concat_ws(' ', slice(...)))`` form — measured ~10-15%
+    off the tokenize→shingle→distinct pipeline at sf0.1.  Tokens past
+    the array end (docs shorter than ``n``) come back NULL from
+    ``F.get`` and multi-arg xxhash64 skips NULL arguments — the same
+    semantics as the old form, where ``slice`` truncated and
+    ``concat_ws`` joined what was left.
 
     ``distinct=False`` skips the O(len²) array_distinct (measured 4×
     of the whole shingle pipeline) — safe whenever downstream is
@@ -103,7 +112,7 @@ def shingle_hashes_from_tokens(toks: Column, n: int = 3, distinct: bool = True) 
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, (i + 1).cast("int"), n))),
+        lambda i: F.xxhash64(*[F.get(toks, (i + k).cast("int")) for k in range(n)]),
     )
     return F.array_distinct(grams) if distinct else grams
 
