@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gdelt_extractor_spark.functions.lookups import (
@@ -295,6 +295,22 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: exact-dup clusters (content hash →
+    min doc id) applied back to the corpus via keep_canonical's anti
+    join — each duplicate group keeps one row, everything else passes
+    through.  The oracle keeps the row_number()=1 row per normalized
+    content hash."""
+    docs = _docs(spark, sf_dir)
+    hashed = D.with_content_hash(docs, "text")
+    w = Window.partitionBy("content_hash")
+    clusters = hashed.select(
+        F.col("doc_id").alias("node"),
+        F.min("doc_id").over(w).alias("cluster_id"),
+    )
+    return D.keep_canonical(docs, clusters)
+
+
 MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
 
 
@@ -497,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_project": _geo_project,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
+        "dedup_apply": _dedup_apply,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -920,6 +937,14 @@ def oracle_sql() -> dict[str, str]:
               {geo_lon} AS lon,
               {wkt(geo_lon, geo_lat)} AS geom_wkt
             FROM events WHERE value > 0
+        """,
+        "dedup_apply": f"""
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY md5({_NORM.format(c='text')})
+                ORDER BY doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn = 1
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM.format(c='text')}) AS content_hash,

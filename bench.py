@@ -43,6 +43,7 @@ HEADLINE = [
     "goldstein_daily",
     "geo_project",
     "dedup_exact",
+    "dedup_apply",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -574,6 +574,30 @@ def dedup_simhash(
     return hamming_pairs(fp, "id", "simhash", max_hamming)
 
 
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Apply a dedup clustering to the corpus: keep each cluster's
+    canonical member (the ``cluster_id`` row itself — the component
+    minimum under ``connected_components``) plus every document that
+    belongs to no cluster.  The final step of the dedup pipeline:
+    pairs → clusters → deduplicated corpus.
+
+    Plan: one anti join against the non-canonical member list — a
+    frame no larger than the duplicate count, so at web-corpus dup
+    rates (10-40%) the join side is a fraction of the corpus and the
+    kept rows stream through a single shuffle (or broadcast, when the
+    dup list is small enough for AQE to promote)."""
+    drop = clusters.filter(F.col(node_col) != F.col(cluster_col)).select(
+        F.col(node_col).alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def dedup_semantic(
     emb: DataFrame,
     id_col: str = "vec_id",

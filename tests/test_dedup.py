@@ -179,3 +179,18 @@ def test_semantic_dedup_deterministic(spark):
         (r.id_a, r.id_b) for r in D.dedup_semantic(emb, threshold=0.3, m=8).collect()
     )
     assert r1 == r2 and r1
+
+
+def test_keep_canonical_applies_clusters(spark):
+    """Cluster members other than the canonical (min) id are dropped;
+    unclustered docs pass through untouched."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (3, 1), (4, 4), (5, 4)], "node long, cluster_id long"
+    )
+    kept = sorted(
+        r.doc_id for r in D.keep_canonical(docs, clusters).collect()
+    )
+    assert kept == [0, 1, 2, 4]
