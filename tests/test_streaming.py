@@ -143,3 +143,32 @@ def test_checkpoint_restart_processes_only_new_files(spark, landing, tmp_path):
         r.GLOBALEVENTID for r in spark.read.parquet(str(out)).collect()
     )
     assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_stateless_operators_compose_with_streams(spark, tmp_path):
+    """PII redaction and quality scoring are pure projections, so the
+    SAME operator code runs unchanged on a readStream source — the
+    streaming counterpart of the batch curation path."""
+    from gdelt_extractor_spark.operators.pii import redact_pii, scan_pii
+    from gdelt_extractor_spark.operators.textstats import quality_score
+
+    src = tmp_path / "docs"; src.mkdir()
+    (src / "a.csv").write_text(
+        "1\treach me at alice@example.org or 415-555-0100\n"
+        "2\tnothing sensitive in this one at all\n"
+    )
+    docs = (
+        spark.readStream.format("csv")
+        .option("sep", "\t")
+        .schema("doc_id long, text string")
+        .load(str(src))
+    )
+    out = redact_pii(scan_pii(docs))
+    U.run_to_memory_sink(out.select("doc_id", "text", "has_pii"), "pii_stream_out")
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM pii_stream_out").collect()}
+    assert rows[1].text == "reach me at [EMAIL] or [PHONE]"
+    assert rows[1].has_pii and not rows[2].has_pii
+
+    q = quality_score(docs, "doc_id", "text")
+    U.run_to_memory_sink(q.select("doc_id", "quality"), "quality_stream_out")
+    assert spark.sql("SELECT * FROM quality_stream_out").count() == 2
