@@ -1,20 +1,31 @@
 """Operator namespace — every operator is a DataFrame→DataFrame
 function; import from here for the public API."""
 
-from .curation import corpus_stats, decontaminate, sample_split, stratified_sample
+from .curation import (
+    corpus_stats,
+    decontaminate,
+    mix_sources,
+    sample_split,
+    stratified_sample,
+)
 from .dedup import (
+    connected_components,
     dedup_embedding,
     dedup_exact,
     dedup_keep_first,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
+    dedup_semantic,
     dedup_simhash,
+    keep_canonical,
     minhash_signatures,
     simhash,
 )
 from .enrich import enrich_articles, enrich_articles_fetch
 from .geo import geo_project
 from .keywords import keyword_freq
+from .packing import pack_sequences
+from .pii import redact_pii, scan_pii
 from .multimodal import (
     attach_fake_media,
     audio_features,
@@ -34,8 +45,10 @@ __all__ = [
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
     "fingerprint", "frame_sample", "geo_project", "image_features",
+    "connected_components", "dedup_semantic", "keep_canonical",
     "ivf_fit_centroids", "keyword_freq", "lang_id",
-    "minhash_signatures", "quality_score", "range_join",
+    "minhash_signatures", "mix_sources", "pack_sequences",
+    "quality_score", "range_join", "redact_pii",
     "resize_images", "salted_agg", "salted_join", "sample_split",
-    "simhash", "stratified_sample", "token_stats",
+    "scan_pii", "simhash", "stratified_sample", "token_stats",
 ]
