@@ -644,11 +644,37 @@ def dedup_semantic(
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
+def _driver_union_find(sym_edges: DataFrame) -> DataFrame:
+    """Finish a (contracted) component graph driver-side: one bounded
+    collect, classic union-find with path compression and min-root
+    union, back out as a (node, label) mapping frame.  Deterministic:
+    the merged root is always the min of the two roots, so the final
+    root is the component minimum regardless of edge order."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym_edges.collect():
+        ra, rb = find(row.u), find(row.v)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sym_edges.sparkSession.createDataFrame(
+        [(n, find(n)) for n in sorted(parent)], "node long, label long"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_finish_edges: int = 1_000_000,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into duplicate CLUSTERS: returns
     (node, cluster_id) where cluster_id is the minimum node id in the
@@ -682,6 +708,16 @@ def connected_components(
     ``max_iter`` (log2 of the largest plausible component) turns a
     pathological non-shrink into a loud error instead of a
     silently-partial clustering.
+
+    ``driver_finish_edges``: once the (geometrically shrinking)
+    contracted edge set fits this cap, the remaining rounds collapse
+    into ONE bounded collect + driver union-find — the same
+    bounded-driver-work pattern as the IVF quantizer fit.  Each saved
+    distributed round is ~3 tiny-data Spark jobs of pure scheduling
+    overhead; at 100 TB the first rounds still run distributed and
+    only the contracted tail (≤ cap × 16 bytes, ~16 MB at the
+    default) ever reaches the driver.  Set 0 to force the fully
+    distributed path.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # checkpoint the symmetrized edge list ONCE: its lineage contains
@@ -699,6 +735,14 @@ def connected_components(
     steps: list[DataFrame] = []
     converged = False
     for _ in range(max_iter):
+        n_edges = ecur.count()
+        if n_edges == 0:
+            converged = True
+            break
+        if n_edges <= driver_finish_edges:
+            steps.append(_driver_union_find(ecur))
+            converged = True
+            break
         m = (
             ecur.groupBy("u")
             .agg(F.min("v").alias("mv"))
@@ -714,13 +758,15 @@ def connected_components(
         )
         steps.append(m.select(F.col("u").alias("node"), F.col("m").alias("label")))
         ecur = contracted.localCheckpoint(eager=True)
-        if ecur.isEmpty():
-            converged = True
-            break
+        # emptiness is re-checked by the count at the top of the loop
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (rounds needed ≈ log2 of the largest component)"
+        )
+    if not steps:  # no edges at all: every node is its own cluster
+        return edges.sparkSession.createDataFrame(
+            [], "node long, cluster_id long"
         )
     mapping = steps[0]
     for step in steps[1:]:

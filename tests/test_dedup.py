@@ -194,3 +194,25 @@ def test_keep_canonical_applies_clusters(spark):
         r.doc_id for r in D.keep_canonical(docs, clusters).collect()
     )
     assert kept == [0, 1, 2, 4]
+
+
+def test_connected_components_distributed_matches_driver_finish(spark):
+    """driver_finish_edges=0 forces the fully distributed contraction
+    loop; results must be identical to the default hybrid path."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(400))
+    edges = [(a, rng.choice(nodes)) for a in nodes for _ in range(2)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    hybrid = sorted(map(tuple, D.connected_components(df).collect()))
+    dist = sorted(
+        map(tuple, D.connected_components(df, driver_finish_edges=0).collect())
+    )
+    assert hybrid == dist and hybrid
+
+
+def test_connected_components_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(df).count() == 0
