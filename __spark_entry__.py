@@ -425,6 +425,13 @@ def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filter over documents: hard-threshold measurements
+    + keep verdict; oracle regenerated from the operator's own
+    thresholds and stopword list."""
+    return TS.gopher_rules(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.quality_score(_docs(spark, sf_dir, width=0), "doc_id", "text")
 
@@ -529,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "lang_confusion": _lang_confusion,
         "quality_score": _quality_score,
+        "gopher_rules": _gopher_rules,
         "token_stats": _token_stats,
         "fingerprint": _fingerprint,
         "decontaminate": _decontaminate,
@@ -585,6 +593,14 @@ def oracle_sql() -> dict[str, str]:
     type_vals = ", ".join(
         f"({j}, {_q(c)}, {_q(l)})" for j, (c, l) in enumerate(_t_rows)
     )
+
+    from gdelt_extractor_spark.operators.textstats import (
+        EN_STOPWORDS,
+        GOPHER_RULES,
+    )
+
+    _stop_sql = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    _R = GOPHER_RULES
 
     # mixture-weight CASE tables generated from MIX_WEIGHTS (integer
     # floor/threshold arithmetic, identical to the operator's)
@@ -1118,6 +1134,34 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM p GROUP BY lang, lang_pred
+        """,
+        "gopher_rules": f"""
+            WITH s AS (
+              SELECT doc_id, text, {toks_text} AS toks FROM documents),
+            m AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                CAST(list_sum(list_transform(toks, w ->
+                  CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+                len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                  AS n_alpha,
+                len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+                CAST(len(list_intersect(list_distinct(toks),
+                  {_stop_sql})) AS BIGINT) AS n_stopwords
+              FROM s)
+            SELECT doc_id, n_words,
+              sum_len / CAST(n_words AS DOUBLE) AS mean_word_len,
+              n_alpha / CAST(n_words AS DOUBLE) AS alpha_word_frac,
+              n_sym / CAST(n_words AS DOUBLE) AS symbol_ratio,
+              n_stopwords,
+              (n_words BETWEEN {_R['min_words']} AND {_R['max_words']}
+               AND sum_len / CAST(n_words AS DOUBLE)
+                 BETWEEN {_R['min_mean_word_len']} AND {_R['max_mean_word_len']}
+               AND n_alpha / CAST(n_words AS DOUBLE) >= {_R['min_alpha_word_frac']}
+               AND n_sym / CAST(n_words AS DOUBLE) <= {_R['max_symbol_ratio']}
+               AND n_stopwords >= {_R['min_stopwords']}) AS keep
+            FROM m
         """,
         "quality_score": f"""
             WITH s AS (

@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "lang_id",
     "quality_score",
+    "gopher_rules",
     "token_stats",
     "fingerprint",
     "rollup_daily",

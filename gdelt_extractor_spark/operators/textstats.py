@@ -233,3 +233,70 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A —
+# the canonical rule-based quality baseline).  Word-count bounds are
+# tightened from the paper's [50, 100k] so the synthetic corpus
+# exercises both outcomes; at production scale use the paper's.
+GOPHER_RULES = {
+    "min_words": 30,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "min_alpha_word_frac": 0.8,
+    "max_symbol_ratio": 0.1,
+    "min_stopwords": 2,
+}
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style rule FILTER: per-document rule measurements plus a
+    ``keep`` verdict (every rule passes).  Unlike ``quality_score``
+    (a soft composite), this is the hard-threshold baseline most
+    pipelines run first.  Pure per-row JVM expressions — one
+    projection, no shuffle, scan-speed at 100 TB.
+
+    Rules: word count within bounds, mean word length within bounds,
+    ≥80% of words contain a letter, symbol-to-word ratio (``#`` and
+    ``...``) ≤ 0.1, and ≥2 distinct English stopwords present.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_txt"),
+        tokens(text_col).alias("_toks"),  # materialized: tokenize once
+    )
+    toks = F.col("_toks")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = sum_len / n_words
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words
+    symbols = F.regexp_count(F.col("_txt"), F.lit("#")) + F.regexp_count(
+        F.col("_txt"), F.lit(r"\.\.\.")
+    )
+    sym_ratio = symbols / n_words
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.lit(list(EN_STOPWORDS))
+        )
+    )
+    R = GOPHER_RULES
+    keep = (
+        n_words.between(R["min_words"], R["max_words"])
+        & mean_wl.between(R["min_mean_word_len"], R["max_mean_word_len"])
+        & (alpha_frac >= R["min_alpha_word_frac"])
+        & (sym_ratio <= R["max_symbol_ratio"])
+        & (n_stop >= R["min_stopwords"])
+    )
+    return base.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        sym_ratio.alias("symbol_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        keep.alias("keep"),
+    )

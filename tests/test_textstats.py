@@ -95,3 +95,28 @@ def test_pack_sequences_deterministic_and_partition_independent(spark):
     a = sorted(map(tuple, pack_sequences(df, budget=32).collect()))
     b = sorted(map(tuple, pack_sequences(df.repartition(7), budget=32).collect()))
     assert a == b
+
+
+def test_gopher_rules_thresholds(spark):
+    from gdelt_extractor_spark.operators.textstats import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog and runs on"] * 5
+    )  # 55 words, stopwords present, alphabetic
+    short = "too short to pass"
+    symbols = " ".join(["the and ### ... ### ... for on it"] * 8)
+    numbers = " ".join(["12345 67890 11111 22222 33333 the and"] * 10)
+    rows = [(1, good), (2, short), (3, symbols), (4, numbers)]
+    out = {
+        r.doc_id: r
+        for r in gopher_rules(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert out[1].keep
+    assert not out[2].keep          # below min word count
+    assert not out[3].keep          # symbol ratio too high
+    assert not out[4].keep          # alpha-word fraction too low
+    assert out[1].n_stopwords >= 2
