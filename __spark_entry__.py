@@ -1135,7 +1135,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM p GROUP BY lang, lang_pred
         """,
-        "gopher_rules": f"""
+        "gopher_rules": rf"""
             WITH s AS (
               SELECT doc_id, text, {toks_text} AS toks FROM documents),
             m AS (
