@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 from ..functions.text import tokens
 
@@ -36,17 +37,29 @@ def pack_sequences(
     document crossing a boundary continues into the next sequence —
     exactly the standard LM packing semantics.
 
-    Determinism: shard = id mod n_shards, order = (md5(salt:id), id)
-    — partition-independent, reproducible, and portable to the
-    DuckDB oracle.  Tokens are the repo-wide whitespace tokenizer
-    (``functions/text.py``), so budgets line up with ``token_stats``.
+    Determinism: shard = id mod n_shards for integral ids (the value
+    the DuckDB oracle reproduces verbatim); non-numeric ids hash into
+    shards through the md5 order key (first 8 hex digits mod
+    n_shards), so string document ids pack without an analysis error.
+    Order = (md5(salt:id), id) — partition-independent, reproducible,
+    and portable to the DuckDB oracle.  Tokens are the repo-wide
+    whitespace tokenizer (``functions/text.py``), so budgets line up
+    with ``token_stats``.
     """
+    order_key = F.md5(
+        F.concat(F.lit(order_salt + ":"), F.col(id_col).cast("string"))
+    )
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    else:
+        shard = F.pmod(
+            F.conv(F.substring(order_key, 1, 8), 16, 10).cast("long"),
+            F.lit(n_shards),
+        )
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
-        F.md5(
-            F.concat(F.lit(order_salt + ":"), F.col(id_col).cast("string"))
-        ).alias("_ok"),
+        shard.cast("int").alias("shard"),
+        order_key.alias("_ok"),
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy(F.col("_ok").asc(), F.col("doc_id").asc())

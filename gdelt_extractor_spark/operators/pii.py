@@ -17,11 +17,18 @@ from pyspark.sql import functions as F
 # computed on the ORIGINAL text, so order only matters for redaction
 # (email first so its local-part digits can't be half-eaten by the
 # phone pattern; SSN before phone since both are digit-dash shapes).
+#
+# ipv4 octets are range-constrained to 0-255 (leading-zero-free), so
+# 999.999.999.999 no longer counts.  Known residual over-match: RE2
+# (the DuckDB oracle engine) has no lookarounds, so a valid-octet
+# PREFIX of a longer dotted run ("10.0.1.2.3" → "10.0.1.2") still
+# matches; that is the precision floor of engine-portable patterns.
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 PII_PATTERNS: list[tuple[str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ipv4", rf"\b{_OCTET}(?:\.{_OCTET}){{3}}\b"),
 ]
 
 

@@ -7,6 +7,7 @@ pushdown/pruning; callers select/filter immediately after load.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,6 +85,33 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 
 _SPLIT_MEMO: dict[str, int] = {}
 
+# Spark's JavaUtils.byteStringAs suffixes (case-insensitive); a bare
+# number in spark.sql.files.maxPartitionBytes means bytes.
+_BYTE_SUFFIX = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def _parse_byte_string(value: str) -> int:
+    """Parse a Spark byte-string conf value ("134217728b", "128m",
+    "1g", "64") into bytes — every form Spark's own
+    ``JavaUtils.byteStringAs`` accepts for size confs."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", value)
+    if m is None or m.group(2).lower() not in _BYTE_SUFFIX:
+        raise ValueError(f"not a Spark byte-string: {value!r}")
+    return int(m.group(1)) * _BYTE_SUFFIX[m.group(2).lower()]
+
 
 def _estimated_splits(spark: SparkSession, path: str) -> int:
     """Scan-split estimate for ``path``, memoized per process.
@@ -97,7 +125,9 @@ def _estimated_splits(spark: SparkSession, path: str) -> int:
     anyway.
     """
     if path not in _SPLIT_MEMO:
-        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
+        max_pb = _parse_byte_string(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
         total = 0
         if os.path.isfile(path):
             total = os.path.getsize(path)

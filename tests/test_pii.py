@@ -27,6 +27,22 @@ def test_scan_counts_each_kind(spark):
     assert [r.has_pii for r in rows] == [True, True, True, True, False]
 
 
+def test_ipv4_octet_range_enforced(spark):
+    """999.999.999.999 and 256.x must not count; valid-octet PREFIX of
+    a longer dotted run still matches (documented RE2-portability
+    floor — no lookarounds in the oracle engine)."""
+    rows = scan_pii(
+        _df(
+            spark,
+            "bad 999.999.999.999 and 256.1.1.1 and 1999.2.3.4",
+            "version 10.0.1.2.3 string",
+            "edge 0.0.0.0 and 255.255.255.255",
+            "leading-zero 01.2.3.4",
+        )
+    ).orderBy("id").collect()
+    assert [r.n_ipv4 for r in rows] == [0, 1, 2, 0]
+
+
 def test_ssn_not_double_counted_as_phone(spark):
     r = scan_pii(_df(spark, "id 123-45-6789")).collect()[0]
     assert (r.n_ssn, r.n_phone) == (1, 0)

@@ -97,6 +97,28 @@ def test_pack_sequences_deterministic_and_partition_independent(spark):
     assert a == b
 
 
+def test_pack_sequences_string_ids(spark):
+    """String document ids shard via the md5 order key (ADVICE r4:
+    pmod on a string column fails analysis) — layout semantics are
+    otherwise identical: every shard's starts tile 0,n,2n,..."""
+    from gdelt_extractor_spark.operators.packing import pack_sequences
+
+    rows = [(f"doc-{i}", " ".join(["w"] * 10)) for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_sequences(df, id_col="doc_id", budget=16, n_shards=4).collect()
+    assert len(out) == 16
+    assert all(0 <= r.shard < 4 for r in out)
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        starts = sorted(r.seq_id * 16 + r.seq_offset for r in rs)
+        assert starts == [10 * i for i in range(len(rs))], (shard, starts)
+    # deterministic under repartitioning
+    again = pack_sequences(df.repartition(5), id_col="doc_id", budget=16, n_shards=4)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again.collect()))
+
+
 def test_gopher_rules_thresholds(spark):
     from gdelt_extractor_spark.operators.textstats import gopher_rules
 
