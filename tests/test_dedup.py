@@ -140,6 +140,21 @@ def test_connected_components_converges_under_max_iter(spark):
     assert all(r.cluster_id == 0 for r in cc) and len(cc) == 6
 
 
+def test_connected_components_monotone_chain_converges(spark):
+    """ADVICE r4: value-order contraction removes ~1 node per round
+    on a monotone-id path, so a 600-node chain would blow through
+    max_iter=25.  Hash-priority contraction shrinks it geometrically:
+    the same chain must fully converge (distributed path forced so
+    the driver finish can't mask the contraction behavior)."""
+    n = 600
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    cc = D.connected_components(edges, driver_finish_edges=0).collect()
+    assert {r.cluster_id for r in cc} == {0}
+    assert len(cc) == n + 1
+
+
 def test_semantic_dedup_sound_and_recall(spark):
     """SemDeDup soundness: every reported pair's cosine really clears
     the threshold (subset of the exact all-pairs set); recall: the
