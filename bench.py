@@ -2,17 +2,38 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "runs": {name: [sec, ...]},
+"n_errors": N, "incomplete": bool, "sf": ...}.
+
+Per-query numbers are MEDIANS over N_REPS interleaved full passes
+(pass 1 times every query once, then pass 2, ...), so a one-off GC
+pause or page-cache miss lands in one rep, not the reported number,
+and round-over-round deltas are signal (VERDICT r4: the only open
+perf questions were single-sample).  "value" = sum of medians; when
+any query errors, n_errors/incomplete flag the total as NOT
+comparable to complete rounds (ADVICE r4).
+
+COMPARABILITY NOTE vs r4-and-earlier totals: those were single
+samples taken in a JVM whose ContextCleaner never ran (no driver GC
+on a 128 GiB heap), so per-query cost depended on suite position —
+early queries under-measured, late queries over-measured (the r4
+'unexplained regressions').  r5+ numbers are steady-state medians
+with periodic GC; compare rounds r5+ to each other, and to r4 only
+per-query with that caveat.
 
 Each query is fully materialized via the noop sink (write-side action,
 no driver collect).  A warmup pass on sf0.001 first-touches JVM/codegen
 so measured numbers are steady-state.
+
+$SPARK_GRAFT_BENCH_QUERIES (comma-separated names) restricts the run
+for isolation experiments — e.g. timing one query alone vs in-suite.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -90,21 +111,39 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def release(spark) -> None:
+_release_count = 0
+
+
+def release(spark, gc_every: int = 0) -> None:
     """Drop the finished query's leftover storage blocks (persisted
-    frames, localCheckpoint RDDs) before timing the next one, so 48
+    frames, localCheckpoint RDDs) before timing the next one, so 58
     back-to-back queries in one JVM don't accrete executor memory and
     make later queries pay the earlier ones' eviction pressure — a
     bench-harness artifact, not a property of the queries.
 
-    Targeted unpersist, NOT a forced full GC: System.gc() was measured
-    to slow every subsequent query ~1.5× uniformly (it throws away
-    JIT/codegen warm state), while doing nothing for localCheckpoint
-    blocks until the Python wrapper died anyway."""
+    ``gc_every``: additionally force a driver System.gc() every that
+    many release() calls.  Spark's ContextCleaner frees shuffle
+    files, broadcasts, and RDD blocks via WEAK REFERENCES — nothing
+    is reclaimed until a driver GC runs, and on a 128 GiB heap the
+    JVM sees no reason to collect for minutes, so hundreds of
+    back-to-back queries accumulate shuffle/broadcast state until
+    the whole fleet degrades (~1.5×: r4's 'unexplained' ann_lsh/
+    lang_id regressions were exactly late-suite position paying
+    accumulated state; measured pass totals 40.8s → 62.7s → 59.3s
+    without GC).  Per-query GC is too blunt (it also discards warm
+    allocation structures), but a per-pass GC lets ContextCleaner
+    actually run between passes."""
+    global _release_count
     spark.catalog.clearCache()  # Dataset.persist entries (CacheManager)
     jsc = spark.sparkContext._jsc
     for rdd in jsc.getPersistentRDDs().values():  # RDD.persist (localCheckpoint)
         rdd.unpersist()
+    _release_count += 1
+    if gc_every and _release_count % gc_every == 0:
+        spark.sparkContext._jvm.System.gc()
+
+
+N_REPS = 3
 
 
 def main() -> None:
@@ -113,44 +152,66 @@ def main() -> None:
     spark = get_spark("gdelt-extractor-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
-    missing = sorted(set(queries) - set(HEADLINE))
-    assert not missing, f"queries() entries missing from bench HEADLINE: {missing}"
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    if subset:
+        headline = [n for n in HEADLINE if n in set(subset.split(","))]
+    else:
+        headline = HEADLINE
+        missing = sorted(set(queries) - set(HEADLINE))
+        assert not missing, f"queries() entries missing from bench HEADLINE: {missing}"
 
     # One broken query must not sink the whole bench (r3 lost ALL perf
     # data to a single warmup AnalysisException): catch per query,
     # record {"err": ...}, keep timing the rest.
+    # GC cadence (release() docstring): every 15 queries measured
+    # best — steady ~42s passes vs alternating 40/59/41 with
+    # per-pass GC and 41/63/59 with none.  Applied from the warmups
+    # on, so timed pass 1 starts at steady state too.
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "15"))
     errors: dict[str, str] = {}
-    for name in HEADLINE:  # warmup 1: tiny SF — JIT/codegen first-touch
+    for name in headline:  # warmup 1: tiny SF — JIT/codegen first-touch
         try:
             materialize(queries[name](spark, "/root/testdata/sf0.001"))
         except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-    release(spark)
-    for name in HEADLINE:  # warmup 2: target SF — page cache, AQE
+    release(spark, gc_every)
+    for name in headline:  # warmup 2: target SF — page cache, AQE
         if name in errors:  # plans, and allocation paths at real size
             continue
         try:
             materialize(queries[name](spark, sf_dir))
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-        release(spark)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name in errors:
-            continue
-        t0 = time.perf_counter()
-        try:
-            materialize(queries[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-        release(spark)
+        release(spark, gc_every)
+    # N_REPS interleaved full passes: rep i of query q runs a whole
+    # suite apart from rep i+1, so per-query medians absorb both
+    # one-off stalls and slow drift across the run.
+    reps: dict[str, list[float]] = {n: [] for n in headline}
+    for _ in range(N_REPS):
+        for name in headline:
+            if name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                materialize(queries[name](spark, sf_dir))
+                reps[name].append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            release(spark, gc_every)
+    timings = {
+        n: round(statistics.median(ts), 3)
+        for n, ts in reps.items()
+        if ts and n not in errors
+    }
 
     out: dict = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
+        "runs": {n: ts for n, ts in reps.items() if ts},
+        "n_errors": len(errors),
+        "incomplete": bool(errors) or bool(subset),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Always exit 0 with the JSON line emitted: the driver's parse of
