@@ -17,6 +17,7 @@ property-tested against their exact baselines in tests/.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -38,6 +39,17 @@ from gdelt_extractor_spark.plans import queries as Q
 from gdelt_extractor_spark.sources.tables import load_table, parallelized
 
 SF0001 = "/root/testdata/sf0.001"
+
+# GDELT-shaped TSV fixtures (committed; regenerate with
+# scripts/gen_gdelt_fixtures.py).  The reader-path entries
+# (mention_stats, gkg_theme_daily) run the REAL typed-TSV readers
+# end-to-end against these files and their oracles read the SAME
+# files via DuckDB read_csv — so the 61/16/27-column schema parses
+# are value-hash-gated, not just unit-tested.  These entries are
+# sf-invariant by design (the fixture is the dataset).
+GDELT_FIXTURES = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "gdelt"
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str, width: int | None = None) -> DataFrame:
@@ -217,6 +229,35 @@ def _goldstein_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return goldstein_daily(g).withColumn("day", F.col("day").cast("timestamp"))
 
 
+def _mention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mentions⋈events: fixture TSVs through the REAL 61-col /
+    16-col readers (sources/gdelt.py read_gdelt_v2 /
+    read_gdelt_mentions), then the mention_stats operator — per-event
+    mention count, distinct sources, mean confidence, first-mention
+    latency.  The oracle reads the same TSVs with DuckDB read_csv."""
+    from gdelt_extractor_spark.sources.gdelt import (
+        mention_stats,
+        read_gdelt_mentions,
+        read_gdelt_v2,
+    )
+
+    ev = read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv")
+    me = read_gdelt_mentions(spark, f"{GDELT_FIXTURES}/v2_mentions.tsv")
+    return mention_stats(ev, me)
+
+
+def _gkg_theme_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GKG end-to-end: fixture TSV through the REAL 27-col reader
+    (sources/gdelt.py read_gdelt_gkg), then the daily theme rollup
+    (per-record-distinct theme explode, V2Tone first-field tone)."""
+    from gdelt_extractor_spark.sources.gdelt import (
+        gkg_theme_daily,
+        read_gdelt_gkg,
+    )
+
+    return gkg_theme_daily(read_gdelt_gkg(spark, f"{GDELT_FIXTURES}/v2_gkg.tsv"))
+
+
 def _geo_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     derived = e.select(
@@ -308,6 +349,22 @@ def _dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node"),
         F.min("doc_id").over(w).alias("cluster_id"),
     )
+    return D.keep_canonical(docs, clusters)
+
+
+def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline as ONE oracle-gated unit: exact
+    n-gram Jaccard pairs (threshold 0.6, hot-shingle cap 100) →
+    connected components (transitive closure to clusters) →
+    keep_canonical (anti join drops every non-minimum cluster
+    member).  Composes dedup.py's three stages end-to-end — the
+    oracle re-derives the same pairs, closes them with a recursive
+    CTE, and anti-joins the same drop list."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.dedup_ngram_jaccard(
+        docs, "text", "doc_id", n=3, threshold=0.6, max_shingle_df=100
+    )
+    clusters = D.connected_components(pairs)
     return D.keep_canonical(docs, clusters)
 
 
@@ -517,10 +574,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
         "quad_class_rollup": _quad_class_rollup,
         "goldstein_daily": _goldstein_daily,
+        "mention_stats": _mention_stats,
+        "gkg_theme_daily": _gkg_theme_daily,
         "geo_project": _geo_project,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
         "dedup_apply": _dedup_apply,
+        "dedup_pipeline": _dedup_pipeline,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -554,6 +614,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def _duck_tsv(filename: str, schema) -> str:
+    """DuckDB read_csv over a GDELT fixture TSV with the column
+    names/types generated FROM THE SPARK SCHEMA — the two engines
+    parse the same file with the same contract, so reader parity
+    cannot drift."""
+    from pyspark.sql import types as T
+
+    duck = {
+        T.LongType(): "BIGINT",
+        T.IntegerType(): "INTEGER",
+        T.DoubleType(): "DOUBLE",
+        T.StringType(): "VARCHAR",
+    }
+    cols = ", ".join(f"'{f.name}': '{duck[f.dataType]}'" for f in schema.fields)
+    return (
+        f"read_csv('{GDELT_FIXTURES}/{filename}', delim='\t', "
+        f"header=false, columns={{{cols}}})"
+    )
 
 
 _SCRUB = "regexp_replace({c}, '[^a-zA-Z0-9 \\n]', '', 'g')"
@@ -597,6 +677,11 @@ def oracle_sql() -> dict[str, str]:
     from gdelt_extractor_spark.operators.textstats import (
         EN_STOPWORDS,
         GOPHER_RULES,
+    )
+    from gdelt_extractor_spark.sources.gdelt import (
+        GKG_SCHEMA,
+        MENTIONS_SCHEMA,
+        V2_EVENTS_SCHEMA,
     )
 
     _stop_sql = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
@@ -649,6 +734,33 @@ def oracle_sql() -> dict[str, str]:
     for kind, pat in PII_PATTERNS:
         pii_redact = f"regexp_replace({pii_redact}, '{pat}', '[{kind.upper()}]', 'g')"
     pii_flag = " OR ".join(f"n_{kind} > 0" for kind, _ in PII_PATTERNS)
+
+    # shared n-gram Jaccard candidate/verify CTE chain (hot-shingle
+    # guard at df<=100 mirrors the Spark entries): used verbatim by
+    # dedup_ngram_jaccard (pair emission) and dedup_pipeline (pairs →
+    # recursive closure → anti join)
+    _jacc = "round(i.n_common/CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE), 6)"
+    ngram_ctes = f"""
+            t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+              FROM t, unnest(range(1, greatest(len(toks)-2, 1)+1)) AS u(i)),
+            sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+            dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+            cold AS (
+              SELECT sh.doc_id, sh.shingle
+              FROM sh JOIN dfreq USING (shingle) WHERE dfreq.df <= 100),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM cold a JOIN cold b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+              FROM sh a
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+              GROUP BY a.doc_id, b.doc_id)"""
 
     def wkt(lon: str, lat: str) -> str:
         return (
@@ -972,32 +1084,65 @@ def oracle_sql() -> dict[str, str]:
         # shingle counts for surviving pairs use the full sets, so the
         # jaccard values are exact
         "dedup_ngram_jaccard": f"""
-            WITH t AS (SELECT doc_id, {toks_text} AS toks FROM documents),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
-              FROM t, unnest(range(1, greatest(len(toks)-2, 1)+1)) AS u(i)),
-            sz AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-            dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
-            cold AS (
-              SELECT sh.doc_id, sh.shingle
-              FROM sh JOIN dfreq USING (shingle) WHERE dfreq.df <= 100),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM cold a JOIN cold b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-              FROM sh a
-              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
-              GROUP BY a.doc_id, b.doc_id)
-            SELECT i.id_a, i.id_b,
-              round(i.n_common/CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE), 6) AS jaccard
+            WITH {ngram_ctes}
+            SELECT i.id_a, i.id_b, {_jacc} AS jaccard
             FROM inter i
             JOIN sz sa ON i.id_a = sa.doc_id
             JOIN sz sb ON i.id_b = sb.doc_id
-            WHERE round(i.n_common/CAST(sa.set_size + sb.set_size - i.n_common AS DOUBLE), 6) >= 0.6
+            WHERE {_jacc} >= 0.6
+        """,
+        "dedup_pipeline": f"""
+            WITH RECURSIVE {ngram_ctes},
+            pairs AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i
+              JOIN sz sa ON i.id_a = sa.doc_id
+              JOIN sz sb ON i.id_b = sb.doc_id
+              WHERE {_jacc} >= 0.6),
+            edges AS (
+              SELECT id_a AS u, id_b AS w FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(u, w) AS (
+              SELECT u, w FROM edges
+              UNION
+              SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u),
+            lbl AS (
+              SELECT u, least(u, MIN(w)) AS cluster_id FROM reach GROUP BY u),
+            dropped AS (SELECT u FROM lbl WHERE u <> cluster_id)
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d LEFT JOIN dropped ON d.doc_id = dropped.u
+            WHERE dropped.u IS NULL
+        """,
+        "mention_stats": f"""
+            WITH agg AS (
+              SELECT GLOBALEVENTID,
+                COUNT(*) AS n_mentions,
+                COUNT(DISTINCT MentionSourceName) AS n_sources,
+                {_dsum('Confidence')}/COUNT(*) AS avg_confidence,
+                MIN(epoch_us(strptime(CAST(MentionTimeDate AS VARCHAR), '%Y%m%d%H%M%S'))//1000000
+                  - epoch_us(strptime(CAST(EventTimeDate AS VARCHAR), '%Y%m%d%H%M%S'))//1000000)
+                  AS first_latency_sec
+              FROM {_duck_tsv('v2_mentions.tsv', MENTIONS_SCHEMA)} m
+              GROUP BY GLOBALEVENTID)
+            SELECT e.GLOBALEVENTID, e.EventRootCode, e.QuadClass,
+              COALESCE(agg.n_mentions, 0) AS n_mentions,
+              COALESCE(agg.n_sources, 0) AS n_sources,
+              agg.avg_confidence, agg.first_latency_sec
+            FROM {_duck_tsv('v2_events.tsv', V2_EVENTS_SCHEMA)} e
+            LEFT JOIN agg USING (GLOBALEVENTID)
+        """,
+        "gkg_theme_daily": f"""
+            WITH g AS (
+              SELECT DATE // 1000000 AS day, SourceCommonName,
+                CAST(string_split(V2Tone, ',')[1] AS DOUBLE) AS tone,
+                list_distinct(list_filter(string_split(Themes, ';'),
+                                          x -> x <> '')) AS ts
+              FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)}),
+            t AS (SELECT day, SourceCommonName, tone, unnest(ts) AS theme FROM g)
+            SELECT theme, day, COUNT(*) AS n_records,
+              COUNT(DISTINCT SourceCommonName) AS n_sources,
+              {_dsum('tone')}/COUNT(*) AS avg_tone
+            FROM t GROUP BY theme, day
         """,
         "dedup_embedding": """
             WITH v AS (

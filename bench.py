@@ -62,9 +62,12 @@ HEADLINE = [
     "gkg_theme_cooccurrence",
     "quad_class_rollup",
     "goldstein_daily",
+    "mention_stats",
+    "gkg_theme_daily",
     "geo_project",
     "dedup_exact",
     "dedup_apply",
+    "dedup_pipeline",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -341,6 +341,103 @@ def process_gdelt_events(df: DataFrame) -> DataFrame:
     return deduped.toDF(*[c.lower() for c in deduped.columns])
 
 
+def mention_stats(events: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Batch mentions⋈events analytics: per-event mention count,
+    distinct source count, mean extraction confidence, and
+    first-mention latency — the first analytic a GDELT user runs on
+    the mentions table the reference ingests and stores
+    (reference/extractor/schema.py:128-147) but never queries.
+
+    Plan shape (pinned by tests/test_plan_shape.py): mentions are
+    PRE-AGGREGATED to one row per GLOBALEVENTID (map-side partial
+    agg, one shuffle on the event id), then joined to events on the
+    SAME key — the aggregate's output partitioning satisfies the
+    join's distribution requirement, so the join adds no exchange on
+    the mentions side.  At 100 TB both tables shuffle once each on
+    GLOBALEVENTID and never again; the left join keeps zero-mention
+    events (n_mentions = 0), which matter for coverage dashboards.
+
+    Latency: EventTimeDate / MentionTimeDate are yyyyMMddHHmmss
+    longs (public codebook); both are parsed to epoch seconds in the
+    session's UTC zone, so first_latency_sec is an exact integer —
+    hash-stable across engines.
+    """
+
+    def epoch(col: str):
+        return F.unix_timestamp(F.col(col).cast("string"), "yyyyMMddHHmmss")
+
+    per_event = (
+        mentions.select(
+            "GLOBALEVENTID",
+            "MentionSourceName",
+            F.col("Confidence").cast("long").alias("conf"),
+            (epoch("MentionTimeDate") - epoch("EventTimeDate")).alias("lat_sec"),
+        )
+        .groupBy("GLOBALEVENTID")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("MentionSourceName").alias("n_sources"),
+            (
+                F.sum(F.col("conf").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_confidence"),
+            F.min("lat_sec").alias("first_latency_sec"),
+        )
+    )
+    return (
+        events.select("GLOBALEVENTID", "EventRootCode", "QuadClass")
+        .join(per_event, "GLOBALEVENTID", "left")
+        .select(
+            "GLOBALEVENTID",
+            "EventRootCode",
+            "QuadClass",
+            F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+            F.coalesce("n_sources", F.lit(0)).alias("n_sources"),
+            "avg_confidence",
+            "first_latency_sec",
+        )
+    )
+
+
+def gkg_theme_daily(gkg: DataFrame, min_records: int = 1) -> DataFrame:
+    """Daily theme rollup straight off the 27-col GKG feed: per
+    (theme, yyyymmdd day) record count, distinct-source count, and
+    mean document tone (first field of V2Tone, per the public
+    codebook).  Theme tags are de-duplicated per record
+    (array_distinct) so a repeated tag counts the record once.
+
+    One projection (split/explode stay in codegen), one partial-
+    aggregated shuffle on (theme, day).  The day is integer division
+    of the yyyyMMddHHmmss DATE long — no timestamp parse needed for
+    a calendar-day bucket, and identical arithmetic in any engine.
+    """
+    staged = gkg.select(
+        (F.col("DATE").cast("long") / 1_000_000).cast("long").alias("day"),
+        "SourceCommonName",
+        F.split(F.col("V2Tone"), ",").getItem(0).cast("double").alias("tone"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.coalesce(F.col("Themes"), F.lit("")), ";"),
+                    lambda s: s != "",
+                )
+            )
+        ).alias("theme"),
+    )
+    return (
+        staged.groupBy("theme", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("SourceCommonName").alias("n_sources"),
+            (
+                F.sum(F.col("tone").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_tone"),
+        )
+        .filter(F.col("n_records") >= min_records)
+    )
+
+
 QUAD_CLASS = {
     1: "Verbal Cooperation",
     2: "Material Cooperation",

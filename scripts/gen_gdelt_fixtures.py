@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Deterministic GDELT-shaped TSV fixtures for the oracle-gated
+reader-path queries (mention_stats, gkg_theme_daily).
+
+Regenerate with  python scripts/gen_gdelt_fixtures.py  — output is
+byte-stable (seeded PRNG, fixed formats), so the checked-in fixtures
+under tests/fixtures/gdelt/ only change when this script changes.
+
+Shapes follow the public GDELT 2.0 codebooks (the same column sets as
+reference/extractor/schema.py:1-65 and :128-147, and the public V2 GKG
+codebook): 61-col v2 export, 16-col mentions, 27-col GKG.  Fields are
+plain ASCII with no tabs/quotes/empty strings so the Spark csv reader
+and DuckDB read_csv parse byte-identically (empty-string → NULL rules
+differ between engines; the fixtures sidestep that by never emitting
+empty fields).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures", "gdelt")
+
+N_EVENTS = 2000
+N_GKG = 1500
+BASE = dt.datetime(2024, 2, 10, 0, 0, 0)
+
+THEME_POOL = [
+    "TAX_ECON", "TAX_HEALTH", "ENV_CLIMATE", "WB_632_FINANCE",
+    "EPU_POLICY", "TAX_MILITARY", "SOC_POINTSOFINTEREST", "TAX_TRADE",
+    "CRISISLEX_CRISIS", "TAX_DISASTER", "MEDIA_MSM", "TAX_RELIGION",
+    "GOV_ELECTION", "TAX_PROTEST", "SCI_TECH",
+]
+
+ACTOR_CODES = ["GOV", "MIL", "BUS", "CVL", "EDU", "MED", "JUD", "OPP"]
+COUNTRIES = ["USA", "CHN", "RUS", "FRA", "GBR", "DEU", "IND", "BRA"]
+ROOTS = ["01", "02", "04", "10", "14", "17", "19", "20"]
+
+
+def ts14(t: dt.datetime) -> str:
+    return t.strftime("%Y%m%d%H%M%S")
+
+
+def gen_events(rng: random.Random) -> tuple[list[list[str]], dict[int, dt.datetime]]:
+    rows, when = [], {}
+    for i in range(N_EVENTS):
+        gid = 1000 + i
+        t = BASE + dt.timedelta(minutes=15 * (i % 480), days=i // 480)
+        when[gid] = t
+        day = t.strftime("%Y%m%d")
+        root = ROOTS[i % len(ROOTS)]
+        base = root + str(i % 10)
+        code = base + str(i % 4)
+        actor = lambda k: [  # noqa: E731 — 10 actor cols
+            ACTOR_CODES[(i + k) % len(ACTOR_CODES)],
+            f"ACTOR {1000 + (i + k) % 97}",
+            COUNTRIES[(i + k) % len(COUNTRIES)],
+            "KG" + str((i + k) % 5),
+            "ET" + str((i + k) % 7),
+            "REL" + str((i + k) % 3),
+            "REL" + str((i + k) % 4),
+            ACTOR_CODES[(i + 2 * k) % len(ACTOR_CODES)],
+            "T2" + str((i + k) % 6),
+            "T3" + str((i + k) % 2),
+        ]
+        geo = lambda k: [  # noqa: E731 — 8 geo cols (adm2)
+            str(1 + (i + k) % 5),
+            f"City {(i + k) % 50}, State, Country",
+            COUNTRIES[(i + k) % len(COUNTRIES)][:2],
+            "AD" + str((i + k) % 30),
+            "ADM2" + str((i + k) % 12),
+            f"{((i * 37 + k * 11) % 1800) / 10 - 90:.4f}",
+            f"{((i * 53 + k * 17) % 3600) / 10 - 180:.4f}",
+            "F" + str(100000 + (i + k) % 9999),
+        ]
+        rows.append(
+            [str(gid), day, day[:6], day[:4], f"{int(day[:4]) + (i % 365) / 365:.4f}"]
+            + actor(0)
+            + actor(1)
+            + [
+                str(i % 2),
+                code,
+                base,
+                root,
+                str(1 + i % 4),
+                f"{(i % 201) / 10 - 10:.1f}",
+                str(1 + i % 40),
+                str(1 + i % 12),
+                str(1 + i % 30),
+                f"{(i % 2001) / 100 - 10:.2f}",
+            ]
+            + geo(0)
+            + geo(1)
+            + geo(2)
+            + [ts14(t), f"http://site{i % 40}.example.com/articles/{gid}"]
+        )
+    return rows, when
+
+
+def gen_mentions(
+    rng: random.Random, when: dict[int, dt.datetime]
+) -> list[list[str]]:
+    rows = []
+    for gid, t in when.items():
+        # ~15% of events get no mention rows (left-join coverage)
+        n = 0 if rng.random() < 0.15 else rng.randint(1, 6)
+        for j in range(n):
+            lag_min = rng.randint(0, 2880)  # up to 2 days late
+            mt = t + dt.timedelta(minutes=lag_min)
+            src = f"site{rng.randint(0, 40)}.example.com"
+            rows.append(
+                [
+                    str(gid),
+                    ts14(t),
+                    ts14(mt),
+                    str(1 + j % 3),
+                    src,
+                    f"http://{src}/mention/{gid}-{j}",
+                    str(j),
+                    str(100 + 13 * j),
+                    str(200 + 17 * j),
+                    str(300 + 19 * j),
+                    str(j % 2),
+                    str(10 * rng.randint(1, 10)),
+                    str(500 + 97 * j),
+                    f"{rng.randint(-1000, 1000) / 100:.2f}",
+                    "srclc:eng" if j % 4 else "srclc:fra",
+                    "-",
+                ]
+            )
+    rows.sort(key=lambda r: (int(r[0]), r[2], r[5]))
+    return rows
+
+
+def gen_gkg(rng: random.Random) -> list[list[str]]:
+    rows = []
+    for i in range(N_GKG):
+        t = BASE + dt.timedelta(minutes=30 * (i % 192), days=i // 400)
+        rid = f"{ts14(t)}-{i}"
+        k = rng.randint(2, 5)
+        themes = [THEME_POOL[rng.randrange(len(THEME_POOL))] for _ in range(k)]
+        if i % 9 == 0:
+            themes.append(themes[0])  # duplicate tag: exercises array_distinct
+        tone = rng.randint(-900, 900) / 100
+        v2tone = (
+            f"{tone:.2f},{abs(tone) / 2:.2f},{abs(tone) / 3:.2f},"
+            f"{rng.randint(0, 500) / 100:.2f},{rng.randint(0, 80)},"
+            f"{rng.randint(0, 20)},{100 + i % 900}"
+        )
+        src = f"site{i % 25}.example.com"
+        rows.append(
+            [
+                rid,
+                ts14(t),
+                "1",
+                src,
+                f"http://{src}/gkg/{i}",
+                "KILL#2#loc;" if i % 11 == 0 else "-",
+                "-",
+                ";".join(themes) + ";",
+                ";".join(f"{th},{j * 100}" for j, th in enumerate(themes)) + ";",
+                "1#Country#CO#CO01#10.5#-74.2#F1",
+                "-",
+                f"person {i % 60};person {(i * 7) % 60}",
+                "-",
+                f"org {i % 30}",
+                "-",
+                v2tone,
+                "-",
+                f"wc:{100 + i % 900}",
+                f"http://{src}/img/{i}.jpg",
+                "-",
+                "-",
+                "-",
+                "-",
+                f"Name {i % 80},123;Name {(i * 3) % 80},456",
+                f"{i % 50},amount,{i % 7}",
+                "-",
+                "-",
+            ]
+        )
+    return rows
+
+
+def write_tsv(name: str, rows: list[list[str]]) -> None:
+    path = os.path.join(OUT, name)
+    with open(path, "w", encoding="ascii", newline="\n") as f:
+        for r in rows:
+            assert all("\t" not in c and '"' not in c and c != "" for c in r), r
+            f.write("\t".join(r) + "\n")
+    print(f"{path}: {len(rows)} rows x {len(rows[0])} cols")
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    rng = random.Random(20240210)
+    events, when = gen_events(rng)
+    write_tsv("v2_events.tsv", events)
+    write_tsv("v2_mentions.tsv", gen_mentions(rng, when))
+    write_tsv("v2_gkg.tsv", gen_gkg(rng))
+
+
+if __name__ == "__main__":
+    main()

@@ -207,3 +207,29 @@ def test_goldstein_daily_reuses_group_partitioning(spark, sf_dir):
     plan = plan_of(spark, "goldstein_daily", sf_dir)
     assert "Join" not in plan
     assert n_exchanges(plan) <= 2
+
+
+def test_mention_stats_shuffles_once_per_side(spark, sf_dir):
+    """Mentions pre-aggregate to one row per GLOBALEVENTID before the
+    join; the count-distinct agg costs two exchanges on the mentions
+    side and the (broadcast at fixture scale) join adds none — never
+    a cartesian, and both scans are column-pruned (3 of 61 event
+    cols, 5 of 16 mention cols)."""
+    plan = plan_of(spark, "mention_stats", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert n_exchanges(plan) <= 2, plan[:2000]
+    rs = read_schemas(plan)
+    assert any("EventRootCode" in r and "SOURCEURL" not in r and "Actor1Code" not in r for r in rs)
+    assert any("MentionTimeDate" in r and "MentionIdentifier" not in r for r in rs)
+
+
+def test_gkg_theme_daily_single_agg_shuffle(spark, sf_dir):
+    """Split/explode/tone-parse stay in one projection; the rollup is
+    one partial-aggregated shuffle on (theme, day) plus the distinct-
+    source expansion — no join, ≤2 exchanges, and the 27-col scan is
+    pruned to the 4 consumed columns."""
+    plan = plan_of(spark, "gkg_theme_daily", sf_dir)
+    assert "Join" not in plan and "EvalPython" not in plan
+    assert n_exchanges(plan) <= 2, plan[:2000]
+    rs = read_schemas(plan)
+    assert any("Themes" in r and "V2Themes" not in r and "GCAM" not in r for r in rs)

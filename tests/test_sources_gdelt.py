@@ -282,3 +282,79 @@ def test_bundled_lookups_full_taxonomy_row_counts():
         if os.path.exists(ref):  # line-for-line parity when available
             with open(ref) as f, open(lookup_path(name)) as g:
                 assert f.read() == g.read(), name
+
+
+def test_mention_stats_unit(spark):
+    """mention_stats: counts, distinct sources, decimal-mean
+    confidence, first-mention latency; zero-mention events survive the
+    left join with n_mentions = 0 and NULL latency."""
+    ev = spark.createDataFrame(
+        [(1, "14", 4), (2, "01", 1), (3, "19", 3)],
+        "GLOBALEVENTID long, EventRootCode string, QuadClass int",
+    )
+    me = spark.createDataFrame(
+        [
+            # event 1: two mentions, same source, 15 and 60 min late
+            (1, 20240101080000, 20240101081500, "a.com", 80),
+            (1, 20240101080000, 20240101090000, "a.com", 60),
+            # event 2: one mention crossing a day boundary (25h late)
+            (2, 20240101230000, 20240103000000, "b.com", 90),
+        ],
+        "GLOBALEVENTID long, EventTimeDate long, MentionTimeDate long,"
+        " MentionSourceName string, Confidence int",
+    )
+    out = {r.GLOBALEVENTID: r for r in G.mention_stats(ev, me).collect()}
+    assert len(out) == 3
+    assert out[1].n_mentions == 2 and out[1].n_sources == 1
+    assert out[1].avg_confidence == pytest.approx(70.0)
+    assert out[1].first_latency_sec == 15 * 60
+    assert out[2].first_latency_sec == 25 * 3600
+    assert out[3].n_mentions == 0 and out[3].n_sources == 0
+    assert out[3].avg_confidence is None and out[3].first_latency_sec is None
+
+
+def test_gkg_theme_daily_unit(spark, tmp_path):
+    """gkg_theme_daily: yyyymmdd day from integer division, V2Tone
+    first-field tone, per-record theme de-duplication."""
+    rows = []
+    for rid, date, themes, tone in [
+        ("a", "20240101083000", "X;Y;X;", "-2.50,1,1,1,1,1,10"),
+        ("b", "20240101230000", "X;", "4.50,0,0,0,0,0,20"),
+        ("c", "20240102000000", "Y;", "1.00,0,0,0,0,0,30"),
+    ]:
+        cols = [""] * 27
+        cols[0], cols[1], cols[3], cols[7], cols[15] = rid, date, f"{rid}.com", themes, tone
+        rows.append("\t".join(cols))
+    p = tmp_path / "g.gkg.csv"
+    p.write_text("\n".join(rows) + "\n")
+    out = {
+        (r.theme, r.day): r
+        for r in G.gkg_theme_daily(G.read_gdelt_gkg(spark, str(p))).collect()
+    }
+    # duplicate X tag in record "a" counts once
+    assert out[("X", 20240101)].n_records == 2
+    assert out[("X", 20240101)].n_sources == 2
+    assert out[("X", 20240101)].avg_tone == pytest.approx((-2.5 + 4.5) / 2)
+    assert out[("Y", 20240101)].n_records == 1
+    assert out[("Y", 20240102)].avg_tone == pytest.approx(1.0)
+
+
+def test_gdelt_fixtures_integrity():
+    """The committed fixture TSVs parse to the documented shapes and
+    never contain empty fields (the cross-engine NULL-parity rule the
+    generator enforces)."""
+    import os
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "gdelt")
+    for name, ncols, nrows_min in [
+        ("v2_events.tsv", 61, 1000),
+        ("v2_mentions.tsv", 16, 1000),
+        ("v2_gkg.tsv", 27, 1000),
+    ]:
+        with open(os.path.join(fix, name)) as f:
+            lines = f.read().splitlines()
+        assert len(lines) >= nrows_min, name
+        for line in lines:
+            cells = line.split("\t")
+            assert len(cells) == ncols, (name, len(cells))
+            assert all(c != "" for c in cells), (name, line[:80])
