@@ -10,7 +10,7 @@ partitionings (see gdelt_extractor_spark/plans/queries.py docstring).
 
 Entries without an oracle (rows-only gate): dedup_minhash_lsh,
 dedup_simhash, dedup_semantic, ann_lsh_topk, ann_ivf_topk,
-approx_distinct_users —
+approx_distinct_users, approx_quantiles —
 approximate/hash-seeded operators whose exactness is instead
 property-tested against their exact baselines in tests/.
 """
@@ -379,6 +379,50 @@ def _mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mix_sources(_docs(spark, sf_dir), MIX_WEIGHTS)
 
 
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking over documents (32-token
+    windows, stride 24 — small enough that the synthetic docs span
+    several overlapping chunks).  The oracle reproduces the window
+    arithmetic with unnest(range) + list_slice."""
+    from gdelt_extractor_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir, width=0), chunk_tokens=32, stride=24
+    )
+
+
+URL_BLOCKLIST = ["site1.example.com", "site8.example.com", "site15.example.com"]
+
+
+def _url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL curation over documents with deterministically
+    derived messy URLs (mixed-case scheme/host, optional www,
+    tracking query, fragment, trailing slash): normalize → drop
+    blocklisted hosts (broadcast anti join) → keep one doc per
+    normalized URL.  The oracle rebuilds the same URLs and applies
+    the identical five-regex normalization chain."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def opt(cond, s: str):
+        return F.when(cond, F.lit(s)).otherwise(F.lit(""))
+
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        opt(did % 3 == 0, "WWW."),
+        F.lit("Site"),
+        (did % 40).cast("string"),
+        F.lit(".Example.com/p/"),
+        (did % 50).cast("string"),
+        opt(did % 4 == 0, "/"),
+        opt(did % 5 == 0, "?utm_source=x&id=1"),
+        opt(did % 7 == 0, "#frag"),
+    )
+    return C.url_filter(d.withColumn("url", url), "url", URL_BLOCKLIST).select(
+        "doc_id", "host", "url_norm", "lang", "source"
+    )
+
+
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing placement over documents
     (8 shards, 512-token budget — small enough that sf0.01 shards
@@ -554,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_inactive": Q.anti_join_inactive,
         "rollup_daily": Q.rollup_daily,
         "value_quantiles": Q.value_quantiles,
+        "approx_quantiles": Q.approx_value_quantiles,
         "asof_last_click": Q.asof_last_click,
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
         "window_running": Q.window_running,
@@ -589,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _dup_clusters,
         "pii_scan": _pii_scan,
         "pack_sequences": _pack_sequences,
+        "doc_chunks": _doc_chunks,
+        "url_filter": _url_filter,
         "mix_sources": _mix_sources,
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1221,6 +1268,52 @@ def oracle_sql() -> dict[str, str]:
               CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
               CAST(st % 512 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "doc_chunks": f"""
+            WITH s AS (
+              SELECT doc_id, {toks_text} AS toks FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                CAST(ceil(len(toks) / 24.0) AS BIGINT) AS nch
+              FROM s),
+            x AS (
+              SELECT doc_id, toks, unnest(range(0, nch)) AS chunk_id
+              FROM c)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+              CAST(len(list_slice(toks, chunk_id*24+1, chunk_id*24+32)) AS INT)
+                AS n_chunk_tokens,
+              array_to_string(list_slice(toks, chunk_id*24+1, chunk_id*24+32), ' ')
+                AS chunk_text
+            FROM x
+        """,
+        "url_filter": f"""
+            WITH u AS (
+              SELECT doc_id, lang, source,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                || 'Site' || CAST(doc_id % 40 AS VARCHAR)
+                || '.Example.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+                || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&id=1' ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+              FROM documents),
+            n AS (
+              SELECT doc_id, lang, source,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(lower(url), '^[a-z][a-z0-9+.\\-]*://', ''),
+                  '#.*$', ''), '\\?.*$', ''), '^www\\.', ''), '/+$', '')
+                  AS url_norm
+              FROM u),
+            h AS (
+              SELECT *, regexp_extract(url_norm, '^([^/]+)', 1) AS host FROM n),
+            k AS (
+              SELECT * FROM h WHERE host NOT IN
+                ({", ".join(f"'{b}'" for b in URL_BLOCKLIST)})),
+            d AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY url_norm ORDER BY doc_id ASC) AS rn
+              FROM k)
+            SELECT doc_id, host, url_norm, lang, source FROM d WHERE rn = 1
         """,
         "ann_topk": """
             WITH v AS (

@@ -76,6 +76,8 @@ HEADLINE = [
     "dup_clusters",
     "pii_scan",
     "pack_sequences",
+    "doc_chunks",
+    "url_filter",
     "mix_sources",
     "ann_topk",
     "ann_lsh_topk",
@@ -86,6 +88,7 @@ HEADLINE = [
     "fingerprint",
     "rollup_daily",
     "value_quantiles",
+    "approx_quantiles",
     "asof_last_click",
     "decontaminate",
     "sample_split",

@@ -5,8 +5,10 @@ from .curation import (
     corpus_stats,
     decontaminate,
     mix_sources,
+    normalize_url,
     sample_split,
     stratified_sample,
+    url_filter,
 )
 from .dedup import (
     connected_components,
@@ -24,7 +26,7 @@ from .dedup import (
 from .enrich import enrich_articles, enrich_articles_fetch
 from .geo import geo_project
 from .keywords import keyword_freq
-from .packing import pack_sequences
+from .packing import chunk_documents, pack_sequences
 from .pii import redact_pii, scan_pii
 from .multimodal import (
     attach_fake_media,
@@ -48,6 +50,7 @@ __all__ = [
     "connected_components", "dedup_semantic", "keep_canonical",
     "ivf_fit_centroids", "keyword_freq", "lang_id",
     "minhash_signatures", "mix_sources", "pack_sequences",
+    "chunk_documents", "normalize_url", "url_filter",
     "quality_score", "range_join", "redact_pii",
     "resize_images", "salted_agg", "salted_join", "sample_split",
     "scan_pii", "simhash", "stratified_sample", "token_stats",

@@ -294,3 +294,57 @@ def mix_sources(
     n = (fw + F.when(u < thr, F.lit(1)).otherwise(F.lit(0))).alias("_n")
     copies = F.when(n > 0, F.sequence(F.lit(1), n))  # NULL (dropped) when n = 0
     return df.select("*", F.explode(copies).alias("copy_id"))
+
+
+def normalize_url(col) -> "F.Column":
+    """Canonical URL form for blocklists and URL-level dedup
+    (C4-style): lowercase, strip scheme / leading ``www.`` / query /
+    fragment / trailing slashes.  Pure regexp chain — stays in
+    codegen, and the same five patterns run unchanged in any
+    POSIX-regex engine (the oracle applies the identical chain)."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, r"^[a-z][a-z0-9+.\-]*://", "")
+    x = F.regexp_replace(x, r"#.*$", "")
+    x = F.regexp_replace(x, r"\?.*$", "")
+    x = F.regexp_replace(x, r"^www\.", "")
+    return F.regexp_replace(x, r"/+$", "")
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_hosts: list[str],
+    id_col: str = "doc_id",
+    dedup: bool = True,
+) -> DataFrame:
+    """URL-based corpus curation (the C4 recipe's URL stage):
+    normalize each document's URL, drop documents whose host is on a
+    blocklist, and (optionally) keep one document per normalized URL
+    — the same page fetched twice (http/https, with/without www,
+    tracking params) must not enter the corpus twice.
+
+    Adds ``url_norm`` and ``host`` columns; keeps every other input
+    column.
+
+    Scale shape: normalization is one projection; the blocklist —
+    host-keyed and typically ≪ corpus — joins as a BROADCAST left
+    anti join (no corpus shuffle); URL dedup is one shuffle on
+    ``url_norm`` (window keep-first by ``id_col``), content-derived
+    and near-uniform by construction.  At 100 TB the only exchange
+    is the dedup's, and callers that already partition by URL can
+    pass dedup=False and use their own layout.
+    """
+    from .dedup import dedup_keep_first
+
+    spark = df.sparkSession
+    staged = df.withColumn("url_norm", normalize_url(F.col(url_col)))
+    staged = staged.withColumn(
+        "host", F.regexp_extract(F.col("url_norm"), r"^([^/]+)", 1)
+    )
+    block = spark.createDataFrame(
+        [(h.lower(),) for h in blocked_hosts], "host string"
+    )
+    kept = staged.join(F.broadcast(block), "host", "left_anti")
+    if dedup:
+        kept = dedup_keep_first(kept, key="url_norm", order=id_col)
+    return kept

@@ -71,3 +71,55 @@ def pack_sequences(
         F.floor(start / budget).cast("long").alias("seq_id"),
         (start % budget).cast("long").alias("seq_offset"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into
+    overlapping windows of ``chunk_tokens`` whitespace tokens whose
+    starts are ``stride`` apart — the standard pre-embedding /
+    context-window shaping step for retrieval and LLM training
+    corpora (stride < chunk_tokens gives chunk overlap so no span is
+    lost at a boundary; stride == chunk_tokens gives disjoint
+    chunks).
+
+    Returns one row per (document, chunk): ``id_col``, ``chunk_id``
+    (0-based), ``n_chunk_tokens`` (tail chunks run short), and
+    ``chunk_text``.
+
+    Scale shape: a single codegen projection — tokenize once,
+    ``explode(sequence(0, n_chunks-1))``, slice per chunk.  No
+    shuffle, no UDF; the fan-out is bounded by per-document length
+    (ceil(n_tokens/stride) rows per doc), so the operator streams at
+    scan speed on any corpus size and downstream repartitioning is
+    the consumer's choice.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    staged = df.select(
+        id_col, toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    n_chunks = F.ceil(F.col("_n") / F.lit(stride)).cast("long")
+    start = F.col("chunk_id") * stride  # 0-based token offset
+    chunk = F.slice(F.col("_toks"), (start + 1).cast("int"), chunk_tokens)
+    return (
+        staged.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+            "_toks",
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

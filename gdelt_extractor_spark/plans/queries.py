@@ -222,6 +222,26 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style quantile sketch (percentile_approx) per event type —
+    the scale path next to ``value_quantiles``'s exact interpolated
+    percentiles.  Approximate by construction → rows-only driver
+    check; the rank-error contract (returned value sits within ±2%
+    rank of the requested quantile) is unit-tested instead.  At
+    100 TB the sketch is the only viable per-key percentile: fixed
+    GK/KLL state merged map-side, one shuffle, versus exact
+    percentile's full per-group value sort."""
+    e = load_table(spark, sf_dir, "events")
+    ap = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10_000)
+    )
+    return e.groupBy("event_type").agg(
+        ap.getItem(0).alias("ap50"),
+        ap.getItem(1).alias("ap90"),
+        ap.getItem(2).alias("ap99"),
+    )
+
+
 def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join demo: each purchase event annotated with the
     user's most recent strictly-earlier click (operators.temporal)."""

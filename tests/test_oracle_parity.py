@@ -63,6 +63,7 @@ ROWS_ONLY = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "approx_distinct_users",
+    "approx_quantiles",
 )
 
 

@@ -246,3 +246,93 @@ def test_mix_sources_deterministic(spark):
     assert a == b
     # expected size ≈ 1.7 × 200
     assert 300 <= len(a) <= 380
+
+
+def test_chunk_documents_windows(spark):
+    """Sliding-window chunking: starts stride apart, full-width
+    chunks except a short tail, overlap = chunk - stride tokens, and
+    disjoint mode (stride == chunk) reconstructs the document."""
+    from gdelt_extractor_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "solo")], "doc_id long, text string")
+
+    out = chunk_documents(df, chunk_tokens=4, stride=3)
+    chunks = {
+        (r.doc_id, r.chunk_id): r
+        for r in out.collect()
+    }
+    # ceil(10/3) = 4 chunks for doc 1; 1 for the single-token doc
+    assert {k for k in chunks} == {(1, 0), (1, 1), (1, 2), (1, 3), (2, 0)}
+    assert chunks[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert chunks[(1, 1)].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+    assert chunks[(1, 3)].chunk_text == "w9"  # short tail
+    assert chunks[(1, 3)].n_chunk_tokens == 1
+    assert chunks[(2, 0)].chunk_text == "solo"
+
+    # disjoint mode: concatenating chunks in order == the document
+    dis = chunk_documents(df, chunk_tokens=3, stride=3)
+    rows = sorted(
+        (r.chunk_id, r.chunk_text)
+        for r in dis.filter("doc_id = 1").collect()
+    )
+    assert " ".join(t for _, t in rows) == text
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0, stride=3)
+
+
+def test_url_filter_normalize_block_dedup(spark):
+    """URL curation: scheme/www/query/fragment/trailing-slash
+    normalization, blocklist host removal, keep-first URL dedup."""
+    from gdelt_extractor_spark.operators.curation import normalize_url, url_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.A.com/x?q=1#f"),
+            (2, "http://a.com/x/"),        # same page as 1 post-normalization
+            (3, "http://blocked.com/y"),
+            (4, "a.com/other"),            # schemeless
+            (5, "http://www.b.org"),
+        ],
+        "doc_id long, url string",
+    )
+    out = url_filter(df, "url", ["Blocked.com"]).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {1, 4, 5}  # 2 deduped against 1; 3 blocklisted
+    assert by_id[1].url_norm == "a.com/x" and by_id[1].host == "a.com"
+    assert by_id[4].url_norm == "a.com/other"
+    assert by_id[5].url_norm == "b.org" and by_id[5].host == "b.org"
+
+    # pure-expression check: www only strips at the start of the host
+    row = (
+        spark.range(1)
+        .select(normalize_url(F.lit("http://notwww.com/www.page")).alias("u"))
+        .collect()[0]
+    )
+    assert row.u == "notwww.com/www.page"
+
+
+def test_approx_quantiles_rank_error(spark, sf_dir):
+    """percentile_approx at accuracy 10k must return a value whose
+    actual rank sits within ±2% of the requested quantile."""
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    from gdelt_extractor_spark.sources.tables import load_table
+
+    rows = entry_mod.queries()["approx_quantiles"](spark, sf_dir).collect()
+    assert rows
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .toPandas()
+        .groupby("event_type")["value"]
+    )
+    for r in rows:
+        v = np.sort(vals.get_group(r.event_type).to_numpy())
+        for q, ap in [(0.5, r.ap50), (0.9, r.ap90), (0.99, r.ap99)]:
+            rank = np.searchsorted(v, ap, side="right") / len(v)
+            assert abs(rank - q) <= 0.02, (r.event_type, q, ap, rank)

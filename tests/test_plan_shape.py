@@ -233,3 +233,30 @@ def test_gkg_theme_daily_single_agg_shuffle(spark, sf_dir):
     assert n_exchanges(plan) <= 2, plan[:2000]
     rs = read_schemas(plan)
     assert any("Themes" in r and "V2Themes" not in r and "GCAM" not in r for r in rs)
+
+
+def test_chunk_documents_is_projection_only(spark, sf_dir):
+    """Chunking is tokenize + explode(sequence) + slice in one
+    codegen projection: no shuffle, no join, no Python, and the scan
+    reads only (doc_id, text)."""
+    from gdelt_extractor_spark.operators.packing import chunk_documents
+    from gdelt_extractor_spark.sources.tables import load_table
+
+    df = chunk_documents(load_table(spark, sf_dir, "documents"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
+    rs = read_schemas(plan)
+    assert rs and all("text" in r and "lang" not in r and "source" not in r for r in rs)
+
+
+def test_url_filter_broadcasts_blocklist_single_dedup_shuffle(spark, sf_dir):
+    """The blocklist joins as a broadcast LEFT ANTI (no corpus
+    shuffle for the filter); the only exchange is the URL-dedup
+    window's hashpartitioning on url_norm."""
+    plan = plan_of(spark, "url_filter", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert n_exchanges(plan) == 1, plan[:2000]
