@@ -601,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": Q.approx_value_quantiles,
         "asof_last_click": Q.asof_last_click,
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
         "window_running": Q.window_running,
         "range_count_clicks_after_error": Q.range_count_clicks_after_error,
         "user_set_ops": Q.user_set_ops,
@@ -931,6 +932,30 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, ts, value AS click_value FROM events
                   WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts > r.ts
+        """,
+        "q2_min_cost_supplier": """
+            WITH pairs AS (
+              SELECT l_partkey, l_suppkey,
+                MIN(l_extendedprice / l_quantity) AS supply_price
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            eligible AS (
+              SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+                supply_price
+              FROM pairs
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE p_size < 10 AND p_type = 'ECONOMY'
+                AND r_name = 'EUROPE'),
+            minp AS (
+              SELECT p_partkey AS mk, MIN(supply_price) AS min_price
+              FROM eligible GROUP BY p_partkey)
+            SELECT e.p_partkey, e.p_brand, e.s_name, e.n_name,
+              e.s_acctbal, e.supply_price
+            FROM eligible e
+            JOIN minp ON e.p_partkey = minp.mk
+              AND e.supply_price = minp.min_price
         """,
         "q17_small_qty_revenue": f"""
             WITH branded AS (

@@ -94,6 +94,7 @@ HEADLINE = [
     "sample_split",
     "corpus_stats",
     "q17_small_qty_revenue",
+    "q2_min_cost_supplier",
     "window_running",
     "range_count_clicks_after_error",
     "user_set_ops",

@@ -222,6 +222,61 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part, where the
+    min is computed over a FILTERED MULTI-WAY JOIN (not a base
+    table) and the same joined subplan is joined back on
+    (part, min_price) to recover the winning supplier rows.
+
+    The testdata has no partsupp table, so the (part, supplier)
+    supply price is derived from lineitem as min unit price per
+    pair — one partial-aggregated shuffle on (partkey, suppkey).
+    Dims (filtered part, supplier, nation, region) broadcast.
+
+    The winner-recovery is a WINDOW MIN + filter rather than the
+    textbook agg-and-join-back: Catalyst does not common-subexpress
+    the joined subplan, so the join-back form scans lineitem TWICE
+    (measured in the formatted plan) — at 100 TB that doubles the
+    dominant cost.  The window form is one pass: pair agg, broadcast
+    dims, one window exchange on p_partkey, filter.  Ties (two
+    suppliers at the same min) are all returned, as in Q2; the
+    equality against the window min is exact because both sides are
+    the same double values.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit").alias("supply_price"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "ECONOMY")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), pairs.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "supply_price")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("_min_price", F.min("supply_price").over(w))
+        .filter(F.col("supply_price") == F.col("_min_price"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            "s_acctbal", "supply_price",
+        )
+    )
+
+
 def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL-style quantile sketch (percentile_approx) per event type —
     the scale path next to ``value_quantiles``'s exact interpolated

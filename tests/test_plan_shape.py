@@ -260,3 +260,17 @@ def test_url_filter_broadcasts_blocklist_single_dedup_shuffle(spark, sf_dir):
     plan = plan_of(spark, "url_filter", sf_dir)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert n_exchanges(plan) == 1, plan[:2000]
+
+
+def test_q2_single_lineitem_scan_window_min(spark, sf_dir):
+    """Q2-shaped min-cost supplier: all four dims broadcast, the
+    part filter pushes into its scan, and winner recovery is a
+    window min — ONE lineitem scan and two exchanges (pair agg +
+    window), where the textbook agg-and-join-back form scans
+    lineitem twice (no subplan CSE in Catalyst)."""
+    plan = plan_of(spark, "q2_min_cost_supplier", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert any("p_size" in l for l in pushed_filter_lines(plan))
+    n_lineitem_scans = sum(1 for l in plan.splitlines() if "lineitem" in l)
+    assert n_lineitem_scans == 1, plan[:1500]
+    assert n_exchanges(plan) <= 2
