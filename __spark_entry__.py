@@ -258,6 +258,32 @@ def _gkg_theme_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gkg_theme_daily(read_gdelt_gkg(spark, f"{GDELT_FIXTURES}/v2_gkg.tsv"))
 
 
+def _actor_dyads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country-dyad interaction matrix over the fixture events TSV
+    through the real v2 reader (sources/gdelt.py actor_dyad_rollup)."""
+    from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
+
+    return actor_dyad_rollup(read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv"))
+
+
+def _gdelt_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's post-read cleanup end-to-end
+    (process_gdelt_events: keep-first SOURCEURL dedup + lowercase
+    column names) over the fixture events TSV — the fixture commits
+    500 duplicate URLs so the dedup actually drops rows.  Projected
+    to the analytic columns; the oracle runs the same keep-first
+    window over the same file."""
+    from gdelt_extractor_spark.sources.gdelt import process_gdelt_events, read_gdelt_v2
+
+    cleaned = process_gdelt_events(
+        read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv")
+    )
+    return cleaned.select(
+        "globaleventid", "sqldate", "eventrootcode", "quadclass",
+        "goldsteinscale", "sourceurl",
+    )
+
+
 def _geo_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     derived = e.select(
@@ -622,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "goldstein_daily": _goldstein_daily,
         "mention_stats": _mention_stats,
         "gkg_theme_daily": _gkg_theme_daily,
+        "actor_dyads": _actor_dyads,
+        "gdelt_clean": _gdelt_clean,
         "geo_project": _geo_project,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
@@ -1202,6 +1230,29 @@ def oracle_sql() -> dict[str, str]:
               agg.avg_confidence, agg.first_latency_sec
             FROM {_duck_tsv('v2_events.tsv', V2_EVENTS_SCHEMA)} e
             LEFT JOIN agg USING (GLOBALEVENTID)
+        """,
+        "actor_dyads": f"""
+            SELECT Actor1CountryCode AS actor1_cc,
+              Actor2CountryCode AS actor2_cc,
+              COUNT(*) AS n_events,
+              {_dsum('GoldsteinScale')}/COUNT(*) AS avg_goldstein,
+              {_dsum('AvgTone')}/COUNT(*) AS avg_tone,
+              CAST(SUM(CASE WHEN QuadClass IN (3, 4) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_conflict
+            FROM {_duck_tsv('v2_events.tsv', V2_EVENTS_SCHEMA)}
+            WHERE Actor1CountryCode IS NOT NULL
+              AND Actor2CountryCode IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "gdelt_clean": f"""
+            SELECT GLOBALEVENTID AS globaleventid, SQLDATE AS sqldate,
+              EventRootCode AS eventrootcode, QuadClass AS quadclass,
+              GoldsteinScale AS goldsteinscale, SOURCEURL AS sourceurl
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY SOURCEURL ORDER BY GLOBALEVENTID ASC) AS rn
+              FROM {_duck_tsv('v2_events.tsv', V2_EVENTS_SCHEMA)})
+            WHERE rn = 1
         """,
         "gkg_theme_daily": f"""
             WITH g AS (

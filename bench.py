@@ -64,6 +64,8 @@ HEADLINE = [
     "goldstein_daily",
     "mention_stats",
     "gkg_theme_daily",
+    "actor_dyads",
+    "gdelt_clean",
     "geo_project",
     "dedup_exact",
     "dedup_apply",

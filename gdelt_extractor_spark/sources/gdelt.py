@@ -399,6 +399,43 @@ def mention_stats(events: DataFrame, mentions: DataFrame) -> DataFrame:
     )
 
 
+def actor_dyad_rollup(events: DataFrame) -> DataFrame:
+    """Country-dyad interaction matrix — the classic GDELT analytic
+    (who acts on whom, how often, how cooperatively): per
+    (Actor1CountryCode, Actor2CountryCode) event count, mean
+    Goldstein score, mean tone, and conflict-event count
+    (QuadClass 3/4).  Dyads with either side uncoded are dropped —
+    the uncoded bucket would dominate every real matrix.
+
+    One filtered scan, one partial-aggregated shuffle on the dyad
+    key; means follow the decimal-sum convention so they are
+    bit-identical across engines and partitionings.
+    """
+    cnt = F.count(F.lit(1))
+
+    def dmean(col: str):
+        return F.sum(F.col(col).cast("decimal(25,6)")).cast("double") / cnt
+
+    return (
+        events.filter(
+            F.col("Actor1CountryCode").isNotNull()
+            & F.col("Actor2CountryCode").isNotNull()
+        )
+        .groupBy(
+            F.col("Actor1CountryCode").alias("actor1_cc"),
+            F.col("Actor2CountryCode").alias("actor2_cc"),
+        )
+        .agg(
+            cnt.alias("n_events"),
+            dmean("GoldsteinScale").alias("avg_goldstein"),
+            dmean("AvgTone").alias("avg_tone"),
+            F.sum(
+                F.when(F.col("QuadClass").isin(3, 4), 1).otherwise(0)
+            ).alias("n_conflict"),
+        )
+    )
+
+
 def gkg_theme_daily(gkg: DataFrame, min_records: int = 1) -> DataFrame:
     """Daily theme rollup straight off the 27-col GKG feed: per
     (theme, yyyymmdd day) record count, distinct-source count, and

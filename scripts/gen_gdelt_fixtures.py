@@ -94,7 +94,11 @@ def gen_events(rng: random.Random) -> tuple[list[list[str]], dict[int, dt.dateti
             + geo(0)
             + geo(1)
             + geo(2)
-            + [ts14(t), f"http://site{i % 40}.example.com/articles/{gid}"]
+            # the last 500 events repeat an earlier event's URL (host
+            # period 20 divides the path period 1500) so the keep-first
+            # SOURCEURL dedup (process_gdelt_events) has real
+            # duplicates to drop
+            + [ts14(t), f"http://site{i % 20}.example.com/articles/{1000 + i % 1500}"]
         )
     return rows, when
 
