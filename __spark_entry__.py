@@ -624,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_inactive": Q.anti_join_inactive,
         "rollup_daily": Q.rollup_daily,
         "value_quantiles": Q.value_quantiles,
+        "value_histogram": Q.value_histogram,
         "approx_quantiles": Q.approx_value_quantiles,
         "asof_last_click": Q.asof_last_click,
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
@@ -943,6 +944,14 @@ def oracle_sql() -> dict[str, str]:
               COUNT(*) AS n_events, {_dsum('value')} AS sum_value
             FROM events
             GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
+        "value_histogram": """
+            SELECT event_type,
+              CAST(CASE WHEN value < 0.0 THEN 0
+                        WHEN value >= 100.0 THEN 21
+                        ELSE floor(value / 5.0) + 1 END AS BIGINT) AS bucket,
+              COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "value_quantiles": """
             SELECT event_type,
@@ -1376,8 +1385,8 @@ def oracle_sql() -> dict[str, str]:
             n AS (
               SELECT doc_id, lang, source,
                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                  regexp_replace(lower(url), '^[a-z][a-z0-9+.\\-]*://', ''),
-                  '#.*$', ''), '\\?.*$', ''), '^www\\.', ''), '/+$', '')
+                  regexp_replace(lower(url), '^([a-z][a-z0-9+.\\-]*://)+', ''),
+                  '#.*$', ''), '\\?.*$', ''), '^(www\\.)+', ''), '/+$', '')
                   AS url_norm
               FROM u),
             h AS (

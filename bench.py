@@ -90,6 +90,7 @@ HEADLINE = [
     "fingerprint",
     "rollup_daily",
     "value_quantiles",
+    "value_histogram",
     "approx_quantiles",
     "asof_last_click",
     "decontaminate",

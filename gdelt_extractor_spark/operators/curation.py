@@ -301,12 +301,18 @@ def normalize_url(col) -> "F.Column":
     (C4-style): lowercase, strip scheme / leading ``www.`` / query /
     fragment / trailing slashes.  Pure regexp chain — stays in
     codegen, and the same five patterns run unchanged in any
-    POSIX-regex engine (the oracle applies the identical chain)."""
+    POSIX-regex engine (the oracle applies the identical chain).
+
+    The scheme and www patterns strip REPEATED prefixes (``(...)+``)
+    — dirty crawl data really does contain ``http://http://x`` and
+    ``www.www.x`` — which also makes the function idempotent for
+    every input (property-tested), so re-normalizing already-clean
+    URLs is safe."""
     x = F.lower(col)
-    x = F.regexp_replace(x, r"^[a-z][a-z0-9+.\-]*://", "")
+    x = F.regexp_replace(x, r"^([a-z][a-z0-9+.\-]*://)+", "")
     x = F.regexp_replace(x, r"#.*$", "")
     x = F.regexp_replace(x, r"\?.*$", "")
-    x = F.regexp_replace(x, r"^www\.", "")
+    x = F.regexp_replace(x, r"^(www\.)+", "")
     return F.regexp_replace(x, r"/+$", "")
 
 

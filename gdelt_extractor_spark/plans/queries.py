@@ -222,6 +222,29 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type
+    ([0, 100) in 20 buckets of width 5, with underflow bucket 0 and
+    overflow bucket 21 — width_bucket semantics spelled as explicit
+    floor arithmetic, since not every engine ships the function) —
+    the distribution-profiling scan every monitoring dashboard runs.
+    One projection + one partial-aggregated shuffle on (event_type,
+    bucket); binning is a single IEEE division + floor, identical in
+    any engine."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    bucket = (
+        F.when(v < 0.0, F.lit(0))
+        .when(v >= 100.0, F.lit(21))
+        .otherwise(F.floor(v / 5.0) + 1)
+    )
+    return (
+        e.select("event_type", bucket.cast("long").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: minimum-cost supplier per part, where the
     min is computed over a FILTERED MULTI-WAY JOIN (not a base

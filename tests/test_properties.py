@@ -235,3 +235,63 @@ def test_range_join_matches_naive(spark, case):
             assert all(r.pid is not None for r in rows_i)
         else:
             assert len(rows_i) == 1 and rows_i[0].pid is None
+
+
+@given(DOCS, st.integers(1, 8), st.integers(1, 8))
+@PROP
+def test_chunk_documents_covers_every_token(spark, texts, chunk, stride):
+    """Chunking invariants for any text and any (chunk, stride):
+    chunk 0 starts at token 0, consecutive starts are stride apart,
+    every token lands in >= 1 chunk, and when stride >= chunk the
+    chunks are disjoint and concatenate back to the document."""
+    from gdelt_extractor_spark.operators.packing import chunk_documents
+
+    df = _df(spark, texts)
+    toks = df.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    ).collect()
+    n_by_doc = {r.doc_id: r.n for r in toks}
+
+    out = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, n in n_by_doc.items():
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        assert len(rows) == -(-n // stride)  # ceil
+        covered = 0
+        for r in rows:
+            start = r.chunk_id * stride
+            assert r.n_chunk_tokens == min(chunk, n - start)
+            covered = max(covered, start + r.n_chunk_tokens)
+        assert covered == n  # no token past the last chunk's end
+        if stride >= chunk:
+            total = sum(r.n_chunk_tokens for r in rows)
+            assert total == min(n, len(rows) * chunk)
+
+
+URLISH = st.text(
+    alphabet=st.characters(codec="ascii", exclude_categories=("Cc", "Cs", "Zs")),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(st.lists(URLISH, min_size=1, max_size=24))
+@PROP
+def test_normalize_url_idempotent_and_lowercase(spark, urls):
+    """normalize_url is idempotent on arbitrary ascii input (a
+    normalized URL re-normalizes to itself) and never emits
+    uppercase, '?', or '#'."""
+    from gdelt_extractor_spark.operators.curation import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        normalize_url(F.col("url")).alias("n1"),
+        normalize_url(normalize_url(F.col("url"))).alias("n2"),
+    ).collect()
+    for r in rows:
+        assert r.n1 == r.n2
+        assert r.n1 == r.n1.lower()
+        assert "?" not in r.n1 and "#" not in r.n1

@@ -358,3 +358,27 @@ def test_gdelt_fixtures_integrity():
             cells = line.split("\t")
             assert len(cells) == ncols, (name, len(cells))
             assert all(c != "" for c in cells), (name, line[:80])
+
+
+def test_readers_permissive_on_malformed_rows(spark, tmp_path):
+    """A 100 TB backfill WILL contain truncated and corrupt TSV
+    lines; the typed readers must degrade per-field to NULL
+    (PERMISSIVE), never fail the job or skew the schema."""
+    good = "\t".join(["1", "20240101083000", "20240101090000", "1",
+                      "a.com", "http://a.com/x", "0", "1", "2", "3",
+                      "1", "80", "500", "-2.50", "eng", "-"])
+    short = "2\t20240101083000"                    # truncated line
+    bad_types = "\t".join(["notanint", "x", "y", "z", "a.com",
+                           "u", "q", "w", "e", "r",
+                           "t", "NaNish", "500", "tone", "i", "-"])
+    p = tmp_path / "m.mentions.CSV"
+    p.write_text("\n".join([good, short, bad_types]) + "\n")
+    rows = G.read_gdelt_mentions(spark, str(p)).collect()
+    assert len(rows) == 3
+    by_url = {r.MentionIdentifier: r for r in rows}
+    assert by_url["http://a.com/x"].Confidence == 80
+    assert by_url["u"].GLOBALEVENTID is None      # unparseable long
+    assert by_url["u"].Confidence is None
+    assert by_url["u"].MentionSourceName == "a.com"  # strings survive
+    short_row = next(r for r in rows if r.GLOBALEVENTID == 2)
+    assert short_row.MentionType is None          # missing tail -> NULL
