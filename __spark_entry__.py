@@ -594,6 +594,14 @@ def _remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.remove_boilerplate_lines(_docs(spark, sf_dir), "doc_id", "text", min_docs=2)
 
 
+def _dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global first-occurrence line dedup (MassiveText rule): every
+    repeated line keeps only its first (doc_id, pos) occurrence
+    corpus-wide.  Oracle: row_number over the trimmed line ordered
+    by (doc_id, pos), keep rank 1, reassemble with string_agg."""
+    return C.dedup_lines_global(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -682,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "repetition_stats": _repetition_stats,
         "remove_boilerplate": _remove_boilerplate,
+        "dedup_lines": _dedup_lines,
         "tfidf_top_terms": _tfidf_top_terms,
         "top_bigrams": _top_bigrams,
     }
@@ -1594,6 +1603,32 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
               CAST(len(d.lines) - COALESCE(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
             FROM d LEFT JOIN agg USING (doc_id)
+        """,
+        "dedup_lines": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+            l AS (
+              SELECT doc_id, i AS pos, lines[i] AS line, trim(lines[i]) AS norm_line
+              FROM d, unnest(range(1, len(lines)+1)) AS u(i)
+              WHERE trim(lines[i]) <> ''),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY norm_line ORDER BY doc_id ASC, pos ASC) AS rn
+              FROM l),
+            agg AS (
+              SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                COUNT(*) AS n_lines_kept
+              FROM r WHERE rn = 1 GROUP BY doc_id),
+            totals AS (
+              SELECT doc_id, COUNT(*) AS n_total FROM l GROUP BY doc_id)
+            SELECT d.doc_id,
+              COALESCE(agg.clean_text, '') AS clean_text,
+              CAST(COALESCE(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+              CAST(COALESCE(totals.n_total, 0)
+                - COALESCE(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
+            FROM d LEFT JOIN agg USING (doc_id)
+            LEFT JOIN totals USING (doc_id)
         """,
         "repetition_stats": """
             WITH s AS (

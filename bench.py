@@ -111,6 +111,7 @@ HEADLINE = [
     "order_price_ranks",
     "repetition_stats",
     "remove_boilerplate",
+    "dedup_lines",
     "lang_confusion",
     "tfidf_top_terms",
     "top_bigrams",

@@ -4,6 +4,7 @@ function; import from here for the public API."""
 from .curation import (
     corpus_stats,
     decontaminate,
+    dedup_lines_global,
     mix_sources,
     normalize_url,
     sample_split,
@@ -50,7 +51,7 @@ __all__ = [
     "connected_components", "dedup_semantic", "keep_canonical",
     "ivf_fit_centroids", "keyword_freq", "lang_id",
     "minhash_signatures", "mix_sources", "pack_sequences",
-    "chunk_documents", "normalize_url", "url_filter",
+    "chunk_documents", "dedup_lines_global", "normalize_url", "url_filter",
     "quality_score", "range_join", "redact_pii",
     "resize_images", "salted_agg", "salted_join", "sample_split",
     "scan_pii", "simhash", "stratified_sample", "token_stats",

@@ -354,3 +354,75 @@ def url_filter(
     if dedup:
         kept = dedup_keep_first(kept, key="url_norm", order=id_col)
     return kept
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Global first-occurrence line dedup (the MassiveText /
+    C4-span rule, complementing ``remove_boilerplate_lines``): every
+    repeated non-empty line keeps only its FIRST occurrence in the
+    corpus — ordered by (doc id, line position) — and later copies
+    are dropped, wherever they appear.  Where the boilerplate op
+    needs ≥ min_docs appearances and removes EVERY copy, this keeps
+    exactly one.  Empty/whitespace lines are dropped (same
+    convention as repetition_stats).
+
+    Returns (doc_id, clean_text, n_lines_kept, n_lines_removed);
+    documents whose every line was a later duplicate come back with
+    empty clean_text, preserving corpus row count.
+
+    Plan shape: posexplode; ONE window keep-first shuffle keyed on
+    the trimmed line (content-derived, uniform — a hot line has many
+    rows but only rank 1 survives, and Spark's window sorts
+    within-partition without a global sort); reassembly is one
+    shuffle on the doc id with sort_array(collect_list(struct)) —
+    no window over the whole corpus, no driver state.
+    """
+    from pyspark.sql import Window
+
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("norm_line", F.trim(F.col("line")))
+        .filter(F.col("norm_line") != "")
+    )
+    w = Window.partitionBy("norm_line").orderBy(
+        F.col("doc_id").asc(), F.col("pos").asc()
+    )
+    kept = (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "norm_line")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_total")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (
+                F.coalesce("_n_total", F.lit(0))
+                - F.coalesce("n_lines_kept", F.lit(0))
+            ).alias("n_lines_removed"),
+        )
+    )

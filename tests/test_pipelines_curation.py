@@ -336,3 +336,26 @@ def test_approx_quantiles_rank_error(spark, sf_dir):
         for q, ap in [(0.5, r.ap50), (0.9, r.ap90), (0.99, r.ap99)]:
             rank = np.searchsorted(v, ap, side="right") / len(v)
             assert abs(rank - q) <= 0.02, (r.event_type, q, ap, rank)
+
+
+def test_dedup_lines_global_first_occurrence(spark):
+    """Global line dedup keeps exactly the FIRST (doc_id, pos)
+    occurrence of each repeated line — later copies drop wherever
+    they appear, including inside the same document."""
+    from gdelt_extractor_spark.operators.curation import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nshared\nalpha"),   # intra-doc repeat of alpha
+            (2, "shared\nbeta"),           # shared already seen in doc 1
+            (3, "shared"),                 # whole doc is duplicate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines_global(df).collect()}
+    assert out[1].clean_text == "alpha\nshared"
+    assert out[1].n_lines_kept == 2 and out[1].n_lines_removed == 1
+    assert out[2].clean_text == "beta"
+    assert out[2].n_lines_removed == 1
+    assert out[3].clean_text == "" and out[3].n_lines_kept == 0
+    assert len(out) == 3  # corpus row count preserved

@@ -172,3 +172,15 @@ def test_stateless_operators_compose_with_streams(spark, tmp_path):
     q = quality_score(docs, "doc_id", "text")
     U.run_to_memory_sink(q.select("doc_id", "quality"), "quality_stream_out")
     assert spark.sql("SELECT * FROM quality_stream_out").count() == 2
+
+    # sliding-window chunking is a pure projection+explode too — the
+    # same operator chunks a live stream (doc 1 has 6 tokens, doc 2
+    # has 7; stride 3 -> ceil(n/3) = 2 and 3 chunks)
+    from gdelt_extractor_spark.operators.packing import chunk_documents
+
+    ch = chunk_documents(docs, chunk_tokens=5, stride=3)
+    U.run_to_memory_sink(ch, "chunk_stream_out")
+    got = spark.sql(
+        "SELECT doc_id, COUNT(*) n FROM chunk_stream_out GROUP BY doc_id"
+    ).collect()
+    assert {r.doc_id: r.n for r in got} == {1: 2, 2: 3}
