@@ -10,9 +10,10 @@ partitionings (see gdelt_extractor_spark/plans/queries.py docstring).
 
 Entries without an oracle (rows-only gate): dedup_minhash_lsh,
 dedup_simhash, dedup_semantic, ann_lsh_topk, ann_ivf_topk,
-approx_distinct_users, approx_quantiles —
-approximate/hash-seeded operators whose exactness is instead
-property-tested against their exact baselines in tests/.
+approx_distinct_users, approx_quantiles (approximate/hash-seeded
+operators whose exactness is instead property-tested against their
+exact baselines in tests/) and compression_stats (zlib DEFLATE is
+not SQL-expressible; bounds/ordering/determinism property-tested).
 """
 
 from __future__ import annotations
@@ -606,6 +607,13 @@ def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (RefinedWeb heuristic).
+    Rows-only gate: DEFLATE is not SQL-expressible; ratio bounds,
+    repetition ordering, and determinism are property-tested."""
+    return TS.compression_stats(_docs(spark, sf_dir, width=8), "doc_id", "text")
+
+
 def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.tfidf_top_terms(_docs(spark, sf_dir, width=0), "doc_id", "text", k=3)
 
@@ -689,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _corpus_stats,
         "stratified_sample": _stratified_sample,
         "repetition_stats": _repetition_stats,
+        "compression_stats": _compression_stats,
         "remove_boilerplate": _remove_boilerplate,
         "dedup_lines": _dedup_lines,
         "tfidf_top_terms": _tfidf_top_terms,

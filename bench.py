@@ -110,6 +110,7 @@ HEADLINE = [
     "q4_priority_exists",
     "order_price_ranks",
     "repetition_stats",
+    "compression_stats",
     "remove_boilerplate",
     "dedup_lines",
     "lang_confusion",

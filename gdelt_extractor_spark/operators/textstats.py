@@ -5,6 +5,7 @@ All pure JVM expressions — these run at scan speed on 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -299,4 +300,46 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         sym_ratio.alias("symbol_ratio"),
         n_stop.cast("long").alias("n_stopwords"),
         keep.alias("keep"),
+    )
+
+
+def compression_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Compression-ratio quality signal (the RefinedWeb/MassiveText
+    heuristic): zlib-compressed size over raw size per document.
+    Highly repetitive or templated text compresses far below natural
+    prose (~0.4-0.6 for English), machine-generated keyword stuffing
+    lower still, and high-entropy noise approaches (or exceeds) 1.0
+    — a one-number complement to the line-level repetition metrics.
+
+    This is one of the few justified Python edges in the repo: DEFLATE
+    is not expressible in SQL/Catalyst, so the operator runs an
+    Arrow-batched pandas UDF over zlib (stdlib, level 6) — a few
+    hundred MB/s per core, vectorized per batch, no JVM round-trips
+    per row.  Downstream thresholding stays in codegen.
+
+    Returns (id, n_bytes, n_compressed, compression_ratio); empty
+    documents report ratio NULL rather than dividing by zero.
+    """
+    import zlib
+
+    @F.pandas_udf("long")
+    def _zsize(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8", "replace"), 6))
+            if t is not None
+            else None
+        )
+
+    n_bytes = F.octet_length(F.col(text_col)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_bytes.alias("n_bytes"),
+        _zsize(F.col(text_col)).alias("n_compressed"),
+    ).select(
+        id_col,
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0, F.col("n_compressed") / F.col("n_bytes")
+        ).alias("compression_ratio"),
     )

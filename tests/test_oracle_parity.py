@@ -64,6 +64,7 @@ ROWS_ONLY = (
     "ann_ivf_topk",
     "approx_distinct_users",
     "approx_quantiles",
+    "compression_stats",
 )
 
 

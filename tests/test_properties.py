@@ -295,3 +295,28 @@ def test_normalize_url_idempotent_and_lowercase(spark, urls):
         assert r.n1 == r.n2
         assert r.n1 == r.n1.lower()
         assert "?" not in r.n1 and "#" not in r.n1
+
+
+@given(DOCS)
+@PROP
+def test_compression_stats_bounds_and_determinism(spark, texts):
+    """zlib ratio contract: NULL only for empty text; positive
+    everywhere else; bounded above by 1 + small header overhead for
+    short strings; deterministic across runs; and a pathological
+    repetitive document compresses below 0.1."""
+    from gdelt_extractor_spark.operators.textstats import compression_stats
+
+    texts = texts + ["xyzzy " * 400]  # guaranteed repetitive doc
+    df = _df(spark, texts)
+    a = {r.doc_id: r for r in compression_stats(df, "doc_id", "text").collect()}
+    b = {r.doc_id: r for r in compression_stats(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        ra, rb = a[i], b[i]
+        assert (ra.n_bytes, ra.n_compressed) == (rb.n_bytes, rb.n_compressed)
+        if len(t.encode("utf-8")) == 0:
+            assert ra.compression_ratio is None
+        else:
+            assert ra.compression_ratio > 0
+            # zlib header+footer is ~11 bytes; tiny inputs can exceed 1.0
+            assert ra.n_compressed <= ra.n_bytes + 16
+    assert a[len(texts) - 1].compression_ratio < 0.1
