@@ -377,9 +377,13 @@ def dedup_lines_global(
     Plan shape: posexplode; ONE window keep-first shuffle keyed on
     the trimmed line (content-derived, uniform — a hot line has many
     rows but only rank 1 survives, and Spark's window sorts
-    within-partition without a global sort); reassembly is one
-    shuffle on the doc id with sort_array(collect_list(struct)) —
-    no window over the whole corpus, no driver state.
+    within-partition without a global sort); then ONE aggregate
+    shuffle on the doc id that computes kept text, kept count, and
+    total count together — ``collect_list`` skips the NULL structs
+    that a dropped line's ``when()`` produces, so survivors and
+    totals fall out of the same pass and no second line scan or join
+    is needed.  One final broadcast-size join against the id column
+    preserves corpus row count for all-duplicate documents.
     """
     from pyspark.sql import Window
 
@@ -394,28 +398,26 @@ def dedup_lines_global(
     w = Window.partitionBy("norm_line").orderBy(
         F.col("doc_id").asc(), F.col("pos").asc()
     )
-    kept = (
+    first = F.col("_rn") == 1
+    kept_struct = F.when(first, F.struct("pos", "line"))
+    agg = (
         lines.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "norm_line")
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_lines_kept"),
-    )
-    totals = lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("_n_total")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(first, 1).otherwise(0)).alias("n_lines_kept"),
+            F.count(F.lit(1)).alias("_n_total"),
+        )
     )
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(agg, "doc_id", "left")
-        .join(totals, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -164,6 +164,15 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     DF, the corpus size joins in as a broadcast scalar, and the
     final top-k is a window on the doc key.  Document frequency is
     a full-vocabulary aggregate — never collected to the driver.
+
+    Known recompute: the TF subplan feeds both the scored join and
+    the DF aggregate, and Catalyst does not common-subexpress it, so
+    the tokenize+explode runs twice.  An eager localCheckpoint of TF
+    was A/B-measured at sf0.1: identical warm cost (1.09s plain vs
+    1.13s checkpointed — the recompute is page-cached scan + codegen
+    tokenize, the checkpoint is a full materialize), so the simpler
+    lineage is kept.  At 100 TB prefer feeding this operator from a
+    persisted/bucketed (doc, term, tf) table if TF is reused anyway.
     """
     # explode + groupBy for TF: a per-row array-expression count
     # (transform over array_distinct with a filter per term) was

@@ -57,3 +57,55 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_mention_stats_on_bucketed_tables_no_shuffle(spark, tmp_path):
+    """The 100 TB layout for mentions⋈events: both tables bucketed on
+    GLOBALEVENTID makes the whole mention_stats plan shuffle-free —
+    the pre-aggregation AND the join consume bucket partitioning.
+    (The distinct-source count is rewritten as a bucket-local
+    two-level agg here; the operator's countDistinct would add one
+    exchange for its expand phase.)"""
+    import os
+
+    from gdelt_extractor_spark.sources.gdelt import (
+        read_gdelt_mentions,
+        read_gdelt_v2,
+    )
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "gdelt")
+    ev = read_gdelt_v2(spark, f"{fix}/v2_events.tsv").select(
+        "GLOBALEVENTID", "EventRootCode"
+    )
+    me = read_gdelt_mentions(spark, f"{fix}/v2_mentions.tsv").select(
+        "GLOBALEVENTID", "MentionSourceName", "Confidence"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(ev, "events_b", ["GLOBALEVENTID"], 8)
+        write_bucketed(me, "mentions_b", ["GLOBALEVENTID"], 8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        evb, meb = spark.table("events_b"), spark.table("mentions_b")
+        per_event = (
+            meb.groupBy("GLOBALEVENTID", "MentionSourceName")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("Confidence").cast("long")).alias("_conf"),
+            )
+            .groupBy("GLOBALEVENTID")
+            .agg(
+                F.sum("_n").alias("n_mentions"),
+                F.count(F.lit(1)).alias("n_sources"),
+                F.sum("_conf").alias("sum_conf"),
+            )
+        )
+        joined = evb.join(per_event, "GLOBALEVENTID", "left")
+        plan = _explain(joined)
+        assert "Exchange" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan
+        assert joined.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS events_b")
+        spark.sql("DROP TABLE IF EXISTS mentions_b")

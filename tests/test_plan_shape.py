@@ -274,3 +274,16 @@ def test_q2_single_lineitem_scan_window_min(spark, sf_dir):
     n_lineitem_scans = sum(1 for l in plan.splitlines() if "lineitem" in l)
     assert n_lineitem_scans == 1, plan[:1500]
     assert n_exchanges(plan) <= 2
+
+
+def test_dedup_lines_two_shuffles(spark, sf_dir):
+    """Global line dedup is one window shuffle on the trimmed line
+    plus one doc-id aggregate that folds kept text, kept count, and
+    total count into a single pass (conditional collect_list) — no
+    second line scan, no cartesian."""
+    plan = plan_of(spark, "dedup_lines", sf_dir)
+    assert "CartesianProduct" not in plan
+    n_hash = len(
+        [l for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")]
+    )
+    assert n_hash <= 2, plan[:2000]
