@@ -379,6 +379,32 @@ def _dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.keep_canonical(docs, clusters)
 
 
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation flow a training-data user actually runs, composed
+    end-to-end as ONE oracle-gated unit: Gopher hard-rule filter →
+    exact-dedup keep-first (normalized-content hash) → PII redaction
+    (hashed into text_md5 so the value gate covers it) →
+    deterministic train/val split.  Every stage is the same operator
+    the standalone entries exercise; the oracle chains their SQL
+    twins in the same order."""
+    from gdelt_extractor_spark.operators.pii import redact_expr
+
+    docs = _docs(spark, sf_dir)
+    keep_ids = (
+        TS.gopher_rules(docs, "doc_id", "text").filter("keep").select("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id")
+    hashed = D.with_content_hash(kept, "text")
+    deduped = D.dedup_keep_first(hashed, key="content_hash", order="doc_id")
+    red = deduped.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(redact_expr(F.col("text"))).alias("text_md5"),
+    )
+    return C.sample_split(red, "doc_id")
+
+
 def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline as ONE oracle-gated unit: exact
     n-gram Jaccard pairs (threshold 0.6, hot-shingle cap 100) →
@@ -672,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_apply": _dedup_apply,
         "dedup_pipeline": _dedup_pipeline,
+        "curation_pipeline": _curation_pipeline,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -829,6 +856,41 @@ def oracle_sql() -> dict[str, str]:
     for kind, pat in PII_PATTERNS:
         pii_redact = f"regexp_replace({pii_redact}, '{pat}', '[{kind.upper()}]', 'g')"
     pii_flag = " OR ".join(f"n_{kind} > 0" for kind, _ in PII_PATTERNS)
+
+    # shared Gopher-rule measurement CTEs + keep predicate: used by
+    # gopher_rules (measurements + verdict) and curation_pipeline
+    # (verdict as a filter stage)
+    gopher_ctes = rf"""
+            gs AS (
+              SELECT doc_id, text, {toks_text} AS toks FROM documents),
+            gm AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                CAST(list_sum(list_transform(toks, w ->
+                  CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+                len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                  AS n_alpha,
+                len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+                CAST(len(list_intersect(list_distinct(toks),
+                  {_stop_sql})) AS BIGINT) AS n_stopwords
+              FROM gs)"""
+    gopher_keep = (
+        f"(n_words BETWEEN {_R['min_words']} AND {_R['max_words']}"
+        f" AND sum_len / CAST(n_words AS DOUBLE)"
+        f"   BETWEEN {_R['min_mean_word_len']} AND {_R['max_mean_word_len']}"
+        f" AND n_alpha / CAST(n_words AS DOUBLE) >= {_R['min_alpha_word_frac']}"
+        f" AND n_sym / CAST(n_words AS DOUBLE) <= {_R['max_symbol_ratio']}"
+        f" AND n_stopwords >= {_R['min_stopwords']})"
+    )
+
+    # PII redaction chain over a raw `text` column (the pii_scan
+    # oracle applies the same chain to its injected variant `t`)
+    redact_text = "text"
+    for kind, pat in PII_PATTERNS:
+        redact_text = (
+            f"regexp_replace({redact_text}, '{pat}', '[{kind.upper()}]', 'g')"
+        )
 
     # shared n-gram Jaccard candidate/verify CTE chain (hot-shingle
     # guard at df<=100 mirrors the Spark entries): used verbatim by
@@ -1476,33 +1538,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM p GROUP BY lang, lang_pred
         """,
-        "gopher_rules": rf"""
-            WITH s AS (
-              SELECT doc_id, text, {toks_text} AS toks FROM documents),
-            m AS (
-              SELECT doc_id,
-                CAST(len(toks) AS BIGINT) AS n_words,
-                CAST(list_sum(list_transform(toks, w ->
-                  CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
-                len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
-                  AS n_alpha,
-                len(regexp_extract_all(text, '#'))
-                  + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
-                CAST(len(list_intersect(list_distinct(toks),
-                  {_stop_sql})) AS BIGINT) AS n_stopwords
-              FROM s)
+        "gopher_rules": f"""
+            WITH {gopher_ctes}
             SELECT doc_id, n_words,
               sum_len / CAST(n_words AS DOUBLE) AS mean_word_len,
               n_alpha / CAST(n_words AS DOUBLE) AS alpha_word_frac,
               n_sym / CAST(n_words AS DOUBLE) AS symbol_ratio,
               n_stopwords,
-              (n_words BETWEEN {_R['min_words']} AND {_R['max_words']}
-               AND sum_len / CAST(n_words AS DOUBLE)
-                 BETWEEN {_R['min_mean_word_len']} AND {_R['max_mean_word_len']}
-               AND n_alpha / CAST(n_words AS DOUBLE) >= {_R['min_alpha_word_frac']}
-               AND n_sym / CAST(n_words AS DOUBLE) <= {_R['max_symbol_ratio']}
-               AND n_stopwords >= {_R['min_stopwords']}) AS keep
-            FROM m
+              {gopher_keep} AS keep
+            FROM gm
+        """,
+        "curation_pipeline": f"""
+            WITH {gopher_ctes},
+            k AS (SELECT doc_id FROM gm WHERE {gopher_keep}),
+            d AS (
+              SELECT documents.doc_id, text, lang, source
+              FROM documents JOIN k USING (doc_id)),
+            dd AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY md5({_NORM.format(c='text')})
+                ORDER BY doc_id ASC) AS rn
+              FROM d),
+            s AS (
+              SELECT doc_id, lang, source, md5({redact_text}) AS text_md5
+              FROM dd WHERE rn = 1)
+            SELECT doc_id, lang, source, text_md5,
+              CAST(('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket,
+              CASE WHEN CAST(('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90
+                   THEN 'train' ELSE 'val' END AS split
+            FROM s
         """,
         "quality_score": f"""
             WITH s AS (

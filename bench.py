@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_apply",
     "dedup_pipeline",
+    "curation_pipeline",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
