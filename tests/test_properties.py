@@ -320,3 +320,42 @@ def test_compression_stats_bounds_and_determinism(spark, texts):
             # zlib header+footer is ~11 bytes; tiny inputs can exceed 1.0
             assert ra.n_compressed <= ra.n_bytes + 16
     assert a[len(texts) - 1].compression_ratio < 0.1
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(EDGES)
+@PROP
+def test_connected_components_matches_union_find(spark, pairs):
+    """Distributed star contraction (driver finish disabled, so the
+    hash-priority contraction rounds do ALL the work) must label every
+    node with its component's minimum id, for arbitrary random graphs
+    — chains, stars, cliques, self-parallel edges, whatever hypothesis
+    draws."""
+    from gdelt_extractor_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long").dropDuplicates()
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(df, driver_finish_edges=0).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
