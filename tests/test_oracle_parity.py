@@ -9,11 +9,18 @@ from __future__ import annotations
 
 import math
 
+import os
+
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
-from tests.conftest import SF0001
+from tests.conftest import SF0001 as _DEFAULT_SF
+
+# The driver's t2 gate runs at sf0.01; default here is sf0.001 for
+# speed.  Override to rehearse the gate at its own scale:
+#   SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py
+SF0001 = os.environ.get("SPARK_GRAFT_PARITY_SF", _DEFAULT_SF)
 
 TABLES = (
     "region",
