@@ -363,6 +363,26 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup AUDIT rollup: collapse embedding near-dup pairs into
+    clusters (same path as dup_clusters) and report the cluster-size
+    distribution — clusters per size, docs absorbed, docs dropped if
+    one canonical row is kept per cluster.  The number every dedup
+    run reports before anyone trusts it; the oracle re-derives the
+    closure with a recursive CTE and aggregates the same counts."""
+    emb = _emb(spark, sf_dir, width=0)
+    pairs = D.dedup_embedding(emb, threshold=0.3)
+    clusters = D.connected_components(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("size")).cast("long").alias("n_members"),
+        (F.count(F.lit(1)) * (F.col("size") - 1)).cast("long").alias("n_dropped"),
+    )
+
+
 def _dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the dedup pipeline: exact-dup clusters (content hash →
     min doc id) applied back to the corpus via keep_canonical's anti
@@ -705,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "dedup_semantic": _dedup_semantic,
         "dup_clusters": _dup_clusters,
+        "cluster_stats": _cluster_stats,
         "pii_scan": _pii_scan,
         "pack_sequences": _pack_sequences,
         "doc_chunks": _doc_chunks,
@@ -883,6 +904,28 @@ def oracle_sql() -> dict[str, str]:
         f" AND n_sym / CAST(n_words AS DOUBLE) <= {_R['max_symbol_ratio']}"
         f" AND n_stopwords >= {_R['min_stopwords']})"
     )
+
+    # shared embedding near-dup closure (pairs → symmetric edges →
+    # recursive reachability): used by dup_clusters (labels) and
+    # cluster_stats (size distribution)
+    emb_closure_ctes = """
+            vv0 AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            nn AS (SELECT vec_id, label, vv,
+                sqrt(list_dot_product(vv, vv)) AS nrm FROM vv0),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.vv, b.vv)/(a.nrm*b.nrm), 6) >= 0.3),
+            edges AS (
+              SELECT id_a AS u, id_b AS w FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(u, w) AS (
+              SELECT u, w FROM edges
+              UNION
+              SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u)"""
 
     # PII redaction chain over a raw `text` column (the pii_scan
     # oracle applies the same chain to its injected variant `t`)
@@ -1368,26 +1411,22 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.vv, b.vv)/(a.nrm*b.nrm), 6) >= 0.3
         """,
-        "dup_clusters": """
-            WITH RECURSIVE vv0 AS (
-              SELECT vec_id, label,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-              FROM embeddings),
-            nn AS (SELECT vec_id, label, vv,
-                sqrt(list_dot_product(vv, vv)) AS nrm FROM vv0),
-            pairs AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
-              WHERE round(list_dot_product(a.vv, b.vv)/(a.nrm*b.nrm), 6) >= 0.3),
-            edges AS (
-              SELECT id_a AS u, id_b AS w FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-            reach(u, w) AS (
-              SELECT u, w FROM edges
-              UNION
-              SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u)
+        "dup_clusters": f"""
+            WITH RECURSIVE {emb_closure_ctes}
             SELECT u AS vec_id, least(u, MIN(w)) AS cluster_id
             FROM reach GROUP BY u
+        """,
+        "cluster_stats": f"""
+            WITH RECURSIVE {emb_closure_ctes},
+            lbl AS (
+              SELECT u AS vec_id, least(u, MIN(w)) AS cluster_id
+              FROM reach GROUP BY u),
+            sz AS (
+              SELECT cluster_id, COUNT(*) AS size FROM lbl GROUP BY cluster_id)
+            SELECT size, COUNT(*) AS n_clusters,
+              CAST(COUNT(*) * size AS BIGINT) AS n_members,
+              CAST(COUNT(*) * (size - 1) AS BIGINT) AS n_dropped
+            FROM sz GROUP BY size
         """,
         "pii_scan": f"""
             WITH g AS (SELECT doc_id, {pii_inj} AS t FROM documents),

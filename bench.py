@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_semantic",
     "dup_clusters",
+    "cluster_stats",
     "pii_scan",
     "pack_sequences",
     "doc_chunks",
