@@ -653,6 +653,13 @@ def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score (CCNet recipe shape);
+    the oracle rebuilds the same add-one-smoothed model and per-doc
+    mean log-prob in SQL."""
+    return TS.lm_score(_docs(spark, sf_dir, width=0), "doc_id", "text")
+
+
 def _compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (RefinedWeb heuristic).
     Rows-only gate: DEFLATE is not SQL-expressible; ratio bounds,
@@ -746,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "repetition_stats": _repetition_stats,
         "compression_stats": _compression_stats,
+        "lm_score": _lm_score,
         "remove_boilerplate": _remove_boilerplate,
         "dedup_lines": _dedup_lines,
         "tfidf_top_terms": _tfidf_top_terms,
@@ -1715,6 +1723,30 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
               CAST(len(d.lines) - COALESCE(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
             FROM d LEFT JOIN agg USING (doc_id)
+        """,
+        "lm_score": f"""
+            WITH b0 AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+            db AS (
+              SELECT doc_id, toks[i] AS w1,
+                toks[i] || chr(31) || toks[i+1] AS bigram
+              FROM b0, unnest(range(1, len(toks))) AS u(i)),
+            c2 AS (SELECT w1, bigram, COUNT(*) AS c2 FROM db GROUP BY 1, 2),
+            ug AS (SELECT unnest(toks) AS w1 FROM b0),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM ug GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w1) AS v FROM ug),
+            p AS (
+              SELECT bigram,
+                round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)), 6) AS logp
+              FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+            s AS (
+              SELECT db.doc_id, COUNT(*) AS n_bigrams,
+                CAST(SUM(CAST(logp AS DECIMAL(25,6))) AS DOUBLE)/COUNT(*)
+                  AS lm_score
+              FROM db JOIN p USING (bigram) GROUP BY 1)
+            SELECT b0.doc_id,
+              CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              s.lm_score
+            FROM b0 LEFT JOIN s USING (doc_id)
         """,
         "dedup_lines": """
             WITH d AS (

@@ -113,6 +113,7 @@ HEADLINE = [
     "order_price_ranks",
     "repetition_stats",
     "compression_stats",
+    "lm_score",
     "remove_boilerplate",
     "dedup_lines",
     "lang_confusion",

@@ -352,3 +352,94 @@ def compression_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col("n_bytes") > 0, F.col("n_compressed") / F.col("n_bytes")
         ).alias("compression_ratio"),
     )
+
+
+# bigram join key separator: US (unit separator, \x1f) cannot appear
+# in whitespace-split tokens of ordinary text; documents containing
+# raw control characters should be scrubbed first (text_filter)
+_BIGRAM_SEP = "\x1f"
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score (the CCNet
+    recipe shape: score documents under an n-gram LM and filter or
+    bucket on the result — here the LM is trained on the corpus
+    itself in the same job, the standard self-scoring setup when no
+    reference LM ships with the pipeline).
+
+    Per document: mean log-probability of its token bigrams under an
+    add-one-smoothed bigram model,
+    ``lm_score = avg ln((c(w1,w2)+1) / (c(w1)+V))``, plus the bigram
+    count.  Natural repeated prose scores higher than shuffled or
+    keyword-stuffed text; documents with fewer than two tokens
+    report NULL.
+
+    Scale shape: two global aggregates build the model — bigram
+    counts (shuffle on the bigram) and unigram counts (shuffle on
+    the token) — then each DISTINCT bigram's probability is computed
+    once on the model side and joined back to per-document bigram
+    instances (shuffle on the bigram key, content-derived and
+    uniform), and one final per-doc aggregate.  The model is never
+    collected or broadcast: vocab² does not fit a driver; a join
+    scales.  log-probs are rounded to ``round_to`` decimals before
+    the decimal-sum mean so the value gate is engine-stable (the
+    same ln convention tfidf uses).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_1),
+        F.slice(toks, 2, n_1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bigrams = base.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.w1").alias("w1"),
+        F.concat_ws(_BIGRAM_SEP, "p.w1", "p.w2").alias("bigram"),
+    )
+    c2 = doc_bigrams.groupBy("w1", "bigram").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    unigrams = base.select(F.explode(toks).alias("w1"))
+    c1 = unigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = unigrams.agg(F.countDistinct("w1").alias("v"))
+    probs = (
+        c2.join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.round(
+                F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))), round_to
+            ).alias("logp"),
+        )
+    )
+    scored = (
+        doc_bigrams.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.col("logp").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("lm_score"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_score",
+        )
+    )

@@ -142,3 +142,26 @@ def test_gopher_rules_thresholds(spark):
     assert not out[3].keep          # symbol ratio too high
     assert not out[4].keep          # alpha-word fraction too low
     assert out[1].n_stopwords >= 2
+
+
+def test_lm_score_semantics(spark):
+    """Bigram LM self-scoring: documents made of the corpus's common
+    bigrams score higher than a document of unique bigrams; <2-token
+    docs report NULL with n_bigrams 0."""
+    from gdelt_extractor_spark.operators.textstats import lm_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "zq xv jk wp bn my"),  # bigrams seen nowhere else
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_score(df, "doc_id", "text").collect()}
+    assert len(out) == 4
+    assert out[1].n_bigrams == 5 and out[1].lm_score == out[2].lm_score
+    # repeated common bigrams (count 2) beat one-off bigrams
+    assert out[1].lm_score > out[3].lm_score
+    assert out[4].n_bigrams == 0 and out[4].lm_score is None
