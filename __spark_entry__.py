@@ -829,6 +829,9 @@ def oracle_sql() -> dict[str, str]:
         EN_STOPWORDS,
         GOPHER_RULES,
     )
+    from gdelt_extractor_spark.operators.curation import (
+        _normalize_blocklist_host as _norm_block,
+    )
     from gdelt_extractor_spark.sources.gdelt import (
         GKG_SCHEMA,
         MENTIONS_SCHEMA,
@@ -1512,15 +1515,16 @@ def oracle_sql() -> dict[str, str]:
             n AS (
               SELECT doc_id, lang, source,
                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                  regexp_replace(lower(url), '^([a-z][a-z0-9+.\\-]*://)+', ''),
+                  regexp_replace(lower(url),
+                  '^(([a-z][a-z0-9+.\\-]*://)|([^/@?#]*@))+', ''),
                   '#.*$', ''), '\\?.*$', ''), '^(www\\.)+', ''), '/+$', '')
                   AS url_norm
               FROM u),
             h AS (
-              SELECT *, regexp_extract(url_norm, '^([^/]+)', 1) AS host FROM n),
+              SELECT *, regexp_extract(url_norm, '^([^/:]+)', 1) AS host FROM n),
             k AS (
               SELECT * FROM h WHERE host NOT IN
-                ({", ".join(f"'{b}'" for b in URL_BLOCKLIST)})),
+                ({", ".join(f"'{_norm_block(b)}'" for b in URL_BLOCKLIST)})),
             d AS (
               SELECT *, row_number() OVER (
                 PARTITION BY url_norm ORDER BY doc_id ASC) AS rn

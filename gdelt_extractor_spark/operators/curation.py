@@ -303,17 +303,37 @@ def normalize_url(col) -> "F.Column":
     codegen, and the same five patterns run unchanged in any
     POSIX-regex engine (the oracle applies the identical chain).
 
-    The scheme and www patterns strip REPEATED prefixes (``(...)+``)
-    — dirty crawl data really does contain ``http://http://x`` and
-    ``www.www.x`` — which also makes the function idempotent for
-    every input (property-tested), so re-normalizing already-clean
-    URLs is safe."""
+    The scheme, userinfo, and www patterns strip REPEATED prefixes
+    (``(...)+``) — dirty crawl data really does contain
+    ``http://http://x`` and ``www.www.x`` — which also makes the
+    function idempotent for every input (property-tested), so
+    re-normalizing already-clean URLs is safe.  Userinfo is stripped
+    because ``http://user@spam.com/x`` and ``http://spam.com/x`` are
+    the same page (and the former would otherwise bypass host
+    blocklists)."""
     x = F.lower(col)
-    x = F.regexp_replace(x, r"^([a-z][a-z0-9+.\-]*://)+", "")
+    # scheme and userinfo as ONE repeated alternation: interleavings
+    # like 'http://a@http://b' must strip in a single pass or the
+    # function stops being idempotent
+    x = F.regexp_replace(x, r"^(([a-z][a-z0-9+.\-]*://)|([^/@?#]*@))+", "")
     x = F.regexp_replace(x, r"#.*$", "")
     x = F.regexp_replace(x, r"\?.*$", "")
     x = F.regexp_replace(x, r"^(www\.)+", "")
     return F.regexp_replace(x, r"/+$", "")
+
+
+def _normalize_blocklist_host(h: str) -> str:
+    """Python twin of ``normalize_url``'s host canonicalization for
+    BLOCKLIST ENTRIES, so common list forms ('https://spam.com/',
+    'www.spam.com', 'SPAM.COM/path') all match the post-normalization
+    ``host`` column instead of silently matching nothing."""
+    import re
+
+    h = h.strip().lower()
+    h = re.sub(r"^(([a-z][a-z0-9+.\-]*://)|([^/@?#]*@))+", "", h)
+    h = h.split("/")[0].split("?")[0].split("#")[0]
+    h = re.sub(r"^(www\.)+", "", h)
+    return h.split(":")[0]
 
 
 def url_filter(
@@ -344,11 +364,13 @@ def url_filter(
 
     spark = df.sparkSession
     staged = df.withColumn("url_norm", normalize_url(F.col(url_col)))
+    # host excludes the port: blocklists are host lists, and
+    # normalize_url has already stripped scheme/userinfo/www
     staged = staged.withColumn(
-        "host", F.regexp_extract(F.col("url_norm"), r"^([^/]+)", 1)
+        "host", F.regexp_extract(F.col("url_norm"), r"^([^/:]+)", 1)
     )
     block = spark.createDataFrame(
-        [(h.lower(),) for h in blocked_hosts], "host string"
+        [(_normalize_blocklist_host(h),) for h in blocked_hosts], "host string"
     )
     kept = staged.join(F.broadcast(block), "host", "left_anti")
     if dedup:

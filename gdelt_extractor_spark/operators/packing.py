@@ -101,7 +101,12 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = tokens(F.col(text_col))
+    # NULL text is treated as empty text (one empty chunk) — a bare
+    # tokens(NULL) would be a NULL array, making explode(sequence)
+    # silently DROP the document from the output while ''-text docs
+    # keep a row; corpus row coverage must not depend on that
+    # distinction
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     staged = df.select(
         id_col, toks.alias("_toks"), F.size(toks).alias("_n")
     )

@@ -194,19 +194,28 @@ def read_gdelt_gkg(spark: SparkSession, path: str) -> DataFrame:
     return _read_tsv(spark, path, GKG_SCHEMA)
 
 
+def _theme_array(col: str = "Themes", distinct: bool = False):
+    """The ';'-delimited GKG Themes field as a cleaned array
+    expression (NULL-safe, empty segments dropped, optional
+    per-record de-duplication).  Single source of truth for every
+    theme analytic — Themes-parsing fixes apply here once."""
+    arr = F.filter(
+        F.split(F.coalesce(F.col(col), F.lit("")), ";"),
+        lambda s: s != "",
+    )
+    return F.array_distinct(arr) if distinct else arr
+
+
 def gkg_themes(gkg: DataFrame) -> DataFrame:
     """Explode the ';'-delimited Themes field into (GKGRECORDID,
     theme) rows — the GKG equivalent of the keyword split
     (reference extractor.py:398-406 does this driver-side with
-    Counter; here it is explode + groupBy-ready rows)."""
+    Counter; here it is explode + groupBy-ready rows).  Repeated
+    tags are kept (occurrence semantics); the rollup analytics use
+    the ``distinct=True`` form for record semantics."""
     return gkg.select(
         "GKGRECORDID",
-        F.explode(
-            F.filter(
-                F.split(F.coalesce(F.col("Themes"), F.lit("")), ";"),
-                lambda s: s != "",
-            )
-        ).alias("theme"),
+        F.explode(_theme_array()).alias("theme"),
     )
 
 
@@ -220,12 +229,7 @@ def gkg_theme_cooccurrence(gkg: DataFrame, min_count: int = 1) -> DataFrame:
     rows twice); at 100 TB the pair explosion is bounded by
     per-record theme-list length, not corpus size."""
     staged = gkg.select(
-        F.array_distinct(
-            F.filter(
-                F.split(F.coalesce(F.col("Themes"), F.lit("")), ";"),
-                lambda s: s != "",
-            )
-        ).alias("_themes")  # materialized: parsed once per row
+        _theme_array(distinct=True).alias("_themes")  # parsed once per row
     )
     t = F.col("_themes")
     pairs = F.flatten(
@@ -358,13 +362,27 @@ def mention_stats(events: DataFrame, mentions: DataFrame) -> DataFrame:
     events (n_mentions = 0), which matter for coverage dashboards.
 
     Latency: EventTimeDate / MentionTimeDate are yyyyMMddHHmmss
-    longs (public codebook); both are parsed to epoch seconds in the
-    session's UTC zone, so first_latency_sec is an exact integer —
-    hash-stable across engines.
+    longs, UTC by the public codebook — parsed with an EXPLICIT UTC
+    zone (``make_timestamp(..., 'UTC')``), not the session timezone:
+    under a non-UTC session, ``unix_timestamp(str, fmt)`` would shift
+    every latency by the zone offset and return NULL for wall times
+    inside a DST spring-forward gap, silently dropping those mentions
+    from the MIN.  first_latency_sec is an exact integer — hash-
+    stable across engines and session timezones (unit-tested under
+    America/New_York).
     """
 
     def epoch(col: str):
-        return F.unix_timestamp(F.col(col).cast("string"), "yyyyMMddHHmmss")
+        s = F.col(col).cast("string")
+        return F.make_timestamp(
+            F.substring(s, 1, 4).cast("int"),
+            F.substring(s, 5, 2).cast("int"),
+            F.substring(s, 7, 2).cast("int"),
+            F.substring(s, 9, 2).cast("int"),
+            F.substring(s, 11, 2).cast("int"),
+            F.substring(s, 13, 2).cast("int"),
+            F.lit("UTC"),
+        ).cast("long")
 
     per_event = (
         mentions.select(
@@ -452,14 +470,7 @@ def gkg_theme_daily(gkg: DataFrame, min_records: int = 1) -> DataFrame:
         (F.col("DATE").cast("long") / 1_000_000).cast("long").alias("day"),
         "SourceCommonName",
         F.split(F.col("V2Tone"), ",").getItem(0).cast("double").alias("tone"),
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.coalesce(F.col("Themes"), F.lit("")), ";"),
-                    lambda s: s != "",
-                )
-            )
-        ).alias("theme"),
+        F.explode(_theme_array(distinct=True)).alias("theme"),
     )
     return (
         staged.groupBy("theme", "day")

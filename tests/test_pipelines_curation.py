@@ -306,6 +306,28 @@ def test_url_filter_normalize_block_dedup(spark):
     assert by_id[4].url_norm == "a.com/other"
     assert by_id[5].url_norm == "b.org" and by_id[5].host == "b.org"
 
+    # hostile/dirty forms: userinfo must not bypass the blocklist,
+    # ports must not split the host, and blocklist entries in common
+    # list formats (scheme, www, trailing slash) must all match
+    dirty = spark.createDataFrame(
+        [
+            (10, "http://user@blocked.com/y"),    # userinfo bypass attempt
+            (11, "http://blocked.com:8080/y"),    # port variant
+            (12, "https://www.blocked.com/z/"),   # www + trailing slash
+            (13, "http://fine.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    for bl in (["blocked.com"], ["https://Blocked.com/"], ["www.blocked.com"]):
+        kept = {r.doc_id for r in url_filter(dirty, "url", bl).collect()}
+        assert kept == {13}, (bl, kept)
+    # userinfo is normalized away, so u@host/x dedups against host/x
+    both = spark.createDataFrame(
+        [(20, "http://u@a.com/x"), (21, "http://a.com/x")],
+        "doc_id long, url string",
+    )
+    assert {r.doc_id for r in url_filter(both, "url", []).collect()} == {20}
+
     # pure-expression check: www only strips at the start of the host
     row = (
         spark.range(1)
@@ -359,3 +381,17 @@ def test_dedup_lines_global_first_occurrence(spark):
     assert out[2].n_lines_removed == 1
     assert out[3].clean_text == "" and out[3].n_lines_kept == 0
     assert len(out) == 3  # corpus row count preserved
+
+
+def test_chunk_documents_null_text_kept(spark):
+    """NULL-text documents must not vanish from the chunk output —
+    they behave exactly like empty-string documents (one empty
+    chunk), so per-document coverage joins stay total."""
+    from gdelt_extractor_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.chunk_id): r for r in chunk_documents(df).collect()}
+    assert set(out) == {(1, 0), (2, 0), (3, 0)}
+    assert out[(1, 0)].chunk_text == "" and out[(2, 0)].chunk_text == ""

@@ -382,3 +382,30 @@ def test_readers_permissive_on_malformed_rows(spark, tmp_path):
     assert by_url["u"].MentionSourceName == "a.com"  # strings survive
     short_row = next(r for r in rows if r.GLOBALEVENTID == 2)
     assert short_row.MentionType is None          # missing tail -> NULL
+
+
+def test_mention_stats_latency_is_timezone_independent(spark):
+    """GDELT times are UTC by codebook: first_latency_sec must not
+    change under a non-UTC session timezone, including wall times
+    inside the US DST spring-forward gap (2024-03-10 02:30 does not
+    exist in America/New_York — session-zone parsing would return
+    NULL and silently drop the mention)."""
+    ev = spark.createDataFrame(
+        [(1, "01", 1)], "GLOBALEVENTID long, EventRootCode string, QuadClass int"
+    )
+    me = spark.createDataFrame(
+        [(1, 20240310020000, 20240310023000, "a.com", 80)],
+        "GLOBALEVENTID long, EventTimeDate long, MentionTimeDate long,"
+        " MentionSourceName string, Confidence int",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            (r,) = G.mention_stats(ev, me).collect()
+            results[tz] = (r.n_mentions, r.first_latency_sec)
+        assert results["UTC"] == (1, 1800)
+        assert results["America/New_York"] == results["UTC"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
