@@ -383,6 +383,22 @@ def _cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated k-token spans corpus-wide (Lee et al. 2022
+    exact-substring-dedup signal); the oracle regenerates every
+    12-token window of the same normalized text with a DuckDB list
+    slice and applies the identical two-level rollup."""
+    return D.duplicate_spans(_docs(spark, sf_dir, width=0), k=12)
+
+
+def _span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-window fraction (the score side of the
+    Lee et al. exact-substring recipe, applied at doc granularity);
+    the oracle recomputes windows, the corpus dup set, and the same
+    left-join rollup in DuckDB."""
+    return D.span_dup_fraction(_docs(spark, sf_dir, width=0), k=12)
+
+
 def _dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the dedup pipeline: exact-dup clusters (content hash →
     min doc id) applied back to the corpus via keep_canonical's anti
@@ -698,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": Q.asof_last_click,
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
         "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+        "q7_nation_trade": Q.q7_nation_trade,
+        "q10_returned_items": Q.q10_returned_items,
         "window_running": Q.window_running,
         "range_count_clicks_after_error": Q.range_count_clicks_after_error,
         "user_set_ops": Q.user_set_ops,
@@ -733,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "dup_clusters": _dup_clusters,
         "cluster_stats": _cluster_stats,
+        "dup_spans": _dup_spans,
+        "span_dup_stats": _span_dup_stats,
         "pii_scan": _pii_scan,
         "pack_sequences": _pack_sequences,
         "doc_chunks": _doc_chunks,
@@ -1127,6 +1147,41 @@ def oracle_sql() -> dict[str, str]:
             FROM eligible e
             JOIN minp ON e.p_partkey = minp.mk
               AND e.supply_price = minp.min_price
+        """,
+        "q7_nation_trade": f"""
+            SELECT supp_nation, cust_nation, l_year,
+              {_dsum('volume')} AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+                AND n2.n_name IN ('NATION_1', 'NATION_2')
+                AND n1.n_name <> n2.n_name
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01')
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+              {_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "q17_small_qty_revenue": f"""
             WITH branded AS (
@@ -1751,6 +1806,51 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
               s.lm_score
             FROM b0 LEFT JOIN s USING (doc_id)
+        """,
+        "dup_spans": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                string_split({_NORM.format(c='text')}, ' ') AS t
+              FROM documents),
+            win AS (
+              SELECT doc_id, array_to_string(t[i:i+11], ' ') AS span
+              FROM toks, unnest(range(1, len(t) - 12 + 2)) AS u(i)
+              WHERE len(t) >= 12),
+            per_doc AS (
+              SELECT span, doc_id, COUNT(*) AS c
+              FROM win GROUP BY span, doc_id)
+            SELECT span,
+              COUNT(*) AS n_docs,
+              CAST(SUM(c) AS BIGINT) AS n_total,
+              MIN(doc_id) AS first_doc
+            FROM per_doc GROUP BY span
+            HAVING SUM(c) >= 2
+        """,
+        "span_dup_stats": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                string_split({_NORM.format(c='text')}, ' ') AS t
+              FROM documents),
+            win AS (
+              SELECT doc_id, array_to_string(t[i:i+11], ' ') AS span
+              FROM toks, unnest(range(1, len(t) - 12 + 2)) AS u(i)
+              WHERE len(t) >= 12),
+            per_doc AS (
+              SELECT span, doc_id, COUNT(*) AS c
+              FROM win GROUP BY span, doc_id),
+            dup AS (
+              SELECT span FROM per_doc GROUP BY span HAVING SUM(c) >= 2),
+            scored AS (
+              SELECT w.doc_id, COUNT(*) AS n_windows,
+                SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+              FROM win w LEFT JOIN dup d USING (span)
+              GROUP BY w.doc_id)
+            SELECT documents.doc_id,
+              CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+              CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_windows,
+              CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0.0
+                   ELSE round(n_dup * 1.0 / n_windows, 6) END AS dup_frac
+            FROM documents LEFT JOIN scored USING (doc_id)
         """,
         "dedup_lines": """
             WITH d AS (

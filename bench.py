@@ -78,6 +78,8 @@ HEADLINE = [
     "dedup_semantic",
     "dup_clusters",
     "cluster_stats",
+    "dup_spans",
+    "span_dup_stats",
     "pii_scan",
     "pack_sequences",
     "doc_chunks",
@@ -100,6 +102,8 @@ HEADLINE = [
     "corpus_stats",
     "q17_small_qty_revenue",
     "q2_min_cost_supplier",
+    "q7_nation_trade",
+    "q10_returned_items",
     "window_running",
     "range_count_clicks_after_error",
     "user_set_ops",
@@ -156,6 +160,22 @@ def release(spark, gc_every: int = 0) -> None:
     _release_count += 1
     if gc_every and _release_count % gc_every == 0:
         spark.sparkContext._jvm.System.gc()
+
+
+def reset_gc_cycle(spark) -> None:
+    """Pin the GC cadence to a pass boundary: collect now, restart
+    the cycle.  With a query count not divisible by gc_every, a
+    free-running counter shifts the GC points by (n_queries mod
+    gc_every) every pass, so the same query sits right after a GC in
+    one pass and a near-full cycle of accumulated state later in the
+    next — measured ±5× rep spread on UDF-heavy queries
+    (dedup_semantic [10.3, 2.1, 5.4] across the three passes of r5's
+    first full run).  Pinning the cycle to the pass start makes each
+    query's within-cycle position identical across passes, so its
+    median compares like with like."""
+    global _release_count
+    _release_count = 0
+    spark.sparkContext._jvm.System.gc()
 
 
 N_REPS = 3
@@ -217,6 +237,7 @@ def main() -> None:
         elapsed = time.perf_counter() - t_meas0
         if _rep > 0 and elapsed + last_pass_s > budget_s:
             break
+        reset_gc_cycle(spark)
         t_pass0 = time.perf_counter()
         for name in headline:
             if name in errors:

@@ -20,7 +20,9 @@ from .dedup import (
     dedup_ngram_jaccard,
     dedup_semantic,
     dedup_simhash,
+    duplicate_spans,
     keep_canonical,
+    span_dup_fraction,
     minhash_signatures,
     simhash,
 )
@@ -48,7 +50,8 @@ __all__ = [
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
     "fingerprint", "frame_sample", "geo_project", "image_features",
-    "connected_components", "dedup_semantic", "keep_canonical",
+    "connected_components", "dedup_semantic", "duplicate_spans",
+    "keep_canonical", "span_dup_fraction",
     "ivf_fit_centroids", "keyword_freq", "lang_id",
     "minhash_signatures", "mix_sources", "pack_sequences",
     "chunk_documents", "dedup_lines_global", "normalize_url", "url_filter",

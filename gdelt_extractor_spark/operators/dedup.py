@@ -865,3 +865,129 @@ def dedup_embedding(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated k-token span detection — the corpus-level
+    exact-substring-dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed for
+    Spark: instead of a monolithic suffix array, every k-token
+    window of the normalized text becomes a shingle row, and a
+    corpus-wide aggregate finds windows that occur ``min_count``+
+    times (within OR across documents — a doc repeating itself
+    counts, as in the paper).
+
+    Returns one row per duplicated span:
+    (span, n_docs, n_total, first_doc) where n_total counts every
+    occurrence, n_docs the distinct documents, and first_doc the
+    lexicographically-first carrying document (deterministic).
+
+    Only FULL k-token windows participate: documents shorter than
+    ``k`` tokens contribute nothing (unlike the dedup shingle
+    helpers, which truncate short docs into one partial shingle).
+
+    Plan shape: tokenize+window in ONE codegen projection (no
+    shuffle); explode; then TWO partial-aggregated shuffles — first
+    on (span, doc) for per-doc counts, then on span for the corpus
+    rollup — both keyed on content-derived uniform keys, never an
+    all-pairs join.  A COUNT(DISTINCT) in a single agg would Expand
+    every window row instead.  At 100 TB, group on
+    ``xxhash64(span)`` and carry ``min(span)`` only into the final
+    report to shrink the shuffle sort keys ~9×; the string key is
+    kept here so the DuckDB oracle can share the exact grouping.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    n = F.size("_t")
+    idx = F.sequence(F.lit(0), (n - k).cast("int"))
+    windows = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_t", (i + 1).cast("int"), k))),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        base.select("doc_id", F.explode(windows).alias("span"))
+        .groupBy("span", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_doc.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_c").alias("n_total"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_total") >= min_count)
+    )
+
+
+def span_dup_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    min_count: int = 2,
+) -> DataFrame:
+    """Score side of the Lee et al. exact-substring recipe: for each
+    document, the fraction of its k-token windows that are duplicated
+    corpus-wide (per ``duplicate_spans``).  Downstream curation drops
+    or trims docs above a threshold — the distributed stand-in for
+    the paper's cut-the-repeated-substring step, at document
+    granularity.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_frac); docs
+    shorter than ``k`` tokens report 0 windows and 0.0 fraction.
+
+    Plan shape: ONE window materialization reused by both sides —
+    the corpus rollup (two partial-agg shuffles, see
+    ``duplicate_spans``) and the per-doc join — then a left join on
+    the span string (content-derived key, uniform) and one final
+    aggregate on the doc id.  The duplicate-span side is the small
+    side at any realistic dup rate but is NOT broadcast: its size is
+    data-dependent and unbounded, so the equi-join stays a shuffle
+    join and AQE may still choose broadcast at runtime when it fits.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    n = F.size("_t")
+    idx = F.sequence(F.lit(0), (n - k).cast("int"))
+    windows = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_t", (i + 1).cast("int"), k))),
+    ).otherwise(F.array().cast("array<string>"))
+    win = base.select("doc_id", F.explode(windows).alias("span"))
+    per_doc = win.groupBy("span", "doc_id").agg(F.count(F.lit(1)).alias("_c"))
+    dup = (
+        per_doc.groupBy("span")
+        .agg(F.sum("_c").alias("_tot"))
+        .filter(F.col("_tot") >= min_count)
+        .select("span", F.lit(1).alias("_is_dup"))
+    )
+    scored = (
+        win.join(dup, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_is_dup"), F.lit(0))).alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(F.col("n_dup_windows") / F.col("n_windows")),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -584,3 +584,86 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("exact_users"),
     )
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year (fact-fact join with BOTH fact sides pre-filtered
+    through broadcast dims before the shuffle).
+
+    The plan decision that matters at 100 TB: the two-nation filter
+    reaches each fact BEFORE the lineitem⋈orders shuffle — lineitem
+    is semi-shrunk through the supplier side (2/25 of rows survive)
+    and orders through the customer side — so the big exchange moves
+    ~8% of the data a filter-after-join plan would.  Catalyst cannot
+    push a dim join below the fact-fact join itself; the join
+    ordering here is the optimization.
+    """
+    nations = ("NATION_1", "NATION_2")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer
+    over one quarter — selective fact filters + customer rollup +
+    global top-20.
+
+    Both fact filters (returnflag, order-date quarter) push into the
+    parquet scans; one shuffle joins the shrunken facts on the order
+    key; the customer+nation dim broadcasts here (at TPC-H scale
+    customer is ~SF·150K rows — beyond the broadcast threshold it
+    degrades gracefully to a shuffle join on c_custkey, the group
+    key, so the agg reuses that exchange).  Top-20 is
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

@@ -142,6 +142,89 @@ def write_clustered(
     )
 
 
+def _zorder_key(df: DataFrame, cols: list[str], bits: int) -> F.Column:
+    """Z-value column: interleave the ``bits``-bit rank-bucket ids of
+    each clustering column (Morton code).  Buckets come from
+    approxQuantile boundaries so skewed columns still fill the code
+    space evenly; the per-row assignment is a bounded JVM ``aggregate``
+    over the (2^bits − 1)-element boundary array — no UDF, no window.
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        # driver-side, bounded: (2^bits − 1) doubles per column
+        bounds = df.approxQuantile(c, probs, 0.001)
+        bucket = F.aggregate(
+            F.array(*[F.lit(b) for b in bounds]),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+        )
+        # spread column ci's bit j to interleaved position j*d + ci
+        d = len(cols)
+        for j in range(bits):
+            bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * d + ci))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet write: multi-column
+    generalization of ``write_clustered``.
+
+    Range clustering on one column makes that column's min/max file
+    statistics disjoint but leaves every other column's range spanning
+    the whole domain — a filter on the second key scans everything.
+    Interleaving the bit-ranks of all ``cols`` into one Morton code
+    and range-partitioning + sorting on IT gives every clustering
+    column locality: a selective predicate on ANY of them prunes to
+    ~n_files^((d−1)/d) files via footer min/max stats (the Delta/
+    Iceberg OPTIMIZE ZORDER recipe, done with plain DataFrame ops).
+
+    Driver-side state is one bounded approxQuantile boundary array
+    per column (2^bits − 1 doubles); everything else is a per-row
+    codegen expression, one range exchange, and a within-partition
+    sort — the identical shuffle shape as ``write_clustered``.
+    Columns must be numeric (cast to double for bucketing); hash
+    non-numeric keys to a long first, which preserves equality
+    clustering though not range locality.
+    """
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs ≥2 columns; use write_clustered")
+    z = _zorder_key(df, cols, bits)
+    # Partition on the ALIGNED Morton block (the top ⌈log2 n_files⌉
+    # bits of z), not the raw z-value: range boundaries sampled from
+    # raw z land mid-block, and an unaligned chunk of the curve spans
+    # two blocks' worth of every dimension — measured ~2× more
+    # surviving files per point predicate.  Block-aligned chunks are
+    # exactly the d-dimensional grid cells of the curve.  Files stay
+    # balanced because quantile bucketing already equalizes block
+    # populations.
+    block_bits = max(1, (n_files - 1).bit_length())
+    shift = max(0, len(cols) * bits - block_bits)
+    (
+        df.withColumn("_z", z)
+        .withColumn("_zblock", F.shiftright(F.col("_z"), shift))
+        # range-partition on the block ALONE: rows equal on the range
+        # key can never split across partitions, so every block lands
+        # whole in one file (a boundary sampled from a composite
+        # (block, z) key could cut a block mid-curve)
+        .repartitionByRange(n_files, F.col("_zblock"))
+        .sortWithinPartitions("_z")
+        .drop("_z", "_zblock")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def upsert_partitions(
     df: DataFrame,
     path: str,

@@ -231,3 +231,65 @@ def test_connected_components_distributed_matches_driver_finish(spark):
 def test_connected_components_empty_edges(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert D.connected_components(df).count() == 0
+
+
+def test_duplicate_spans_exact_semantics(spark):
+    # doc 10 repeats a 4-token phrase internally; docs 11/12 share it;
+    # doc 13 is unrelated; doc 14 is shorter than k
+    df = spark.createDataFrame(
+        [
+            (10, "one two three four filler one two three four"),
+            (11, "zz one two three four yy"),
+            (12, "prefix words one two three four suffix"),
+            (13, "totally different words with no overlap at all here"),
+            (14, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.span: (r.n_docs, r.n_total, r.first_doc)
+        for r in D.duplicate_spans(df, k=4).collect()
+    }
+    assert out["one two three four"] == (3, 4, 10)
+    # windows overlapping the shared phrase only within doc 10 twice
+    # ("two three four filler" appears once) are NOT duplicated
+    assert "two three four filler" not in out
+    # no span from the unrelated or short doc
+    assert not any("totally" in s or "tiny" in s for s in out)
+    # every reported span is exactly k tokens
+    assert all(len(s.split(" ")) == 4 for s in out)
+
+
+def test_duplicate_spans_short_and_null_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    # k=5 > every doc length: nothing to report, and nulls don't blow up
+    assert D.duplicate_spans(df, k=5).count() == 0
+    # k=3: the full 3-token doc text is itself the only window
+    out = D.duplicate_spans(df, k=3).collect()
+    assert len(out) == 1 and out[0].span == "a b c" and out[0].n_docs == 2
+
+
+def test_span_dup_fraction_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "one two three four filler one two three four"),
+            (11, "zz one two three four yy"),
+            (12, "totally different words with no overlap at all"),
+            (13, "na"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.span_dup_fraction(df, k=4).collect()}
+    assert set(out) == {10, 11, 12, 13}  # corpus row count preserved
+    # doc 10: 6 windows, 2 of them the duplicated phrase
+    assert out[10].n_windows == 6 and out[10].n_dup_windows == 2
+    assert out[10].dup_frac == round(2 / 6, 6)
+    # doc 11: 3 windows, 1 duplicated
+    assert out[11].n_windows == 3 and out[11].n_dup_windows == 1
+    # clean doc: zero dup fraction
+    assert out[12].n_dup_windows == 0 and out[12].dup_frac == 0.0
+    # short doc: no windows at all, still present with 0.0
+    assert out[13].n_windows == 0 and out[13].dup_frac == 0.0

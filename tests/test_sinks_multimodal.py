@@ -201,3 +201,62 @@ def test_write_clustered_disjoint_file_ranges(spark, sf_dir, tmp_path):
     assert back.count() == e.count()
     one_user = back.filter("user_id = 7").count()
     assert one_user == e.filter("user_id = 7").count()
+
+
+def test_write_zordered_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Morton clustering gives BOTH key columns file-level locality:
+    a selective predicate on either column must rule out a material
+    fraction of files by min/max stats, while single-column range
+    clustering prunes only its own key.  Data must round-trip."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zout, cout = str(tmp_path / "z"), str(tmp_path / "c")
+    FS.write_zordered(e, zout, ["user_id", "value"], n_files=16)
+    FS.write_clustered(e, cout, cluster_col="user_id", n_files=16)
+
+    def surviving(path: str, col: str, lo: float, hi: float) -> tuple[int, int]:
+        """files whose [min,max] for col overlaps [lo,hi], and total"""
+        n = tot = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_row_groups == 0:
+                continue
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mn = min(md.row_group(g).column(idx[col]).statistics.min
+                     for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(idx[col]).statistics.max
+                     for g in range(md.num_row_groups))
+            tot += 1
+            if not (mx < lo or mn > hi):
+                n += 1
+        return n, tot
+
+    stats = e.agg(
+        F.expr("percentile(user_id, 0.5)").alias("u"),
+        F.expr("percentile(value, 0.5)").alias("v"),
+        F.max("user_id").alias("umax"),
+        F.max("value").alias("vmax"),
+    ).collect()[0]
+    u_lo, u_hi = stats.u, stats.u + max(1.0, stats.umax * 0.02)
+    v_lo, v_hi = stats.v, stats.v + max(0.5, stats.vmax * 0.02)
+
+    zu, ztot = surviving(zout, "user_id", u_lo, u_hi)
+    zv, _ = surviving(zout, "value", v_lo, v_hi)
+    cu, ctot = surviving(cout, "user_id", u_lo, u_hi)
+    cv, _ = surviving(cout, "value", v_lo, v_hi)
+
+    assert ztot >= 8 and ctot >= 8
+    # range clustering: near-perfect on its own key, useless on the other
+    assert cu <= 2
+    assert cv >= ctot - 1
+    # z-order: real pruning on BOTH dimensions
+    assert zu <= ztot * 0.55, (zu, ztot)
+    assert zv <= ztot * 0.55, (zv, ztot)
+
+    back = spark.read.parquet(zout)
+    assert back.count() == e.count()
+    assert back.select(F.sum("event_id")).collect()[0][0] == \
+        e.select(F.sum("event_id")).collect()[0][0]
