@@ -33,9 +33,11 @@ from gdelt_extractor_spark.operators import curation as C
 from gdelt_extractor_spark.operators import dedup as D
 from gdelt_extractor_spark.operators import similarity as S
 from gdelt_extractor_spark.operators import textstats as TS
+from gdelt_extractor_spark.functions.text import tokens
 from gdelt_extractor_spark.operators.enrich import enrich_articles
 from gdelt_extractor_spark.operators.geo import geo_project
 from gdelt_extractor_spark.operators.keywords import keyword_freq
+from gdelt_extractor_spark.operators.sketches import approx_topk
 from gdelt_extractor_spark.plans import queries as Q
 from gdelt_extractor_spark.sources.tables import load_table, parallelized
 
@@ -391,6 +393,18 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_spans(_docs(spark, sf_dir, width=0), k=12)
 
 
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens via the distributed Misra-Gries sketch.
+    At this config (m=256 ≫ per-partition distinct tokens) the sketch
+    runs in its exact regime, so the plain top-k SQL oracle applies
+    verbatim; the approximation contract under forced decrements is
+    property-tested in tests/test_sketches.py instead."""
+    toks = _docs(spark, sf_dir, width=8).select(
+        F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return approx_topk(toks, "tok", k=20, m=256).withColumnRenamed("key", "tok")
+
+
 def _span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-window fraction (the score side of the
     Lee et al. exact-substring recipe, applied at doc granularity);
@@ -716,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": Q.q2_min_cost_supplier,
         "q7_nation_trade": Q.q7_nation_trade,
         "q10_returned_items": Q.q10_returned_items,
+        "event_spikes": Q.event_spikes,
         "window_running": Q.window_running,
         "range_count_clicks_after_error": Q.range_count_clicks_after_error,
         "user_set_ops": Q.user_set_ops,
@@ -753,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats": _cluster_stats,
         "dup_spans": _dup_spans,
         "span_dup_stats": _span_dup_stats,
+        "heavy_hitters": _heavy_hitters,
         "pii_scan": _pii_scan,
         "pack_sequences": _pack_sequences,
         "doc_chunks": _doc_chunks,
@@ -1182,6 +1198,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "event_spikes": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                COUNT(*) AS n_events,
+                CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day_num
+              FROM events GROUP BY 1, 2),
+            win AS (
+              SELECT event_type, day, n_events,
+                COUNT(*) OVER w AS cnt,
+                SUM(CAST(n_events AS DOUBLE)) OVER w AS s1,
+                SUM(CAST(n_events * n_events AS DOUBLE)) OVER w AS s2
+              FROM daily
+              WINDOW w AS (
+                PARTITION BY event_type ORDER BY day_num
+                RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+            scored AS (
+              SELECT event_type, day, n_events,
+                CAST(cnt AS BIGINT) AS n_base_days,
+                CASE WHEN cnt >= 1
+                     THEN round(s1 / cnt, 6) END AS base_mean,
+                CASE WHEN cnt >= 2
+                     THEN round(sqrt(greatest(
+                       (s2 - s1 * s1 / cnt) / (cnt - 1), 0.0)), 6)
+                     END AS base_std,
+                CASE WHEN cnt >= 7
+                      AND sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0)) > 0
+                     THEN round((n_events - s1 / cnt)
+                       / sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0)), 6)
+                     END AS z
+              FROM win)
+            SELECT event_type, day, n_events, n_base_days,
+              base_mean, base_std, z,
+              COALESCE(z >= 3.0, FALSE) AS is_spike
+            FROM scored
         """,
         "q17_small_qty_revenue": f"""
             WITH branded AS (
@@ -1825,6 +1876,16 @@ def oracle_sql() -> dict[str, str]:
               MIN(doc_id) AS first_doc
             FROM per_doc GROUP BY span
             HAVING SUM(c) >= 2
+        """,
+        "heavy_hitters": f"""
+            WITH tok AS (
+              SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS tok
+              FROM documents)
+            SELECT tok, COUNT(*) AS est_count FROM tok
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY est_count DESC, tok ASC
+            LIMIT 20
         """,
         "span_dup_stats": f"""
             WITH toks AS (

@@ -80,6 +80,7 @@ HEADLINE = [
     "cluster_stats",
     "dup_spans",
     "span_dup_stats",
+    "heavy_hitters",
     "pii_scan",
     "pack_sequences",
     "doc_chunks",
@@ -104,6 +105,7 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q7_nation_trade",
     "q10_returned_items",
+    "event_spikes",
     "window_running",
     "range_count_clicks_after_error",
     "user_set_ops",

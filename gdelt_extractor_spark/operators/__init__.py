@@ -39,12 +39,13 @@ from .multimodal import (
     resize_images,
 )
 from .similarity import ann_bruteforce, ann_ivf, ann_lsh, ivf_fit_centroids
+from .sketches import approx_topk
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join
 from .textstats import fingerprint, lang_id, quality_score, token_stats
 
 __all__ = [
-    "ann_bruteforce", "ann_ivf", "ann_lsh", "asof_join",
+    "ann_bruteforce", "ann_ivf", "ann_lsh", "approx_topk", "asof_join",
     "attach_fake_media", "audio_features", "corpus_stats",
     "decontaminate", "dedup_embedding", "dedup_exact",
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",

@@ -667,3 +667,56 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+def event_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: per (event_type, day), the z-score of
+    the daily event count against its OWN trailing 28-day baseline
+    (mean/std over the prior days only, so a spike never inflates the
+    baseline it is judged against) — the monitoring query behind
+    "show me days when coverage of X surged".
+
+    Determinism across engines: the baseline moments are computed
+    from SUM(n) and SUM(n*n) over the RANGE window — daily counts are
+    small integers, so both sums are exact in doubles and the
+    variance formula evaluates bit-identically in Spark and DuckDB;
+    a builtin stddev would use different accumulation orders.
+
+    Plan shape: one partial-aggregated shuffle to daily counts
+    (coarse keys: ~types × days rows), then ONE window exchange on
+    event_type with a RANGE frame over epoch-days.  State per row is
+    two running sums — no buffering of the 28-day frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    ).withColumn("day_num", (F.unix_timestamp("day") / 86400).cast("long"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-28, -1)
+    )
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    s1 = F.sum(F.col("n_events").cast("double")).over(w)
+    s2 = F.sum((F.col("n_events") * F.col("n_events")).cast("double")).over(w)
+    mean = s1 / cnt
+    var = F.greatest(
+        (s2 - s1 * s1 / cnt) / (cnt - 1), F.lit(0.0)
+    )
+    std = F.when(cnt >= 2, F.sqrt(var))
+    z = F.when(
+        (cnt >= 7) & (std > 0),
+        F.round((F.col("n_events") - mean) / std, 6),
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        cnt.cast("long").alias("n_base_days"),
+        F.when(cnt >= 1, F.round(mean, 6)).alias("base_mean"),
+        F.round(std, 6).alias("base_std"),
+        z.alias("z"),
+        F.coalesce(z >= 3.0, F.lit(False)).alias("is_spike"),
+    )

@@ -287,3 +287,58 @@ def test_dedup_lines_two_shuffles(spark, sf_dir):
         [l for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")]
     )
     assert n_hash <= 2, plan[:2000]
+
+
+def test_q7_prefilters_both_facts_before_shuffle(spark, sf_dir):
+    """Both fact sides must join their broadcast nation-filtered dims
+    BEFORE the fact-fact exchange, and the date filter must push into
+    the lineitem scan — the join ordering that shrinks the big
+    shuffle ~12x."""
+    plan = plan_of(spark, "q7_nation_trade", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert any("l_shipdate" in l for l in pushed_filter_lines(plan))
+    # one fact-fact shuffle pair (orderkey, both sides) + the agg
+    # exchange: no extra exchanges from mis-ordered dim joins
+    n_hash = len(
+        [l for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")]
+    )
+    assert n_hash <= 3, plan[:2000]
+
+
+def test_q10_pushes_both_fact_filters(spark, sf_dir):
+    plan = plan_of(spark, "q10_returned_items", sf_dir)
+    pushed = pushed_filter_lines(plan)
+    assert any("l_returnflag" in l for l in pushed)
+    assert any("o_orderdate" in l for l in pushed)
+    assert "TakeOrderedAndProject" in plan, "top-20 must not global-sort"
+
+
+def test_event_spikes_two_exchanges(spark, sf_dir):
+    """Daily rollup shuffle + one window exchange on event_type —
+    the RANGE frame must not add further exchanges."""
+    plan = plan_of(spark, "event_spikes", sf_dir)
+    n_hash = len(
+        [l for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")]
+    )
+    assert n_hash <= 2, plan[:2000]
+    assert "Window" in plan
+
+
+def test_dup_spans_no_expand_no_cartesian(spark, sf_dir):
+    """The two-level rollup must avoid COUNT(DISTINCT)'s Expand and
+    any pair join."""
+    plan = plan_of(spark, "dup_spans", sf_dir)
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_sketch_rollup_is_small_side(spark, sf_dir):
+    """Stage 2 aggregates ONLY the per-partition summaries (one
+    exchange after the Arrow stage), and the top-k is
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "heavy_hitters", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    n_hash = len(
+        [l for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")]
+    )
+    assert n_hash == 1, plan[:2000]
