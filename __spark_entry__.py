@@ -12,8 +12,10 @@ Entries without an oracle (rows-only gate): dedup_minhash_lsh,
 dedup_simhash, dedup_semantic, ann_lsh_topk, ann_ivf_topk,
 approx_distinct_users, approx_quantiles (approximate/hash-seeded
 operators whose exactness is instead property-tested against their
-exact baselines in tests/) and compression_stats (zlib DEFLATE is
-not SQL-expressible; bounds/ordering/determinism property-tested).
+exact baselines in tests/), compression_stats (zlib DEFLATE is
+not SQL-expressible; bounds/ordering/determinism property-tested),
+and actor_pagerank (iterative fixed-point — last-bit partition-order
+sensitivity; mass/hub/dangling contracts property-tested).
 """
 
 from __future__ import annotations
@@ -269,6 +271,22 @@ def _actor_dyads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return actor_dyad_rollup(read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv"))
 
 
+def _actor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence ranking of country actors: weighted PageRank over
+    the actor-dyad interaction matrix (edge weight = event count).
+    Iterative fixed-point arithmetic is partition-order-sensitive in
+    the last float bits → rows-only for the driver gate; the
+    algorithm's contracts are property-tested in tests/test_graph.py
+    (mass conservation, hub dominance, dangling redistribution)."""
+    from gdelt_extractor_spark.operators.graph import pagerank
+    from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
+
+    dyads = actor_dyad_rollup(read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv"))
+    return pagerank(
+        dyads, src="actor1_cc", dst="actor2_cc", weight="n_events", tol=1e-5
+    )
+
+
 def _gdelt_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's post-read cleanup end-to-end
     (process_gdelt_events: keep-first SOURCEURL dedup + lowercase
@@ -391,6 +409,16 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     12-token window of the same normalized text with a DuckDB list
     slice and applies the identical two-level rollup."""
     return D.duplicate_spans(_docs(spark, sf_dir, width=0), k=12)
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample, 8 docs per
+    source (each stratum holds 25) weighted by n_chars; the oracle
+    reproduces the identical md5-derived keys and per-stratum ranking
+    in DuckDB."""
+    return C.weighted_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars", k=8, stratum_col="source"
+    )
 
 
 def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_stats": _mention_stats,
         "gkg_theme_daily": _gkg_theme_daily,
         "actor_dyads": _actor_dyads,
+        "actor_pagerank": _actor_pagerank,
         "gdelt_clean": _gdelt_clean,
         "geo_project": _geo_project,
         # §2c LLM-data ops
@@ -769,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _dup_spans,
         "span_dup_stats": _span_dup_stats,
         "heavy_hitters": _heavy_hitters,
+        "weighted_sample": _weighted_sample,
         "pii_scan": _pii_scan,
         "pack_sequences": _pack_sequences,
         "doc_chunks": _doc_chunks,
@@ -1876,6 +1906,23 @@ def oracle_sql() -> dict[str, str]:
               MIN(doc_id) AS first_doc
             FROM per_doc GROUP BY span
             HAVING SUM(c) >= 2
+        """,
+        "weighted_sample": """
+            WITH scored AS (
+              SELECT doc_id, text, lang, source, n_chars,
+                round(-ln((CAST(('0x' || substring(
+                    md5('wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) + 0.5) / 281474976710656.0)
+                  / n_chars, 6) AS sample_key
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY sample_key ASC, doc_id ASC) AS rn
+              FROM scored)
+            SELECT doc_id, text, lang, source, n_chars, sample_key
+            FROM r WHERE rn <= 8
         """,
         "heavy_hitters": f"""
             WITH tok AS (

@@ -65,6 +65,7 @@ HEADLINE = [
     "mention_stats",
     "gkg_theme_daily",
     "actor_dyads",
+    "actor_pagerank",
     "gdelt_clean",
     "geo_project",
     "dedup_exact",
@@ -81,6 +82,7 @@ HEADLINE = [
     "dup_spans",
     "span_dup_stats",
     "heavy_hitters",
+    "weighted_sample",
     "pii_scan",
     "pack_sequences",
     "doc_chunks",

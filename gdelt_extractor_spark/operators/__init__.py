@@ -10,6 +10,7 @@ from .curation import (
     sample_split,
     stratified_sample,
     url_filter,
+    weighted_sample,
 )
 from .dedup import (
     connected_components,
@@ -28,6 +29,7 @@ from .dedup import (
 )
 from .enrich import enrich_articles, enrich_articles_fetch
 from .geo import geo_project
+from .graph import pagerank
 from .keywords import keyword_freq
 from .packing import chunk_documents, pack_sequences
 from .pii import redact_pii, scan_pii
@@ -55,8 +57,10 @@ __all__ = [
     "keep_canonical", "span_dup_fraction",
     "ivf_fit_centroids", "keyword_freq", "lang_id",
     "minhash_signatures", "mix_sources", "pack_sequences",
-    "chunk_documents", "dedup_lines_global", "normalize_url", "url_filter",
+    "chunk_documents", "dedup_lines_global", "normalize_url", "pagerank",
+    "url_filter",
     "quality_score", "range_join", "redact_pii",
     "resize_images", "salted_agg", "salted_join", "sample_split",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
+    "weighted_sample",
 ]

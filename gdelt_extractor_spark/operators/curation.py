@@ -450,3 +450,61 @@ def dedup_lines_global(
             ).alias("n_lines_removed"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006, algorithm A-ES): each row derives a
+    uniform u ∈ (0,1) from md5(salt:id), scores key = −ln(u)/weight,
+    and the k smallest keys win — inclusion odds proportional to
+    weight, identical in distribution to successive weighted draws,
+    but embarrassingly parallel, content-stable across runs/engines/
+    cluster sizes (unlike ``sample``/``rand``), and re-drawable by
+    changing the salt.
+
+    With ``stratum_col``, k rows per stratum via a window on the
+    stratum key (one shuffle); without, a global top-k that plans as
+    TakeOrderedAndProject (no full sort).  Rows with non-positive or
+    NULL weight are excluded.  Keys are rounded to 6 decimals BEFORE
+    ranking with the id as tie-break, so the selection is
+    reproducible bit-for-bit on any engine (the same convention as
+    tfidf_top_terms).
+
+    The exposed ``sample_key`` makes the draw auditable: re-ranking
+    the corpus by the same formula must reproduce the sample.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("double")
+    # (h + 0.5) / 16^12: exact doubles (h < 2^48), u strictly in (0,1)
+    u = (h + F.lit(0.5)) / F.lit(float(16**12))
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6)
+    base = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", key)
+    )
+    if stratum_col is None:
+        return base.orderBy(
+            F.col("sample_key").asc(), F.col(id_col).asc()
+        ).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("sample_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

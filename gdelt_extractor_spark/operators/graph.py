@@ -1,0 +1,108 @@
+"""Graph analytics over pair/edge frames: weighted PageRank.
+
+Complements ``dedup.connected_components`` (cluster membership) with
+influence ranking — on GDELT, PageRank over the actor-dyad matrix
+(sources/gdelt.py:actor_dyad_rollup) answers "which country is the
+hub of the interaction network", the canonical follow-up to the
+who-acts-on-whom rollup.
+
+Scale shape (100 TB posture): ranks are a (node, rank) frame; every
+power iteration is ONE equi-join of the edge list with the rank frame
+on the source key plus ONE partial-aggregated shuffle on the
+destination key — no adjacency lists in memory, no driver-side graph.
+Out-degree normalization is computed once before the loop.  Per-round
+``localCheckpoint`` truncates lineage exactly as in
+connected_components; the per-round driver traffic is two scalars
+(dangling mass, L1 delta).  Iterative fixed-point arithmetic is
+partition-order-sensitive in the last float bits, so the operator is
+declared rows-only for the oracle gate and property-tested instead
+(mass conservation, known-graph ranks, dangling handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    max_iter: int = 30,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Weighted PageRank by power iteration over an edge frame.
+
+    Returns (node, rank) with ranks summing to 1.  ``weight`` (None →
+    every edge weighs 1) is normalized per source into transition
+    probabilities; dangling nodes (no out-edges) redistribute their
+    mass uniformly, as in the original formulation.  Stops when the
+    L1 rank delta drops below ``tol`` or after ``max_iter`` rounds.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+        w.alias("w"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("w") > 0))
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("_out"))
+    # transition probabilities, fixed for the whole loop
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("_out")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    has_out = out_w.select(F.col("src").alias("node"), F.lit(1).alias("_has_out"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        dangling = (
+            ranks.join(F.broadcast(has_out), "node", "left")
+            .filter(F.col("_has_out").isNull())
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        contrib = (
+            trans.join(ranks, trans.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("_in"))
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "_old"), "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
+            .first()[0]
+        )
+        old = ranks
+        ranks = new_ranks
+        old.unpersist()
+        if delta is not None and delta < tol:
+            break
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

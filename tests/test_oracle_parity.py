@@ -72,6 +72,7 @@ ROWS_ONLY = (
     "approx_distinct_users",
     "approx_quantiles",
     "compression_stats",
+    "actor_pagerank",
 )
 
 

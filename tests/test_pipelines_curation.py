@@ -395,3 +395,44 @@ def test_chunk_documents_null_text_kept(spark):
     out = {(r.doc_id, r.chunk_id): r for r in chunk_documents(df).collect()}
     assert set(out) == {(1, 0), (2, 0), (3, 0)}
     assert out[(1, 0)].chunk_text == "" and out[(2, 0)].chunk_text == ""
+
+
+def test_weighted_sample_proportional_inclusion(spark):
+    """A-ES sanity: over many salts, heavy rows are included roughly
+    in proportion to weight; selection is deterministic per salt and
+    invariant to partitioning; non-positive weights are excluded."""
+    from gdelt_extractor_spark.operators.curation import weighted_sample
+
+    rows = [(i, 100.0 if i < 5 else 1.0) for i in range(50)]
+    rows += [(97, 0.0), (98, -1.0), (99, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    heavy_hits = light_hits = 0
+    for s in range(12):
+        picked = {
+            r.id for r in weighted_sample(df, "id", "w", k=10, salt=f"s{s}").collect()
+        }
+        assert len(picked) == 10
+        assert not picked & {97, 98, 99}
+        heavy_hits += len(picked & set(range(5)))
+        light_hits += len(picked - set(range(5)))
+    # 5 heavy rows at weight 100 vs 45 light at 1: heavy inclusion
+    # must dominate (near-certain per draw), light fills the rest
+    assert heavy_hits >= 0.9 * 5 * 12
+    assert light_hits > 0
+
+    a = sorted(r.id for r in weighted_sample(df, "id", "w", k=10).collect())
+    b = sorted(r.id for r in weighted_sample(df.repartition(7), "id", "w", k=10).collect())
+    assert a == b
+
+
+def test_weighted_sample_per_stratum(spark):
+    from gdelt_extractor_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", 1.0 + i) for i in range(40)],
+        "id long, grp string, w double",
+    )
+    out = weighted_sample(df, "id", "w", k=3, stratum_col="grp").toPandas()
+    assert out.groupby("grp").size().to_dict() == {"a": 3, "b": 3}
+    assert "sample_key" in out.columns
