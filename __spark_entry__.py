@@ -55,6 +55,10 @@ SF0001 = "/root/testdata/sf0.001"
 GDELT_FIXTURES = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "gdelt"
 )
+JSONL_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "fixtures", "jsonl", "documents.jsonl",
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str, width: int | None = None) -> DataFrame:
@@ -269,6 +273,26 @@ def _actor_dyads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
 
     return actor_dyad_rollup(read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv"))
+
+
+def _jsonl_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source end-to-end: the committed fixture (500 documents
+    + 2 deliberately corrupt lines) through the explicit-schema
+    PERMISSIVE reader, corrupt rows filtered, then the per-(source,
+    lang) corpus accounting rollup.  The oracle reads the SAME file
+    via DuckDB read_ndjson(ignore_errors) — corrupt lines become
+    all-NULL rows there, filtered on doc_id (equivalent on this
+    fixture: every valid row carries an id).  sf-invariant by design
+    (the fixture is the dataset)."""
+    from gdelt_extractor_spark.sources.jsonl import (
+        read_documents_jsonl,
+        valid_documents,
+    )
+
+    docs = valid_documents(
+        read_documents_jsonl(spark, f"{JSONL_FIXTURE}")
+    )
+    return C.corpus_stats(docs)
 
 
 def _actor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_trade": Q.q7_nation_trade,
         "q10_returned_items": Q.q10_returned_items,
         "event_spikes": Q.event_spikes,
+        "q8_market_share": Q.q8_market_share,
         "window_running": Q.window_running,
         "range_count_clicks_after_error": Q.range_count_clicks_after_error,
         "user_set_ops": Q.user_set_ops,
@@ -781,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gkg_theme_daily": _gkg_theme_daily,
         "actor_dyads": _actor_dyads,
         "actor_pagerank": _actor_pagerank,
+        "jsonl_corpus_stats": _jsonl_corpus_stats,
         "gdelt_clean": _gdelt_clean,
         "geo_project": _geo_project,
         # §2c LLM-data ops
@@ -1228,6 +1254,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "q8_market_share": f"""
+            WITH vol AS (
+              SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                l_extendedprice * (1 - l_discount) AS volume,
+                CASE WHEN n2.n_name = 'NATION_5'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END AS national
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01')
+            SELECT o_year,
+              {_dsum('national')} AS national_volume,
+              {_dsum('volume')} AS total_volume,
+              {_dsum('national')} / {_dsum('volume')} AS mkt_share
+            FROM vol GROUP BY o_year ORDER BY o_year
         """,
         "event_spikes": """
             WITH daily AS (
@@ -2029,6 +2079,20 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY bigram
             ORDER BY n DESC, bigram ASC
             LIMIT 20
+        """,
+        "jsonl_corpus_stats": f"""
+            WITH docs AS (
+              SELECT * FROM read_ndjson('{JSONL_FIXTURE}',
+                columns={{doc_id: 'BIGINT', text: 'VARCHAR',
+                          lang: 'VARCHAR', source: 'VARCHAR',
+                          n_chars: 'BIGINT'}},
+                ignore_errors=true)
+              WHERE doc_id IS NOT NULL)
+            SELECT source, lang, COUNT(*) AS n_docs,
+              CAST(SUM(len({toks_text})) AS BIGINT) AS total_tokens,
+              CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+              CAST(SUM(len({toks_text})) AS BIGINT) / COUNT(*) AS avg_tokens
+            FROM docs GROUP BY source, lang
         """,
         "corpus_stats": f"""
             SELECT source, lang, COUNT(*) AS n_docs,

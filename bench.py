@@ -67,6 +67,7 @@ HEADLINE = [
     "actor_dyads",
     "actor_pagerank",
     "gdelt_clean",
+    "jsonl_corpus_stats",
     "geo_project",
     "dedup_exact",
     "dedup_apply",
@@ -108,6 +109,7 @@ HEADLINE = [
     "q7_nation_trade",
     "q10_returned_items",
     "event_spikes",
+    "q8_market_share",
     "window_running",
     "range_count_clicks_after_error",
     "user_set_ops",

@@ -720,3 +720,67 @@ def event_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.coalesce(z >= 3.0, F.lit(False)).alias("is_spike"),
     )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the fraction of
+    AMERICA customers' PROMO-part purchase volume supplied by
+    NATION_5, per order year.  A conditional-ratio aggregate over an
+    8-way join.
+
+    Join ordering (the 100 TB decision): lineitem semi-shrinks
+    through the broadcast PROMO part dim BEFORE the fact-fact
+    shuffle, orders pre-joins the broadcast region-filtered customer
+    dim, and the supplier→nation name needed only for the CASE
+    arrives broadcast after the big join.  Share =
+    dsum(conditional)/dsum(all) — two decimal sums in ONE aggregate
+    pass, then an exact double division.
+    """
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+        )
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0.0))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(national).alias("national_volume"),
+            dsum(volume).alias("total_volume"),
+            (dsum(national) / dsum(volume)).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
