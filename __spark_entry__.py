@@ -365,6 +365,19 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/min(|A|,|B|) ≥ 0.8 —
+    catches short-doc-quoted-in-long-doc pairs Jaccard misses.
+    Hot-shingle-capped with the lossless containment upper-bound
+    prune (values identical to the uncapped baseline); the oracle
+    takes candidates from the shared cold-shingle CTE chain and
+    verifies the same least-size division on full shingle sets."""
+    return D.dedup_containment(
+        _docs(spark, sf_dir, width=0), "text", "doc_id",
+        threshold=0.8, max_shingle_df=100,
+    )
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir, width=0)
     return D.dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.6)
@@ -815,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": _dedup_pipeline,
         "curation_pipeline": _curation_pipeline,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_containment": _dedup_containment,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
@@ -1512,6 +1526,18 @@ def oracle_sql() -> dict[str, str]:
         # >100 docs are dropped for CANDIDATE GENERATION only; shared-
         # shingle counts for surviving pairs use the full sets, so the
         # jaccard values are exact
+        "dedup_containment": f"""
+            WITH {ngram_ctes}
+            SELECT i.id_a, i.id_b,
+              round(i.n_common
+                / CAST(least(sa.set_size, sb.set_size) AS DOUBLE), 6)
+                AS containment
+            FROM inter i
+            JOIN sz sa ON i.id_a = sa.doc_id
+            JOIN sz sb ON i.id_b = sb.doc_id
+            WHERE round(i.n_common
+              / CAST(least(sa.set_size, sb.set_size) AS DOUBLE), 6) >= 0.8
+        """,
         "dedup_ngram_jaccard": f"""
             WITH {ngram_ctes}
             SELECT i.id_a, i.id_b, {_jacc} AS jaccard

@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_pipeline",
     "curation_pipeline",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",

@@ -14,6 +14,7 @@ from .curation import (
 )
 from .dedup import (
     connected_components,
+    dedup_containment,
     dedup_embedding,
     dedup_exact,
     dedup_keep_first,
@@ -49,7 +50,7 @@ from .textstats import fingerprint, lang_id, quality_score, token_stats
 __all__ = [
     "ann_bruteforce", "ann_ivf", "ann_lsh", "approx_topk", "asof_join",
     "attach_fake_media", "audio_features", "corpus_stats",
-    "decontaminate", "dedup_embedding", "dedup_exact",
+    "decontaminate", "dedup_containment", "dedup_embedding", "dedup_exact",
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
     "fingerprint", "frame_sample", "geo_project", "image_features",

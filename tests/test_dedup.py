@@ -293,3 +293,30 @@ def test_span_dup_fraction_scores(spark):
     assert out[12].n_dup_windows == 0 and out[12].dup_frac == 0.0
     # short doc: no windows at all, still present with 0.0
     assert out[13].n_windows == 0 and out[13].dup_frac == 0.0
+
+
+def test_containment_catches_quote_inclusion(spark):
+    """A short doc quoted whole inside a long one: containment ~1
+    while Jaccard stays below any dedup threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = (
+        "intro words before the quote " + short +
+        " and then a very long tail of completely unrelated prose "
+        "continuing on and on with many additional distinct tokens "
+        "that dilute the union far below the jaccard threshold"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "nothing shared here at all friends")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in D.dedup_containment(df, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert len(cont) == 1
+    jac = {
+        (r.id_a, r.id_b)
+        for r in D.dedup_ngram_jaccard(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac
