@@ -458,6 +458,14 @@ def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply step of exact-substring dedup: corpus-duplicated
+    12-token spans cut out of every document, text rebuilt from the
+    surviving normalized tokens; the oracle mirrors the window/dup
+    rollup and the nested positional filter in DuckDB."""
+    return D.cut_duplicate_spans(_docs(spark, sf_dir, width=0), k=12)
+
+
 def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus tokens via the distributed Misra-Gries sketch.
     At this config (m=256 ≫ per-partition distinct tokens) the sketch
@@ -837,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats": _cluster_stats,
         "dup_spans": _dup_spans,
         "span_dup_stats": _span_dup_stats,
+        "cut_spans": _cut_spans,
         "heavy_hitters": _heavy_hitters,
         "weighted_sample": _weighted_sample,
         "pii_scan": _pii_scan,
@@ -2009,6 +2018,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tok
             ORDER BY est_count DESC, tok ASC
             LIMIT 20
+        """,
+        "cut_spans": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                string_split({_NORM.format(c='text')}, ' ') AS t
+              FROM documents),
+            win AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+11], ' ') AS span
+              FROM toks, unnest(range(1, len(t) - 12 + 2)) AS u(i)
+              WHERE len(t) >= 12),
+            per_doc AS (
+              SELECT span, doc_id, COUNT(*) AS c
+              FROM win GROUP BY span, doc_id),
+            dup AS (
+              SELECT span FROM per_doc GROUP BY span HAVING SUM(c) >= 2),
+            dp AS (
+              SELECT w.doc_id, list(DISTINCT w.pos) AS P
+              FROM win w JOIN dup USING (span) GROUP BY w.doc_id),
+            joined AS (
+              SELECT toks.doc_id, toks.t, COALESCE(dp.P, []) AS P
+              FROM toks LEFT JOIN dp USING (doc_id))
+            SELECT doc_id,
+              CASE WHEN t IS NULL THEN '' ELSE COALESCE(array_to_string(
+                list_filter(t, (x, i) -> len(list_filter(P,
+                  p -> p <= i - 1 AND i - 1 <= p + 11)) = 0),
+                ' '), '') END AS clean_text,
+              CAST(CASE WHEN t IS NULL THEN 0 ELSE len(t) END AS BIGINT)
+                AS n_tokens,
+              CAST(CASE WHEN t IS NULL THEN 0 ELSE len(t) - len(
+                list_filter(t, (x, i) -> len(list_filter(P,
+                  p -> p <= i - 1 AND i - 1 <= p + 11)) = 0))
+                END AS BIGINT) AS n_tokens_removed
+            FROM joined
         """,
         "span_dup_stats": f"""
             WITH toks AS (

@@ -83,6 +83,7 @@ HEADLINE = [
     "cluster_stats",
     "dup_spans",
     "span_dup_stats",
+    "cut_spans",
     "heavy_hitters",
     "weighted_sample",
     "pii_scan",

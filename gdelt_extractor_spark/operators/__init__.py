@@ -14,6 +14,7 @@ from .curation import (
 )
 from .dedup import (
     connected_components,
+    cut_duplicate_spans,
     dedup_containment,
     dedup_embedding,
     dedup_exact,
@@ -54,8 +55,8 @@ __all__ = [
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
     "fingerprint", "frame_sample", "geo_project", "image_features",
-    "connected_components", "dedup_semantic", "duplicate_spans",
-    "keep_canonical", "span_dup_fraction",
+    "connected_components", "cut_duplicate_spans", "dedup_semantic",
+    "duplicate_spans", "keep_canonical", "span_dup_fraction",
     "ivf_fit_centroids", "keyword_freq", "lang_id",
     "minhash_signatures", "mix_sources", "pack_sequences",
     "chunk_documents", "dedup_lines_global", "normalize_url", "pagerank",

@@ -943,14 +943,18 @@ def span_dup_fraction(
     Returns (doc_id, n_windows, n_dup_windows, dup_frac); docs
     shorter than ``k`` tokens report 0 windows and 0.0 fraction.
 
-    Plan shape: ONE window materialization reused by both sides —
-    the corpus rollup (two partial-agg shuffles, see
-    ``duplicate_spans``) and the per-doc join — then a left join on
-    the span string (content-derived key, uniform) and one final
-    aggregate on the doc id.  The duplicate-span side is the small
-    side at any realistic dup rate but is NOT broadcast: its size is
-    data-dependent and unbounded, so the equi-join stays a shuffle
-    join and AQE may still choose broadcast at runtime when it fits.
+    Plan shape: the window projection feeds two consumers — the
+    corpus rollup (two partial-agg shuffles, see ``duplicate_spans``)
+    and the per-doc join — and is EVALUATED TWICE (Catalyst does not
+    common-subexpress across subtrees).  That is the scale-correct
+    choice: the exploded window frame is ~tokens×k rows, so storing
+    it (cache/localCheckpoint) costs far more than re-running a
+    scan-speed tokenize+slice projection.  The join on the span
+    string is a content-derived uniform key; the duplicate-span side
+    is small at any realistic dup rate but NOT broadcast by hint —
+    its size is data-dependent and unbounded, so the equi-join stays
+    a shuffle join and AQE promotes it to broadcast at runtime when
+    it fits.
     """
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
@@ -1098,3 +1102,71 @@ def dedup_containment(
     )
     rows.unpersist()
     return out
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    min_count: int = 2,
+) -> DataFrame:
+    """The APPLY step of the Lee et al. exact-substring recipe: cut
+    every corpus-duplicated k-token span out of the documents
+    (where ``span_dup_fraction`` only scores).  A token is removed
+    iff at least one duplicated window covers it, so overlapping
+    duplicated spans merge naturally; the text is rebuilt from the
+    surviving NORMALIZED tokens in order (the token-level analog of
+    the paper's byte-level substring cut).
+
+    Returns (doc_id, clean_text, n_tokens, n_tokens_removed) for the
+    WHOLE corpus — untouched documents pass through with 0 removed.
+
+    Plan shape: windows with positions in one codegen projection
+    (evaluated per consumer — storing the exploded frame would cost
+    more than its scan-speed recompute, see span_dup_fraction); the
+    corpus dup set via two partial-agg shuffles; duplicated window
+    positions collected per doc (bounded by windows-per-doc); the
+    final rebuild is a per-row nested higher-order filter
+    (token j survives iff no dup position p has p ≤ j ≤ p+k−1),
+    O(tokens × dup-windows) per row, no UDF.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    n = F.size("_t")
+    idx = F.sequence(F.lit(0), (n - k).cast("int"))
+    windows = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_t", (i + 1).cast("int"), k))),
+    ).otherwise(F.array().cast("array<string>"))
+    win = base.select("doc_id", F.posexplode(windows).alias("pos", "span"))
+    dup = (
+        win.groupBy("span", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("span")
+        .agg(F.sum("_c").alias("_tot"))
+        .filter(F.col("_tot") >= min_count)
+        .select("span")
+    )
+    dup_pos = (
+        win.join(dup, "span")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_dp"))
+    )
+    dp = F.coalesce(F.col("_dp"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_t"),
+        lambda x, j: ~F.exists(dp, lambda p: (p <= j) & (j <= p + F.lit(k - 1))),
+    )
+    n_safe = F.coalesce(n, F.lit(0))
+    return (
+        base.join(dup_pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.array_join(kept, " "), F.lit("")).alias("clean_text"),
+            F.greatest(n_safe, F.lit(0)).cast("long").alias("n_tokens"),
+            (F.greatest(n_safe, F.lit(0)) - F.coalesce(F.size(kept), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

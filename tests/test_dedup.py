@@ -320,3 +320,29 @@ def test_containment_catches_quote_inclusion(spark):
         for r in D.dedup_ngram_jaccard(df, "text", "doc_id", threshold=0.5).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_cut_duplicate_spans_removes_covered_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "one two three four filler one two three four"),
+            (11, "zz one two three four yy"),
+            (12, "clean words only in here nothing shared"),
+            (13, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.cut_duplicate_spans(df, k=4).collect()}
+    assert set(out) == {10, 11, 12, 13}
+    # doc 10: dup windows at pos 0 and 5 cover tokens 0-3 and 5-8;
+    # only "filler" (pos 4) survives
+    assert out[10].clean_text == "filler"
+    assert out[10].n_tokens == 9 and out[10].n_tokens_removed == 8
+    # doc 11: window at pos 1 covers tokens 1-4
+    assert out[11].clean_text == "zz yy"
+    assert out[11].n_tokens_removed == 4
+    # untouched doc passes through whole
+    assert out[12].clean_text == "clean words only in here nothing shared"
+    assert out[12].n_tokens_removed == 0
+    # null text: empty, zero counts
+    assert out[13].clean_text == "" and out[13].n_tokens == 0
