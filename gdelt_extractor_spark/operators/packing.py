@@ -101,6 +101,15 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # stride > chunk would silently skip the tokens between one
+        # chunk's end and the next chunk's start — a coverage gap no
+        # training/retrieval consumer wants; refuse loudly rather
+        # than emit a corpus that looks complete but isn't
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would "
+            "leave tokens uncovered between consecutive chunks"
+        )
     # NULL text is treated as empty text (one empty chunk) — a bare
     # tokens(NULL) would be a NULL array, making explode(sequence)
     # silently DROP the document from the output while ''-text docs

@@ -240,12 +240,15 @@ def test_range_join_matches_naive(spark, case):
 @given(DOCS, st.integers(1, 8), st.integers(1, 8))
 @PROP
 def test_chunk_documents_covers_every_token(spark, texts, chunk, stride):
-    """Chunking invariants for any text and any (chunk, stride):
+    """Chunking invariants for any text and any VALID (chunk, stride)
+    — stride is clamped to <= chunk (the operator refuses
+    gap-creating configs; see test_chunk_documents_rejects_gaps):
     chunk 0 starts at token 0, consecutive starts are stride apart,
-    every token lands in >= 1 chunk, and when stride >= chunk the
+    every token lands in >= 1 chunk, and when stride == chunk the
     chunks are disjoint and concatenate back to the document."""
     from gdelt_extractor_spark.operators.packing import chunk_documents
 
+    stride = min(stride, chunk)
     df = _df(spark, texts)
     toks = df.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n")
@@ -269,6 +272,18 @@ def test_chunk_documents_covers_every_token(spark, texts, chunk, stride):
         if stride >= chunk:
             total = sum(r.n_chunk_tokens for r in rows)
             assert total == min(n, len(rows) * chunk)
+
+
+def test_chunk_documents_rejects_gaps(spark):
+    """stride > chunk_tokens would leave tokens uncovered between
+    consecutive chunks — the operator must refuse loudly."""
+    import pytest
+
+    from gdelt_extractor_spark.operators.packing import chunk_documents
+
+    df = _df(spark, ["a b c"])
+    with pytest.raises(ValueError, match="uncovered"):
+        chunk_documents(df, chunk_tokens=1, stride=2)
 
 
 URLISH = st.text(
