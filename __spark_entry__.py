@@ -803,6 +803,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": Q.q2_min_cost_supplier,
         "q7_nation_trade": Q.q7_nation_trade,
         "q10_returned_items": Q.q10_returned_items,
+        "q13_order_counts": Q.q13_order_count_distribution,
+        "q18_large_orders": Q.q18_large_orders,
+        "q21_last_shipper": Q.q21_last_shipper,
+        "q22_idle_balance": Q.q22_idle_balance,
         "event_spikes": Q.event_spikes,
         "q8_market_share": Q.q8_market_share,
         "window_running": Q.window_running,
@@ -1277,6 +1281,60 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "q13_order_counts": """
+            WITH per_cust AS (
+              SELECT c_custkey,
+                (SELECT COUNT(*) FROM orders
+                 WHERE o_custkey = c_custkey
+                   AND o_orderpriority = '1-URGENT') AS c_count
+              FROM customer)
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q18_large_orders": f"""
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+              o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING {_dsum('l_quantity')} > 260) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q21_last_shipper": """
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM lineitem l1
+            JOIN orders ON l1.l_orderkey = o_orderkey
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE o_orderstatus = 'F'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > l1.l_shipdate)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
+        """,
+        "q22_idle_balance": f"""
+            WITH avg_bal AS (
+              SELECT {_dsum('c_acctbal')} / COUNT(*) AS ab
+              FROM customer WHERE c_acctbal > 0.0)
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+              {_dsum('c_acctbal')} AS totacctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (SELECT ab FROM avg_bal)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY n_name ORDER BY n_name
         """,
         "q8_market_share": f"""
             WITH vol AS (

@@ -110,6 +110,10 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q7_nation_trade",
     "q10_returned_items",
+    "q13_order_counts",
+    "q18_large_orders",
+    "q21_last_shipper",
+    "q22_idle_balance",
     "event_spikes",
     "q8_market_share",
     "window_running",

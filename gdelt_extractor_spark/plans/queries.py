@@ -784,3 +784,179 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count —
+    LEFT OUTER join so zero-order customers land in the c_count=0
+    bucket, then an aggregate OVER an aggregate.
+
+    Counting URGENT orders only (the testdata has no o_comment to
+    exclude on; ~20% selectivity keeps the zero bucket populated).
+
+    Plan (the 100 TB decision): orders pre-aggregates to one row per
+    customer BEFORE touching the customer table — the outer join then
+    moves |customers| + |ordering customers| rows instead of raw
+    fact rows.  Spark's textbook Q13 (outer-join first, count after)
+    shuffles every order row joined against full customer rows; this
+    form shuffles the fact once for a partial-aggregated count and
+    broadcasts nothing it doesn't need.  The second aggregate's input
+    is |distinct counts| ≈ a few hundred rows — a trivial shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c_count"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — a HAVING-filtered
+    aggregate used as a semi-join filter on the facts it came from.
+
+    ``sum(l_quantity) > 260`` is ~p99 of per-order quantity in the
+    testdata (TPC-H uses 300+ of ~p98).  The qualifying set is ~1% of
+    ORDERS — small relative to the fact but still order-cardinality,
+    so it is NOT force-broadcast: the orders⋈big join is left to AQE,
+    which broadcasts at test scale (runtime size under the threshold)
+    and degrades to a shuffle join on the order key at cluster scale
+    instead of shipping a billion-row "dim" to every executor.  The
+    customer name lookup is a true dim and does broadcast.  The
+    per-order aggregate is the only fact-sized shuffle.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 260)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate"), F.col("o_totalprice"), F.col("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: doubly-correlated EXISTS + NOT EXISTS on the
+    same fact — for finished orders, count per supplier the lineitems
+    where ANOTHER supplier shipped in the same order (EXISTS) but NO
+    other supplier shipped later (NOT EXISTS): the supplier that
+    closed out each multi-supplier order.  (The testdata carries no
+    receipt/commit dates, so "kept waiting" becomes "shipped last" —
+    the correlation structure is identical.)
+
+    Plan: the naive translation is two self-joins of lineitem on
+    l_orderkey (EXISTS and NOT-EXISTS each as a join) — three fact
+    shuffles and an exploding many-to-many on big orders.  Instead
+    both correlated subqueries collapse into per-order WINDOW math
+    over supplier-level rows: max-shipdate-of-OTHER-suppliers is
+    max1/max2 bookkeeping (max2 covers the row holding max1), EXISTS
+    is n_supp > 1.  One shuffle to (orderkey, suppkey) supplier rows,
+    one window exchange on orderkey over ~4 rows/order, and a
+    join-back that stays a SHUFFLE join — the qualifying set is
+    fact-derived (one row per order×supplier), so broadcasting it
+    would ship a fact-sized table to every executor; the window
+    output is already hash-partitioned on orderkey, a subset of the
+    join keys, so only the lineitem side moves.  DuckDB gets the
+    declarative EXISTS/NOT EXISTS twin, so the rewrite is
+    value-checked against the spec, not against itself.
+    """
+    o_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    lf = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    sl = lf.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
+    w = Window.partitionBy("l_orderkey")
+    sl = sl.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "max1", F.max("s_max").over(w)
+    )
+    # second max: max over rows strictly below max1 (ties at max1 mean
+    # max_other == max1 for every row, which the branch below yields)
+    sl = sl.withColumn(
+        "max2", F.max(F.when(F.col("s_max") < F.col("max1"), F.col("s_max"))).over(w)
+    ).withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("s_max") == F.col("max1"), 1).otherwise(0)).over(w),
+    )
+    max_other = F.when(
+        (F.col("s_max") == F.col("max1")) & (F.col("n_at_max") == 1), F.col("max2")
+    ).otherwise(F.col("max1"))
+    qual = (
+        sl.filter(F.col("n_supp") > 1)
+        .select("l_orderkey", "l_suppkey", max_other.alias("max_other"))
+    )
+    hits = lf.join(
+        qual,
+        on=["l_orderkey", "l_suppkey"],
+    ).filter(
+        F.col("max_other").isNull() | (F.col("l_shipdate") >= F.col("max_other"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        hits.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: a GLOBAL scalar subquery (average positive
+    balance) filtering the same table it was computed from, plus an
+    anti join — customers richer than average who have placed no
+    URGENT order, rolled up per nation.  (Every testdata customer has
+    orders, so the anti-join side is the urgent subset; the phone
+    prefix becomes the nation dim — same structure.)
+
+    Plan: the scalar average is a 1-row aggregate CROSS-JOINED back
+    broadcast — no driver collect, no second scan of customer (Spark
+    reuses the exchange).  The anti join shuffles only (custkey)
+    pairs; the nation label arrives broadcast after the rollup's
+    group keys already exist.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
