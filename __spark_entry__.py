@@ -756,6 +756,26 @@ def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc n-gram repetition (Gopher top-/dup-gram char
+    fractions); oracle regenerates the grams with generate_series
+    + list slicing over the same normalized token stream."""
+    return TS.ngram_repetition(_docs(spark, sf_dir), "doc_id", "text", n=3)
+
+
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix at SHINGLE granularity (the
+    testdata has no verbatim cross-source duplicates, so doc
+    granularity would gate on an empty result; shingle overlap is
+    the near-mirror lens and is non-trivial here).  The oracle
+    mirrors the distinct-fingerprint self-join with string shingles
+    standing in for the xxhash64 values — counts agree because hash
+    equality ⇔ shingle equality at 2^-64 collision odds."""
+    return C.source_overlap(
+        _docs(spark, sf_dir, width=0), "text", "source", granularity="shingle", n=3
+    )
+
+
 def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM quality score (CCNet recipe shape);
     the oracle rebuilds the same add-one-smoothed model and per-doc
@@ -871,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _corpus_stats,
         "stratified_sample": _stratified_sample,
         "repetition_stats": _repetition_stats,
+        "ngram_repetition": _ngram_repetition,
+        "source_overlap": _source_overlap,
         "compression_stats": _compression_stats,
         "lm_score": _lm_score,
         "remove_boilerplate": _remove_boilerplate,
@@ -2175,6 +2197,62 @@ def oracle_sql() -> dict[str, str]:
                    ELSE round(1 - len(list_distinct(lines))/CAST(len(lines) AS DOUBLE), 6)
               END AS dup_line_frac
             FROM s
+        """,
+        "ngram_repetition": f"""
+            WITH t AS (
+              SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+              FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)),
+            pg AS (
+              SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id,
+                SUM(cnt) AS n_grams,
+                COUNT(*) AS n_distinct_grams,
+                SUM(cnt * length(gram)) AS total_mass,
+                SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)
+                  AS dup_mass
+              FROM pg GROUP BY doc_id),
+            top AS (
+              SELECT doc_id, gram AS top_gram, cnt AS top_cnt
+              FROM (SELECT doc_id, gram, cnt, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+                    FROM pg) WHERE rn = 1)
+            SELECT a.doc_id,
+              CAST(a.n_grams AS BIGINT) AS n_grams,
+              CAST(a.n_distinct_grams AS BIGINT) AS n_distinct_grams,
+              t.top_gram,
+              CAST(t.top_cnt AS BIGINT) AS top_gram_count,
+              round(t.top_cnt * length(t.top_gram)
+                    / CAST(a.total_mass AS DOUBLE), 6) AS top_ngram_char_frac,
+              round(a.dup_mass / CAST(a.total_mass AS DOUBLE), 6)
+                AS dup_ngram_char_frac
+            FROM agg a JOIN top t USING (doc_id)
+        """,
+        "source_overlap": f"""
+            WITH t AS (SELECT source, {toks_text} AS toks FROM documents),
+            h AS (
+              SELECT DISTINCT source,
+                concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS content_hash
+              FROM t, unnest(range(1, greatest(len(toks)-2, 1)+1)) AS u(i)),
+            tot AS (SELECT source, COUNT(*) AS n FROM h GROUP BY source),
+            p AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                COUNT(*) AS n_shared
+              FROM h a JOIN h b ON a.content_hash = b.content_hash
+                AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT source_a, source_b,
+              CAST(n_shared AS BIGINT) AS n_shared,
+              CAST(ta.n AS BIGINT) AS n_a,
+              CAST(tb.n AS BIGINT) AS n_b,
+              round(n_shared / CAST(least(ta.n, tb.n) AS DOUBLE), 6)
+                AS containment
+            FROM p
+            JOIN tot ta ON ta.source = p.source_a
+            JOIN tot tb ON tb.source = p.source_b
         """,
         "tfidf_top_terms": f"""
             WITH t AS (

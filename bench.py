@@ -128,6 +128,8 @@ HEADLINE = [
     "q4_priority_exists",
     "order_price_ranks",
     "repetition_stats",
+    "ngram_repetition",
+    "source_overlap",
     "compression_stats",
     "lm_score",
     "remove_boilerplate",

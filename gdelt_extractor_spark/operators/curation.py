@@ -508,3 +508,100 @@ def weighted_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    granularity: str = "doc",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source overlap matrix: for every pair of sources, how
+    many DISTINCT content fingerprints they share, and the
+    containment fraction n_shared / min(|A|, |B|) — the corpus-
+    accounting report behind "is CommonCrawl dump N just dump N-1
+    again?" / "which mirrored sites should we drop wholesale?".
+
+    ``granularity="doc"`` fingerprints whole normalized documents
+    (md5) — overlap means verbatim duplication.  ``"shingle"``
+    fingerprints ``n``-token shingles (xxhash64) — overlap measures
+    shared CONTENT even when no document is copied wholesale, the
+    right lens for near-mirror detection.
+
+    Plan (100 TB shape): the corpus collapses FIRST to distinct
+    (source, fingerprint) pairs — one partial-aggregated shuffle
+    keyed on the uniform hash — so the pair join runs over the
+    deduplicated fingerprint set, never raw documents.  The self-join
+    key is the fingerprint; fan-out per key is bounded by the number
+    of sources carrying it (squared), and the number of sources is
+    small by construction.  Per-source totals re-enter broadcast:
+    source-cardinality rows.
+    """
+    from .dedup import shingle_hash_rows, with_content_hash
+
+    if granularity == "doc":
+        h = (
+            with_content_hash(df, text_col)
+            .select(
+                F.col(source_col).alias("source"),
+                F.col("content_hash").alias("fp"),
+            )
+            .distinct()
+        )
+    elif granularity == "shingle":
+        h = (
+            shingle_hash_rows(
+                df.select(F.col(source_col).alias("source"), text_col),
+                text_col,
+                n,
+                ["source"],
+            )
+            .withColumnRenamed("shingle", "fp")
+            .distinct()
+        )
+    else:
+        raise ValueError(f"granularity must be 'doc' or 'shingle', got {granularity!r}")
+    totals = h.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # pair generation per fingerprint, NOT an exploded self-join (the
+    # gkg_theme_cooccurrence discipline): one shuffle groups each
+    # fingerprint's carrier-source set, pairs come from a nested
+    # transform over the sorted array — the second table scan, join
+    # build, and |carriers|-way shuffle amplification of a self-join
+    # never happen, and the in-row pair fan-out is bounded by the
+    # (small) source count squared, independent of corpus size
+    srcs = F.array_sort(F.collect_set("source"))
+    s = F.col("_srcs")
+    pair = F.flatten(
+        F.transform(
+            s,
+            lambda a_, i: F.transform(
+                F.slice(s, i + 2, F.size(s)),
+                lambda b_: F.struct(a_.alias("a"), b_.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        h.groupBy("fp")
+        .agg(srcs.alias("_srcs"))
+        .filter(F.size("_srcs") > 1)
+        .select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(totals.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+    tb = F.broadcast(totals.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )

@@ -117,21 +117,52 @@ def shingle_hashes_from_tokens(toks: Column, n: int = 3, distinct: bool = True) 
     return F.array_distinct(grams) if distinct else grams
 
 
+def shingle_hash_rows(
+    df: DataFrame, text_col: str, n: int, keep_cols: list[str]
+) -> DataFrame:
+    """Exploded (keep_cols..., shingle) rows — one row per shingle
+    OCCURRENCE — via explode-the-positions-THEN-hash.
+
+    Hash values are identical to ``shingle_hashes_from_tokens``
+    (same multi-arg xxhash64 over the same token windows, same
+    NULL-skip tail semantics), but the hashing runs AFTER the
+    explode, where it is a plain projection inside whole-stage
+    codegen.  Spark's higher-order ``transform`` lambdas are
+    evaluated by the interpreted expression walker — measured 7× on
+    the shingle build (1.06s vs 0.15s for 500 docs, one thread) —
+    so the array form is only worth it when the consumer genuinely
+    needs the per-doc ARRAY (MinHash signature min, verification
+    array_intersect); every rows-shaped consumer belongs here."""
+    toks = tokens(F.col(text_col))
+    staged = df.select(
+        *keep_cols, toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    fp = F.xxhash64(
+        *[F.get(F.col("_toks"), (F.col("_i") + k).cast("int")) for k in range(n)]
+    )
+    return staged.select(
+        *keep_cols,
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("_n") - n, F.lit(0)))
+        ).alias("_i"),
+        "_toks",
+    ).select(*keep_cols, fp.alias("shingle"))
+
+
 def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, shingle-hash) — one row per DISTINCT shingle per doc.
 
-    Shingles are xxhash64'd (see shingle_hashes_from_tokens) so the
-    self-join shuffles fixed-width longs, not n-gram strings.  Dedup
-    happens at ROW level (explode raw arrays, then ``distinct()``):
-    the per-row ``array_distinct`` alternative was measured 5× slower
-    than the raw build at sf0.1 (3.9s vs 0.7s for 5k docs) — one
-    extra shuffle of the (uniformly keyed) shingle rows is far
-    cheaper than the per-row O(len²) dedup, and at 100 TB that
-    shuffle is partial-aggregated map-side first."""
-    raw = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
-        "id", shingle_hashes_from_tokens(F.col("_toks"), n, distinct=False).alias("sh")
-    )
-    return raw.select("id", F.explode("sh").alias("shingle")).distinct()
+    Shingles are xxhash64'd so the self-join shuffles fixed-width
+    longs, not n-gram strings; the build is the codegen explode-form
+    (see shingle_hash_rows).  Dedup happens at ROW level (explode,
+    then ``distinct()``): the per-row ``array_distinct`` alternative
+    was measured 5× slower than the raw build at sf0.1 (3.9s vs 0.7s
+    for 5k docs) — one extra shuffle of the (uniformly keyed)
+    shingle rows is far cheaper than the per-row O(len²) dedup, and
+    at 100 TB that shuffle is partial-aggregated map-side first."""
+    return shingle_hash_rows(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, n, ["id"]
+    ).distinct()
 
 
 def dedup_ngram_jaccard(

@@ -443,3 +443,83 @@ def lm_score(
             "lm_score",
         )
     )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Within-document n-gram repetition signals (the Gopher
+    repetition family beyond duplicate LINES — `repetition_stats`
+    covers those):
+
+    - ``top_ngram_char_frac``: character mass of the single most
+      frequent n-gram (count × length) over the total n-gram
+      character mass — Gopher's "fraction of characters in the most
+      common n-gram" signal (n = 2..4 there).
+    - ``dup_ngram_char_frac``: character mass of ALL n-grams
+      occurring ≥ 2 times over the total — Gopher's "fraction of
+      characters in duplicated n-grams" (n = 5..10 there).  Like the
+      published reimplementations (overlap-unaware), every occurrence
+      counts; Gopher's once-per-character refinement needs positional
+      interval union, which buys little discrimination.
+
+    Ties for the top n-gram break on the lexically smallest gram
+    (MIN over struct(−count, gram) — one aggregate, no window), so
+    the report is engine-deterministic.  Documents with fewer than
+    ``n`` tokens carry no n-gram and are dropped (the fractions are
+    undefined there) — callers wanting full coverage left-join back.
+
+    Plan shape: tokenize once, explode each document's n_toks−n+1
+    grams (bounded per-doc fan-out, no shuffle), then ONE
+    partial-aggregated shuffle on (doc, gram) — a content-derived
+    uniform key — and ONE doc-keyed rollup.  No UDFs, no self-joins:
+    the within-doc counting that would be O(len²) as per-row array
+    ops is linear as a grouped aggregate.
+    """
+    toks = tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") >= n)
+    gram = F.array_join(
+        F.slice(F.col("_toks"), (F.col("_i") + 1).cast("int"), n), " "
+    )
+    grams = staged.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (F.col("_n") - n).cast("long"))
+        ).alias("_i"),
+        "_toks",
+    ).select("doc_id", gram.alias("gram"))
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    mass = F.col("cnt") * F.length("gram")
+    top = F.min(
+        F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(mass).alias("_total_mass"),
+            F.sum(F.when(F.col("cnt") >= 2, mass).otherwise(F.lit(0))).alias(
+                "_dup_mass"
+            ),
+            top.alias("_top"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct_grams",
+            F.col("_top.g").alias("top_gram"),
+            (-F.col("_top.nc")).alias("top_gram_count"),
+            F.round(
+                (-F.col("_top.nc")) * F.length("_top.g") / F.col("_total_mass"), 6
+            ).alias("top_ngram_char_frac"),
+            F.round(F.col("_dup_mass") / F.col("_total_mass"), 6).alias(
+                "dup_ngram_char_frac"
+            ),
+        )
+    )

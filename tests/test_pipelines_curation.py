@@ -436,3 +436,47 @@ def test_weighted_sample_per_stratum(spark):
     out = weighted_sample(df, "id", "w", k=3, stratum_col="grp").toPandas()
     assert out.groupby("grp").size().to_dict() == {"a": 3, "b": 3}
     assert "sample_key" in out.columns
+
+
+def test_source_overlap_doc_granularity(spark):
+    """Verbatim duplication across sources is counted once per
+    distinct content; within-source dups don't pair; whitespace/case
+    normalize away; containment uses the smaller side."""
+    df = spark.createDataFrame(
+        [
+            (1, "Shared  Text", "A"),
+            (2, "shared text", "B"),      # same normalized content as 1
+            (3, "shared text", "B"),      # within-B dup: still 1 fingerprint
+            (4, "only in a", "A"),
+            (5, "only in b", "B"),
+            (6, "other thing", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = C.source_overlap(df, "text", "source").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b, r.n_shared) == ("A", "B", 1)
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.containment == 0.5
+
+    with pytest.raises(ValueError, match="granularity"):
+        C.source_overlap(df, granularity="paragraph")
+
+
+def test_source_overlap_shingle_granularity(spark):
+    """Shingle mode detects shared content without whole-doc dups."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "A"),
+            (2, "a quick brown fox runs away", "B"),  # shares 'quick brown fox'
+            (3, "completely different words here", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in C.source_overlap(df, "text", "source", granularity="shingle").collect()
+    }
+    assert ("A", "B") in rows and rows[("A", "B")].n_shared == 1
+    assert not any("C" in k for k in rows)

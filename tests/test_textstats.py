@@ -165,3 +165,28 @@ def test_lm_score_semantics(spark):
     # repeated common bigrams (count 2) beat one-off bigrams
     assert out[1].lm_score > out[3].lm_score
     assert out[4].n_bigrams == 0 and out[4].lm_score is None
+
+
+def test_ngram_repetition_semantics(spark):
+    """'a b a b a b' with n=2: grams [a b, b a, a b, b a, a b] —
+    'a b' ×3 tops (mass 9 of 15), every gram duplicated (dup frac
+    1.0); an all-distinct doc scores 0.0; ties on count break to
+    the lexically smallest gram; short docs are dropped."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z"), (3, "b a b a"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TS.ngram_repetition(df, n=2).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4: 1 token < n → dropped
+    r1 = out[1]
+    assert (r1.n_grams, r1.n_distinct_grams) == (5, 2)
+    assert (r1.top_gram, r1.top_gram_count) == ("a b", 3)
+    assert r1.top_ngram_char_frac == 0.6  # 3*3 / (3*3 + 2*3)
+    assert r1.dup_ngram_char_frac == 1.0
+    r2 = out[2]
+    assert r2.dup_ngram_char_frac == 0.0 and r2.top_gram_count == 1
+    # doc 3: grams [b a, a b, b a] — 'b a' wins on count, not lex
+    assert out[3].top_gram == "b a"
+    # tie case: every gram once → smallest gram lexically
+    tie = spark.createDataFrame([(9, "z y x")], "doc_id long, text string")
+    assert TS.ngram_repetition(tie, n=2).collect()[0].top_gram == "y x"
