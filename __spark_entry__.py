@@ -763,6 +763,16 @@ def _ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.ngram_repetition(_docs(spark, sf_dir), "doc_id", "text", n=3)
 
 
+def _vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL drift vs the corpus over the top-200 vocabulary
+    (200 of the testdata's tiny vocab keeps smoothing mass
+    meaningful); the oracle rebuilds the same smoothed distributions
+    and decimal-summed KL in SQL."""
+    return TS.vocab_divergence(
+        _docs(spark, sf_dir, width=0), "source", "text", vocab_k=200
+    )
+
+
 def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source overlap matrix at SHINGLE granularity (the
     testdata has no verbatim cross-source duplicates, so doc
@@ -893,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _repetition_stats,
         "ngram_repetition": _ngram_repetition,
         "source_overlap": _source_overlap,
+        "vocab_divergence": _vocab_divergence,
         "compression_stats": _compression_stats,
         "lm_score": _lm_score,
         "remove_boilerplate": _remove_boilerplate,
@@ -2253,6 +2264,41 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             JOIN tot ta ON ta.source = p.source_a
             JOIN tot tb ON tb.source = p.source_b
+        """,
+        "vocab_divergence": f"""
+            WITH t AS (
+              SELECT source AS grp,
+                unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+              FROM documents),
+            gt AS (SELECT grp, term, COUNT(*) AS n_gt FROM t GROUP BY 1, 2),
+            corpus AS (SELECT term, SUM(n_gt) AS n_t FROM gt GROUP BY 1),
+            vocab AS (SELECT term, n_t FROM corpus
+                      ORDER BY n_t DESC, term ASC LIMIT 200),
+            gt_v AS (SELECT gt.* FROM gt
+                     WHERE term IN (SELECT term FROM vocab)),
+            g_tot AS (SELECT grp, SUM(n_gt) AS n_g FROM gt GROUP BY 1),
+            ing AS (SELECT grp, SUM(n_gt) AS in_g FROM gt_v GROUP BY 1),
+            vt AS (SELECT SUM(n_t) AS v_tot, COUNT(*) AS v_k FROM vocab),
+            grid AS (
+              SELECT g.grp, g.n_g, i.in_g, v.n_t,
+                COALESCE(o.n_gt, 0) AS n_gt, vt.v_tot, vt.v_k
+              FROM g_tot g
+              JOIN ing i USING (grp)
+              CROSS JOIN vocab v
+              LEFT JOIN gt_v o ON o.grp = g.grp AND o.term = v.term
+              CROSS JOIN vt),
+            cells AS (
+              SELECT grp, n_g, in_g,
+                (n_gt + 1) / CAST(in_g + v_k AS DOUBLE) AS p,
+                (n_t + 1) / CAST(v_tot + v_k AS DOUBLE) AS q
+              FROM grid)
+            SELECT grp AS source,
+              CAST(n_g AS BIGINT) AS n_tokens,
+              CAST(in_g AS BIGINT) AS n_in_vocab,
+              round(in_g / CAST(n_g AS DOUBLE), 6) AS vocab_coverage,
+              round(CAST(SUM(CAST(p * ln(p / q) AS DECIMAL(30,15)))
+                    AS DOUBLE), 6) AS kl_divergence
+            FROM cells GROUP BY grp, n_g, in_g
         """,
         "tfidf_top_terms": f"""
             WITH t AS (

@@ -130,6 +130,7 @@ HEADLINE = [
     "repetition_stats",
     "ngram_repetition",
     "source_overlap",
+    "vocab_divergence",
     "compression_stats",
     "lm_score",
     "remove_boilerplate",

@@ -523,3 +523,83 @@ def ngram_repetition(
             ),
         )
     )
+
+
+def vocab_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_k: int = 1000,
+) -> DataFrame:
+    """Per-group vocabulary drift vs the corpus: smoothed KL
+    divergence D(group ‖ corpus) over the corpus's top-``vocab_k``
+    terms — the audit behind "did dump N's content shift?" /
+    "which source is distributionally unlike the rest?".
+
+    Distributions are restricted to the shared top-K vocabulary
+    (selected by corpus frequency, term as tie-break) and add-one
+    smoothed over that support (denominators in_vocab_tokens + K and
+    corpus_vocab_tokens + K), so every group is comparable on the
+    same support and a term missing from a group costs a finite,
+    smoothing-controlled amount.  Output per group: token counts,
+    in-vocab coverage, and ``kl_divergence`` (natural log, rounded
+    to 6 — both engines' ``log`` agree to the last ulp and the
+    K-term sum keeps the error far below the rounding grain).
+
+    Scale shape: ONE (group, term) shuffle for group counts and a
+    term rollup for corpus counts; the top-K vocabulary is K rows by
+    construction (TakeOrderedAndProject — the FULL vocabulary is
+    never collected or broadcast), so the observed in-vocab cells
+    shrink to ≤ groups×K rows through a broadcast semi join and the
+    dense grid / KL rollup are all broadcast-sized.  Per-cell KL
+    contributions are plain codegen arithmetic — no higher-order
+    array aggregate (interpreted) anywhere.
+    """
+    t = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("term")
+    )
+    gt = t.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("n_gt"))
+    corpus = gt.groupBy("term").agg(F.sum("n_gt").alias("n_t"))
+    vocab = corpus.orderBy(F.col("n_t").desc(), F.col("term").asc()).limit(vocab_k)
+    g_tot = gt.groupBy("grp").agg(F.sum("n_gt").alias("n_g"))
+    # observed in-vocab cells: ≤ groups × K rows after the broadcast
+    # semi join — small from here on out
+    gt_v = gt.join(F.broadcast(vocab.select("term")), "term", "left_semi")
+    in_g = gt_v.groupBy("grp").agg(F.sum("n_gt").alias("in_g"))
+    vocab_tot = vocab.agg(
+        F.sum("n_t").alias("v_tot"), F.count(F.lit(1)).alias("v_k")
+    )
+    # dense (group × vocab-term) grid: every cell must exist for the
+    # smoothed distribution (missing term → count 0, not absent)
+    grid = (
+        g_tot.join(in_g, "grp")
+        .crossJoin(F.broadcast(vocab))
+        .join(gt_v, ["grp", "term"], "left")
+        .select(
+            "grp", "n_g", "in_g", "n_t",
+            F.coalesce("n_gt", F.lit(0)).alias("n_gt"),
+        )
+        .crossJoin(F.broadcast(vocab_tot))
+    )
+    p = (F.col("n_gt") + 1) / (F.col("in_g") + F.col("v_k"))
+    q = (F.col("n_t") + 1) / (F.col("v_tot") + F.col("v_k"))
+    # decimal-cast sum (module convention): per-term doubles are
+    # IEEE-identical across engines (same divisions, log to 1 ulp ≪
+    # the 1e-15 decimal grain) and decimal addition is
+    # order-independent, so the K-term sum cannot drift with
+    # partitioning or engine accumulation order
+    return (
+        grid.groupBy("grp", "n_g", "in_g")
+        .agg(
+            F.sum((p * F.log(p / q)).cast("decimal(30,15)"))
+            .cast("double")
+            .alias("_kl")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_g").alias("n_tokens"),
+            F.col("in_g").alias("n_in_vocab"),
+            F.round(F.col("in_g") / F.col("n_g"), 6).alias("vocab_coverage"),
+            F.round(F.col("_kl"), 6).alias("kl_divergence"),
+        )
+    )

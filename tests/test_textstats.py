@@ -190,3 +190,29 @@ def test_ngram_repetition_semantics(spark):
     # tie case: every gram once → smallest gram lexically
     tie = spark.createDataFrame([(9, "z y x")], "doc_id long, text string")
     assert TS.ngram_repetition(tie, n=2).collect()[0].top_gram == "y x"
+
+
+def test_vocab_divergence_semantics(spark):
+    """A group whose tokens match the corpus distribution scores near
+    zero; a group concentrated on rare terms scores higher; coverage
+    counts only top-K vocabulary tokens; KL is non-negative."""
+    df = spark.createDataFrame(
+        [
+            (1, "a a b b c c", "typical"),
+            (2, "a a b b c c", "typical2"),
+            (3, "z z z z z z", "weird"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in TS.vocab_divergence(df, vocab_k=3).collect()}
+    assert set(out) == {"typical", "typical2", "weird"}
+    # top-3 vocab is {z(6), then a/b/c(4 each) → a, b} — weird covers
+    # 6/6 in-vocab tokens, typical 4/6
+    assert out["weird"].n_in_vocab == 6
+    assert out["typical"].n_in_vocab == 4
+    assert out["typical"].vocab_coverage == round(4 / 6, 6)
+    for r in out.values():
+        assert r.kl_divergence >= 0.0
+    assert out["weird"].kl_divergence > out["typical"].kl_divergence
+    # identical groups score identically
+    assert out["typical"].kl_divergence == out["typical2"].kl_divergence
