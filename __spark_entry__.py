@@ -763,6 +763,31 @@ def _ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.ngram_repetition(_docs(spark, sf_dir), "doc_id", "text", n=3)
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a synthetic 'today' batch against the
+    historical half of the corpus: sources src0-src9 are history,
+    src10+ are new, a fifth of history re-ingests under shifted ids
+    (recrawl) and a seventh of the new batch self-duplicates.  The
+    testdata itself has no exact dups, so the overlap is constructed
+    — deterministically, mirrored line-for-line in the oracle.
+    Survivors = the genuinely-new rows only."""
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring("source", 4, 10).cast("int")
+    hist = docs.filter(src_num < 10)
+    new0 = docs.filter(src_num >= 10)
+    recrawl = hist.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    selfdup = new0.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 20_000_000
+    )
+    batch = new0.unionByName(recrawl).unionByName(selfdup)
+    seen = D.with_content_hash(hist, "text").select("content_hash")
+    return D.dedup_incremental(batch, seen).select(
+        "doc_id", "source", "content_hash"
+    )
+
+
 def _vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL drift vs the corpus over the top-200 vocabulary
     (200 of the testdata's tiny vocab keeps smoothing mass
@@ -904,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": _ngram_repetition,
         "source_overlap": _source_overlap,
         "vocab_divergence": _vocab_divergence,
+        "dedup_incremental": _dedup_incremental,
         "compression_stats": _compression_stats,
         "lm_score": _lm_score,
         "remove_boilerplate": _remove_boilerplate,
@@ -2264,6 +2290,37 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             JOIN tot ta ON ta.source = p.source_a
             JOIN tot tb ON tb.source = p.source_b
+        """,
+        "dedup_incremental": f"""
+            WITH hist AS (
+              SELECT * FROM documents
+              WHERE CAST(substring(source, 4) AS INTEGER) < 10),
+            new0 AS (
+              SELECT * FROM documents
+              WHERE CAST(substring(source, 4) AS INTEGER) >= 10),
+            batch AS (
+              SELECT doc_id, text, source FROM new0
+              UNION ALL
+              SELECT doc_id + 10000000, text, source FROM hist
+              WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 20000000, text, source FROM new0
+              WHERE doc_id % 7 = 0),
+            hashed AS (
+              SELECT doc_id, source,
+                md5({_NORM.format(c='text')}) AS content_hash
+              FROM batch),
+            batch_first AS (
+              SELECT doc_id, source, content_hash FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY content_hash ORDER BY doc_id ASC) AS rn
+                FROM hashed) WHERE rn = 1),
+            seen AS (
+              SELECT DISTINCT md5({_NORM.format(c='text')}) AS content_hash
+              FROM hist)
+            SELECT doc_id, source, content_hash
+            FROM batch_first
+            WHERE content_hash NOT IN (SELECT content_hash FROM seen)
         """,
         "vocab_divergence": f"""
             WITH t AS (

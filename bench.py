@@ -70,6 +70,7 @@ HEADLINE = [
     "jsonl_corpus_stats",
     "geo_project",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_apply",
     "dedup_pipeline",
     "curation_pipeline",

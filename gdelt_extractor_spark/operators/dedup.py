@@ -1201,3 +1201,53 @@ def cut_duplicate_spans(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Incremental exact dedup: the production shape where a NEW
+    batch (today's crawl) dedups against itself AND against the
+    fingerprint index of everything already ingested — a batch is
+    never allowed to re-scan the historical corpus, only its hash
+    index.
+
+    ``seen`` is the historical index: one ``hash_col`` column
+    (build it with ``with_content_hash(...).select(hash_col)``; keep
+    it as a bucketed table on the hash so tomorrow's anti join needs
+    no shuffle on the index side).  Returns the surviving new rows —
+    batch-internal duplicates collapse keep-lowest-id first, then
+    anything already seen is anti-joined away.  Union the survivors'
+    hashes into ``seen`` afterwards with ``updated_index``.
+
+    Plan: ONE shuffle of the (small) new batch on its content hash
+    for the keep-first window, then an anti join on the hash.  At
+    100 TB-of-history scale the index side dominates: against a
+    bucketed index the anti join shuffles only the day's batch;
+    unbucketed, both sides exchange once on the uniform hash key.
+    The historical TEXT is never read either way.
+    """
+    hashed = with_content_hash(new_docs, text_col, out=hash_col)
+    w = Window.partitionBy(hash_col).orderBy(F.col(id_col).asc())
+    batch_first = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return batch_first.join(
+        seen.select(hash_col).distinct(), hash_col, "left_anti"
+    )
+
+
+def updated_index(
+    seen: DataFrame, survivors: DataFrame, hash_col: str = "content_hash"
+) -> DataFrame:
+    """The new historical index after a ``dedup_incremental`` batch:
+    old index ∪ surviving hashes.  Survivors are already unique and
+    disjoint from ``seen`` by construction, so this is a UNION ALL —
+    no distinct shuffle; write it back bucketed on the hash."""
+    return seen.select(hash_col).unionByName(survivors.select(hash_col))

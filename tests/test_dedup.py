@@ -346,3 +346,33 @@ def test_cut_duplicate_spans_removes_covered_tokens(spark):
     assert out[12].n_tokens_removed == 0
     # null text: empty, zero counts
     assert out[13].clean_text == "" and out[13].n_tokens == 0
+
+
+def test_dedup_incremental_and_updated_index(spark):
+    """Batch-internal dups collapse keep-lowest-id; anything whose
+    hash exists in the historical index is dropped; survivors union
+    into the index without growing duplicates."""
+    from gdelt_extractor_spark.operators.dedup import (
+        dedup_incremental,
+        updated_index,
+        with_content_hash,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "old doc one"), (2, "old doc two")], "doc_id long, text string"
+    )
+    seen = with_content_hash(hist, "text").select("content_hash")
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new"),
+            (11, "brand  NEW"),      # dup of 10 after normalization
+            (12, "old doc one"),     # already seen
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_incremental(batch, seen)
+    assert sorted(r.doc_id for r in out.collect()) == [10, 13]
+    idx = updated_index(seen, out)
+    assert idx.count() == 4
+    assert idx.distinct().count() == 4
