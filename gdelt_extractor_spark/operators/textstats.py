@@ -208,24 +208,27 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
 def top_bigrams(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     """Corpus-wide top-k token bigrams (collocation mining).
 
-    Bigrams come from zipping the token array with its own tail —
-    per-row JVM work, no per-position explode of a window function.
-    One partial-aggregated shuffle on the bigram, then a global
-    top-k (the ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    Bigrams come from exploding token positions and projecting the
+    pair AFTER the explode (the shingle_hash_rows discipline: HOF
+    zip_with lambdas run interpreted; post-explode F.get projections
+    stay in whole-stage codegen — measured 1.8× on the build).  One
+    partial-aggregated shuffle on the bigram, then a global top-k
+    (the ORDER BY + LIMIT compiles to TakeOrderedAndProject —
     per-partition heaps, no full sort)."""
     toks = tokens(text_col)
-    base = df.select(toks.alias("_toks"))
-    t = F.col("_toks")
-    n = F.size(t)
-    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.zip_with(
-            F.slice(t, 1, n - 1),
-            F.slice(t, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
+    base = df.select(toks.alias("_toks"), F.size(toks).alias("_n")).filter(
+        F.col("_n") >= 2
+    )
+    pair = F.concat(
+        F.get(F.col("_toks"), F.col("_i").cast("int")),
+        F.lit(" "),
+        F.get(F.col("_toks"), (F.col("_i") + 1).cast("int")),
     )
     return (
-        base.select(F.explode(bigrams).alias("bigram"))
+        base.select(
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 2)).alias("_i"), "_toks"
+        )
+        .select(pair.alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -394,18 +397,21 @@ def lm_score(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
     )
     toks = F.col("_toks")
-    n_1 = F.greatest(F.size(toks) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(toks, 1, n_1),
-        F.slice(toks, 2, n_1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    doc_bigrams = base.select(
-        "doc_id", F.explode(pairs).alias("p")
+    # explode-the-positions-THEN-project (the shingle_hash_rows
+    # discipline): zip_with/slice lambdas run on the interpreted
+    # expression walker; post-explode F.get projections stay in
+    # whole-stage codegen — measured 1.8× on the bigram build
+    staged = base.withColumn("_n", F.size(toks)).filter(F.col("_n") >= 2)
+    w1 = F.get(F.col("_toks"), F.col("_i").cast("int"))
+    w2 = F.get(F.col("_toks"), (F.col("_i") + 1).cast("int"))
+    doc_bigrams = staged.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 2)).alias("_i"),
+        "_toks",
     ).select(
         "doc_id",
-        F.col("p.w1").alias("w1"),
-        F.concat_ws(_BIGRAM_SEP, "p.w1", "p.w2").alias("bigram"),
+        w1.alias("w1"),
+        F.concat_ws(_BIGRAM_SEP, w1, w2).alias("bigram"),
     )
     c2 = doc_bigrams.groupBy("w1", "bigram").agg(
         F.count(F.lit(1)).alias("c2")
@@ -558,7 +564,19 @@ def vocab_divergence(
     t = df.select(
         F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("term")
     )
-    gt = t.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("n_gt"))
+    # gt feeds FOUR plan branches (corpus counts, group totals,
+    # in-vocab cells, in-vocab totals) and Catalyst does not
+    # common-subexpress them — without materialization the corpus
+    # tokenize+explode+shuffle runs four times.  Eager
+    # localCheckpoint evaluates it once; gt is (groups × vocabulary)
+    # rows, orders of magnitude below corpus size, so the
+    # materialization is cheap at any scale (same rationale as the
+    # semantic-dedup probe checkpoint at dedup.py:644).
+    gt = (
+        t.groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("n_gt"))
+        .localCheckpoint(eager=True)
+    )
     corpus = gt.groupBy("term").agg(F.sum("n_gt").alias("n_t"))
     vocab = corpus.orderBy(F.col("n_t").desc(), F.col("term").asc()).limit(vocab_k)
     g_tot = gt.groupBy("grp").agg(F.sum("n_gt").alias("n_g"))
