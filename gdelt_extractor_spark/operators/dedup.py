@@ -898,6 +898,26 @@ def dedup_embedding(
     )
 
 
+def _span_window_rows(base: DataFrame, k: int, with_pos: bool = False) -> DataFrame:
+    """(doc_id, [pos,] span) — one row per k-token window, built by
+    exploding the window positions and projecting the span AFTER the
+    explode (the shingle_hash_rows discipline: transform lambdas run
+    on the interpreted expression walker, post-explode slice/concat
+    projections stay in whole-stage codegen).  ``base`` carries
+    (doc_id, _t); docs with fewer than ``k`` tokens emit no rows —
+    identical to the former empty-array explode."""
+    staged = base.withColumn("_n", F.size("_t")).filter(F.col("_n") >= k)
+    span = F.concat_ws(" ", F.slice("_t", (F.col("pos") + 1).cast("int"), k))
+    rows = staged.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (F.col("_n") - k).cast("int"))).alias("pos"),
+        "_t",
+    )
+    if with_pos:
+        return rows.select("doc_id", "pos", span.alias("span"))
+    return rows.select("doc_id", span.alias("span"))
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -935,14 +955,8 @@ def duplicate_spans(
     """
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
-    n = F.size("_t")
-    idx = F.sequence(F.lit(0), (n - k).cast("int"))
-    windows = F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_t", (i + 1).cast("int"), k))),
-    ).otherwise(F.array().cast("array<string>"))
     per_doc = (
-        base.select("doc_id", F.explode(windows).alias("span"))
+        _span_window_rows(base, k)
         .groupBy("span", "doc_id")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -989,13 +1003,7 @@ def span_dup_fraction(
     """
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
-    n = F.size("_t")
-    idx = F.sequence(F.lit(0), (n - k).cast("int"))
-    windows = F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_t", (i + 1).cast("int"), k))),
-    ).otherwise(F.array().cast("array<string>"))
-    win = base.select("doc_id", F.explode(windows).alias("span"))
+    win = _span_window_rows(base, k)
     per_doc = win.groupBy("span", "doc_id").agg(F.count(F.lit(1)).alias("_c"))
     dup = (
         per_doc.groupBy("span")
@@ -1165,12 +1173,7 @@ def cut_duplicate_spans(
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
     n = F.size("_t")
-    idx = F.sequence(F.lit(0), (n - k).cast("int"))
-    windows = F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_t", (i + 1).cast("int"), k))),
-    ).otherwise(F.array().cast("array<string>"))
-    win = base.select("doc_id", F.posexplode(windows).alias("pos", "span"))
+    win = _span_window_rows(base, k, with_pos=True)
     dup = (
         win.groupBy("span", "doc_id")
         .agg(F.count(F.lit(1)).alias("_c"))

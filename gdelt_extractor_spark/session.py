@@ -31,7 +31,14 @@ def get_spark(app_name: str = "gdelt_extractor_spark") -> SparkSession:
         # keep the pre-4.1 TIMESTAMP (LTZ) inference engine-wide.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode the driver JVM IS the executor: 32 concurrent
+        # tasks against an 8g heap made later bench queries pay
+        # earlier queries' accumulated block/shuffle state through
+        # eviction pressure (full-suite A/B at sf0.1:
+        # dedup_semantic 5.8s→2.1s, dup_clusters 3.3s→1.3s at 48g,
+        # nothing slower).  -Xmx is a cap, not a reservation; on a
+        # real cluster executor memory is sized separately anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
