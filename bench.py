@@ -15,7 +15,8 @@ comparable to complete rounds (ADVICE r4).
 
 COMPARABILITY NOTE vs r4-and-earlier totals: those were single
 samples taken in a JVM whose ContextCleaner never ran (no driver GC
-on a 128 GiB heap), so per-query cost depended on suite position —
+pressure early in the run), so per-query cost depended on suite
+position —
 early queries under-measured, late queries over-measured (the r4
 'unexplained regressions').  r5+ numbers are steady-state medians
 with periodic GC; compare rounds r5+ to each other, and to r4 only
@@ -159,10 +160,12 @@ def release(spark, gc_every: int = 0) -> None:
     ``gc_every``: additionally force a driver System.gc() every that
     many release() calls.  Spark's ContextCleaner frees shuffle
     files, broadcasts, and RDD blocks via WEAK REFERENCES — nothing
-    is reclaimed until a driver GC runs, and on a 128 GiB heap the
+    is reclaimed until a driver GC runs, and on a large heap the
     JVM sees no reason to collect for minutes, so hundreds of
     back-to-back queries accumulate shuffle/broadcast state until
-    the whole fleet degrades (~1.5×: r4's 'unexplained' ann_lsh/
+    the whole fleet degrades (heap SIZE matters too: at the old 8g
+    default the accumulated state also caused eviction pressure —
+    see session.py driver-memory note) (~1.5×: r4's 'unexplained' ann_lsh/
     lang_id regressions were exactly late-suite position paying
     accumulated state; measured pass totals 40.8s → 62.7s → 59.3s
     without GC).  Per-query GC is too blunt (it also discards warm
