@@ -374,3 +374,68 @@ def test_connected_components_matches_union_find(spark, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {n: find(n) for n in parent}
     assert got == expected
+
+
+@given(DOCS)
+@PROP
+def test_ngram_repetition_invariants(spark, texts):
+    """For any corpus: fractions live in [0,1]; the top n-gram's
+    mass never exceeds the duplicated mass when it is itself
+    duplicated; gram counts are consistent (n_grams = n_toks-n+1
+    for docs long enough, distinct <= total)."""
+    from gdelt_extractor_spark.operators.textstats import ngram_repetition
+
+    n = 2
+    df = _df(spark, texts)
+    toks_n = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    out = {r.doc_id: r for r in ngram_repetition(df, n=n).collect()}
+    for doc_id, nt in toks_n.items():
+        if nt < n:
+            assert doc_id not in out
+            continue
+        r = out[doc_id]
+        assert r.n_grams == nt - n + 1
+        assert 1 <= r.n_distinct_grams <= r.n_grams
+        assert 0.0 <= r.top_ngram_char_frac <= 1.0
+        assert 0.0 <= r.dup_ngram_char_frac <= 1.0
+        if r.top_gram_count >= 2:
+            assert r.top_ngram_char_frac <= r.dup_ngram_char_frac + 1e-9
+        if r.n_distinct_grams == r.n_grams:
+            assert r.dup_ngram_char_frac == 0.0
+
+
+@given(DOCS)
+@PROP
+def test_source_overlap_doc_matches_exact_sets(spark, texts):
+    """Doc-granularity overlap equals the brute-force computation
+    over normalized-content sets, for any corpus split into two
+    sources."""
+    from gdelt_extractor_spark.operators.curation import source_overlap
+
+    rows = [
+        (i, t, "A" if i % 2 == 0 else "B") for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import re as _re
+
+    def norm(s):
+        return _re.sub(r"\s+", " ", s.lower()).strip()
+
+    sets = {"A": set(), "B": set()}
+    for i, t, s in rows:
+        sets[s].add(norm(t))
+    shared = len(sets["A"] & sets["B"])
+    got = source_overlap(df, "text", "source").collect()
+    if shared == 0 or not sets["A"] or not sets["B"]:
+        assert got == [] or shared > 0
+    else:
+        assert len(got) == 1
+        r = got[0]
+        assert r.n_shared == shared
+        assert r.n_a == len(sets["A"]) and r.n_b == len(sets["B"])
+        assert r.containment == round(shared / min(len(sets["A"]), len(sets["B"])), 6)
