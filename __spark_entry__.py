@@ -763,6 +763,31 @@ def _ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.ngram_repetition(_docs(spark, sf_dir), "doc_id", "text", n=3)
 
 
+def _fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table set-similarity join (entity resolution): the part
+    name catalog matched against a deterministically perturbed twin
+    (every third name gains a token, every third reverses word
+    order, the rest pass through) — word-order changes must match at
+    1.0, one-token additions at 2/3, and names sharing only one of
+    two tokens (1/3) must stay excluded.  Catalogs join at DISTINCT
+    name level (64 names stand for 20k part rows — joining raw rows
+    would square the name-duplicate count for no information)."""
+    part = load_table(spark, sf_dir, "part")
+    cat = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    left = cat.select("name_id", F.col("p_name").alias("name"))
+    m = F.col("name_id") % 3
+    right = left.select(
+        (F.col("name_id") + 100_000).alias("cand_id"),
+        F.when(m == 0, F.concat(F.col("name"), F.lit(" pro")))
+        .when(m == 1, F.concat_ws(" ", F.reverse(F.split("name", " "))))
+        .otherwise(F.col("name"))
+        .alias("name"),
+    )
+    return S.fuzzy_join(
+        left, right, "name_id", "name", "cand_id", "name", threshold=0.6
+    )
+
+
 def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of a synthetic 'today' batch against the
     historical half of the corpus: sources src0-src9 are history,
@@ -930,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _source_overlap,
         "vocab_divergence": _vocab_divergence,
         "dedup_incremental": _dedup_incremental,
+        "fuzzy_join": _fuzzy_join,
         "compression_stats": _compression_stats,
         "lm_score": _lm_score,
         "remove_boilerplate": _remove_boilerplate,
@@ -2290,6 +2316,37 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             JOIN tot ta ON ta.source = p.source_a
             JOIN tot tb ON tb.source = p.source_b
+        """,
+        "fuzzy_join": f"""
+            WITH cat AS (
+              SELECT p_name AS name, MIN(p_partkey) AS name_id
+              FROM part GROUP BY 1),
+            rgt AS (
+              SELECT name_id + 100000 AS cand_id,
+                CASE WHEN name_id % 3 = 0 THEN name || ' pro'
+                     WHEN name_id % 3 = 1 THEN array_to_string(
+                       list_reverse(string_split(name, ' ')), ' ')
+                     ELSE name END AS name
+              FROM cat),
+            lt AS (
+              SELECT DISTINCT name_id AS lid,
+                unnest(string_split({_NORM.format(c='name')}, ' ')) AS tok
+              FROM cat),
+            rt AS (
+              SELECT DISTINCT cand_id AS rid,
+                unnest(string_split({_NORM.format(c='name')}, ' ')) AS tok
+              FROM rgt),
+            lsz AS (SELECT lid, COUNT(*) AS sz_l FROM lt GROUP BY 1),
+            rsz AS (SELECT rid, COUNT(*) AS sz_r FROM rt GROUP BY 1),
+            common AS (
+              SELECT lid, rid, COUNT(*) AS n_common
+              FROM lt JOIN rt USING (tok) GROUP BY 1, 2)
+            SELECT lid AS name_id_l, rid AS cand_id_r,
+              round(n_common / CAST(sz_l + sz_r - n_common AS DOUBLE), 6)
+                AS jaccard
+            FROM common JOIN lsz USING (lid) JOIN rsz USING (rid)
+            WHERE round(n_common / CAST(sz_l + sz_r - n_common AS DOUBLE), 6)
+              >= 0.6
         """,
         "dedup_incremental": f"""
             WITH hist AS (

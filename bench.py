@@ -123,6 +123,7 @@ HEADLINE = [
     "user_set_ops",
     "approx_distinct_users",
     "ann_ivf_topk",
+    "fuzzy_join",
     "props_json_extract",
     "stratified_sample",
     "user_top_event",

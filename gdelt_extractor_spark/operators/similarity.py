@@ -340,3 +340,93 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    threshold: float = 0.6,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Set-similarity join between TWO tables (entity resolution /
+    record linkage): pairs (left_id, right_id, jaccard) whose
+    token-set Jaccard ≥ ``threshold`` — the "match catalog A's names
+    against catalog B" operator, distinct from the dedup family's
+    self-joins.
+
+    Exact (no approximation): the blocking key is the shared token,
+    so only pairs sharing ≥ 1 token are ever scored, and surviving
+    pairs are verified on their full distinct-token sets.
+    ``max_token_df`` is the hot-token guard (the dedup_ngram_jaccard
+    discipline): tokens on more than that many rows PER SIDE are
+    excluded from candidate generation only — verification still
+    uses full sets, so reported values stay exact; a true pair is
+    lost only if ALL its shared tokens are hot.
+
+    Plan shape: each side tokenizes once into (id, token) rows —
+    distinct at ROW level, one partial-aggregated shuffle each — the
+    candidate join is an equi-join on the token, and per-id set
+    sizes re-enter on the id keys.  Never a cartesian product; at
+    catalog scale the hot-token cap bounds the join fan-out exactly
+    like the shingle cap does for near-dup.
+    """
+    from ..functions.text import tokens
+
+    def side(df: DataFrame, id_col: str, col: str, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(name), F.explode(tokens(col)).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .distinct()
+        )
+
+    lt = side(left, left_id, left_col, "lid")
+    rt = side(right, right_id, right_col, "rid")
+    lsz = lt.groupBy("lid").agg(F.count(F.lit(1)).alias("sz_l"))
+    rsz = rt.groupBy("rid").agg(F.count(F.lit(1)).alias("sz_r"))
+    ltc, rtc = lt, rt
+    if max_token_df is not None:
+        w = Window.partitionBy("tok")
+        ltc = (
+            lt.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_token_df)
+            .drop("_df")
+        )
+        rtc = (
+            rt.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_token_df)
+            .drop("_df")
+        )
+    common = (
+        ltc.join(rtc, "tok")
+        .groupBy("lid", "rid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if max_token_df is not None:
+        # capped candidates under-count shared tokens: re-count on the
+        # full token rows for surviving candidates only
+        full = (
+            lt.join(rt, "tok")
+            .join(common.select("lid", "rid"), ["lid", "rid"], "left_semi")
+            .groupBy("lid", "rid")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        common = full
+    jac = F.col("n_common") / (
+        F.col("sz_l") + F.col("sz_r") - F.col("n_common")
+    )
+    return (
+        common.join(lsz, "lid")
+        .join(rsz, "rid")
+        .select(
+            F.col("lid").alias(left_id + "_l"),
+            F.col("rid").alias(right_id + "_r"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

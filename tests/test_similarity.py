@@ -137,3 +137,36 @@ def test_lsh_bucket_determinism(spark, sf_dir):
     r2 = {r.vec_id: r.bkt for r in v.collect()}
     assert r1 == r2
     assert all(0 <= x < 256 for x in r1.values())
+
+
+def test_fuzzy_join_semantics(spark):
+    """Word-order changes match at 1.0; one-token additions at 2/3;
+    single-shared-token pairs (1/3) stay below a 0.6 threshold; the
+    hot-token cap preserves values for surviving pairs."""
+    from gdelt_extractor_spark.operators.similarity import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "small ring"), (2, "red widget"), (3, "blue bolt")],
+        "pid long, name string",
+    )
+    right = spark.createDataFrame(
+        [(101, "ring small"), (102, "red widget pro"), (103, "blue cable"),
+         (104, "")],
+        "rid long, name string",
+    )
+    got = {
+        (r.pid_l, r.rid_r): r.jaccard
+        for r in fuzzy_join(
+            left, right, "pid", "name", "rid", "name", threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 101): 1.0, (2, 102): round(2 / 3, 6)}
+    # (3,103) shares 'blue' only: 1/3 < 0.5; empty right name: no tokens
+    capped = {
+        (r.pid_l, r.rid_r): r.jaccard
+        for r in fuzzy_join(
+            left, right, "pid", "name", "rid", "name",
+            threshold=0.5, max_token_df=5,
+        ).collect()
+    }
+    assert capped == got
