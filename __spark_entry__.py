@@ -614,7 +614,7 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over documents with deterministically
     injected PII (the synthetic corpus contains none): emails on even
-    doc_ids, phones on %3, SSNs on %5, IPv4s on %7.  Both engines
+    doc_ids, phones on %3, SSNs on %5, IPv4s on %7, card numbers on %11.  Both engines
     build the identical injected text, count matches per kind on it,
     and md5 the redacted form — so the value hash covers detection
     AND redaction."""
@@ -653,6 +653,13 @@ def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("."), (did % 100).cast("string"),
             ),
         ),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit("4111 1111 1111 "),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ),
     )
     scanned = scan_pii(d.select("doc_id", injected.alias("text")), "text")
     return scanned.select(
@@ -661,6 +668,7 @@ def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ssn",
         "n_phone",
         "n_ipv4",
+        "n_credit_card",
         "has_pii",
         F.md5(redact_expr(F.col("text"))).alias("redacted_md5"),
     )
@@ -1083,7 +1091,9 @@ def oracle_sql() -> dict[str, str]:
           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
         CASE WHEN doc_id % 7 = 0 THEN '10.0.'
           || CAST(doc_id % 256 AS VARCHAR) || '.'
-          || CAST(doc_id % 100 AS VARCHAR) END)"""
+          || CAST(doc_id % 100 AS VARCHAR) END,
+        CASE WHEN doc_id % 11 = 0 THEN '4111 1111 1111 '
+          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END)"""
     pii_counts = ",\n              ".join(
         f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}"
         for kind, pat in PII_PATTERNS
@@ -1809,7 +1819,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, t,
               {pii_counts}
               FROM g)
-            SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+            SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4, n_credit_card,
               ({pii_flag}) AS has_pii,
               md5({pii_redact}) AS redacted_md5
             FROM c

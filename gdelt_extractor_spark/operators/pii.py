@@ -29,6 +29,12 @@ PII_PATTERNS: list[tuple[str, str]] = [
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
     ("ipv4", rf"\b{_OCTET}(?:\.{_OCTET}){{3}}\b"),
+    # 13-16 digit cards in 4-4-4-(1..4) grouping with optional space/
+    # dash separators.  No Luhn check — a checksum is not expressible
+    # in RE2-portable regex, so plain 16-digit runs in that grouping
+    # over-count; the standard redaction trade-off (better to redact
+    # a fake card than leak a real one).
+    ("credit_card", r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{1,4}\b"),
 ]
 
 

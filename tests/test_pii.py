@@ -71,3 +71,27 @@ def test_scan_is_pure_projection(spark):
     plan = scan_pii(_df(spark, "x")).withColumn("t2", F.lit(1))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_credit_card_grouping_and_no_luhn(spark):
+    """4-4-4-(1..4) digit groupings with space/dash/no separators
+    count; phone-grouped (3-3-4) and SSN shapes don't; Luhn validity
+    is NOT checked (documented over-count)."""
+    rows = scan_pii(
+        _df(
+            spark,
+            "card 4111 1111 1111 1111 on file",
+            "card 4111-1111-1111-111 short form",
+            "raw 4111111111111111 digits",
+            "phone 415-555-0199 is not a card",
+            "ssn 123-45-6789 is not a card",
+            "fake-but-redacted 1234 5678 9012 3456",
+        )
+    ).orderBy("id").collect()
+    assert [r.n_credit_card for r in rows] == [1, 1, 1, 0, 0, 1]
+    assert rows[3].n_phone == 1 and rows[4].n_ssn == 1
+
+
+def test_redact_credit_card_tag(spark):
+    out = redact_pii(_df(spark, "pay 4111 1111 1111 1111 now")).collect()[0].text
+    assert out == "pay [CREDIT_CARD] now"
