@@ -311,6 +311,33 @@ def _actor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gdelt_v1_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 (58-col) reader end-to-end: fixture TSV → typed schema →
+    per-(day, root-code) rollup with event-weighted Goldstein/tone
+    means — upgrades the v1 schema row from unit-test-only to
+    oracle-gated.  The oracle's read_csv columns are generated FROM
+    the Spark schema (``_duck_tsv``), so the 58-column contract
+    itself is what's checked."""
+    from gdelt_extractor_spark.sources.gdelt import read_gdelt_v1
+
+    ev = read_gdelt_v1(spark, f"{GDELT_FIXTURES}/v1_events.tsv")
+    n = F.count(F.lit(1))
+    return (
+        ev.groupBy("SQLDATE", "EventRootCode")
+        .agg(
+            n.alias("n_events"),
+            (Q.dsum(F.col("GoldsteinScale")) / n).alias("avg_goldstein"),
+            (Q.dsum(F.col("AvgTone")) / n).alias("avg_tone"),
+            F.sum(F.col("NumMentions").cast("long")).alias("total_mentions"),
+        )
+        .select(
+            F.col("SQLDATE").alias("sqldate"),
+            F.col("EventRootCode").alias("root_code"),
+            "n_events", "avg_goldstein", "avg_tone", "total_mentions",
+        )
+    )
+
+
 def _gdelt_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's post-read cleanup end-to-end
     (process_gdelt_events: keep-first SOURCEURL dedup + lowercase
@@ -920,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_dyads": _actor_dyads,
         "actor_pagerank": _actor_pagerank,
         "jsonl_corpus_stats": _jsonl_corpus_stats,
+        "gdelt_v1_daily": _gdelt_v1_daily,
         "gdelt_clean": _gdelt_clean,
         "geo_project": _geo_project,
         # §2c LLM-data ops
@@ -1047,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
     from gdelt_extractor_spark.sources.gdelt import (
         GKG_SCHEMA,
         MENTIONS_SCHEMA,
+        V1_EVENTS_SCHEMA,
         V2_EVENTS_SCHEMA,
     )
 
@@ -1759,6 +1788,15 @@ def oracle_sql() -> dict[str, str]:
             FROM {_duck_tsv('v2_events.tsv', V2_EVENTS_SCHEMA)}
             WHERE Actor1CountryCode IS NOT NULL
               AND Actor2CountryCode IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "gdelt_v1_daily": f"""
+            SELECT SQLDATE AS sqldate, EventRootCode AS root_code,
+              COUNT(*) AS n_events,
+              {_dsum('GoldsteinScale')} / COUNT(*) AS avg_goldstein,
+              {_dsum('AvgTone')} / COUNT(*) AS avg_tone,
+              CAST(SUM(NumMentions) AS BIGINT) AS total_mentions
+            FROM {_duck_tsv('v1_events.tsv', V1_EVENTS_SCHEMA)}
             GROUP BY 1, 2
         """,
         "gdelt_clean": f"""

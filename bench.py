@@ -67,6 +67,7 @@ HEADLINE = [
     "gkg_theme_daily",
     "actor_dyads",
     "actor_pagerank",
+    "gdelt_v1_daily",
     "gdelt_clean",
     "jsonl_corpus_stats",
     "geo_project",

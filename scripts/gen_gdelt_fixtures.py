@@ -197,11 +197,21 @@ def write_tsv(name: str, rows: list[list[str]]) -> None:
     print(f"{path}: {len(rows)} rows x {len(rows[0])} cols")
 
 
+def v1_from_v2(events: list[list[str]]) -> list[list[str]]:
+    """58-col v1 rows derived from the 61-col v2 rows: identical
+    except the three Geo_ADM2Code columns (absolute indices 39, 47,
+    55 — the 5th column of each 8-col geo block) do not exist in the
+    v1 layout.  Deriving keeps the two fixtures value-consistent and
+    the generator byte-stable."""
+    return [[c for j, c in enumerate(r) if j not in (39, 47, 55)] for r in events]
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     rng = random.Random(20240210)
     events, when = gen_events(rng)
     write_tsv("v2_events.tsv", events)
+    write_tsv("v1_events.tsv", v1_from_v2(events))
     write_tsv("v2_mentions.tsv", gen_mentions(rng, when))
     write_tsv("v2_gkg.tsv", gen_gkg(rng))
 
