@@ -798,6 +798,15 @@ def _ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.ngram_repetition(_docs(spark, sf_dir), "doc_id", "text", n=3)
 
 
+def _shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard doc/token/char accounting under the deterministic
+    md5 shard assignment (the pre-write manifest of a training
+    export); the oracle rebuilds the same hex-prefix arithmetic."""
+    from gdelt_extractor_spark.sinks.files import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), "doc_id", "text", n_shards=16)
+
+
 def _fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table set-similarity join (entity resolution): the part
     name catalog matched against a deterministically perturbed twin
@@ -992,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_divergence": _vocab_divergence,
         "dedup_incremental": _dedup_incremental,
         "fuzzy_join": _fuzzy_join,
+        "shard_manifest": _shard_manifest,
         "compression_stats": _compression_stats,
         "lm_score": _lm_score,
         "remove_boilerplate": _remove_boilerplate,
@@ -2364,6 +2374,19 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             JOIN tot ta ON ta.source = p.source_a
             JOIN tot tb ON tb.source = p.source_b
+        """,
+        "shard_manifest": f"""
+            WITH s AS (
+              SELECT CAST(CAST(('0x' || substring(md5('shards-v1:'
+                  || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 16 AS INTEGER) AS shard,
+                len(string_split({_NORM.format(c='text')}, ' ')) AS nt,
+                length(text) AS nc
+              FROM documents)
+            SELECT shard, COUNT(*) AS n_docs,
+              CAST(SUM(nt) AS BIGINT) AS n_tokens,
+              CAST(SUM(nc) AS BIGINT) AS n_chars
+            FROM s GROUP BY shard
         """,
         "fuzzy_join": f"""
             WITH cat AS (

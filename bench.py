@@ -94,6 +94,7 @@ HEADLINE = [
     "doc_chunks",
     "url_filter",
     "mix_sources",
+    "shard_manifest",
     "ann_topk",
     "ann_lsh_topk",
     "lang_id",

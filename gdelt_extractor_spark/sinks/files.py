@@ -274,3 +274,81 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def shard_assignment(id_col: str, n_shards: int, salt: str = "shards-v1") -> F.Column:
+    """Deterministic shard id for a row: first 8 hex digits of
+    md5(salt:id) mod ``n_shards``.  Content-stable (identical across
+    runs, engines, partitionings — unlike round-robin repartition),
+    uniform by construction, and salt-versioned so a new salt
+    redraws the layout.  Pure expression — usable in queries
+    (manifests) and writes alike."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    n_shards: int = 16,
+    salt: str = "shards-v1",
+) -> DataFrame:
+    """Per-shard accounting for a training export: (shard, n_docs,
+    n_tokens, n_chars) under the deterministic ``shard_assignment``.
+    The manifest every training job reads before consuming shards —
+    and the pre-flight check that shard sizes are balanced BEFORE
+    paying for the write.  One partial-aggregated shuffle on the
+    (small-cardinality, uniform) shard key."""
+    from ..functions.text import tokens
+
+    out = df.select(
+        shard_assignment(id_col, n_shards, salt).alias("shard"),
+        *( [F.size(tokens(text_col)).alias("_nt"), F.length(text_col).alias("_nc")]
+           if text_col else [] ),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if text_col:
+        aggs += [
+            F.sum(F.col("_nt").cast("long")).alias("n_tokens"),
+            F.sum(F.col("_nc").cast("long")).alias("n_chars"),
+        ]
+    return out.groupBy("shard").agg(*aggs)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shards-v1",
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic sharded export — the last step of a curation
+    pipeline: rows land in shard=<k>/ directories keyed by
+    ``shard_assignment``, so a re-run (same salt) reproduces the
+    exact same layout and per-shard consumers (one training worker
+    per shard) see a stable assignment.
+
+    Plan: ONE shuffle — repartition on the shard column so each
+    shard is written by one task as one file run, then
+    ``partitionBy`` routes rows to their directory without a second
+    exchange.  At 100 TB pick n_shards ≈ total_size /
+    desired_file_size and the write stays a single wide stage."""
+    out = df.withColumn("shard", shard_assignment(id_col, n_shards, salt))
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -109,3 +109,43 @@ def test_mention_stats_on_bucketed_tables_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS events_b")
         spark.sql("DROP TABLE IF EXISTS mentions_b")
+
+
+def test_training_shards_deterministic_layout(spark, tmp_path):
+    """Rows land in shard=<k>/ directories matching shard_assignment;
+    a re-run with the same salt reproduces the identical layout; all
+    rows survive; a different salt redraws it."""
+    from gdelt_extractor_spark.sinks.files import (
+        shard_assignment,
+        shard_manifest,
+        write_training_shards,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text "), F.col("id").cast("string")).alias("text"),
+    )
+    p = str(tmp_path / "shards")
+    write_training_shards(df, p, n_shards=8)
+    back = spark.read.parquet(p)
+    assert back.count() == 200
+    # directory shard == recomputed assignment for every row
+    mismatch = back.withColumn(
+        "_want", shard_assignment("doc_id", 8)
+    ).filter(F.col("shard") != F.col("_want"))
+    assert mismatch.count() == 0
+    layout1 = sorted((r.shard, r.doc_id) for r in back.select("shard", "doc_id").collect())
+    write_training_shards(df, p, n_shards=8)  # overwrite re-run
+    back2 = spark.read.parquet(p)
+    assert sorted((r.shard, r.doc_id) for r in back2.select("shard", "doc_id").collect()) == layout1
+    # manifest totals reconcile with the corpus
+    m = shard_manifest(df, "doc_id", "text", n_shards=8).collect()
+    assert sum(r.n_docs for r in m) == 200
+    assert {r.shard for r in m} <= set(range(8))
+    # new salt: at least one row moves
+    moved = df.select(
+        (shard_assignment("doc_id", 8) != shard_assignment("doc_id", 8, "shards-v2"))
+        .cast("int").alias("m")
+    ).agg(F.sum("m")).collect()[0][0]
+    assert moved > 0
