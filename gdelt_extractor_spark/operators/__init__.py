@@ -8,6 +8,7 @@ from .curation import (
     mix_sources,
     normalize_url,
     sample_split,
+    source_overlap,
     stratified_sample,
     url_filter,
     weighted_sample,
@@ -18,6 +19,7 @@ from .dedup import (
     dedup_containment,
     dedup_embedding,
     dedup_exact,
+    dedup_incremental,
     dedup_keep_first,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
@@ -28,6 +30,7 @@ from .dedup import (
     span_dup_fraction,
     minhash_signatures,
     simhash,
+    updated_index,
 )
 from .enrich import enrich_articles, enrich_articles_fetch
 from .geo import geo_project
@@ -42,11 +45,18 @@ from .multimodal import (
     image_features,
     resize_images,
 )
-from .similarity import ann_bruteforce, ann_ivf, ann_lsh, ivf_fit_centroids
+from .similarity import ann_bruteforce, ann_ivf, ann_lsh, fuzzy_join, ivf_fit_centroids
 from .sketches import approx_topk
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join
-from .textstats import fingerprint, lang_id, quality_score, token_stats
+from .textstats import (
+    fingerprint,
+    lang_id,
+    ngram_repetition,
+    quality_score,
+    token_stats,
+    vocab_divergence,
+)
 
 __all__ = [
     "ann_bruteforce", "ann_ivf", "ann_lsh", "approx_topk", "asof_join",
@@ -64,5 +74,7 @@ __all__ = [
     "quality_score", "range_join", "redact_pii",
     "resize_images", "salted_agg", "salted_join", "sample_split",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
-    "weighted_sample",
+    "weighted_sample", "dedup_incremental", "updated_index",
+    "fuzzy_join", "ngram_repetition", "source_overlap",
+    "vocab_divergence",
 ]
