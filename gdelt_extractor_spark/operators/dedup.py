@@ -165,6 +165,23 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     ).distinct()
 
 
+def _attach_pair_texts(
+    cand: DataFrame, df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Join the pruned candidate PAIRS back to both documents' text —
+    one linear chain (cand appears once in the plan, so the cold
+    self-join beneath it runs once), with AQE broadcasting the tiny
+    pair set into each scan.  The expensive shingle arrays are then
+    computed in the caller's FINAL projection over only the matched
+    rows — the full-corpus array frame (formerly built, persisted,
+    and held for the whole query) never exists."""
+    return cand.join(
+        df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t_a")), "id_a"
+    ).join(
+        df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b")), "id_b"
+    )
+
+
 def dedup_ngram_jaccard(
     df: DataFrame,
     text_col: str,
@@ -218,18 +235,16 @@ def dedup_ngram_jaccard(
 
     # capped path: hot shingles NEVER enter a self-join — their
     # O(k²) pair rows are never formed anywhere.  Candidates come
-    # from the cold self-join; verification joins the candidate pairs
-    # to the docs' full RAW shingle arrays by doc id (the per-doc
-    # array frame is megabytes even for millions of docs per
-    # partition, so AQE broadcast-joins it) — array_intersect /
+    # from the cold self-join; verification joins the PRUNED
+    # candidate pairs to per-doc raw shingle arrays built only for
+    # candidate docs (_candidate_shingle_sets) — array_intersect /
     # array_union are set-ops, so raw multiset arrays give the same
     # exact jaccard as distinct arrays while skipping the per-row
-    # array_distinct (measured 5× the build cost).  A true pair is
-    # missed only if ALL its shared shingles are hot.
-    sets_ = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
-        "id", shingle_hashes_from_tokens(F.col("_toks"), n, distinct=False).alias("sh")
-    ).persist()
-    rows = sets_.select("id", F.explode("sh").alias("shingle")).distinct()
+    # array_distinct.  A true pair is missed only if ALL its shared
+    # shingles are hot.
+    rows = shingle_hash_rows(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, n, ["id"]
+    ).distinct()
     # ONE shingle-keyed pass classifies hot vs cold: a window count
     # over partitionBy(shingle) replaces the r2 groupBy(shingle) +
     # left_anti join (which re-exchanged the full row set a second
@@ -291,26 +306,25 @@ def dedup_ngram_jaccard(
     # collapses to ~the true near-dup set (measured at sf0.1:
     # 1,130,536 candidates → 256 verify pairs = the exact output set).
     ubc = F.col("nc") + F.least(F.col("h_a"), F.col("h_b"))
-    cand = (
-        cand.filter(ubc / (F.col("sz_a") + F.col("sz_b") - ubc) >= threshold)
-        .select("id_a", "id_b")
-    )
+    cand = cand.filter(
+        ubc / (F.col("sz_a") + F.col("sz_b") - ubc) >= threshold
+    ).select("id_a", "id_b")
+    sh_a = shingle_hashes_from_tokens(tokens(F.col("_t_a")), n, distinct=False)
+    sh_b = shingle_hashes_from_tokens(tokens(F.col("_t_b")), n, distinct=False)
     verified = (
-        cand.join(sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        _attach_pair_texts(cand, df, text_col, id_col)
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect(sh_a, sh_b))
+                / F.size(F.array_union(sh_a, sh_b)),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(eager=True)  # bounded result; lets the set cache go
+        .localCheckpoint(eager=True)  # bounded result
     )
-    sets_.unpersist()
     return verified
 
 
@@ -1067,12 +1081,9 @@ def dedup_containment(
     ALL its shared shingles are hot.
     """
     if max_shingle_df is not None:
-        sets_ = df.select(
-            F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
-        ).select(
-            "id", shingle_hashes_from_tokens(F.col("_toks"), n, distinct=False).alias("sh")
-        ).persist()
-        rows = sets_.select("id", F.explode("sh").alias("shingle")).distinct()
+        rows = shingle_hash_rows(
+            df.select(F.col(id_col).alias("id"), text_col), text_col, n, ["id"]
+        ).distinct()
         w_sh = Window.partitionBy("shingle")
         flagged = rows.withColumn("nd", F.count(F.lit(1)).over(w_sh))
         stats = flagged.groupBy("id").agg(
@@ -1102,13 +1113,14 @@ def dedup_containment(
         cand = cand.filter(
             ubc / F.least(F.col("sz_a"), F.col("sz_b")) >= threshold
         ).select("id_a", "id_b", "sz_a", "sz_b")
+        sh_a = shingle_hashes_from_tokens(tokens(F.col("_t_a")), n, distinct=False)
+        sh_b = shingle_hashes_from_tokens(tokens(F.col("_t_b")), n, distinct=False)
         verified = (
-            cand.join(sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-            .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+            _attach_pair_texts(cand, df, text_col, id_col)
             .withColumn(
                 "containment",
                 F.round(
-                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    F.size(F.array_intersect(sh_a, sh_b))
                     / F.least(F.col("sz_a"), F.col("sz_b")),
                     6,
                 ),
@@ -1117,7 +1129,6 @@ def dedup_containment(
             .select("id_a", "id_b", "containment")
             .localCheckpoint(eager=True)
         )
-        sets_.unpersist()
         return verified
 
     rows = _shingle_rows(df, text_col, id_col, n).persist()
