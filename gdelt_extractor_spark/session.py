@@ -35,10 +35,17 @@ def get_spark(app_name: str = "gdelt_extractor_spark") -> SparkSession:
         # tasks against an 8g heap made later bench queries pay
         # earlier queries' accumulated block/shuffle state through
         # eviction pressure (full-suite A/B at sf0.1:
-        # dedup_semantic 5.8s→2.1s, dup_clusters 3.3s→1.3s at 48g,
-        # nothing slower).  -Xmx is a cap, not a reservation; on a
-        # real cluster executor memory is sized separately anyway.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # dedup_semantic 5.8s→2.1s, dup_clusters 3.3s→1.3s with a
+        # bigger heap).  Heap SIZE itself costs: small-query medians
+        # rise ~6% per doubling (G1 bookkeeping), and ZGC was 1.7×
+        # worse (concurrent GC steals task CPU on a saturated
+        # local[32]).  16g vs 48g full-suite totals measured equal
+        # (77.7s vs 77.8s) once operators stopped persisting
+        # full-corpus array frames, so 16g is the default: same
+        # throughput, less memory, faster small queries.  -Xmx is a
+        # cap, not a reservation; on a real cluster executor memory
+        # is sized separately anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -394,3 +394,61 @@ def test_q22_scalar_avg_is_broadcast_not_collected(spark, sf_dir):
     plan = plan_of(spark, "q22_idle_balance", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "LeftAnti" in plan
+
+
+def test_fuzzy_join_no_cartesian_and_token_key(spark, sf_dir):
+    """The two-table set-similarity join must candidate via the token
+    equi-join — never a cartesian/nested-loop pairing."""
+    plan = plan_of(spark, "fuzzy_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_divergence_vocab_is_topk_not_collected(spark, sf_dir):
+    """The top-K vocabulary must enter as TakeOrderedAndProject inside
+    the plan (never a driver collect), and the KL rollup must not
+    expand into a per-term window."""
+    plan = plan_of(spark, "vocab_divergence", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_repetition_two_agg_shuffles(spark, sf_dir):
+    """One (doc, gram) shuffle + one doc rollup — the within-doc
+    counting must be a grouped aggregate, not per-row O(len²) array
+    work, and nothing may expand to a self-join."""
+    plan = plan_of(spark, "ngram_repetition", sf_dir)
+    n_hash = len(
+        [l for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")]
+    )
+    assert n_hash <= 2, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_source_overlap_no_self_join(spark, sf_dir):
+    """Pair generation happens per fingerprint from the grouped
+    carrier array (gkg_theme_cooccurrence discipline) — the plan must
+    contain NO join at all until the broadcast totals attach."""
+    plan = plan_of(spark, "source_overlap", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode of in-row pairs
+
+
+def test_dedup_incremental_anti_join_on_hash(spark, sf_dir):
+    """The history side must enter as an anti join on the content
+    hash; the batch keep-first stays a single window."""
+    plan = plan_of(spark, "dedup_incremental", sf_dir)
+    assert "LeftAnti" in plan
+    assert "Window" in plan
+
+
+def test_shard_manifest_single_agg_shuffle(spark, sf_dir):
+    """Shard accounting is one partial-aggregated shuffle on the
+    shard key — no joins, no windows."""
+    plan = plan_of(spark, "shard_manifest", sf_dir)
+    n_hash = len(
+        [l for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")]
+    )
+    assert n_hash == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan
