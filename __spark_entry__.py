@@ -929,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": Q.q10_returned_items,
         "q13_order_counts": Q.q13_order_count_distribution,
         "q18_large_orders": Q.q18_large_orders,
+        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
         "q21_last_shipper": Q.q21_last_shipper,
         "q22_idle_balance": Q.q22_idle_balance,
         "event_spikes": Q.event_spikes,
@@ -1438,6 +1439,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+              COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+              AND ((p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                    AND l_quantity BETWEEN 1 AND 15)
+                OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 20
+                    AND l_quantity BETWEEN 10 AND 25)
+                OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 30
+                    AND l_quantity BETWEEN 20 AND 35))
         """,
         "q21_last_shipper": """
             SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait

@@ -116,6 +116,7 @@ HEADLINE = [
     "q10_returned_items",
     "q13_order_counts",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
     "q21_last_shipper",
     "q22_idle_balance",
     "event_spikes",

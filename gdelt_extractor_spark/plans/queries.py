@@ -960,3 +960,47 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an equi-join whose residual is a
+    DISJUNCTION of per-branch conjunctions (brand × size-range ×
+    quantity-range) — the optimizer capability being exercised is
+    that an OR-of-ANDs predicate must NOT degrade the join: the
+    partkey equi-condition is extracted as the join key, the
+    brand/size terms (which mention only the part side) push into
+    the part SCAN as a derived common filter, and the mixed-side
+    terms evaluate as a post-join residual.  A naive planner runs
+    this as a cartesian/BNLJ with the whole disjunction as the
+    filter; the plan test pins the equi form.
+
+    part pre-shrinks through the pushed disjunction, so it stays
+    broadcast-sized regardless of catalog size; lineitem is touched
+    once, at scan speed.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 15)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 25)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(20, 35)
+    )
+    joined = l.join(
+        F.broadcast(p),
+        (F.col("l_partkey") == F.col("p_partkey"))
+        & (branch1 | branch2 | branch3),
+    )
+    return joined.agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

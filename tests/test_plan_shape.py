@@ -452,3 +452,14 @@ def test_shard_manifest_single_agg_shuffle(spark, sf_dir):
     )
     assert n_hash == 1, plan[:2000]
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_q19_disjunction_stays_equi_join(spark, sf_dir):
+    """The OR-of-ANDs residual must not degrade the join: partkey
+    equi-condition extracted (BroadcastHashJoin, no BNLJ/cartesian)
+    and the part-side disjunction pushed into the part scan."""
+    plan = plan_of(spark, "q19_disjunctive_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert pushed_filter_lines(plan), "part-side terms must push into a scan"
