@@ -1,0 +1,90 @@
+"""Streaming incremental corpus ingestion with exactly-once dedup:
+the live counterpart of ``operators.dedup.dedup_incremental``.
+
+A file-source stream of document drops is deduplicated per
+micro-batch against (a) itself and (b) the content hashes of
+everything ALREADY IN the corpus, then appended — so the corpus
+never holds two copies of a normalized text, no matter how often
+crawls re-deliver the same page.
+
+Exactly-once without a second ledger: survivors land via DYNAMIC
+PARTITION OVERWRITE into a ``batch_id=<epoch>`` partition, and the
+seen-index is simply the corpus's own hash column restricted to
+EARLIER batch partitions.  A replayed epoch therefore (1) rebuilds
+its seen-index identically — its own partial partition is excluded
+by the ``batch_id < epoch`` predicate — and (2) overwrites its own
+partition wholesale, converging to the same bytes.  The classic
+two-sink atomicity problem (corpus written, index not) cannot occur
+because there is no separate index to drift: one table carries both
+roles, and tomorrow's batches read only its hash column
+(column-pruned scan; keep the corpus hash-bucketed at real scale so
+the anti join never reshuffles history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+from ..operators.dedup import dedup_incremental
+from ..sinks.files import upsert_partitions
+from ..streaming.updates import run_foreach_batch
+
+
+def _seen_hashes(
+    spark: SparkSession, corpus_dir: str, before_batch: int
+) -> DataFrame:
+    """Content hashes already committed by EARLIER epochs (empty
+    frame on the very first batch).  The ``batch_id <`` predicate is
+    partition pruning — a replayed epoch's own partial output is
+    invisible to its recomputation."""
+    try:
+        corpus = spark.read.parquet(corpus_dir)
+    except AnalysisException:  # first batch: corpus does not exist yet
+        return spark.createDataFrame([], "content_hash string")
+    return corpus.filter(F.col("batch_id") < before_batch).select("content_hash")
+
+
+def ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One epoch: batch-internal keep-first + anti join against the
+    committed hash index, then an idempotent partition overwrite."""
+    spark = batch.sparkSession
+    survivors = dedup_incremental(
+        batch, _seen_hashes(spark, corpus_dir, batch_id), text_col, id_col
+    )
+    upsert_partitions(
+        survivors.withColumn("batch_id", F.lit(int(batch_id))),
+        corpus_dir,
+        ["batch_id"],
+    )
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id LONG, text STRING, source STRING",
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Drive the stream until the landing dir is drained (test mode;
+    production drops ``processAllAvailable`` for a continuous
+    trigger).  JSONL drops → per-epoch ``ingest_batch``."""
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(landing_dir)
+    )
+    run_foreach_batch(
+        stream,
+        lambda b, i: ingest_batch(b, i, corpus_dir),
+        checkpoint_dir,
+    )

@@ -217,3 +217,62 @@ def test_live_rollup_refuses_non_local_uris(spark, tmp_path):
         run_live_rollup(
             spark, str(tmp_path), str(tmp_path / "out"), "hdfs://nn/ck"
         )
+
+
+def test_incremental_dedup_stream_two_ticks_and_replay(spark, tmp_path):
+    """Tick 1 ingests a batch with an internal dup (collapsed);
+    tick 2's cross-tick re-deliveries are dropped against the
+    corpus's own hash column; replaying an epoch converges to the
+    same corpus (idempotent partition overwrite + batch_id-pruned
+    seen-index)."""
+    import json as _json
+
+    from gdelt_extractor_spark.pipelines.incremental import (
+        ingest_batch,
+        run_incremental_dedup_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        (landing / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    drop("t1.jsonl", [
+        {"doc_id": 1, "text": "alpha beta", "source": "s1"},
+        {"doc_id": 2, "text": "Alpha  Beta", "source": "s1"},   # internal dup of 1
+        {"doc_id": 3, "text": "gamma delta", "source": "s2"},
+    ])
+    run_incremental_dedup_stream(spark, str(landing), corpus_dir, ckpt,
+                                 max_files_per_trigger=1)
+    got1 = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert got1 == {1, 3}
+
+    drop("t2.jsonl", [
+        {"doc_id": 10, "text": "alpha beta", "source": "s3"},   # re-delivery
+        {"doc_id": 11, "text": "epsilon zeta", "source": "s3"},
+    ])
+    run_incremental_dedup_stream(spark, str(landing), corpus_dir, ckpt,
+                                 max_files_per_trigger=1)
+    corpus = spark.read.parquet(corpus_dir)
+    assert {r.doc_id for r in corpus.collect()} == {1, 3, 11}
+
+    # replay epoch 1 (same batch frame, same batch_id) → same corpus
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta", "s1"), (2, "Alpha  Beta", "s1"), (3, "gamma delta", "s2")],
+        "doc_id long, text string, source string",
+    )
+    before = sorted(
+        (r.doc_id, r.content_hash, r.batch_id)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    ingest_batch(batch1, 0, corpus_dir)
+    after = sorted(
+        (r.doc_id, r.content_hash, r.batch_id)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert after == before
