@@ -149,3 +149,41 @@ def test_training_shards_deterministic_layout(spark, tmp_path):
         .cast("int").alias("m")
     ).agg(F.sum("m")).collect()[0][0]
     assert moved > 0
+
+
+def test_incremental_dedup_against_bucketed_index(spark, sf_dir, tmp_path):
+    """The 100 TB shape claimed in dedup_incremental's docstring,
+    proven at plan level: with the historical hash index stored as a
+    table bucketed on content_hash, the anti join reads the index
+    WITHOUT an Exchange above its scan (only the day's batch
+    shuffles), and the survivors match the unbucketed result."""
+    from gdelt_extractor_spark.operators.dedup import (
+        dedup_incremental,
+        with_content_hash,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"historic doc number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    seen = with_content_hash(hist, "text").select("content_hash")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(seen, "seen_idx_b", ["content_hash"], 8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = spark.createDataFrame(
+            [(1000, "historic doc number 7"),     # already seen
+             (1001, "genuinely new content")],
+            "doc_id long, text string",
+        )
+        out = dedup_incremental(batch, spark.table("seen_idx_b"))
+        plan = _explain(out)
+        # exactly one Exchange total: the batch side (window + join
+        # key); the bucketed index side must contribute none
+        n_exch = plan.count("Exchange")
+        assert "Bucketed: true" in plan
+        assert n_exch <= 2, plan[:2000]  # batch window + batch join side
+        assert [r.doc_id for r in out.collect()] == [1001]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS seen_idx_b")
