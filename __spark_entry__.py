@@ -932,6 +932,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
         "q21_last_shipper": Q.q21_last_shipper,
         "q22_idle_balance": Q.q22_idle_balance,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "q9_product_profit": Q.q9_product_profit,
+        "q11_important_stock": Q.q11_important_stock,
+        "q12_priority_by_class": Q.q12_priority_by_class,
+        "q14_promo_revenue": Q.q14_promo_revenue,
+        "q15_top_supplier": Q.q15_top_supplier,
+        "q16_supplier_count": Q.q16_supplier_count,
+        "q20_excess_stock": Q.q20_excess_stock,
         "event_spikes": Q.event_spikes,
         "q8_market_share": Q.q8_market_share,
         "window_running": Q.window_running,
@@ -1481,6 +1489,126 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY n_name ORDER BY n_name
+        """,
+        "q6_forecast_revenue": f"""
+            SELECT {_dsum('l_extendedprice * l_discount')} AS revenue,
+              COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.05
+              AND l_quantity < 24
+        """,
+        "q12_priority_by_class": """
+            SELECT l_returnflag,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag IN ('A','R')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > o_orderdate
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q14_promo_revenue": f"""
+            SELECT 100.0 * {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+                / {_dsum('l_extendedprice * (1 - l_discount)')} AS promo_pct,
+              COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-12-01'
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, s_acctbal, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q9_product_profit": f"""
+            WITH bolt_parts AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'),
+            pairs AS (
+              SELECT l_partkey, l_suppkey,
+                MIN(l_extendedprice / l_quantity) AS supply_cost
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM bolt_parts)
+              GROUP BY l_partkey, l_suppkey)
+            SELECT n_name AS nation,
+              CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+              CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                    - supply_cost * l_quantity) * 1000000 + 0.5)
+                  AS DECIMAL(25,0))) AS DOUBLE) / 1000000 AS sum_profit
+            FROM lineitem
+            JOIN pairs USING (l_partkey, l_suppkey)
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE l_partkey IN (SELECT p_partkey FROM bolt_parts)
+            GROUP BY n_name, o_year
+            ORDER BY nation ASC, o_year DESC
+        """,
+        "q11_important_stock": f"""
+            WITH nat_sup AS (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'),
+            pairs AS (
+              SELECT l_partkey, l_suppkey,
+                MIN(l_extendedprice / l_quantity) AS supply_cost,
+                {_dsum('l_quantity')} AS avail_qty
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM nat_sup)
+              GROUP BY l_partkey, l_suppkey),
+            per_part AS (
+              SELECT l_partkey, {_dsum('supply_cost * avail_qty')} AS stock_value
+              FROM pairs GROUP BY l_partkey)
+            SELECT l_partkey, stock_value
+            FROM per_part
+            WHERE stock_value > (
+              SELECT {_dsum('stock_value')} * 0.001 FROM per_part)
+            ORDER BY stock_value DESC, l_partkey ASC
+        """,
+        "q16_supplier_count": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+              CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM pairs
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        """,
+        "q20_excess_stock": f"""
+            WITH pairs AS (
+              SELECT l_partkey, l_suppkey,
+                {_dsum('l_quantity')} AS avail_qty,
+                {_dsum("CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' THEN l_quantity ELSE 0.0 END")} AS qty_1997
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            qualifying AS (
+              SELECT DISTINCT l_suppkey FROM pairs
+              WHERE l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+                AND qty_1997 > 0
+                AND (avail_qty - qty_1997) > 0.5 * qty_1997)
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+              AND n_name IN ('NATION_3', 'NATION_11', 'NATION_19')
+            ORDER BY s_suppkey
         """,
         "q8_market_share": f"""
             WITH vol AS (

@@ -119,6 +119,14 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "q21_last_shipper",
     "q22_idle_balance",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_by_class",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_excess_stock",
     "event_spikes",
     "q8_market_share",
     "window_running",

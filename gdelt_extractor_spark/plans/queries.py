@@ -1004,3 +1004,339 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filtered aggregate — the purest
+    predicate-pushdown test in the family.  All three predicates
+    (shipdate range, discount band, quantity cap) and the two-column
+    projection reach the parquet reader (``PushedFilters`` +
+    ``ReadSchema`` in the formatted plan), so at 100 TB the scan
+    skips row groups on shipdate min/max stats and decodes only four
+    columns.  No join, no window; one map-side partial aggregate and
+    a single-row final merge."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q12_priority_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join with a CROSS-TABLE residual
+    predicate and two-way conditional counts per class.
+
+    Fixture adaptation (testdata has no l_shipmode / commitdate /
+    receiptdate): the class column is l_returnflag restricted to
+    ('A','R'), and the late-delivery predicate becomes
+    ``l_shipdate > o_orderdate`` — like the textbook's
+    receipt-vs-commit comparison it references BOTH join sides, so it
+    cannot push below the join and must evaluate as the residual.
+
+    The lineitem side pre-shrinks through its scan-pushed filters
+    before the single shuffle on the order key; the conditional
+    CASE counts run inside the post-join partial aggregate."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional-revenue ratio — conditional and
+    total sums in ONE aggregate pass over a broadcast part join
+    (never two scans, never two joins).  The month-window filter
+    pushes into the lineitem scan; part stays broadcast-sized.  The
+    final expression divides two decimal-summed doubles, so the
+    ratio is bit-identical across partitionings (module doc)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-12-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(disc_price)).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate a fact to per-supplier revenue,
+    then keep the supplier(s) whose revenue equals the GLOBAL max —
+    the textbook's CREATE VIEW + scalar-subquery-on-the-view.
+
+    The view materializes once as ``rev`` (one shuffle on suppkey);
+    the global max is a 1-row aggregate of that small result,
+    broadcast back as an equi-join — no second scan of lineitem, no
+    driver collect, no single-partition global window.  Revenue
+    equality is exact because both sides are the same decimal-summed
+    doubles.  Ties all return, as in the spec."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        ))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def _supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived (part, supplier) supply table — the testdata has no
+    partsupp, so Q9/Q11/Q16/Q20 reconstruct it from lineitem in ONE
+    conditionally-aggregated pass (same adaptation as Q2): per pair,
+    the min unit price stands in for ps_supplycost, total shipped
+    quantity for ps_availqty, plus an off/on-1997 quantity split for
+    Q20's excess-stock comparison.  One shuffle on the composite
+    (partkey, suppkey) key; every downstream query filters or joins
+    this ~|part|×|supp-per-part| result, never lineitem again."""
+    l = load_table(spark, sf_dir, "lineitem")
+    in97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    return (
+        l.select(
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit"),
+            F.when(in97, F.col("l_quantity")).otherwise(F.lit(0.0)).alias("_q97"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min("_unit").alias("supply_cost"),
+            dsum(F.col("l_quantity")).alias("avail_qty"),
+            dsum(F.col("_q97")).alias("qty_1997"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (nation, year) over a 5-way join
+    with a LIKE-filtered part dim — amount = revenue minus supply
+    cost × quantity, where supply cost comes from the derived pair
+    table (``_supply_pairs``; no partsupp in the fixture).
+
+    Join order is the 100 TB decision: lineitem semi-shrinks through
+    the broadcast LIKE-filtered part FIRST (~1/6 of rows survive
+    '%bolt%'), then joins the pair table on the composite key (one
+    shuffle each side), then orders (second fact shuffle on
+    orderkey); supplier→nation broadcast.  The pair build itself is
+    one extra lineitem pass — exactly the scan partsupp would have
+    been."""
+    part_keys = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    pairs = (
+        _supply_pairs(spark, sf_dir)
+        .join(
+            F.broadcast(part_keys),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey", "supply_cost")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part_keys),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            pairs,
+            ["l_partkey", "l_suppkey"],
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("supply_cost") * F.col("l_quantity")
+    )
+    # dsum's CAST-to-decimal rounds engine-side (Spark HALF_UP,
+    # DuckDB HALF_EVEN) and the cost reconstruction here CAN land on
+    # an exact 6-decimal midpoint (measured: 41152.5270625 at
+    # sf0.01), so the profit sum uses explicit micro-unit rounding —
+    # floor(x*1e6 + 0.5) is the same IEEE double sequence in both
+    # engines — summed exactly as DECIMAL and divided once at the
+    # end.  Same order-independence guarantee, no rounding-mode
+    # dependency.
+    micro = F.floor(amount * 1e6 + F.lit(0.5)).cast("decimal(25,0)")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(micro).cast("double") / 1e6).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value within one nation's
+    suppliers, kept only when it exceeds a FRACTION OF THE GLOBAL
+    TOTAL — a HAVING whose threshold is a scalar subquery over the
+    same aggregate.
+
+    The pair table filters to the nation's suppliers via a broadcast
+    semi join BEFORE aggregating; the global total is a 1-row
+    aggregate of the per-part result cross-joined back as a
+    broadcast (Q22 pattern) — the fact is never scanned twice and
+    nothing collects to the driver.  value = supply_cost × avail_qty
+    from the derived pairs (no partsupp; see ``_supply_pairs``)."""
+    nat_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    value = (F.col("supply_cost") * F.col("avail_qty")).cast("decimal(25,6)")
+    per_part = (
+        _supply_pairs(spark, sf_dir)
+        .join(
+            F.broadcast(nat_sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(value).cast("double").alias("stock_value"))
+    )
+    total = per_part.agg(
+        (F.sum(F.col("stock_value").cast("decimal(25,6)")).cast("double") * 0.001)
+        .alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("stock_value") > F.col("_threshold"))
+        .select("l_partkey", "stock_value")
+        .orderBy(F.col("stock_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    triple, with a NOT-IN supplier exclusion.
+
+    Fixture adaptation: the textbook's 'complaints' LIKE filter
+    becomes s_acctbal < 0 (the fixture's only supplier defect
+    signal).  The exclusion is a broadcast ANTI join on the pair
+    table (never a NOT IN subquery per row); part attributes arrive
+    by broadcast; COUNT(DISTINCT suppkey) expands to the standard
+    two-phase distinct aggregate on (brand, type, size, suppkey) —
+    shuffle keys stay the grouping key, no global distinct."""
+    pairs = _supply_pairs(spark, sf_dir).select("l_partkey", "l_suppkey")
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad_sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock of qualifying
+    parts — a nested IN chain (supplier ← partsupp ← part) whose
+    inner condition is a CORRELATED per-(part,supplier) scalar
+    subquery comparing stock to half the year's shipments.
+
+    The correlated subquery COLLAPSES into the pair build: off-1997
+    quantity (the stock proxy — the fixture has no ps_availqty) and
+    1997 quantity come out of the same conditional aggregate
+    (``_supply_pairs``), so the textbook's per-pair subquery costs
+    zero extra passes.  The part LIKE filter is a broadcast semi
+    join; qualifying pairs collapse to distinct suppliers (shuffle
+    on suppkey); nation filters by broadcast.  No join ever sees
+    lineitem twice."""
+    pairs = _supply_pairs(spark, sf_dir)
+    part_keys = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    qualifying = (
+        pairs.join(
+            F.broadcast(part_keys),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .filter(
+            (F.col("qty_1997") > 0)
+            & ((F.col("avail_qty") - F.col("qty_1997")) > 0.5 * F.col("qty_1997"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_11", "NATION_19")
+    )
+    return (
+        s.join(
+            qualifying.withColumnRenamed("l_suppkey", "_qk"),
+            F.col("s_suppkey") == F.col("_qk"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )

@@ -463,3 +463,58 @@ def test_q19_disjunction_stays_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert pushed_filter_lines(plan), "part-side terms must push into a scan"
+
+
+def test_q6_all_predicates_reach_the_scan(spark, sf_dir):
+    plan = plan_of(spark, "q6_forecast_revenue", sf_dir)
+    pushed = " ".join(pushed_filter_lines(plan))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
+    (rs,) = read_schemas(plan)
+    # 4 of 11 lineitem columns decoded, nothing else
+    assert "l_orderkey" not in rs and "l_extendedprice" in rs
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_q12_residual_stays_above_single_shuffle_join(spark, sf_dir):
+    plan = plan_of(spark, "q12_priority_by_class", sf_dir)
+    # returnflag + shipdate filters push into the lineitem scan
+    pushed = " ".join(pushed_filter_lines(plan))
+    assert "l_returnflag" in pushed and "l_shipdate" in pushed
+    # the cross-table l_shipdate > o_orderdate predicate cannot push —
+    # it must be the join residual, not a cartesian
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q14_single_pass_conditional_ratio(spark, sf_dir):
+    plan = plan_of(spark, "q14_promo_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan, "part must broadcast"
+    # one scan of lineitem only: conditional + total sums share a pass
+    li_scans = [rs for rs in read_schemas(plan) if "l_partkey" in rs or "l_extendedprice" in rs]
+    assert len(li_scans) == 1, f"lineitem must scan once, saw {li_scans}"
+
+
+def test_q15_global_max_is_broadcast_join_not_second_scan(spark, sf_dir):
+    plan = plan_of(spark, "q15_top_supplier", sf_dir)
+    # revenue view reuses one lineitem scan; the max arrives by broadcast
+    li_scans = [rs for rs in read_schemas(plan) if "l_extendedprice" in rs]
+    assert len(li_scans) <= 2, "rev + max branches may not rescan more than the view twice"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q16_exclusion_is_anti_join(spark, sf_dir):
+    plan = plan_of(spark, "q16_supplier_count", sf_dir)
+    assert "LeftAnti" in plan, "NOT IN must compile to a broadcast anti join"
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_correlated_subquery_collapsed_into_pair_agg(spark, sf_dir):
+    plan = plan_of(spark, "q20_excess_stock", sf_dir)
+    # ONE lineitem scan: avail and 1997 quantities come from the same
+    # conditional aggregate — the textbook's correlated subquery costs
+    # zero extra passes
+    li_scans = [rs for rs in read_schemas(plan) if "l_quantity" in rs]
+    assert len(li_scans) == 1, f"lineitem must scan once, saw {len(li_scans)}"
+    assert "LeftSemi" in plan
