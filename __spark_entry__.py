@@ -31,6 +31,7 @@ from gdelt_extractor_spark.functions.lookups import (
     load_lookup,
     lookup_rows,
 )
+from gdelt_extractor_spark.operators import clustering as CL
 from gdelt_extractor_spark.operators import curation as C
 from gdelt_extractor_spark.operators import dedup as D
 from gdelt_extractor_spark.operators import similarity as S
@@ -432,6 +433,35 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_dedup.py."""
     emb = _emb(spark, sf_dir, width=0)
     return D.dedup_semantic(emb, threshold=0.3, m=8, nprobe=2)
+
+
+def _quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table.  The qvec
+    array serializes to CSV for the value-hash gate (portable across
+    the engines' array renderings); the operator itself returns the
+    real array<int> column."""
+    emb = _emb(spark, sf_dir)
+    q = S.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+        "max_err",
+    )
+
+
+def _cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed k-means over the embedding table —
+    the clusters-as-product operator (domain discovery, curriculum
+    buckets, SemDeDup pruning budgets), distinct from the
+    bounded-sample IVF quantizer fit.  Rows-only gate: an iterative
+    fixed-point is not SQL-expressible; partition-independence,
+    separation-recovery, and inertia tests live in
+    tests/test_clustering.py."""
+    emb = _emb(spark, sf_dir, width=0)
+    return CL.kmeans_cluster(emb, k=8, n_iter=3)
 
 
 def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "cluster_embeddings": _cluster_embeddings,
+        "quantize_embeddings": _quantize_embeddings,
         "lang_id": _lang_id,
         "lang_confusion": _lang_confusion,
         "quality_score": _quality_score,
@@ -2111,6 +2143,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
               round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "quantize_embeddings": """
+            WITH s AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings)
+            SELECT vec_id, scale,
+              CASE WHEN scale > 0 THEN
+                array_to_string(list_transform(v,
+                  x -> CAST(CAST(FLOOR(x / scale + 0.5) AS INTEGER) AS VARCHAR)), ',')
+              ELSE array_to_string(list_transform(v, x -> '0'), ',') END AS qvec_csv,
+              CASE WHEN scale > 0 THEN
+                list_max(list_transform(v,
+                  x -> abs(CAST(FLOOR(x / scale + 0.5) AS INTEGER) * scale - x)))
+              ELSE 0.0 END AS max_err
+            FROM s
         """,
         "lang_id": f"""
             WITH s AS (

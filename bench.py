@@ -134,6 +134,8 @@ HEADLINE = [
     "user_set_ops",
     "approx_distinct_users",
     "ann_ivf_topk",
+    "cluster_embeddings",
+    "quantize_embeddings",
     "fuzzy_join",
     "props_json_extract",
     "stratified_sample",

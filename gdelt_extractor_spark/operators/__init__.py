@@ -45,7 +45,15 @@ from .multimodal import (
     image_features,
     resize_images,
 )
-from .similarity import ann_bruteforce, ann_ivf, ann_lsh, fuzzy_join, ivf_fit_centroids
+from .clustering import kmeans_cluster, kmeans_fit
+from .similarity import (
+    ann_bruteforce,
+    ann_ivf,
+    ann_lsh,
+    fuzzy_join,
+    ivf_fit_centroids,
+    quantize_embeddings,
+)
 from .sketches import approx_topk
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, range_join
@@ -67,11 +75,12 @@ __all__ = [
     "fingerprint", "frame_sample", "geo_project", "image_features",
     "connected_components", "cut_duplicate_spans", "dedup_semantic",
     "duplicate_spans", "keep_canonical", "span_dup_fraction",
-    "ivf_fit_centroids", "keyword_freq", "lang_id",
+    "ivf_fit_centroids", "keyword_freq", "kmeans_cluster", "kmeans_fit",
+    "lang_id",
     "minhash_signatures", "mix_sources", "pack_sequences",
     "chunk_documents", "dedup_lines_global", "normalize_url", "pagerank",
     "url_filter",
-    "quality_score", "range_join", "redact_pii",
+    "quality_score", "quantize_embeddings", "range_join", "redact_pii",
     "resize_images", "salted_agg", "salted_join", "sample_split",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "weighted_sample", "dedup_incremental", "updated_index",

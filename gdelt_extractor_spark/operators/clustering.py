@@ -1,0 +1,205 @@
+"""Distributed k-means clustering over embedding columns.
+
+Complements the IVF coarse quantizer (``similarity.ivf_fit_centroids``
+— a bounded-SAMPLE Lloyd that iterates driver-side): here Lloyd
+iterates over the FULL corpus, the shape used when the clusters
+themselves are the product — SemDeDup-style pruning budgets, domain
+discovery, curriculum buckets — rather than just an ANN routing
+table.
+
+Scale shape (per round, the classic map-side-combine k-means):
+
+1. assignment is a broadcast of the (k, dim) centroid matrix into a
+   vectorized pandas UDF — one corpus scan, no shuffle;
+2. per-partition PARTIAL sums accumulate in ``mapInPandas`` — each
+   partition emits at most k rows of (cell, int64 sum vector +
+   count), so the only shuffle is over n_partitions × k tiny rows;
+3. the final per-cell reduce is a posexplode + groupBy(cell, pos)
+   SUM over those partials, and the driver collects exactly
+   k × (dim+1) longs to form the next centroid matrix.
+
+The corpus is scanned once per round and NEVER shuffled; driver
+state is k×dim doubles.  Callers at test scale get the projected
+vector frame persisted across rounds (``persist=True``); at 100 TB
+pass ``persist=False`` and let the scan repeat — Lloyd's per-round
+scan is the textbook cost and the parquet read is the cheap part.
+
+Determinism (partition-INDEPENDENT, same discipline as the decimal
+sums in plans/queries.py): per-element contributions quantize to
+integer micro-units — ``floor(x * 2^20 + 0.5)`` is the same IEEE
+sequence everywhere — so partial and final sums are exact integer
+arithmetic with no float-accumulation order dependence; the division
+back to a double centroid happens once, on the driver.  Two runs on
+different partitionings produce bit-identical centroids and
+assignments (tested).  Int64 headroom: a partition overflows only at
+``rows_per_partition × |x| > 2^43`` — out of reach for any sane
+split size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _as_double, _ivf_assign_udf
+
+_SCALE = float(1 << 20)
+
+
+def _greedy_init(
+    vectors: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int | None = None,
+) -> np.ndarray:
+    """Deterministic farthest-point init on a bounded sample.
+
+    Sample selection mirrors ``ivf_fit_centroids`` (top-S rows by a
+    salted content hash — reproducible, partition-independent, one
+    TakeOrdered job), but seeding is greedy MAX-MIN distance instead
+    of lowest-id: lowest-id seeding can drop all k seeds into one
+    dense region, and Lloyd never recovers well-separated clusters
+    from that (measured: 3 distant blobs collapsed to 2).  Greedy
+    farthest-point is the standard fix and is fully deterministic
+    (np.argmax returns the first index on ties; the sample order is
+    fixed by the (hash, id) sort)."""
+    S = sample_size or max(64 * k, 1024)
+    v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    sample = (
+        v.orderBy(
+            F.xxhash64(F.col("id").cast("string"), F.lit("kmeans-fit")).asc(),
+            F.col("id").asc(),
+        )
+        .limit(S)
+        .collect()
+    )
+    ids = np.array([r.id for r in sample])
+    X = np.vstack([r.v for r in sample])[np.argsort(ids, kind="stable")]
+    cents = [X[0]]
+    d = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, min(k, X.shape[0])):
+        i = int(np.argmax(d))
+        cents.append(X[i])
+        d = np.minimum(d, ((X - X[i]) ** 2).sum(axis=1))
+    while len(cents) < k:  # fewer distinct points than clusters
+        cents.append(cents[0])
+    return np.vstack(cents)
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+    persist: bool = True,
+) -> np.ndarray:
+    """Full-corpus Lloyd: returns the (k, dim) centroid matrix.
+
+    Init is deterministic farthest-point on a bounded sample (one
+    extra job);
+    each round is one corpus scan + one tiny partial-sum shuffle +
+    a k×(dim+1)-long driver collect.  Empty clusters keep their
+    previous centroid; the loop stops early once the max per-element
+    centroid shift drops below ``tol``.
+    """
+    v = vectors.select(_as_double(vec_col).alias("v"))
+    if persist:
+        v = v.persist()
+    try:
+        cents = _greedy_init(vectors, k, id_col, vec_col)
+        dim = cents.shape[1]
+
+        for _ in range(n_iter):
+            assign = _ivf_assign_udf(cents)
+            assigned = v.select(assign("v").alias("cell"), "v")
+
+            def partials(batches):
+                acc: dict[int, list] = {}
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    cells = pdf["cell"].to_numpy()
+                    quant = np.floor(
+                        np.vstack(pdf["v"].to_numpy()) * _SCALE + 0.5
+                    ).astype(np.int64)
+                    for c in np.unique(cells):
+                        mask = cells == c
+                        s = quant[mask].sum(axis=0)
+                        n = int(mask.sum())
+                        if c in acc:
+                            acc[c][0] += s
+                            acc[c][1] += n
+                        else:
+                            acc[c] = [s, n]
+                rows = [
+                    {"cell": int(c), "acc": s.tolist() + [n]}
+                    for c, (s, n) in acc.items()
+                ]
+                if rows:
+                    yield pd.DataFrame(rows, columns=["cell", "acc"])
+
+            reduced = (
+                assigned.mapInPandas(partials, schema="cell int, acc array<long>")
+                .select("cell", F.posexplode("acc").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("val").alias("s"))
+                .collect()
+            )
+
+            sums = np.zeros((k, dim), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.float64)
+            for r in reduced:
+                if r.pos == dim:
+                    counts[r.cell] = r.s
+                else:
+                    sums[r.cell, r.pos] = r.s
+
+            nxt = cents.copy()  # empty clusters keep their centroid
+            shift = 0.0
+            for c in range(k):
+                if counts[c] > 0:
+                    cand = sums[c] / (_SCALE * counts[c])
+                    shift = max(shift, float(np.abs(cand - nxt[c]).max()))
+                    nxt[c] = cand
+            cents = nxt
+            if shift < tol:
+                break
+        return cents
+    finally:
+        if persist:
+            v.unpersist()
+
+
+def kmeans_cluster(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+    persist: bool = True,
+) -> DataFrame:
+    """Fit on the full corpus, then tag every vector with its
+    cluster: (id, cluster).  The tagging pass is one scan with the
+    final centroids broadcast — identical in shape to IVF cell
+    assignment, so the output drops straight into the SemDeDup /
+    blocked-join machinery as a blocking key."""
+    cents = kmeans_fit(
+        vectors,
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        tol=tol,
+        persist=persist,
+    )
+    assign = _ivf_assign_udf(cents)
+    return vectors.select(
+        F.col(id_col),
+        assign(_as_double(vec_col)).cast("long").alias("cluster"),
+    )

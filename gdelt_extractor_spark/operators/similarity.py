@@ -430,3 +430,55 @@ def fuzzy_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale =
+    max|x|/127, q_i = round_half_up(x_i/scale) ∈ [-127, 127] —
+    the standard 4× embedding-storage cut (float32 → int8 + one
+    scale) that keeps cosine ranking within quantization noise.
+
+    One codegen projection, zero shuffle, streams unchanged.
+    Rounding is ``floor(x/scale + 0.5)`` — the same IEEE double
+    sequence in any engine, so the DuckDB oracle reproduces q and
+    the reconstruction error bit-for-bit (no engine rounding-mode
+    dependence; same discipline as plans/queries.py).  Zero vectors
+    quantize to zeros with scale 0.  Output: (id, scale, qvec
+    array<int>, max_err) where max_err = max_i |q_i·scale - x_i| ≤
+    scale/2 (unit-tested bound)."""
+    v = _as_double(vec_col)
+    out = (
+        vectors.select(F.col(id_col), v.alias("_v"))
+        .withColumn(
+            "scale",
+            F.array_max(F.transform("_v", lambda x: F.abs(x))) / F.lit(127.0),
+        )
+        .withColumn(
+            "qvec",
+            F.when(
+                F.col("scale") > 0,
+                F.transform(
+                    "_v",
+                    lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+                ),
+            ).otherwise(F.transform("_v", lambda x: F.lit(0))),
+        )
+        .withColumn(
+            "max_err",
+            F.when(
+                F.col("scale") > 0,
+                F.array_max(
+                    F.zip_with(
+                        "_v",
+                        "qvec",
+                        lambda x, q: F.abs(q.cast("double") * F.col("scale") - x),
+                    )
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.select(id_col, "scale", "qvec", "max_err")

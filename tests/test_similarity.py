@@ -170,3 +170,22 @@ def test_fuzzy_join_semantics(spark):
         ).collect()
     }
     assert capped == got
+
+
+def test_quantize_embeddings_bounds(spark, sf_dir):
+    """q ∈ [-127,127], max_err ≤ scale/2, zero vector → zeros."""
+    from gdelt_extractor_spark.operators.similarity import quantize_embeddings
+    from gdelt_extractor_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = quantize_embeddings(emb).collect()
+    assert len(got) == emb.count()
+    for r in got:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        assert r.max_err <= r.scale / 2 + 1e-12
+
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    (z,) = quantize_embeddings(zero).collect()
+    assert z.scale == 0.0 and list(z.qvec) == [0, 0, 0] and z.max_err == 0.0
