@@ -435,6 +435,15 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_semantic(emb, threshold=0.3, m=8, nprobe=2)
 
 
+def _source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation: sources whose MEAN document quality
+    falls below 0.78 are dropped wholesale (threshold calibrated to
+    split the testdata's per-source means, 0.76-0.85, so both
+    branches of the rule are exercised)."""
+    docs = _docs(spark, sf_dir, width=0)
+    return C.source_quality_filter(docs, min_mean=0.78, min_docs=2)
+
+
 def _quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table.  The qvec
     array serializes to CSV for the value-hash gate (portable across
@@ -1026,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "cluster_embeddings": _cluster_embeddings,
         "quantize_embeddings": _quantize_embeddings,
+        "source_quality_filter": _source_quality_filter,
         "lang_id": _lang_id,
         "lang_confusion": _lang_confusion,
         "quality_score": _quality_score,
@@ -2245,6 +2255,28 @@ def oracle_sql() -> dict[str, str]:
               round(alpha_ratio, 6) AS alpha_ratio,
               round(least(n_tokens/100.0, 1.0)*0.4 + alpha_ratio*0.3 + (1-stop_ratio)*0.3, 6) AS quality
             FROM m
+        """,
+        "source_quality_filter": f"""
+            WITH s AS (
+              SELECT doc_id, source, text, {toks_text} AS toks FROM documents),
+            m AS (
+              SELECT doc_id, source,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                len(list_filter(toks, w -> w IN {_STOP}))/CAST(len(toks) AS DOUBLE) AS stop_ratio,
+                length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))/CAST(length(text) AS DOUBLE) AS alpha_ratio
+              FROM s),
+            q AS (
+              SELECT doc_id, source,
+                round(least(n_tokens/100.0, 1.0)*0.4 + alpha_ratio*0.3 + (1-stop_ratio)*0.3, 6) AS quality
+              FROM m),
+            src AS (
+              SELECT source,
+                CAST(SUM(CAST(quality AS DECIMAL(25,6))) AS DOUBLE)/COUNT(*) AS mean_q,
+                COUNT(*) AS n
+              FROM q GROUP BY source)
+            SELECT doc_id, source, quality FROM q
+            WHERE source IN (
+              SELECT source FROM src WHERE mean_q >= 0.78 AND n >= 2)
         """,
         "token_stats": f"""
             WITH s AS (

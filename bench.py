@@ -136,6 +136,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "cluster_embeddings",
     "quantize_embeddings",
+    "source_quality_filter",
     "fuzzy_join",
     "props_json_extract",
     "stratified_sample",

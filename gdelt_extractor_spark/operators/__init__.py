@@ -2,6 +2,7 @@
 function; import from here for the public API."""
 
 from .curation import (
+    source_quality_filter,
     corpus_stats,
     decontaminate,
     dedup_lines_global,
@@ -84,6 +85,6 @@ __all__ = [
     "resize_images", "salted_agg", "salted_join", "sample_split",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "weighted_sample", "dedup_incremental", "updated_index",
-    "fuzzy_join", "ngram_repetition", "source_overlap",
+    "fuzzy_join", "ngram_repetition", "source_overlap", "source_quality_filter",
     "vocab_divergence",
 ]

@@ -605,3 +605,46 @@ def source_overlap(
             ).alias("containment"),
         )
     )
+
+
+def source_quality_filter(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_mean: float = 0.6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Domain-level curation (the C4 / RefinedWeb SITE rule): score
+    every document, aggregate MEAN quality per source/domain, and
+    drop ENTIRE sources whose mean falls below the floor or that
+    have too few documents to judge — the complement of per-document
+    filtering: a spam domain's individually-plausible pages all go.
+
+    Scale shape: scoring is one codegen projection; the per-source
+    aggregate shuffles only (source, decimal-sum, count) partials —
+    map-side combined, and the domain cardinality is ≪ corpus.  The
+    verdict table is broadcast back as a semi join, so the corpus
+    itself never shuffles.  The mean is a decimal-sum / count
+    (partition-order independent, plans/queries.py convention).
+
+    Returns (doc_id, source, quality) for surviving documents.
+    Reference: this generalizes the reference's per-article keyword
+    cleanup (extractor.py:247-274) from row scope to domain scope.
+    """
+    from .textstats import quality_score
+
+    scored = quality_score(df, id_col, text_col, keep_cols=(source_col,))
+    per_src = scored.groupBy(source_col).agg(
+        (
+            F.sum(F.col("quality").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    good = per_src.filter(
+        (F.col("mean_quality") >= min_mean) & (F.col("n_docs") >= min_docs)
+    ).select(source_col)
+    return scored.join(F.broadcast(good), source_col, "left_semi").select(
+        "doc_id", source_col, "quality"
+    )

@@ -92,7 +92,9 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Composite curation score in [0,1]:
     0.4·length-score (tokens/100 capped at 1)
     + 0.3·alpha ratio (alphanumeric+space chars / all chars)
@@ -107,6 +109,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))
             / F.length(F.col(text_col))
         ).alias("_alpha"),
+        *keep_cols,
     )
     toks = F.col("_toks")
     n_tok = F.size(toks)
@@ -123,6 +126,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(score, 6).alias("quality"),
+        *keep_cols,
     )
 
 

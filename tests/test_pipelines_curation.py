@@ -480,3 +480,24 @@ def test_source_overlap_shingle_granularity(spark):
     }
     assert ("A", "B") in rows and rows[("A", "B")].n_shared == 1
     assert not any("C" in k for k in rows)
+
+
+def test_source_quality_filter_drops_whole_source(spark):
+    """A source full of junk loses ALL its docs — including any
+    individually-plausible page — while good sources keep all."""
+    from gdelt_extractor_spark.operators.curation import source_quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    junk = "@@## %% !! ~~ ^^ || ## @@ %% !!"
+    rows = (
+        [(i, "good.com", good * 3) for i in range(4)]
+        # one clean page on the junk domain still goes
+        + [(10, "junk.com", good * 3)]
+        + [(11 + i, "junk.com", junk) for i in range(4)]
+        + [(20, "tiny.com", good * 3)]  # below min_docs: dropped
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = source_quality_filter(df, min_mean=0.6, min_docs=2).collect()
+    srcs = {r.source for r in out}
+    assert srcs == {"good.com"}
+    assert len(out) == 4

@@ -518,3 +518,11 @@ def test_q20_correlated_subquery_collapsed_into_pair_agg(spark, sf_dir):
     li_scans = [rs for rs in read_schemas(plan) if "l_quantity" in rs]
     assert len(li_scans) == 1, f"lineitem must scan once, saw {len(li_scans)}"
     assert "LeftSemi" in plan
+
+
+def test_source_quality_filter_verdict_broadcast_semi(spark, sf_dir):
+    plan = plan_of(spark, "source_quality_filter", sf_dir)
+    # the small per-source verdict comes BACK as a broadcast semi
+    # join — the corpus itself never shuffles for the filter
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
