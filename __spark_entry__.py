@@ -444,6 +444,17 @@ def _source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.source_quality_filter(docs, min_mean=0.78, min_docs=2)
 
 
+def _cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 / SSL-prototypes diversity pruning: k-means the embedding
+    space, drop the most prototypical 40% of every cluster, keep the
+    diverse tail.  Rows-only gate (iterative k-means inside);
+    survivor-count exactness, prototype-vs-tail behavior, and
+    partition independence are property-tested in
+    tests/test_clustering.py."""
+    emb = _emb(spark, sf_dir, width=0)
+    return CL.cluster_prune(emb, k=8, keep_fraction=0.6, n_iter=3)
+
+
 def _quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table.  The qvec
     array serializes to CSV for the value-hash gate (portable across
@@ -1036,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_embeddings": _cluster_embeddings,
         "quantize_embeddings": _quantize_embeddings,
         "source_quality_filter": _source_quality_filter,
+        "cluster_prune": _cluster_prune,
         "lang_id": _lang_id,
         "lang_confusion": _lang_confusion,
         "quality_score": _quality_score,

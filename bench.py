@@ -137,6 +137,7 @@ HEADLINE = [
     "cluster_embeddings",
     "quantize_embeddings",
     "source_quality_filter",
+    "cluster_prune",
     "fuzzy_join",
     "props_json_extract",
     "stratified_sample",

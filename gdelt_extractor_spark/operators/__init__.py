@@ -46,7 +46,7 @@ from .multimodal import (
     image_features,
     resize_images,
 )
-from .clustering import kmeans_cluster, kmeans_fit
+from .clustering import cluster_prune, kmeans_cluster, kmeans_fit
 from .similarity import (
     ann_bruteforce,
     ann_ivf,
@@ -76,7 +76,8 @@ __all__ = [
     "fingerprint", "frame_sample", "geo_project", "image_features",
     "connected_components", "cut_duplicate_spans", "dedup_semantic",
     "duplicate_spans", "keep_canonical", "span_dup_fraction",
-    "ivf_fit_centroids", "keyword_freq", "kmeans_cluster", "kmeans_fit",
+    "cluster_prune", "ivf_fit_centroids", "keyword_freq", "kmeans_cluster",
+    "kmeans_fit",
     "lang_id",
     "minhash_signatures", "mix_sources", "pack_sequences",
     "chunk_documents", "dedup_lines_global", "normalize_url", "pagerank",

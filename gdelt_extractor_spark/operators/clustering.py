@@ -203,3 +203,90 @@ def kmeans_cluster(
         F.col(id_col),
         assign(_as_double(vec_col)).cast("long").alias("cluster"),
     )
+
+
+def _assign_dist_udf(centroids: np.ndarray):
+    """Pandas UDF: vector → (nearest cell, EXACT L2 distance to that
+    centroid).  argmin uses the expanded form (fast); the reported
+    distance recomputes ||v-c|| directly against the winning
+    centroid — the expanded form loses precision to cancellation
+    exactly where pruning needs it (near-prototype rows, small
+    distances)."""
+    c = centroids
+    c_sq = (c * c).sum(axis=1)
+
+    @F.pandas_udf("struct<cell:int,dist:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(vecs.to_numpy())
+        d = c_sq[None, :] - 2.0 * (mat @ c.T)
+        a = np.argmin(d, axis=1)
+        diff = mat - c[a]
+        return pd.DataFrame(
+            {
+                "cell": a.astype(np.int32),
+                "dist": np.sqrt((diff * diff).sum(axis=1)),
+            }
+        )
+
+    return assign
+
+
+def cluster_prune(
+    vectors: DataFrame,
+    k: int = 8,
+    keep_fraction: float = 0.5,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drop: str = "prototypes",
+    tol: float = 1e-6,
+    persist: bool = True,
+) -> DataFrame:
+    """Diversity pruning over embedding clusters — the D4 /
+    SSL-prototypes recipe (Tirumala et al. 2023; Sorscher et al.
+    2022): k-means the corpus, then per cluster drop the
+    ``1-keep_fraction`` most PROTOTYPICAL examples (closest to their
+    centroid — the most redundant mass), keeping the diverse tail.
+    ``drop='outliers'`` flips the rule (drop farthest — a noise
+    filter instead of a redundancy filter).
+
+    Scale shape: one full-corpus k-means fit (see ``kmeans_fit``),
+    one tagging scan (cell + exact distance in a single Arrow pass),
+    then ONE shuffle on the cluster id for the per-cluster
+    rank/count window.  Cluster sizes are the skew exposure; at
+    100 TB pick k large enough that N/k fits a task (same knob as
+    SemDeDup's m).  Survivor count per cluster is exactly
+    n - floor((1-keep_fraction)·n); ties break by id, so the result
+    is deterministic and partition-independent.
+    """
+    from pyspark.sql import Window
+
+    cents = kmeans_fit(
+        vectors,
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        tol=tol,
+        persist=persist,
+    )
+    ad = _assign_dist_udf(cents)
+    tagged = (
+        vectors.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+        .withColumn("_ad", ad("_v"))
+        .select(
+            id_col,
+            F.col("_ad.cell").cast("long").alias("cluster"),
+            F.col("_ad.dist").alias("dist"),
+        )
+    )
+    order = F.col("dist").asc() if drop == "prototypes" else F.col("dist").desc()
+    w = Window.partitionBy("cluster").orderBy(order, F.col(id_col).asc())
+    wc = Window.partitionBy("cluster")
+    n_drop = F.floor((1.0 - keep_fraction) * F.col("_n"))
+    return (
+        tagged.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rk") > n_drop)
+        .select(id_col, "cluster", F.round("dist", 6).alias("dist"))
+    )

@@ -90,3 +90,63 @@ def test_kmeans_empty_clusters_survive(spark):
     for r in got:
         by_val.setdefault(r.vec_id % 4, set()).add(r.cluster)
     assert all(len(s) == 1 for s in by_val.values())
+
+
+def test_cluster_prune_counts_and_order(spark, sf_dir):
+    """Per-cluster survivor count is exactly n - floor((1-f)·n), and
+    every dropped row is at least as prototypical (close) as every
+    kept row in its cluster."""
+    from gdelt_extractor_spark.operators.clustering import cluster_prune, kmeans_cluster
+
+    emb = _emb(spark, sf_dir)
+    full = {
+        r.vec_id: r.cluster
+        for r in kmeans_cluster(emb, k=4, n_iter=3).collect()
+    }
+    kept = cluster_prune(emb, k=4, keep_fraction=0.6, n_iter=3).collect()
+    import collections
+
+    n_by_cluster = collections.Counter(full.values())
+    kept_by_cluster = collections.Counter(r.cluster for r in kept)
+    for c, n in n_by_cluster.items():
+        import math
+
+        expect = n - math.floor(0.4 * n)
+        assert kept_by_cluster[c] == expect, (c, n, kept_by_cluster[c], expect)
+    # prune must keep the same cluster assignment as the plain fit
+    for r in kept:
+        assert full[r.vec_id] == r.cluster
+
+
+def test_cluster_prune_drops_prototypes_keeps_tail(spark):
+    """In a cluster with one clear prototype pile and a diverse
+    tail, prototypes mode drops from the pile."""
+    from gdelt_extractor_spark.operators.clustering import cluster_prune
+
+    rows = []
+    # 8 copies sitting on the centroid, 4 outliers around it
+    for i in range(8):
+        rows.append((i, [10.0, 0.0]))
+    for i, off in enumerate([3.0, -3.0, 4.0, -4.0]):
+        rows.append((8 + i, [10.0, off]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = cluster_prune(df, k=1, keep_fraction=0.5, n_iter=4).collect()
+    kept_ids = {r.vec_id for r in kept}
+    assert len(kept) == 6
+    # all 4 outliers survive; dropped rows all come from the pile
+    assert {8, 9, 10, 11} <= kept_ids
+
+
+def test_cluster_prune_partition_independence(spark, sf_dir):
+    from gdelt_extractor_spark.operators.clustering import cluster_prune
+
+    emb = _emb(spark, sf_dir)
+    a = sorted(
+        (r.vec_id, r.cluster, r.dist)
+        for r in cluster_prune(emb.repartition(3), k=4, keep_fraction=0.5, n_iter=2).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster, r.dist)
+        for r in cluster_prune(emb.repartition(13), k=4, keep_fraction=0.5, n_iter=2).collect()
+    )
+    assert a == b
