@@ -435,6 +435,31 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_semantic(emb, threshold=0.3, m=8, nprobe=2)
 
 
+def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup against a historical LSH band
+    index (the near-dup sibling of dedup_incremental): history =
+    docs < 250; the batch = the remaining docs plus constructed
+    near-dups of history (every 10th history doc with a 3-token tail
+    appended — shingle overlap stays high, so they MUST drop while
+    the genuinely new docs survive).  Banding (16 bands × 2 rows)
+    matches the 0.5 threshold via the (1/b)^(1/r) S-curve midpoint.
+    Rows-only gate (MinHash); semantics are unit-tested including
+    replay convergence in tests/test_dedup.py."""
+    docs = _docs(spark, sf_dir, width=0).select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 250)
+    idx = D.minhash_band_index(hist, bands=16)
+    mutated = hist.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+    )
+    batch = docs.filter(F.col("doc_id") >= 250).unionByName(mutated)
+    return (
+        D.dedup_incremental_minhash(batch, idx, bands=16, threshold=0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level curation: sources whose MEAN document quality
     falls below 0.78 are dropped wholesale (threshold calibrated to
@@ -1048,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _quantize_embeddings,
         "source_quality_filter": _source_quality_filter,
         "cluster_prune": _cluster_prune,
+        "dedup_incremental_minhash": _dedup_incremental_minhash,
         "lang_id": _lang_id,
         "lang_confusion": _lang_confusion,
         "quality_score": _quality_score,

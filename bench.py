@@ -138,6 +138,7 @@ HEADLINE = [
     "quantize_embeddings",
     "source_quality_filter",
     "cluster_prune",
+    "dedup_incremental_minhash",
     "fuzzy_join",
     "props_json_extract",
     "stratified_sample",

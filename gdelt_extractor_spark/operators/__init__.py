@@ -21,6 +21,7 @@ from .dedup import (
     dedup_embedding,
     dedup_exact,
     dedup_incremental,
+    dedup_incremental_minhash,
     dedup_keep_first,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
@@ -28,9 +29,11 @@ from .dedup import (
     dedup_simhash,
     duplicate_spans,
     keep_canonical,
+    minhash_band_index,
     span_dup_fraction,
     minhash_signatures,
     simhash,
+    updated_band_index,
     updated_index,
 )
 from .enrich import enrich_articles, enrich_articles_fetch
@@ -86,6 +89,7 @@ __all__ = [
     "resize_images", "salted_agg", "salted_join", "sample_split",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "weighted_sample", "dedup_incremental", "updated_index",
+    "dedup_incremental_minhash", "minhash_band_index", "updated_band_index",
     "fuzzy_join", "ngram_repetition", "source_overlap", "source_quality_filter",
     "vocab_divergence",
 ]

@@ -1265,3 +1265,145 @@ def updated_index(
     disjoint from ``seen`` by construction, so this is a UNION ALL —
     no distinct shuffle; write it back bucketed on the hash."""
     return seen.select(hash_col).unionByName(survivors.select(hash_col))
+
+
+def _expand_bands(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) → (id, sig, band, bucket) LSH band rows — the same
+    band/bucket derivation as ``dedup_minhash_lsh`` (bucket =
+    xxhash64 over the band's r signature elements), factored so the
+    batch side and the persistent index compute buckets identically."""
+    r = num_hashes // bands
+    return sig_df.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Persistent LSH index rows for a corpus: (id, sig, band,
+    bucket) — what ``dedup_incremental_minhash`` joins tomorrow's
+    batch against.  Write it bucketed on (band, bucket)
+    (``sinks.files.write_bucketed``) so the daily candidate join
+    shuffles only the day's batch; the signature column rides along
+    so candidate verification needs no second index."""
+    return _expand_bands(
+        minhash_signatures(df, text_col, id_col, num_hashes, n), num_hashes, bands
+    )
+
+
+def _est_jaccard(a, b, num_hashes: int):
+    """MinHash Jaccard estimate: fraction of equal signature slots."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda s, x: s + x,
+    ) / F.lit(float(num_hashes))
+
+
+def dedup_incremental_minhash(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup — ``dedup_incremental``'s exact
+    anti join generalized to MinHash: today's batch dedups against
+    itself and against the historical LSH band index WITHOUT ever
+    re-reading historical text.  The index stores signatures, so
+    candidates verify by the MinHash Jaccard estimate (fraction of
+    equal slots) — the standard production trade: no second pass
+    over history, estimator error bounded by 1/√num_hashes.
+
+    Semantics are greedy keep-first (a batch doc matching ANY
+    lower-id batch doc, or ANY indexed doc, is dropped — matching a
+    doc that is itself dropped still drops you: conservative, never
+    re-admits a near-dup).  Returns the surviving new rows; extend
+    the index afterwards with ``updated_band_index``.
+
+    Plan: batch band rows materialize once (eager localCheckpoint —
+    they feed both sides of the self-join and the index join); the
+    self-join and the index join are (band, bucket) equi-joins; with
+    the index stored bucketed on (band, bucket), only the day's
+    batch shuffles.  Verification runs on the bounded candidate set.
+    """
+    sig_new = minhash_signatures(new_docs, text_col, id_col, num_hashes, n)
+    nb = _expand_bands(sig_new, num_hashes, bands).localCheckpoint(eager=True)
+
+    a, b = nb.alias("a"), nb.alias("b")
+    internal_drop = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .filter(_est_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    hist_drop = (
+        nb.join(internal_drop, "id", "left_anti")
+        .join(
+            index.select(
+                F.col("sig").alias("sig_h"), F.col("band"), F.col("bucket")
+            ),
+            ["band", "bucket"],
+        )
+        .filter(_est_jaccard(F.col("sig"), F.col("sig_h"), num_hashes) >= threshold)
+        .select("id")
+        .distinct()
+    )
+    survivors = (
+        new_docs.join(
+            internal_drop.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
+        .join(hist_drop.withColumnRenamed("id", id_col), id_col, "left_anti")
+    )
+    return survivors
+
+
+def updated_band_index(
+    index: DataFrame,
+    survivors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """The band index after a ``dedup_incremental_minhash`` batch:
+    old index ∪ the survivors' band rows (survivors are near-dup
+    disjoint from the index by construction — UNION ALL, no distinct
+    shuffle; write back bucketed on (band, bucket))."""
+    return index.unionByName(
+        minhash_band_index(survivors, text_col, id_col, num_hashes, bands, n)
+    )

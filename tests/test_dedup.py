@@ -376,3 +376,79 @@ def test_dedup_incremental_and_updated_index(spark):
     idx = updated_index(seen, out)
     assert idx.count() == 4
     assert idx.distinct().count() == 4
+
+
+class TestIncrementalMinhash:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm windowsill in the afternoon sun today"
+    )
+
+    def test_drops_near_dup_of_history_keeps_novel(self, spark):
+        from gdelt_extractor_spark.operators.dedup import (
+            dedup_incremental_minhash,
+            minhash_band_index,
+        )
+
+        hist = self._mk(spark, [(1, self.BASE)])
+        idx = minhash_band_index(hist, bands=16)
+        batch = self._mk(
+            spark,
+            [
+                # near-dup of history: one word changed
+                (10, self.BASE.replace("warm", "cold")),
+                # novel document
+                (11, "completely different content about spark plans "
+                     "and shuffle boundaries at large scale with "
+                     "partition pruning and broadcast joins everywhere"),
+            ],
+        )
+        got = dedup_incremental_minhash(batch, idx, bands=16, threshold=0.5).collect()
+        assert {r.doc_id for r in got} == {11}
+
+    def test_batch_internal_keep_first(self, spark):
+        from gdelt_extractor_spark.operators.dedup import (
+            dedup_incremental_minhash,
+            minhash_band_index,
+        )
+
+        empty = minhash_band_index(self._mk(spark, []).limit(0), bands=16)
+        batch = self._mk(
+            spark,
+            [
+                (20, self.BASE),
+                (21, self.BASE.replace("afternoon", "morning")),
+                (22, "unrelated text on bucketed sinks and exactly "
+                     "once semantics for streaming rollup pipelines "
+                     "with watermarks and stateful session windows"),
+            ],
+        )
+        got = dedup_incremental_minhash(batch, empty, bands=16, threshold=0.5).collect()
+        assert {r.doc_id for r in got} == {20, 22}
+
+    def test_replay_converges(self, spark):
+        """Running the same batch against the UPDATED index drops
+        everything — the exactly-once property of the daily loop."""
+        from gdelt_extractor_spark.operators.dedup import (
+            dedup_incremental_minhash,
+            minhash_band_index,
+            updated_band_index,
+        )
+
+        hist = self._mk(spark, [(1, self.BASE)])
+        idx = minhash_band_index(hist, bands=16)
+        batch = self._mk(
+            spark,
+            [(30, self.BASE.replace("fox", "wolf")),
+             (31, "fresh subject matter entirely about decimal sums "
+                  "and order independent aggregation over doubles in "
+                  "distributed query engines with adaptive execution")],
+        )
+        s1 = dedup_incremental_minhash(batch, idx, bands=16, threshold=0.5)
+        assert {r.doc_id for r in s1.collect()} == {31}
+        idx2 = updated_band_index(idx, s1, bands=16)
+        s2 = dedup_incremental_minhash(batch, idx2, bands=16, threshold=0.5).collect()
+        assert s2 == []
