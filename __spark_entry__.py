@@ -445,17 +445,18 @@ def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the 0.5 threshold via the (1/b)^(1/r) S-curve midpoint.
     Rows-only gate (MinHash); semantics are unit-tested including
     replay convergence in tests/test_dedup.py."""
-    docs = _docs(spark, sf_dir, width=0).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, width=0).select("doc_id", "text", "source")
     hist = docs.filter(F.col("doc_id") < 250)
     idx = D.minhash_band_index(hist, bands=16)
     mutated = hist.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+        "source",
     )
     batch = docs.filter(F.col("doc_id") >= 250).unionByName(mutated)
     return (
         D.dedup_incremental_minhash(batch, idx, bands=16, threshold=0.5)
-        .select("doc_id")
+        .select("doc_id", "source")
         .orderBy("doc_id")
     )
 

@@ -88,3 +88,98 @@ def run_incremental_dedup_stream(
         lambda b, i: ingest_batch(b, i, corpus_dir),
         checkpoint_dir,
     )
+
+
+def _seen_band_index(
+    spark: SparkSession,
+    corpus_dir: str,
+    before_batch: int,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """LSH band rows of everything committed by EARLIER epochs.
+
+    The corpus persists each survivor's MinHash SIGNATURE as a
+    column, so the index rebuilds from stored sigs with one
+    column-pruned scan + a codegen band explode — historical text is
+    never re-tokenized, and the one-table/no-second-ledger property
+    of the exact pipeline carries over: the near-dup index cannot
+    drift from the corpus because it IS the corpus."""
+    from ..operators.dedup import _expand_bands
+
+    try:
+        corpus = spark.read.parquet(corpus_dir)
+    except AnalysisException:  # first batch
+        return spark.createDataFrame(
+            [], "id long, sig array<bigint>, band int, bucket bigint"
+        )
+    prior = corpus.filter(F.col("batch_id") < before_batch).select(
+        F.col(id_col).alias("id"), "sig"
+    )
+    return _expand_bands(prior, num_hashes, bands)
+
+
+def ingest_batch_near_dup(
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> None:
+    """One epoch of NEAR-dup incremental ingestion: the exact
+    pipeline's shape with ``dedup_incremental_minhash`` in place of
+    the hash anti join.  Survivors land with their signature column
+    via the same idempotent batch_id partition overwrite, so replays
+    converge bytewise exactly as in the exact pipeline (the replayed
+    epoch's own partial partition is pruned out of its index).
+
+    Banding default (16 bands × 2 rows over 32 hashes) puts the LSH
+    S-curve midpoint at (1/16)^(1/2) = 0.25 — comfortably below the
+    0.5 verification threshold, so candidate recall is not the
+    bottleneck."""
+    from ..operators.dedup import dedup_incremental_minhash, minhash_signatures
+
+    spark = batch.sparkSession
+    idx = _seen_band_index(
+        spark, corpus_dir, batch_id, id_col, num_hashes, bands
+    )
+    survivors = dedup_incremental_minhash(
+        batch, idx, text_col, id_col, num_hashes, bands, threshold=threshold
+    )
+    sigs = minhash_signatures(
+        survivors, text_col, id_col, num_hashes
+    ).withColumnRenamed("id", id_col)
+    upsert_partitions(
+        survivors.join(sigs, id_col).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ),
+        corpus_dir,
+        ["batch_id"],
+    )
+
+
+def run_incremental_near_dedup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id LONG, text STRING, source STRING",
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Near-dup twin of ``run_incremental_dedup_stream``: JSONL
+    drops → per-epoch ``ingest_batch_near_dup``."""
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(landing_dir)
+    )
+    run_foreach_batch(
+        stream,
+        lambda b, i: ingest_batch_near_dup(b, i, corpus_dir),
+        checkpoint_dir,
+    )

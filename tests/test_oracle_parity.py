@@ -73,6 +73,9 @@ ROWS_ONLY = (
     "approx_quantiles",
     "compression_stats",
     "actor_pagerank",
+    "cluster_embeddings",
+    "cluster_prune",
+    "dedup_incremental_minhash",
 )
 
 

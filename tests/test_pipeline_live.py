@@ -276,3 +276,80 @@ def test_incremental_dedup_stream_two_ticks_and_replay(spark, tmp_path):
         for r in spark.read.parquet(corpus_dir).collect()
     )
     assert after == before
+
+
+def test_incremental_near_dedup_stream_two_ticks_and_replay(spark, tmp_path):
+    """Near-dup twin of the exact-pipeline test: tick 2's re-crawl
+    is NOT byte-identical (one word changed) yet still drops against
+    the corpus's own signature column; replaying an epoch converges
+    to the same corpus."""
+    import json as _json
+
+    from gdelt_extractor_spark.pipelines.incremental import (
+        ingest_batch_near_dup,
+        run_incremental_near_dedup_stream,
+    )
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm windowsill in the afternoon sun today"
+    )
+    OTHER = (
+        "completely different content about spark plans and shuffle "
+        "boundaries at large scale with partition pruning and "
+        "broadcast joins everywhere in the query engine"
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        (landing / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    drop("t1.jsonl", [
+        {"doc_id": 1, "text": BASE, "source": "s1"},
+        # internal NEAR dup of 1 (one word changed): collapsed
+        {"doc_id": 2, "text": BASE.replace("warm", "cold"), "source": "s1"},
+        {"doc_id": 3, "text": OTHER, "source": "s2"},
+    ])
+    run_incremental_near_dedup_stream(spark, str(landing), corpus_dir, ckpt,
+                                      max_files_per_trigger=1)
+    got1 = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert got1 == {1, 3}
+
+    drop("t2.jsonl", [
+        # near re-crawl of 1 — different bytes, same page
+        {"doc_id": 10, "text": BASE.replace("fox", "wolf"), "source": "s3"},
+        {"doc_id": 11, "text": "fresh subject matter entirely about "
+                               "decimal sums and order independent "
+                               "aggregation over doubles in distributed "
+                               "query engines with adaptive execution",
+         "source": "s3"},
+    ])
+    run_incremental_near_dedup_stream(spark, str(landing), corpus_dir, ckpt,
+                                      max_files_per_trigger=1)
+    corpus = spark.read.parquet(corpus_dir)
+    assert {r.doc_id for r in corpus.collect()} == {1, 3, 11}
+    # the signature column is persisted for tomorrow's index
+    assert "sig" in corpus.columns
+
+    # replay epoch 1 → identical corpus (idempotent overwrite +
+    # batch_id-pruned index)
+    batch1 = spark.createDataFrame(
+        [(1, BASE, "s1"), (2, BASE.replace("warm", "cold"), "s1"),
+         (3, OTHER, "s2")],
+        "doc_id long, text string, source string",
+    )
+    before = sorted(
+        (r.doc_id, tuple(r.sig), r.batch_id)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    ingest_batch_near_dup(batch1, 0, corpus_dir)
+    after = sorted(
+        (r.doc_id, tuple(r.sig), r.batch_id)
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert after == before
