@@ -1017,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": Q.q16_supplier_count,
         "q20_excess_stock": Q.q20_excess_stock,
         "event_spikes": Q.event_spikes,
+        "events_gap_fill": Q.events_gap_fill,
         "q8_market_share": Q.q8_market_share,
         "window_running": Q.window_running,
         "range_count_clicks_after_error": Q.range_count_clicks_after_error,
@@ -1714,6 +1715,26 @@ def oracle_sql() -> dict[str, str]:
               {_dsum('volume')} AS total_volume,
               {_dsum('national')} / {_dsum('volume')} AS mkt_share
             FROM vol GROUP BY o_year ORDER BY o_year
+        """,
+        "events_gap_fill": f"""
+            WITH obs AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                {_dsum('value')}/COUNT(*) AS mean_value
+              FROM events WHERE value > 200 GROUP BY 1, 2),
+            span AS (
+              SELECT event_type, min(day) AS lo, max(day) AS hi
+              FROM obs GROUP BY event_type),
+            grid AS (
+              SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM span)
+            SELECT g.event_type, g.day,
+              last_value(o.mean_value IGNORE NULLS) OVER (
+                PARTITION BY g.event_type ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_value,
+              o.mean_value IS NOT NULL AS is_observed
+            FROM grid g
+            LEFT JOIN obs o ON g.event_type = o.event_type AND g.day = o.day
         """,
         "event_spikes": """
             WITH daily AS (

@@ -128,6 +128,7 @@ HEADLINE = [
     "q16_supplier_count",
     "q20_excess_stock",
     "event_spikes",
+    "events_gap_fill",
     "q8_market_share",
     "window_running",
     "range_count_clicks_after_error",

@@ -60,7 +60,7 @@ from .similarity import (
 )
 from .sketches import approx_topk
 from .skew import salted_agg, salted_join
-from .temporal import asof_join, range_join
+from .temporal import asof_join, fill_gaps, range_join
 from .textstats import (
     fingerprint,
     lang_id,
@@ -76,7 +76,7 @@ __all__ = [
     "decontaminate", "dedup_containment", "dedup_embedding", "dedup_exact",
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
-    "fingerprint", "frame_sample", "geo_project", "image_features",
+    "fill_gaps", "fingerprint", "frame_sample", "geo_project", "image_features",
     "connected_components", "cut_duplicate_spans", "dedup_semantic",
     "duplicate_spans", "keep_canonical", "span_dup_fraction",
     "cluster_prune", "ivf_fit_centroids", "keyword_freq", "kmeans_cluster",

@@ -129,3 +129,61 @@ def range_join(
         "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in point_fields]
     )
     return matched.unionByName(unmatched)
+
+
+def fill_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    fill: str = "ffill",
+) -> DataFrame:
+    """Time-series gap filling: densify each key's day series to a
+    complete calendar between its own first and last day, then fill
+    the holes — ``ffill`` carries the last observed value forward
+    (level metrics), ``zero`` fills 0.0 (count/flow metrics).
+
+    Input is one row per (key, day) — pre-aggregate first (e.g. a
+    daily mean).  Output: (key, day, value, is_observed).
+
+    Scale shape: the calendar grid comes from a per-key min/max
+    aggregate (tiny) exploded through ``sequence()`` — the fan-out
+    is each key's OWN span, not a global calendar cross join; the
+    grid left-joins the observations on (key, day) and the forward
+    fill is one ``last(value, ignoreNulls)`` running window — so the
+    whole operator is two shuffles on the key (join + window), both
+    AQE-coalesced.  A key's densified span lives in one task;
+    multi-year × million-key grids stay distributed because the
+    explode happens AFTER the keys are partitioned.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    obs = df.select(
+        F.col(key_col).alias("key"), day.alias("day"),
+        F.col(value_col).alias("value"),
+    )
+    grid = (
+        obs.groupBy("key")
+        .agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    joined = grid.join(obs, ["key", "day"], "left")
+    if fill == "zero":
+        filled = F.coalesce(F.col("value"), F.lit(0.0))
+    else:
+        w = (
+            Window.partitionBy("key")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = F.last("value", ignorenulls=True).over(w)
+    return joined.select(
+        F.col("key").alias(key_col),
+        "day",
+        filled.alias(value_col),
+        F.col("value").isNotNull().alias("is_observed"),
+    )

@@ -1340,3 +1340,22 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     )
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (densify + forward fill): sparse
+    daily means (value > 200 keeps ~2/3 of days empty at gate scale)
+    densified to each type's full calendar with the last observation
+    carried forward — the standard dashboard/feature-store shape
+    Spark lacks as a built-in.  See ``operators.temporal.fill_gaps``
+    for the two-shuffle scale plan (per-key sequence explode AFTER
+    the key aggregate, never a global calendar cross join)."""
+    from ..operators.temporal import fill_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value") > 200)
+        .groupBy("event_type", F.date_trunc("DAY", F.col("ts")).alias("ts"))
+        .agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"))
+    )
+    return fill_gaps(daily, "event_type", "ts", "mean_value")

@@ -101,3 +101,38 @@ def test_range_join_no_duplicate_pairs_across_bins(spark):
     ).collect()
     pids = [r.pid for r in out]
     assert len(pids) == len(set(pids)) == 99
+
+
+class TestFillGaps:
+    def _daily(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    def test_ffill_and_observed_flag(self, spark):
+        from datetime import datetime
+        from gdelt_extractor_spark.operators.temporal import fill_gaps
+
+        df = self._daily(spark, [
+            ("a", datetime(2024, 1, 1), 1.0),
+            ("a", datetime(2024, 1, 4), 4.0),   # 2 missing days
+            ("b", datetime(2024, 1, 2), 9.0),   # independent span
+        ])
+        got = {(r.k, r.day.day): (r.v, r.is_observed)
+               for r in fill_gaps(df, "k", "ts", "v").collect()}
+        assert got[("a", 1)] == (1.0, True)
+        assert got[("a", 2)] == (1.0, False)   # carried forward
+        assert got[("a", 3)] == (1.0, False)
+        assert got[("a", 4)] == (4.0, True)
+        # b's grid is its OWN span only — no global calendar
+        assert [k for k in got if k[0] == "b"] == [("b", 2)]
+
+    def test_zero_fill(self, spark):
+        from datetime import datetime
+        from gdelt_extractor_spark.operators.temporal import fill_gaps
+
+        df = self._daily(spark, [
+            ("a", datetime(2024, 1, 1), 3.0),
+            ("a", datetime(2024, 1, 3), 7.0),
+        ])
+        got = {r.day.day: r.v
+               for r in fill_gaps(df, "k", "ts", "v", fill="zero").collect()}
+        assert got == {1: 3.0, 2: 0.0, 3: 7.0}
