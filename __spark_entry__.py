@@ -357,6 +357,44 @@ def _gdelt_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by the Spark entry and the DuckDB oracle (single source of
+# truth for the box catalog): (box_id, lat_min, lat_max, lon_min,
+# lon_max), half-open containment on both axes.
+_GEO_BOXES = [
+    (1, -90.0, -30.0, -180.0, -60.0),
+    (2, -30.0, 30.0, -60.0, 60.0),
+    (3, 30.0, 90.0, 60.0, 180.0),
+    (4, -30.0, 30.0, 60.0, 180.0),
+    (5, 30.0, 90.0, -180.0, -60.0),
+    (6, -90.0, -30.0, 60.0, 180.0),
+]
+
+
+def _geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial point-in-box join: the geo_project points against a
+    literal box catalog via the grid-cell equi-join (the 2-D bin
+    trick — see operators/geo.py:grid_join).  The DuckDB oracle runs
+    the naive theta join over the same box VALUES, proving the grid
+    decomposition is exactly containment-equivalent."""
+    from gdelt_extractor_spark.operators.geo import grid_join
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    derived = e.select(
+        "event_id",
+        ((F.col("value") * 3.7) % 180 - 90).alias("lat_raw"),
+        ((F.col("value") * 7.3) % 360 - 180).alias("lon_raw"),
+    )
+    pts = geo_project(derived, "lat_raw", "lon_raw", "event_id").select(
+        "event_id", "lat", "lon"
+    )
+    boxes = spark.createDataFrame(
+        _GEO_BOXES,
+        "box_id long, lat_min double, lat_max double, "
+        "lon_min double, lon_max double",
+    )
+    return grid_join(pts, boxes)
+
+
 def _geo_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     derived = e.select(
@@ -1045,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdelt_v1_daily": _gdelt_v1_daily,
         "gdelt_clean": _gdelt_clean,
         "geo_project": _geo_project,
+        "geo_grid_join": _geo_grid_join,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
         "dedup_apply": _dedup_apply,
@@ -1951,6 +1990,17 @@ def oracle_sql() -> dict[str, str]:
               {geo_lon} AS lon,
               {wkt(geo_lon, geo_lat)} AS geom_wkt
             FROM events WHERE value > 0
+        """,
+        "geo_grid_join": f"""
+            WITH pts AS (
+              SELECT event_id, {geo_lat} AS lat, {geo_lon} AS lon
+              FROM events WHERE value > 0),
+            boxes(box_id, lat_min, lat_max, lon_min, lon_max) AS (
+              VALUES {", ".join(f"({b[0]}, {b[1]}, {b[2]}, {b[3]}, {b[4]})" for b in _GEO_BOXES)})
+            SELECT p.event_id, p.lat, p.lon, CAST(b.box_id AS BIGINT) AS box_id
+            FROM pts p JOIN boxes b
+              ON p.lat >= b.lat_min AND p.lat < b.lat_max
+             AND p.lon >= b.lon_min AND p.lon < b.lon_max
         """,
         "dedup_apply": f"""
             SELECT doc_id, text, lang, source, n_chars FROM (

@@ -71,6 +71,7 @@ HEADLINE = [
     "gdelt_clean",
     "jsonl_corpus_stats",
     "geo_project",
+    "geo_grid_join",
     "dedup_exact",
     "dedup_incremental",
     "dedup_apply",

@@ -37,7 +37,7 @@ from .dedup import (
     updated_index,
 )
 from .enrich import enrich_articles, enrich_articles_fetch
-from .geo import geo_project
+from .geo import geo_project, grid_join
 from .graph import pagerank
 from .keywords import keyword_freq
 from .packing import chunk_documents, pack_sequences
@@ -77,7 +77,7 @@ __all__ = [
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
     "fill_gaps", "fingerprint", "frame_sample", "geo_project", "image_features",
-    "connected_components", "cut_duplicate_spans", "dedup_semantic",
+    "connected_components", "cut_duplicate_spans", "dedup_semantic", "grid_join",
     "duplicate_spans", "keep_canonical", "span_dup_fraction",
     "cluster_prune", "ivf_fit_centroids", "keyword_freq", "kmeans_cluster",
     "kmeans_fit",

@@ -526,3 +526,12 @@ def test_source_quality_filter_verdict_broadcast_semi(spark, sf_dir):
     # join — the corpus itself never shuffles for the filter
     assert "LeftSemi" in plan and "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_grid_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, "geo_grid_join", sf_dir)
+    # the whole point of the grid decomposition: the spatial theta
+    # join must run as a HASH equi-join on the cell key
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

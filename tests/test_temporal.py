@@ -136,3 +136,48 @@ class TestFillGaps:
         got = {r.day.day: r.v
                for r in fill_gaps(df, "k", "ts", "v", fill="zero").collect()}
         assert got == {1: 3.0, 2: 0.0, 3: 7.0}
+
+
+class TestGridJoin:
+    def test_containment_boundaries_and_overlap(self, spark):
+        from gdelt_extractor_spark.operators.geo import grid_join
+
+        pts = spark.createDataFrame(
+            [
+                (1, 5.0, 5.0),     # inside A only
+                (2, 10.0, 10.0),   # ON A's max edge: half-open → B only
+                (3, 5.0, -5.0),    # in neither
+                (4, 7.0, 7.0),     # inside A AND the overlapping C
+            ],
+            "event_id long, lat double, lon double",
+        )
+        boxes = spark.createDataFrame(
+            [
+                (100, 0.0, 10.0, 0.0, 10.0),    # A
+                (200, 10.0, 20.0, 10.0, 20.0),  # B abuts A's corner
+                (300, 6.0, 8.0, 6.0, 8.0),      # C inside A
+            ],
+            "box_id long, lat_min double, lat_max double, "
+            "lon_min double, lon_max double",
+        )
+        got = sorted(
+            (r.event_id, r.box_id)
+            for r in grid_join(pts, boxes, cell_deg=4.0).collect()
+        )
+        assert got == [(1, 100), (2, 200), (4, 100), (4, 300)]
+
+    def test_no_duplicate_pairs_across_cells(self, spark):
+        """A box spanning many cells still matches each point once."""
+        from gdelt_extractor_spark.operators.geo import grid_join
+
+        pts = spark.createDataFrame(
+            [(i, float(i), float(i)) for i in range(0, 40, 5)],
+            "event_id long, lat double, lon double",
+        )
+        boxes = spark.createDataFrame(
+            [(9, -50.0, 50.0, -50.0, 50.0)],
+            "box_id long, lat_min double, lat_max double, "
+            "lon_min double, lon_max double",
+        )
+        got = grid_join(pts, boxes, cell_deg=3.0).collect()
+        assert len(got) == 8  # one row per point, no distinct needed
