@@ -1056,6 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_stock": Q.q20_excess_stock,
         "event_spikes": Q.event_spikes,
         "events_gap_fill": Q.events_gap_fill,
+        "event_funnel": Q.event_funnel,
+        "user_retention": Q.user_retention,
         "q8_market_share": Q.q8_market_share,
         "window_running": Q.window_running,
         "range_count_clicks_after_error": Q.range_count_clicks_after_error,
@@ -1754,6 +1756,44 @@ def oracle_sql() -> dict[str, str]:
               {_dsum('volume')} AS total_volume,
               {_dsum('national')} / {_dsum('volume')} AS mkt_share
             FROM vol GROUP BY o_year ORDER BY o_year
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+              SELECT user_id, event_type, ts,
+                min(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+              FROM events),
+            s2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                                 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+              FROM s1),
+            s3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                                 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+              FROM s2)
+            SELECT
+              CAST(COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS BIGINT) AS n_view,
+              CAST(COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS BIGINT) AS n_click_after_view,
+              CAST(COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS BIGINT) AS n_purchase_after_click
+            FROM s3
+        """,
+        "user_retention": """
+            WITH tagged AS (
+              SELECT user_id,
+                CAST(FLOOR(date_diff('day', DATE '1970-01-01',
+                     CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+              FROM events),
+            cohorts AS (
+              SELECT user_id, week,
+                min(week) OVER (PARTITION BY user_id) AS cohort_week
+              FROM tagged)
+            SELECT cohort_week, week - cohort_week AS week_offset,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM cohorts
+            GROUP BY cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
         """,
         "events_gap_fill": f"""
             WITH obs AS (

@@ -130,6 +130,8 @@ HEADLINE = [
     "q20_excess_stock",
     "event_spikes",
     "events_gap_fill",
+    "event_funnel",
+    "user_retention",
     "q8_market_share",
     "window_running",
     "range_count_clicks_after_error",

@@ -1359,3 +1359,74 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"))
     )
     return fill_gaps(daily, "event_type", "ts", "mean_value")
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): how many
+    users reach each stage, where a stage only counts if it happens
+    AFTER the previous stage — the product-analytics query engines
+    get asked first.
+
+    Shape: three chained per-user window minimums over ONE shuffle
+    on user_id (each stage's timestamp is a concrete column before
+    the next window references it — no self-joins, no re-scan), then
+    a single global aggregate.  Window k computes min(ts | type =
+    step_k AND ts > t_{k-1}); NULL propagates naturally, so a user
+    missing stage k never counts for k+1."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+
+    def reached(t: str) -> Column:
+        return F.count_distinct(
+            F.when(F.col(t).isNotNull(), F.col("user_id"))
+        ).cast("long")
+
+    return s3.agg(
+        reached("t1").alias("n_view"),
+        reached("t2").alias("n_click_after_view"),
+        reached("t3").alias("n_purchase_after_click"),
+    )
+
+
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, then
+    distinct active users per (cohort_week, week_offset) — the
+    triangle every growth dashboard draws.
+
+    The cohort assignment is a per-user window min (one shuffle on
+    user_id); the rollup is a second shuffle on the (cohort, offset)
+    pair.  Week bucketing is integer epoch-day division (engine-
+    portable, no WEEK() locale dependence)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = (F.unix_date(F.to_date("ts")) / F.lit(7)).cast("long")
+    w = Window.partitionBy("user_id")
+    tagged = (
+        e.withColumn("week", week)
+        .withColumn("cohort_week", F.min("week").over(w))
+    )
+    return (
+        tagged.groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
