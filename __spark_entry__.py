@@ -395,6 +395,40 @@ def _geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_join(pts, boxes)
 
 
+def _scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge driven from the customer table: a synthetic
+    open dimension (all keys at 2020) plus three deterministic update
+    waves — +100 for keys %5, +200 for keys %10, and a REPEATED +200
+    for keys %20 (a no-op update the merge must suppress).  The
+    oracle replays the identical timeline with IS DISTINCT FROM /
+    lag / lead windows."""
+    from gdelt_extractor_spark.operators.temporal import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cur = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+
+    def wave(mod: int, ts: str, delta: float) -> DataFrame:
+        return c.filter(F.col("c_custkey") % mod == 0).select(
+            "c_custkey",
+            (F.col("c_acctbal") + delta).alias("bal"),
+            F.lit(ts).cast("timestamp").alias("ts"),
+        )
+
+    updates = (
+        wave(5, "2021-01-01", 100.0)
+        .unionByName(wave(10, "2022-01-01", 200.0))
+        .unionByName(wave(20, "2023-01-01", 200.0))
+    )
+    return scd2_apply(cur, updates, "c_custkey", ["bal"]).orderBy(
+        "c_custkey", "valid_from"
+    )
+
+
 def _geo_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     derived = e.select(
@@ -1086,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdelt_clean": _gdelt_clean,
         "geo_project": _geo_project,
         "geo_grid_join": _geo_grid_join,
+        "scd2_customers": _scd2_customers,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
         "dedup_apply": _dedup_apply,
@@ -2030,6 +2065,31 @@ def oracle_sql() -> dict[str, str]:
               {geo_lon} AS lon,
               {wkt(geo_lon, geo_lat)} AS geom_wkt
             FROM events WHERE value > 0
+        """,
+        "scd2_customers": """
+            WITH cur AS (
+              SELECT c_custkey, c_acctbal AS bal,
+                TIMESTAMP '2020-01-01' AS _ts
+              FROM customer),
+            ups AS (
+              SELECT c_custkey, c_acctbal + 100 AS bal,
+                TIMESTAMP '2021-01-01' AS _ts
+              FROM customer WHERE c_custkey % 5 = 0
+              UNION ALL
+              SELECT c_custkey, c_acctbal + 200, TIMESTAMP '2022-01-01'
+              FROM customer WHERE c_custkey % 10 = 0
+              UNION ALL
+              SELECT c_custkey, c_acctbal + 200, TIMESTAMP '2023-01-01'
+              FROM customer WHERE c_custkey % 20 = 0),
+            cand AS (SELECT * FROM cur UNION ALL SELECT * FROM ups),
+            flagged AS (
+              SELECT *, bal IS DISTINCT FROM
+                lag(bal) OVER (PARTITION BY c_custkey ORDER BY _ts) AS chg
+              FROM cand)
+            SELECT c_custkey, bal, _ts AS valid_from,
+              lead(_ts) OVER (PARTITION BY c_custkey ORDER BY _ts) AS valid_to
+            FROM flagged WHERE chg
+            ORDER BY c_custkey, valid_from
         """,
         "geo_grid_join": f"""
             WITH pts AS (

@@ -72,6 +72,7 @@ HEADLINE = [
     "jsonl_corpus_stats",
     "geo_project",
     "geo_grid_join",
+    "scd2_customers",
     "dedup_exact",
     "dedup_incremental",
     "dedup_apply",

@@ -60,7 +60,7 @@ from .similarity import (
 )
 from .sketches import approx_topk
 from .skew import salted_agg, salted_join
-from .temporal import asof_join, fill_gaps, range_join
+from .temporal import asof_join, fill_gaps, range_join, scd2_apply
 from .textstats import (
     fingerprint,
     lang_id,
@@ -86,7 +86,7 @@ __all__ = [
     "chunk_documents", "dedup_lines_global", "normalize_url", "pagerank",
     "url_filter",
     "quality_score", "quantize_embeddings", "range_join", "redact_pii",
-    "resize_images", "salted_agg", "salted_join", "sample_split",
+    "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "weighted_sample", "dedup_incremental", "updated_index",
     "dedup_incremental_minhash", "minhash_band_index", "updated_band_index",

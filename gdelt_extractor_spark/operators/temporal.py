@@ -187,3 +187,55 @@ def fill_gaps(
         filled.alias(value_col),
         F.col("value").isNotNull().alias("is_observed"),
     )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """SCD Type-2 merge: apply a batch of attribute updates to a
+    versioned dimension, closing superseded versions and opening new
+    ones — the warehouse op behind every `dim_*` table with
+    valid_from/valid_to columns.
+
+    Semantics: closed history rows pass through untouched; each
+    key's OPEN row and its updates merge into one timeline ordered
+    by timestamp; an update whose attributes are null-safe-equal to
+    the previous version is SUPPRESSED (no-op update, the classic
+    SCD2 trap); each surviving version's ``valid_to`` is the next
+    version's start (NULL for the newest).  Update timestamps are
+    assumed unique per key within a batch and newer than the open
+    row's ``valid_from``.
+
+    Plan: one shuffle on the key — the change-detection lag window,
+    the filter, and the validity lead window share the same
+    partitioning, so Catalyst reuses the exchange; closed history is
+    a pass-through union (no shuffle).  At 100 TB, updates are a
+    daily trickle against a dimension orders of magnitude smaller
+    than facts — the whole merge is one small-key window job.
+    """
+    out_cols = [key_col, *attr_cols, from_col, to_col]
+    open_rows = current.filter(F.col(to_col).isNull()).select(
+        key_col, *attr_cols, F.col(from_col).alias("_ts")
+    )
+    closed = current.filter(F.col(to_col).isNotNull()).select(*out_cols)
+    cand = open_rows.unionByName(
+        updates.select(key_col, *attr_cols, F.col(ts_col).alias("_ts"))
+    )
+    w = Window.partitionBy(key_col).orderBy("_ts")
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changed = ~attrs.eqNullSafe(F.lag(attrs).over(w))
+    versions = cand.withColumn("_chg", changed).filter(F.col("_chg"))
+    return closed.unionByName(
+        versions.select(
+            key_col,
+            *attr_cols,
+            F.col("_ts").alias(from_col),
+            F.lead("_ts").over(w).alias(to_col),
+        )
+    )

@@ -181,3 +181,41 @@ class TestGridJoin:
         )
         got = grid_join(pts, boxes, cell_deg=3.0).collect()
         assert len(got) == 8  # one row per point, no distinct needed
+
+
+class TestScd2:
+    def test_merge_chain_noop_and_history(self, spark):
+        from datetime import datetime
+        from gdelt_extractor_spark.operators.temporal import scd2_apply
+
+        current = spark.createDataFrame(
+            [
+                # key 1: one closed version + one open
+                (1, "gold", datetime(2020, 1, 1), datetime(2021, 1, 1)),
+                (1, "silver", datetime(2021, 1, 1), None),
+                # key 2: open only
+                (2, "bronze", datetime(2020, 6, 1), None),
+            ],
+            "k long, tier string, valid_from timestamp, valid_to timestamp",
+        )
+        updates = spark.createDataFrame(
+            [
+                (1, "platinum", datetime(2022, 1, 1)),   # real change
+                (1, "platinum", datetime(2023, 1, 1)),   # no-op: suppressed
+                (2, "silver", datetime(2022, 6, 1)),     # change
+                (2, "gold", datetime(2023, 6, 1)),       # second change
+            ],
+            "k long, tier string, ts timestamp",
+        )
+        got = sorted(
+            (r.k, r.tier, r.valid_from.year, r.valid_to.year if r.valid_to else None)
+            for r in scd2_apply(current, updates, "k", ["tier"]).collect()
+        )
+        assert got == [
+            (1, "gold", 2020, 2021),        # closed history untouched
+            (1, "platinum", 2022, None),    # open; 2023 no-op suppressed
+            (1, "silver", 2021, 2022),      # closed by the update
+            (2, "bronze", 2020, 2022),
+            (2, "gold", 2023, None),
+            (2, "silver", 2022, 2023),
+        ]
