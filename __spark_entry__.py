@@ -395,6 +395,26 @@ def _geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_join(pts, boxes)
 
 
+# Shared by the Spark entry and the oracle generator: (column,
+# is_numeric) over the orders table.
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+]
+
+
+def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass table profile over orders (row/null/
+    distinct counts + numeric min/max/mean per column)."""
+    from gdelt_extractor_spark.operators.profiling import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(o, [c for c, _ in _PROFILE_COLS])
+
+
 def _scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 merge driven from the customer table: a synthetic
     open dimension (all keys at 2020) plus three deterministic update
@@ -1121,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_project": _geo_project,
         "geo_grid_join": _geo_grid_join,
         "scd2_customers": _scd2_customers,
+        "profile_orders": _profile_orders,
+        "event_transitions": Q.event_transitions,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
         "dedup_apply": _dedup_apply,
@@ -2065,6 +2087,30 @@ def oracle_sql() -> dict[str, str]:
               {geo_lon} AS lon,
               {wkt(geo_lon, geo_lat)} AS geom_wkt
             FROM events WHERE value > 0
+        """,
+        "profile_orders": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+              CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+              {"CAST(MIN(" + c + ") AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"} AS min_num,
+              {"CAST(MAX(" + c + ") AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"} AS max_num,
+              {"CAST(SUM(CAST(CAST(" + c + " AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)/COUNT(" + c + ")" if num else "CAST(NULL AS DOUBLE)"} AS mean_num
+            FROM orders"""
+            for c, num in _PROFILE_COLS
+        ),
+        "event_transitions": """
+            WITH pairs AS (
+              SELECT event_type AS src,
+                lead(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst
+              FROM events),
+            counted AS (
+              SELECT src, dst, COUNT(*) AS n FROM pairs
+              WHERE dst IS NOT NULL GROUP BY src, dst)
+            SELECT src, dst, CAST(n AS BIGINT) AS n,
+              round(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+            FROM counted ORDER BY src, dst
         """,
         "scd2_customers": """
             WITH cur AS (

@@ -73,6 +73,8 @@ HEADLINE = [
     "geo_project",
     "geo_grid_join",
     "scd2_customers",
+    "profile_orders",
+    "event_transitions",
     "dedup_exact",
     "dedup_incremental",
     "dedup_apply",

@@ -42,6 +42,7 @@ from .graph import pagerank
 from .keywords import keyword_freq
 from .packing import chunk_documents, pack_sequences
 from .pii import redact_pii, scan_pii
+from .profiling import profile_table
 from .multimodal import (
     attach_fake_media,
     audio_features,
@@ -84,6 +85,7 @@ __all__ = [
     "lang_id",
     "minhash_signatures", "mix_sources", "pack_sequences",
     "chunk_documents", "dedup_lines_global", "normalize_url", "pagerank",
+    "profile_table",
     "url_filter",
     "quality_score", "quantize_embeddings", "range_join", "redact_pii",
     "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",

@@ -1,0 +1,62 @@
+"""Data-quality profiling — the Deequ/expectations-style audit every
+pipeline runs before trusting a new drop: per-column row/null/
+distinct counts plus numeric min/max/mean, in ONE pass.
+
+Scale shape: all columns' aggregates compute in a single aggregate
+job (count_distinct expands to Spark's standard Expand-based
+multi-distinct — still one scan); the per-column layout comes from a
+``stack()`` unpivot of the 1-row aggregate, which is a zero-cost
+projection.  Nothing collects to the driver; the result is
+|columns| rows.
+
+Numeric stats stay typed DOUBLE (never stringified — engine float
+formatting differs, values don't); non-numeric columns report NULL
+for min/max/mean.  The mean uses the decimal-sum convention
+(plans/queries.py) so it is partition-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per column: (col_name, n_rows, n_null, n_distinct,
+    min_num, max_num, mean_num)."""
+    cols = cols or df.columns
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.lit(1)).alias(f"_n_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        if isinstance(dtypes[c], _NUMERIC):
+            num = F.col(c).cast("double")
+            aggs.append(F.min(num).alias(f"_mi_{c}"))
+            aggs.append(F.max(num).alias(f"_ma_{c}"))
+            aggs.append(
+                (F.sum(num.cast("decimal(25,6)")).cast("double") / F.count(num))
+                .alias(f"_me_{c}")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"_mi_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"_ma_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"_me_{c}"))
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args.append(f"'{c}'")
+        for p in ("_n_", "_nn_", "_nd_", "_mi_", "_ma_", "_me_"):
+            stack_args.append(f"`{p}{c}`")
+    expr = (
+        f"stack({len(cols)}, {', '.join(stack_args)}) as "
+        "(col_name, n_rows, n_null, n_distinct, min_num, max_num, mean_num)"
+    )
+    return one.select(F.expr(expr)).orderBy("col_name")

@@ -1430,3 +1430,26 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), from a single lead
+    window on the user shuffle + one pair aggregate.  The row
+    probability divides two exact BIGINT counts (deterministic
+    double), with the row total from a src-partitioned window —
+    no second scan, no driver collect."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        e.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy("src")
+    return (
+        pairs.withColumn("p", F.col("n") / F.sum("n").over(total))
+        .select("src", "dst", "n", F.round("p", 6).alias("p"))
+        .orderBy("src", "dst")
+    )

@@ -216,3 +216,21 @@ def test_vocab_divergence_semantics(spark):
     assert out["weird"].kl_divergence > out["typical"].kl_divergence
     # identical groups score identically
     assert out["typical"].kl_divergence == out["typical2"].kl_divergence
+
+
+def test_profile_table_nulls_and_types(spark):
+    """Null counting, distinct excluding nulls, numeric-only stats."""
+    from gdelt_extractor_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (4, "b", 2.5)],
+        "k long, s string, v double",
+    )
+    rows = {r.col_name: r for r in profile_table(df).collect()}
+    assert rows["s"].n_null == 1 and rows["s"].n_distinct == 2
+    assert rows["s"].min_num is None and rows["s"].mean_num is None
+    assert rows["v"].n_null == 1 and rows["v"].n_distinct == 2
+    assert rows["v"].min_num == 1.5 and rows["v"].max_num == 2.5
+    # mean over NON-NULL values only
+    assert abs(rows["v"].mean_num - (1.5 + 2.5 + 2.5) / 3) < 1e-9
+    assert rows["k"].n_rows == 4 and rows["k"].n_null == 0
