@@ -44,6 +44,7 @@ from .packing import chunk_documents, pack_sequences
 from .pii import redact_pii, scan_pii
 from .profiling import profile_table
 from .multimodal import (
+    image_phash,
     attach_fake_media,
     audio_features,
     frame_sample,
@@ -78,6 +79,7 @@ __all__ = [
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
     "fill_gaps", "fingerprint", "frame_sample", "geo_project", "image_features",
+    "image_phash",
     "connected_components", "cut_duplicate_spans", "dedup_semantic", "grid_join",
     "duplicate_spans", "keep_canonical", "span_dup_fraction",
     "cluster_prune", "ivf_fit_centroids", "keyword_freq", "kmeans_cluster",

@@ -260,3 +260,37 @@ def test_write_zordered_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert back.count() == e.count()
     assert back.select(F.sum("event_id")).collect()[0][0] == \
         e.select(F.sum("event_id")).collect()[0][0]
+
+
+def test_image_phash_brightness_invariant_where_ahash_is_not():
+    """pHash drops the DC coefficient, so a uniform brightness shift
+    leaves the hash untouched; the pure function is exercised
+    directly on synthetic pixels."""
+    import numpy as np
+    from gdelt_extractor_spark.operators.multimodal import phash_bits
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(40, 56)
+    shifted = img + 0.3  # uniform brightness shift
+    assert phash_bits(img) == phash_bits(shifted)
+    other = rng.rand(40, 56)
+    a, b = phash_bits(img), phash_bits(other)
+    assert bin(np.uint64(a) ^ np.uint64(b)).count("1") > 10  # far apart
+
+
+def test_image_phash_spark_determinism_and_dedup(spark):
+    media = M.attach_fake_media(spark.range(0, 10), "id")
+    fp1 = {r.media_id: r.phash for r in M.image_phash(media).collect()}
+    fp2 = {r.media_id: r.phash
+           for r in M.image_phash(media.repartition(4)).collect()}
+    assert fp1 == fp2 and len(set(fp1.values())) == 10
+    dup = media.filter("media_id = 2").withColumn(
+        "media_id", F.lit(200).cast("long")
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in M.dedup_images(
+            media.unionByName(dup), max_hamming=0, method="phash"
+        ).collect()
+    }
+    assert pairs == {(2, 200)}
