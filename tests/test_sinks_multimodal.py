@@ -294,3 +294,78 @@ def test_image_phash_spark_determinism_and_dedup(spark):
         ).collect()
     }
     assert pairs == {(2, 200)}
+
+
+def test_write_webdataset_roundtrip_and_determinism(spark, tmp_path):
+    """Tar shards round-trip content, member order is the id sort,
+    and two exports are byte-identical (pinned tar metadata)."""
+    import glob
+    import tarfile
+
+    from gdelt_extractor_spark.sinks.webdataset import write_webdataset
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}", None if i == 5 else f'{{"id": {i}}}')
+         for i in range(30)],
+        "doc_id long, text string, meta string",
+    )
+    out1 = str(tmp_path / "wds1")
+    m = write_webdataset(
+        docs, out1, members={"txt": "text", "json": "meta"}, n_shards=4
+    )
+    assert sum(r["n_samples"] for r in m) == 30
+    tars = sorted(glob.glob(out1 + "/shard-*.tar"))
+    assert 1 <= len(tars) <= 4
+    seen = {}
+    for t in tars:
+        with tarfile.open(t) as tf:
+            names = tf.getnames()
+            # grouped by ascending id; per-sample members in the
+            # declared {txt, json} order (consecutive — the
+            # WebDataset contract)
+            ids = [int(n.split(".")[0]) for n in names]
+            assert sorted(set(ids)) == sorted(set(ids)) and ids == sorted(ids)
+            per_id: dict[int, list[str]] = {}
+            for n in names:
+                per_id.setdefault(int(n.split(".")[0]), []).append(n.split(".")[1])
+            assert all(v in (["txt", "json"], ["txt"]) for v in per_id.values())
+            for mem in tf.getmembers():
+                assert mem.mtime == 0 and mem.uid == 0
+                seen[mem.name] = tf.extractfile(mem).read()
+    assert seen["7.txt"] == b"text body 7"
+    assert b'"id": 3' in seen["3.json"]
+    assert "5.json" not in seen and "5.txt" in seen  # NULL member skipped
+
+    out2 = str(tmp_path / "wds2")
+    write_webdataset(
+        docs, out2, members={"txt": "text", "json": "meta"}, n_shards=4
+    )
+    for t in tars:
+        other = t.replace("wds1", "wds2")
+        assert open(t, "rb").read() == open(other, "rb").read()
+
+
+def test_write_webdataset_binary_members_and_refusal(spark, tmp_path):
+    import tarfile
+    import glob
+
+    import pytest
+
+    from gdelt_extractor_spark.sinks.webdataset import write_webdataset
+
+    media = spark.createDataFrame(
+        [(i, bytes([i]) * 10) for i in range(6)],
+        "media_id long, content binary",
+    )
+    out = str(tmp_path / "imgs")
+    write_webdataset(media, out, id_col="media_id",
+                     members={"img": "content"}, n_shards=2)
+    blobs = {}
+    for t in glob.glob(out + "/shard-*.tar"):
+        with tarfile.open(t) as tf:
+            for mem in tf.getmembers():
+                blobs[mem.name] = tf.extractfile(mem).read()
+    assert blobs["4.img"] == bytes([4]) * 10
+
+    with pytest.raises(NotImplementedError):
+        write_webdataset(media, "s3://bucket/x", id_col="media_id")
