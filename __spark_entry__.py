@@ -553,6 +553,13 @@ def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep: top adjacent-character-pair counts
+    (the first BPE merge-step statistic) over the documents corpus,
+    aggregated via the distinct-word frequency table."""
+    return TS.bpe_pair_counts(_docs(spark, sf_dir, width=0), "doc_id", "text")
+
+
 def _source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level curation: sources whose MEAN document quality
     falls below 0.78 are dropped wholesale (threshold calibrated to
@@ -1143,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customers": _scd2_customers,
         "profile_orders": _profile_orders,
         "event_transitions": Q.event_transitions,
+        "bpe_pairs": _bpe_pairs,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
         "dedup_apply": _dedup_apply,
@@ -2511,6 +2519,19 @@ def oracle_sql() -> dict[str, str]:
               round(alpha_ratio, 6) AS alpha_ratio,
               round(least(n_tokens/100.0, 1.0)*0.4 + alpha_ratio*0.3 + (1-stop_ratio)*0.3, 6) AS quality
             FROM m
+        """,
+        "bpe_pairs": f"""
+            WITH words AS (
+              SELECT w FROM (
+                SELECT unnest({toks_text}) AS w FROM documents)
+              WHERE length(w) >= 2),
+            wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+            pairs AS (
+              SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, f
+              FROM wf, UNNEST(generate_series(1, length(w) - 1)) AS t(i))
+            SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair ASC LIMIT 100
         """,
         "source_quality_filter": f"""
             WITH s AS (

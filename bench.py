@@ -75,6 +75,7 @@ HEADLINE = [
     "scd2_customers",
     "profile_orders",
     "event_transitions",
+    "bpe_pairs",
     "dedup_exact",
     "dedup_incremental",
     "dedup_apply",

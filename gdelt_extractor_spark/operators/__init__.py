@@ -64,6 +64,7 @@ from .sketches import approx_topk
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, fill_gaps, range_join, scd2_apply
 from .textstats import (
+    bpe_pair_counts,
     fingerprint,
     lang_id,
     ngram_repetition,
@@ -74,6 +75,7 @@ from .textstats import (
 
 __all__ = [
     "ann_bruteforce", "ann_ivf", "ann_lsh", "approx_topk", "asof_join",
+    "bpe_pair_counts",
     "attach_fake_media", "audio_features", "corpus_stats",
     "decontaminate", "dedup_containment", "dedup_embedding", "dedup_exact",
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",

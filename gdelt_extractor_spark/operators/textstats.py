@@ -625,3 +625,38 @@ def vocab_divergence(
             F.round(F.col("_kl"), 6).alias("kl_divergence"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 100
+) -> DataFrame:
+    """First BPE merge-step statistics: corpus-wide counts of
+    adjacent character pairs inside words, weighted by word
+    frequency — what a tokenizer trainer computes before every merge
+    (Sennrich et al. 2016).
+
+    The scale trick is aggregating to DISTINCT words first (Zipf:
+    distinct words ≪ corpus tokens), so the pair explosion runs over
+    the vocabulary, not the corpus: one shuffle to the word
+    frequency table, a per-word position explode (substring window,
+    the repo's explode-positions-then-project pattern — no
+    interpreted array lambda), one shuffle to pair totals, and a
+    TakeOrderedAndProject top-k.  Deterministic tie-break by pair.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = words.select(
+        "f",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select(F.substring("w", F.col("i"), 2).alias("pair"), "f")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

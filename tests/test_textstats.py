@@ -234,3 +234,14 @@ def test_profile_table_nulls_and_types(spark):
     # mean over NON-NULL values only
     assert abs(rows["v"].mean_num - (1.5 + 2.5 + 2.5) / 3) < 1e-9
     assert rows["k"].n_rows == 4 and rows["k"].n_null == 0
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from gdelt_extractor_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "aa ab"), (2, "aa aa x")],  # 'aa'×3, 'ab'×1; 'x' too short
+        "doc_id long, text string",
+    )
+    got = {r.pair: r.n for r in bpe_pair_counts(df, "doc_id", "text").collect()}
+    assert got == {"aa": 3, "ab": 1}
