@@ -247,11 +247,16 @@ def main() -> None:
     # One broken query must not sink the whole bench (r3 lost ALL perf
     # data to a single warmup AnalysisException): catch per query,
     # record {"err": ...}, keep timing the rest.
-    # GC cadence (release() docstring): every 15 queries measured
-    # best — steady ~42s passes vs alternating 40/59/41 with
-    # per-pass GC and 41/63/59 with none.  Applied from the warmups
-    # on, so timed pass 1 starts at steady state too.
-    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "15"))
+    # GC cadence (release() docstring): 15 measured best on the
+    # ~100-query suite; re-A/B'd at 118 queries, 8 wins — full-suite
+    # total 111.8s vs 116.0s and the worst pressure-sensitive query
+    # (dedup_semantic, 10th in an all-heavy dedup cycle) drops
+    # 8.0s → 4.9s median.  The heavy pandas-UDF dedup block
+    # accumulates weak-ref'd shuffle/broadcast state faster than the
+    # suite average, so the cycle must be shorter than that block.
+    # Applied from the warmups on, so timed pass 1 starts at steady
+    # state too.
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8"))
     errors: dict[str, str] = {}
     for name in headline:  # warmup 1: tiny SF — JIT/codegen first-touch
         try:
