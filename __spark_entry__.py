@@ -1150,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customers": _scd2_customers,
         "profile_orders": _profile_orders,
         "event_transitions": Q.event_transitions,
+        "event_trends": Q.event_trends,
+        "session_paths": Q.session_paths,
         "bpe_pairs": _bpe_pairs,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
@@ -1821,6 +1823,40 @@ def oracle_sql() -> dict[str, str]:
               {_dsum('volume')} AS total_volume,
               {_dsum('national')} / {_dsum('volume')} AS mkt_share
             FROM vol GROUP BY o_year ORDER BY o_year
+        """,
+        "event_trends": f"""
+            WITH daily AS (
+              SELECT event_type,
+                CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+                CAST(COUNT(*) AS DOUBLE) AS y
+              FROM events GROUP BY 1, 2),
+            stats AS (
+              SELECT event_type,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                {_dsum('x')} AS sx, {_dsum('y')} AS sy,
+                {_dsum('x * y')} AS sxy, {_dsum('x * x')} AS sxx,
+                {_dsum('y * y')} AS syy
+              FROM daily GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n_days,
+              round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+              round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+              round((n*sxy - sx*sy)
+                / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r
+            FROM stats ORDER BY event_type
+        """,
+        "session_paths": """
+            WITH ranked AS (
+              SELECT user_id, event_type,
+                row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events),
+            paths AS (
+              SELECT user_id,
+                string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM ranked WHERE rn <= 5 GROUP BY user_id)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM paths GROUP BY path
+            ORDER BY n_users DESC, path ASC LIMIT 20
         """,
         "event_funnel": """
             WITH s1 AS (

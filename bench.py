@@ -75,6 +75,8 @@ HEADLINE = [
     "scd2_customers",
     "profile_orders",
     "event_transitions",
+    "event_trends",
+    "session_paths",
     "bpe_pairs",
     "dedup_exact",
     "dedup_incremental",

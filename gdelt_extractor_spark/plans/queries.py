@@ -1453,3 +1453,79 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "n", F.round("p", 6).alias("p"))
         .orderBy("src", "dst")
     )
+
+
+def event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend — closed-form OLS (slope, intercept, r)
+    of daily event counts over time, computed ENTIRELY as an
+    aggregate: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are decimal sums, so the regression needs one shuffle to
+    daily counts and one tiny per-key aggregate — no per-key sorts,
+    no driver math, no MLlib.  x is the epoch day (engine-portable
+    integer), y the day's event count."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("double").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = dsum(F.col("x")), dsum(F.col("y"))
+    sxy = dsum(F.col("x") * F.col("y"))
+    sxx = dsum(F.col("x") * F.col("x"))
+    syy = dsum(F.col("y") * F.col("y"))
+    stats = daily.groupBy("event_type").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxy.alias("sxy"), sxx.alias("sxx"), syy.alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    corr_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr_den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(corr_num / corr_den, 6).alias("r"),
+    ).orderBy("event_type")
+
+
+def session_paths(spark: SparkSession, sf_dir: str, depth: int = 5, k: int = 20) -> DataFrame:
+    """Top-k user journey prefixes: each user's first ``depth``
+    events (by time) joined into a path string, counted corpus-wide
+    — the 'what do users do first' product query.
+
+    One user shuffle for the ranking window; the path assembles from
+    sort_array(collect_list(struct(rn, type))) so it is deterministic
+    under any partition order (collect_list alone is not); top-k is
+    a TakeOrderedAndProject with the path as tie-break."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ranked = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= depth)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        ranked.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(k)
+    )
