@@ -439,3 +439,83 @@ def test_source_overlap_doc_matches_exact_sets(spark, texts):
         assert r.n_shared == shared
         assert r.n_a == len(sets["A"]) and r.n_b == len(sets["B"])
         assert r.containment == round(shared / min(len(sets["A"]), len(sets["B"])), 6)
+
+
+# ---------------------------------------------------- grid_join / fill_gaps
+
+_COORD = st.floats(min_value=-89.9, max_value=89.9, allow_nan=False)
+_LON = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+
+
+@PROP
+@given(
+    pts=st.lists(st.tuples(_COORD, _LON), min_size=1, max_size=25),
+    boxes=st.lists(
+        st.tuples(_COORD, _COORD, _LON, _LON), min_size=1, max_size=6
+    ),
+    cell=st.sampled_from([3.0, 10.0, 45.0]),
+)
+def test_grid_join_equals_naive_containment(spark, pts, boxes, cell):
+    """The grid decomposition must be EXACTLY containment: compare
+    against the naive all-pairs predicate on random geometry."""
+    from gdelt_extractor_spark.operators.geo import grid_join
+
+    pdf = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+        "event_id long, lat double, lon double",
+    )
+    norm_boxes = [
+        (j, min(a, b), max(a, b), min(c, d), max(c, d))
+        for j, (a, b, c, d) in enumerate(boxes)
+    ]
+    bdf = spark.createDataFrame(
+        norm_boxes,
+        "box_id long, lat_min double, lat_max double, "
+        "lon_min double, lon_max double",
+    )
+    got = sorted(
+        (r.event_id, r.box_id)
+        for r in grid_join(pdf, bdf, cell_deg=cell).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (la, lo) in enumerate(pts)
+        for j, lat_min, lat_max, lon_min, lon_max in norm_boxes
+        if lat_min <= la < lat_max and lon_min <= lo < lon_max
+    )
+    assert got == want
+
+
+@PROP
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40),
+                  st.floats(min_value=-5, max_value=5, allow_nan=False)),
+        min_size=1, max_size=15, unique_by=lambda t: t[0],
+    )
+)
+def test_fill_gaps_matches_pandas_ffill(spark, obs):
+    """Forward fill over random sparse day series == pandas ffill
+    over the same reindexed span."""
+    import pandas as _pd
+    from datetime import datetime, timedelta
+
+    from gdelt_extractor_spark.operators.temporal import fill_gaps
+
+    base = datetime(2024, 1, 1)
+    rows = [("k", base + timedelta(days=d), v) for d, v in obs]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r.day: (r.v, r.is_observed)
+        for r in fill_gaps(df, "k", "ts", "v").collect()
+    }
+    days = sorted(d for d, _ in obs)
+    idx = _pd.date_range(base + timedelta(days=days[0]),
+                         base + timedelta(days=days[-1]), freq="D")
+    ser = _pd.Series(
+        {base + timedelta(days=d): v for d, v in obs}
+    ).reindex(idx).ffill()
+    assert len(got) == len(idx)
+    for t, v in ser.items():
+        pv, _ = got[t.to_pydatetime()]
+        assert pv == v
