@@ -258,6 +258,16 @@ def main() -> None:
     # suite average, so the cycle must be shorter than that block.
     # Applied from the warmups on, so timed pass 1 starts at steady
     # state too.
+    #
+    # Residual dedup_semantic variance is a LONG-LIVED-JVM artifact,
+    # not plan cost — measured chain: isolated 5-rep median 2.0s;
+    # fresh session running ONLY the 5-query dedup neighborhood
+    # first, 2.1s (python worker reuse on or off: 2.1 vs 2.2 — not
+    # worker bloat); 40-query suite prefix 3.6-5.6s; full 120-query
+    # suite occasionally 14-24s single reps.  Only hours-long
+    # single-JVM accumulation (block-manager/shuffle metadata the
+    # periodic GC doesn't fully reclaim) reproduces the spikes; a
+    # real cluster's per-job executors never see this state.
     gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8"))
     errors: dict[str, str] = {}
     for name in headline:  # warmup 1: tiny SF — JIT/codegen first-touch
