@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -161,3 +161,43 @@ def run_foreach_batch(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def rank_windows(
+    windowed: DataFrame,
+    k: int = 3,
+    order_col: str = "n_events",
+    key_col: str = "EventRootCode",
+) -> DataFrame:
+    """Per-window top-k over a windowed-count frame — the rank step
+    of a live 'trending topics' board.  A window-function-over-
+    aggregate is unsupported INSIDE a streaming plan, so this runs on
+    FINALIZED batches (inside ``foreachBatch``, or over the memory/
+    complete sink table) — the standard composition.  Deterministic
+    tie-break by key."""
+    w = Window.partitionBy("window").orderBy(
+        F.col(order_col).desc(), F.col(key_col).asc()
+    )
+    return windowed.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def run_trending_topk(
+    stream_df: DataFrame,
+    sink: "Callable[[DataFrame, int], None]",
+    checkpoint_dir: str,
+    k: int = 3,
+    window: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> None:
+    """Live trending top-k pipeline: watermarked windowed counts
+    (state bounded — evicted once the watermark passes the window),
+    then each finalized micro-batch is ranked to per-window top-k
+    before reaching the caller's sink.  Composes ``windowed_counts``
+    → ``rank_windows`` → ``run_foreach_batch``; state stays bounded
+    no matter how long the stream runs."""
+    agg = windowed_counts(stream_df, window=window, watermark=watermark)
+    run_foreach_batch(
+        agg, lambda b, i: sink(rank_windows(b, k), i), checkpoint_dir
+    )

@@ -184,3 +184,26 @@ def test_stateless_operators_compose_with_streams(spark, tmp_path):
         "SELECT doc_id, COUNT(*) n FROM chunk_stream_out GROUP BY doc_id"
     ).collect()
     assert {r.doc_id: r.n for r in got} == {1: 2, 2: 3}
+
+
+def test_stream_trending_topk(spark, landing, tmp_path):
+    """Windowed counts rank to per-window top-1 inside foreachBatch;
+    bounded state (watermark) + deterministic tie-break."""
+    collected = []
+    stream = U.with_event_time(U.stream_gdelt_dir(spark, landing))
+    U.run_trending_topk(
+        stream,
+        lambda b, i: collected.extend(b.collect()),
+        str(tmp_path / "ckpt"),
+        k=1,
+    )
+    # append-mode emits only watermark-finalized windows; drive a
+    # second pass over the complete-mode table for the assertion
+    agg = U.windowed_counts(
+        U.with_event_time(U.stream_gdelt_dir(spark, landing))
+    )
+    U.run_to_memory_sink(agg, "trend_all", output_mode="complete")
+    ranked = U.rank_windows(spark.table("trend_all"), k=1).collect()
+    assert len(ranked) >= 1
+    for r in ranked:
+        assert r.rank == 1 and r.EventRootCode == "19"  # 3 events > 2
