@@ -1095,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_inactive": Q.anti_join_inactive,
         "rollup_daily": Q.rollup_daily,
         "value_quantiles": Q.value_quantiles,
+        "clip_outliers": Q.clip_outliers,
         "value_histogram": Q.value_histogram,
         "approx_quantiles": Q.approx_value_quantiles,
         "asof_last_click": Q.asof_last_click,
@@ -1538,6 +1539,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE floor(value / 5.0) + 1 END AS BIGINT) AS bucket,
               COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "clip_outliers": """
+            WITH bounds AS (
+              SELECT event_type,
+                quantile_cont(value, 0.01) AS _lo,
+                quantile_cont(value, 0.99) AS _hi
+              FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type,
+              round(greatest(least(e.value, b._hi), b._lo), 6) AS value_clipped,
+              (e.value < b._lo OR e.value > b._hi) AS was_clipped
+            FROM events e JOIN bounds b ON e.event_type = b.event_type
         """,
         "value_quantiles": """
             SELECT event_type,

@@ -136,6 +136,7 @@ HEADLINE = [
     "q20_excess_stock",
     "event_spikes",
     "events_gap_fill",
+    "clip_outliers",
     "event_funnel",
     "user_retention",
     "q8_market_share",

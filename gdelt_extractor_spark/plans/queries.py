@@ -1529,3 +1529,31 @@ def session_paths(spark: SparkSession, sf_dir: str, depth: int = 5, k: int = 20)
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+def clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: per-key EXACT percentile bounds (p01/p99 of
+    ``value`` per event type) computed in one small aggregate, then
+    broadcast back onto the stream of rows and clipped with
+    greatest/least — the numeric-curation step that tames heavy
+    tails before standardization.  The corpus never shuffles: the
+    bounds table is |keys| rows, so the join is a broadcast; the
+    clip is a codegen projection.  Exact interpolated percentiles
+    match DuckDB's quantile_cont (same convention as
+    value_quantiles)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("_lo"),
+        F.percentile("value", F.lit(0.99)).alias("_hi"),
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.greatest(F.least(F.col("value"), F.col("_hi")), F.col("_lo")), 6)
+            .alias("value_clipped"),
+            ((F.col("value") < F.col("_lo")) | (F.col("value") > F.col("_hi")))
+            .alias("was_clipped"),
+        )
+    )
