@@ -1096,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_daily": Q.rollup_daily,
         "value_quantiles": Q.value_quantiles,
         "clip_outliers": Q.clip_outliers,
+        "robust_scale": Q.robust_scale,
         "value_histogram": Q.value_histogram,
         "approx_quantiles": Q.approx_value_quantiles,
         "asof_last_click": Q.asof_last_click,
@@ -1539,6 +1540,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE floor(value / 5.0) + 1 END AS BIGINT) AS bucket,
               COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "robust_scale": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS _med
+              FROM events GROUP BY event_type),
+            dev AS (
+              SELECT event_id, e.event_type, e.value, m._med,
+                abs(e.value - m._med) AS _ad
+              FROM events e JOIN med m ON e.event_type = m.event_type),
+            mad AS (
+              SELECT event_type, quantile_cont(_ad, 0.5) AS _mad
+              FROM dev GROUP BY event_type)
+            SELECT event_id, d.event_type,
+              CASE WHEN md._mad > 0 THEN
+                round((d.value - d._med) / (1.4826 * md._mad), 6)
+              END AS robust_z
+            FROM dev d JOIN mad md ON d.event_type = md.event_type
         """,
         "clip_outliers": """
             WITH bounds AS (

@@ -137,6 +137,7 @@ HEADLINE = [
     "event_spikes",
     "events_gap_fill",
     "clip_outliers",
+    "robust_scale",
     "event_funnel",
     "user_retention",
     "q8_market_share",

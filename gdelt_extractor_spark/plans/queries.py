@@ -1557,3 +1557,35 @@ def clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("was_clipped"),
         )
     )
+
+
+def robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust standardization: per-key (value − median) / (1.4826 ·
+    MAD) — the outlier-immune z-score (median absolute deviation,
+    consistency constant for normal data).  Two tiny per-key
+    aggregates (median, then median of absolute deviations), each
+    broadcast back onto the rows — the corpus never shuffles; keys
+    whose MAD is zero yield NULL rather than ±inf."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("_med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "_ad", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("_ad", F.lit(0.5)).alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("_mad") > 0,
+                F.round(
+                    (F.col("value") - F.col("_med")) / (1.4826 * F.col("_mad")), 6
+                ),
+            ).alias("robust_z"),
+        )
+    )
