@@ -44,7 +44,9 @@ from .packing import chunk_documents, pack_sequences
 from .pii import redact_pii, scan_pii
 from .profiling import profile_table
 from .multimodal import (
+    dedup_videos,
     image_phash,
+    video_fingerprint,
     attach_fake_media,
     audio_features,
     frame_sample,
@@ -94,6 +96,7 @@ __all__ = [
     "quality_score", "quantize_embeddings", "range_join", "redact_pii",
     "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
+    "dedup_videos", "video_fingerprint",
     "weighted_sample", "dedup_incremental", "updated_index",
     "dedup_incremental_minhash", "minhash_band_index", "updated_band_index",
     "fuzzy_join", "ngram_repetition", "source_overlap", "source_quality_filter",

@@ -315,3 +315,96 @@ def image_phash(media: DataFrame, dct_size: int = 32, hash_size: int = 8) -> Dat
             yield pd.DataFrame(rows, columns=["media_id", "phash"])
 
     return src.mapInPandas(run, PHASH_SCHEMA)
+
+
+VIDEO_FP_SCHEMA = "media_id bigint, frame_idx int, fhash bigint"
+
+
+def video_fingerprint(
+    media: DataFrame, frame_w: int = 32, frame_h: int = 32, every_n: int = 1
+) -> DataFrame:
+    """Per-video ordered frame-hash sequence: sample frames
+    (``frame_sample``), aHash each frame's pixels, assemble
+    (media_id, frame_hashes array<long>) with
+    sort_array(collect_list(struct)) so the sequence is deterministic
+    under any partition order.  Only the frame decode is the fake;
+    the hash math and the Spark shape (explode → Arrow hash pass →
+    one media_id shuffle) are the production pipeline's."""
+    import numpy as np
+
+    frames = frame_sample(media, every_n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, idx, fb in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_bytes"]
+            ):
+                px = np.asarray(
+                    _fake_decode(bytes(fb), frame_w, frame_h)
+                ).reshape(frame_h, frame_w)
+                ys = np.minimum((np.arange(8) * frame_h) // 8, frame_h - 1)
+                xs = np.minimum((np.arange(8) * frame_w) // 8, frame_w - 1)
+                small = px[np.ix_(ys, xs)].ravel()
+                bits = small > small.mean()
+                val = np.packbits(bits, bitorder="little")[:8].view(np.int64)[0]
+                rows.append((mid, int(idx), int(val)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "fhash"])
+
+    fr = frames.mapInPandas(run, VIDEO_FP_SCHEMA)
+    return fr.groupBy("media_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("frame_idx", "fhash"))),
+            lambda s: s["fhash"],
+        ).alias("frame_hashes")
+    )
+
+
+def dedup_videos(
+    media: DataFrame, threshold: float = 0.5, every_n: int = 1
+) -> DataFrame:
+    """Video near-dup pairs — trimmed / re-cut copy detection: two
+    videos are candidates when they SHARE ANY frame hash (equi-join
+    on the exploded hash — content-derived blocking, never
+    all-pairs), verified by Jaccard over their distinct frame-hash
+    sets.  A trimmed copy keeps most frames → high Jaccard; unrelated
+    videos share no frames and never meet.  Same join discipline as
+    the text shingle family, with frames as the shingles."""
+    fp = video_fingerprint(media, every_n=every_n).localCheckpoint(eager=True)
+    ex = fp.select(
+        "media_id", F.explode(F.array_distinct("frame_hashes")).alias("fh")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("media_id").alias("id_a"),
+        F.array_distinct("frame_hashes").alias("_ha"),
+    )
+    fb = fp.select(
+        F.col("media_id").alias("id_b"),
+        F.array_distinct("frame_hashes").alias("_hb"),
+    )
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_ha", "_hb"))
+                / F.size(F.array_union("_ha", "_hb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

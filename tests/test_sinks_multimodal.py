@@ -369,3 +369,43 @@ def test_write_webdataset_binary_members_and_refusal(spark, tmp_path):
 
     with pytest.raises(NotImplementedError):
         write_webdataset(media, "s3://bucket/x", id_col="media_id")
+
+
+def test_video_dedup_trimmed_copy(spark):
+    """A trimmed copy (same content, fewer frames) pairs with the
+    original; an unrelated video never meets it."""
+    import pyspark.sql.functions as F_
+
+    base = M.attach_fake_media(spark.range(0, 4), "id")
+    # media 100: same CONTENT as media 1 but trimmed to fewer frames
+    trimmed = (
+        base.filter("media_id = 1")
+        .withColumn("media_id", F_.lit(100).cast("long"))
+        .withColumn(
+            "meta",
+            F_.struct(
+                F_.col("meta.format").alias("format"),
+                F_.col("meta.width").alias("width"),
+                F_.col("meta.height").alias("height"),
+                F_.lit(1).cast("int").alias("n_frames"),
+                F_.col("meta.duration_s").alias("duration_s"),
+            ),
+        )
+    )
+    media = base.unionByName(trimmed)
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in M.dedup_videos(media, threshold=0.4).collect()}
+    # media 1 has n_frames = 1%8+1 = 2; trimmed keeps frame 0 of 2
+    assert (1, 100) in pairs and pairs[(1, 100)] >= 0.5
+    assert all({a, b} == {1, 100} for a, b in pairs)
+
+
+def test_video_fingerprint_deterministic(spark):
+    media = M.attach_fake_media(spark.range(0, 6), "id")
+    f1 = {r.media_id: list(r.frame_hashes)
+          for r in M.video_fingerprint(media).collect()}
+    f2 = {r.media_id: list(r.frame_hashes)
+          for r in M.video_fingerprint(media.repartition(5)).collect()}
+    assert f1 == f2
+    # sequence length follows n_frames = id%8+1
+    assert all(len(v) == (k % 8 + 1) for k, v in f1.items())
