@@ -553,6 +553,12 @@ def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dataset card over documents (docs/tokens/chars/sources/
+    langs/dup-rate as metric rows, one aggregate pass)."""
+    return C.corpus_report(_docs(spark, sf_dir, width=0))
+
+
 def _bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training prep: top adjacent-character-pair counts
     (the first BPE merge-step statistic) over the documents corpus,
@@ -1155,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trends": Q.event_trends,
         "session_paths": Q.session_paths,
         "bpe_pairs": _bpe_pairs,
+        "corpus_report": _corpus_report,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
         "dedup_apply": _dedup_apply,
@@ -2585,6 +2592,24 @@ def oracle_sql() -> dict[str, str]:
               round(alpha_ratio, 6) AS alpha_ratio,
               round(least(n_tokens/100.0, 1.0)*0.4 + alpha_ratio*0.3 + (1-stop_ratio)*0.3, 6) AS quality
             FROM m
+        """,
+        "corpus_report": f"""
+            WITH s AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                CAST(SUM(len({toks_text})) AS DOUBLE) AS n_tokens,
+                CAST(SUM(length(text)) AS DOUBLE) AS n_chars,
+                CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+                CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+                CAST(COUNT(DISTINCT md5({_NORM.format(c='text')})) AS DOUBLE) AS _uniq
+              FROM documents)
+            SELECT metric, value FROM (
+              SELECT 'n_docs' AS metric, n_docs AS value FROM s
+              UNION ALL SELECT 'n_tokens', n_tokens FROM s
+              UNION ALL SELECT 'n_chars', n_chars FROM s
+              UNION ALL SELECT 'n_sources', n_sources FROM s
+              UNION ALL SELECT 'n_langs', n_langs FROM s
+              UNION ALL SELECT 'dup_rate', round(1 - _uniq / n_docs, 6) FROM s)
+            ORDER BY metric
         """,
         "bpe_pairs": f"""
             WITH words AS (

@@ -78,6 +78,7 @@ HEADLINE = [
     "event_trends",
     "session_paths",
     "bpe_pairs",
+    "corpus_report",
     "dedup_exact",
     "dedup_incremental",
     "dedup_apply",

@@ -2,6 +2,7 @@
 function; import from here for the public API."""
 
 from .curation import (
+    corpus_report,
     source_quality_filter,
     corpus_stats,
     decontaminate,
@@ -84,7 +85,8 @@ __all__ = [
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
     "fill_gaps", "fingerprint", "frame_sample", "geo_project", "image_features",
     "image_phash",
-    "connected_components", "cut_duplicate_spans", "dedup_semantic", "grid_join",
+    "connected_components", "corpus_report", "cut_duplicate_spans",
+    "dedup_semantic", "grid_join",
     "duplicate_spans", "keep_canonical", "span_dup_fraction",
     "cluster_prune", "ivf_fit_centroids", "keyword_freq", "kmeans_cluster",
     "kmeans_fit",

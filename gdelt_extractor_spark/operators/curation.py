@@ -648,3 +648,41 @@ def source_quality_filter(
     return scored.join(F.broadcast(good), source_col, "left_semi").select(
         "doc_id", source_col, "quality"
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-call dataset card: the global numbers every corpus README
+    leads with — documents, tokens, characters, sources, languages,
+    and the exact-duplicate rate — as (metric, value) rows from ONE
+    aggregate pass (the distinct counts share Spark's standard
+    Expand-based multi-distinct; nothing collects).  Complements
+    ``corpus_stats`` (the per-stratum budget table).  Values are
+    DOUBLE for a uniform unpivot; all are exact integer counts
+    except dup_rate."""
+    from ..functions.text import normalize_text, tokens
+
+    one = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("double").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("double").alias("n_chars"),
+        F.count_distinct(F.col(source_col)).cast("double").alias("n_sources"),
+        F.count_distinct(F.col(lang_col)).cast("double").alias("n_langs"),
+        F.count_distinct(F.md5(normalize_text(text_col)))
+        .cast("double")
+        .alias("_uniq"),
+    ).withColumn(
+        "dup_rate", F.round(1 - F.col("_uniq") / F.col("n_docs"), 6)
+    )
+    return one.select(
+        F.expr(
+            "stack(6, 'n_docs', n_docs, 'n_tokens', n_tokens, "
+            "'n_chars', n_chars, 'n_sources', n_sources, "
+            "'n_langs', n_langs, 'dup_rate', dup_rate) AS (metric, value)"
+        )
+    ).orderBy("metric")
