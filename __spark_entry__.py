@@ -1103,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": Q.value_quantiles,
         "clip_outliers": Q.clip_outliers,
         "robust_scale": Q.robust_scale,
+        "biggest_moves": Q.biggest_moves,
         "value_histogram": Q.value_histogram,
         "approx_quantiles": Q.approx_value_quantiles,
         "asof_last_click": Q.asof_last_click,
@@ -1547,6 +1548,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE floor(value / 5.0) + 1 END AS BIGINT) AS bucket,
               COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "biggest_moves": """
+            WITH daily AS (
+              SELECT event_type,
+                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            deltas AS (
+              SELECT event_type, day,
+                n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+              FROM daily),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY abs(delta) DESC, day DESC) AS rn
+              FROM deltas WHERE delta IS NOT NULL)
+            SELECT event_type, CAST(abs(delta) AS BIGINT) AS move,
+              CAST(day AS BIGINT) AS day, CAST(delta AS BIGINT) AS delta
+            FROM ranked WHERE rn = 1 ORDER BY event_type
         """,
         "robust_scale": """
             WITH med AS (

@@ -139,6 +139,7 @@ HEADLINE = [
     "events_gap_fill",
     "clip_outliers",
     "robust_scale",
+    "biggest_moves",
     "event_funnel",
     "user_retention",
     "q8_market_share",

@@ -1589,3 +1589,35 @@ def robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+def biggest_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest day-over-day volume swing per key: daily counts, a
+    lag window for the delta, then the per-key argmax taken as
+    MAX(struct(|Δ|, day, Δ)) — no second window, no join-back; the
+    struct's lexicographic order makes the tie-break (latest day)
+    explicit and engine-portable."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    delta = (F.col("n") - F.lag("n").over(w)).cast("long")
+    with_delta = daily.withColumn("delta", delta).filter(
+        F.col("delta").isNotNull()
+    )
+    best = with_delta.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.abs("delta").alias("move"),
+                F.col("day").alias("day"),
+                F.col("delta").alias("delta"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.move").alias("move"),
+        F.col("b.day").alias("day"),
+        F.col("b.delta").alias("delta"),
+    ).orderBy("event_type")
