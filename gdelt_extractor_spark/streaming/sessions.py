@@ -125,3 +125,97 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ------------------------------------------------- stateful rate cap
+
+CAP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("admitted", T.BooleanType()),
+    ]
+)
+
+# state: (current window start µs, events seen in that window)
+_CAP_STATE_SCHEMA = "win_us long, n long"
+
+
+def _rate_cap_fn(window_s: int, max_per_window: int):
+    win_us = window_s * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()  # window long past the watermark: free it
+            return
+
+        win_start, n = state.get if state.exists else (None, 0)
+        out_t: list[int] = []
+        out_a: list[bool] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_time")
+            ts_us = pdf["event_time"].astype("int64") // 1000
+            for t in ts_us.to_numpy():
+                t = int(t)
+                w = (t // win_us) * win_us
+                if w != win_start:
+                    win_start, n = w, 0
+                out_t.append(t)
+                out_a.append(n < max_per_window)
+                n += 1
+        timeout_ms = win_start // 1000 + 2 * window_s * 1000
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            state.remove()  # already expired — a past timeout is invalid
+        else:
+            state.update((win_start, n))
+            state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_t),
+                "event_time": [pd.Timestamp(t * 1000) for t in out_t],
+                "admitted": out_a,
+            }
+        )
+
+    return fn
+
+
+def streaming_rate_cap(
+    events: DataFrame,
+    window_s: int = 60,
+    max_per_window: int = 5,
+    watermark: str = "30 minutes",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Per-key event-time frequency cap — the ingestion rate limiter:
+    each key admits at most ``max_per_window`` events per tumbling
+    ``window_s`` window; every event emits with an ``admitted`` flag
+    so the caller can route rejects to a spill/sample path instead of
+    silently dropping.
+
+    Why stateful (the built-ins can't express it): admission depends
+    on HOW MANY earlier events the key already spent in the current
+    window — a running per-key counter, not an aggregate over a
+    closed window.  State is one (window_start, count) tuple per
+    ACTIVE key, removed by event-time timeout once the watermark
+    passes the window — O(active keys) memory forever, same posture
+    as ``streaming_sessionize``.  Late events older than the current
+    window reset the counter (single-window state — the standard
+    limitation; watermark-bounded lateness keeps the window current).
+    """
+    if time_col != "event_time":
+        events = events.withColumnRenamed(time_col, "event_time")
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _rate_cap_fn(window_s, max_per_window),
+            outputStructType=CAP_SCHEMA,
+            stateStructType=_CAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

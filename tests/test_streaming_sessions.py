@@ -77,3 +77,64 @@ def test_streaming_sessionize(spark, landing):
             assert (str(r.session_start), r.n_events, r.sum_value) == (
                 "2024-01-01 12:00:00", 1, 0.5,
             )
+
+
+@pytest.fixture()
+def cap_landing(tmp_path):
+    d = tmp_path / "cap"
+    d.mkdir()
+    # batch 1: user 1 sends 4 events inside minute 10:00
+    (d / "b1.csv").write_text(
+        "1,2024-01-01 10:00:01,1.0\n"
+        "1,2024-01-01 10:00:02,1.0\n"
+        "1,2024-01-01 10:00:03,1.0\n"
+        "1,2024-01-01 10:00:04,1.0\n"
+    )
+    # batch 2: two more in the SAME minute (counter must persist
+    # across batches: one admitted, one rejected), then a new minute
+    # (counter resets)
+    (d / "b2.csv").write_text(
+        "1,2024-01-01 10:00:30,1.0\n"
+        "1,2024-01-01 10:00:31,1.0\n"
+        "1,2024-01-01 10:01:05,1.0\n"
+    )
+    import os
+    import time
+
+    now = time.time()
+    os.utime(d / "b1.csv", (now - 60, now - 60))
+    os.utime(d / "b2.csv", (now, now))
+    return str(d)
+
+
+def test_streaming_rate_cap(spark, cap_landing):
+    from gdelt_extractor_spark.streaming.sessions import streaming_rate_cap
+
+    stream = (
+        spark.readStream.format("csv")
+        .option("maxFilesPerTrigger", "1")
+        .schema(SCHEMA)
+        .load(cap_landing)
+    )
+    out = streaming_rate_cap(stream, window_s=60, max_per_window=5)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cap_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM cap_out ORDER BY event_time").collect()
+    got = [(str(r.event_time), r.admitted) for r in rows]
+    assert got == [
+        ("2024-01-01 10:00:01", True),
+        ("2024-01-01 10:00:02", True),
+        ("2024-01-01 10:00:03", True),
+        ("2024-01-01 10:00:04", True),
+        ("2024-01-01 10:00:30", True),    # 5th in the window
+        ("2024-01-01 10:00:31", False),   # 6th: capped
+        ("2024-01-01 10:01:05", True),    # new window: reset
+    ]
