@@ -553,6 +553,21 @@ def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed model-free text embeddings (the bridge from
+    the text corpus into the embedding machinery).  Rows-only gate:
+    DuckDB has no xxhash64; determinism/similarity-ordering/ANN-chain
+    properties are unit-tested in tests/test_textstats.py.  The
+    vector serializes to CSV for a stable 2-column schema."""
+    emb = TS.hashed_embedding(_docs(spark, sf_dir, width=0), "doc_id", "text")
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform("embedding", lambda x: F.round(x, 6).cast("string")), ","
+        ).alias("embedding_csv"),
+    )
+
+
 def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global dataset card over documents (docs/tokens/chars/sources/
     langs/dup-rate as metric rows, one aggregate pass)."""
@@ -1163,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": Q.session_paths,
         "bpe_pairs": _bpe_pairs,
         "corpus_report": _corpus_report,
+        "hashed_embeddings": _hashed_embeddings,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
         "dedup_apply": _dedup_apply,

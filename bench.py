@@ -79,6 +79,7 @@ HEADLINE = [
     "session_paths",
     "bpe_pairs",
     "corpus_report",
+    "hashed_embeddings",
     "dedup_exact",
     "dedup_incremental",
     "dedup_apply",

@@ -69,6 +69,7 @@ from .temporal import asof_join, fill_gaps, range_join, scd2_apply
 from .textstats import (
     bpe_pair_counts,
     fingerprint,
+    hashed_embedding,
     lang_id,
     ngram_repetition,
     quality_score,
@@ -83,8 +84,8 @@ __all__ = [
     "decontaminate", "dedup_containment", "dedup_embedding", "dedup_exact",
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
-    "fill_gaps", "fingerprint", "frame_sample", "geo_project", "image_features",
-    "image_phash",
+    "fill_gaps", "fingerprint", "frame_sample", "geo_project",
+    "hashed_embedding", "image_features", "image_phash",
     "connected_components", "corpus_report", "cut_duplicate_spans",
     "dedup_semantic", "grid_join",
     "duplicate_spans", "keep_canonical", "span_dup_fraction",

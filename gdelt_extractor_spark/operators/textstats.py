@@ -660,3 +660,66 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    seed: str = "hash-emb-v1",
+) -> DataFrame:
+    """Feature-hashed document embeddings (Weinberger et al. 2009):
+    every token hashes to one of ``dim`` buckets with a ±1 sign from
+    a second hash bit; the L2-normalized bucket-count vector is a
+    cheap, deterministic, model-free embedding — the bridge that
+    lets the TEXT corpus flow into the embedding machinery
+    (ann_bruteforce / dedup_embedding / SemDeDup / kmeans) without
+    any external model.
+
+    Scale shape: explode → one (doc, bucket) shuffle with map-side
+    partial sums → per-doc map assembly → a codegen projection
+    densifies to array<double> and normalizes.  No UDF anywhere;
+    signs cancel hash collisions in expectation (the standard
+    trick).  Output: (id, embedding array<double>, unit L2 norm;
+    all-zero docs yield the zero vector).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    ).filter(F.col("t") != "")
+    h = F.xxhash64(F.col("t"), F.lit(seed))
+    bucketed = toks.select(
+        "id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("b"),
+        F.when(F.pmod(F.xxhash64(F.col("t"), F.lit(seed + ":sign")), F.lit(2)) == 0, -1.0)
+        .otherwise(1.0)
+        .alias("s"),
+    )
+    counts = bucketed.groupBy("id", "b").agg(F.sum("s").alias("c"))
+    as_map = counts.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("m")[i.cast("int")], F.lit(0.0)),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        as_map.withColumn("_v", dense)
+        .withColumn("_n", nrm)
+        .select(
+            F.col("id").alias(id_col),
+            F.when(
+                F.col("_n") > 0,
+                F.transform(F.col("_v"), lambda x: x / F.col("_n")),
+            )
+            .otherwise(F.col("_v"))
+            .alias("embedding"),
+        )
+    )

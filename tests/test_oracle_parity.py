@@ -76,6 +76,7 @@ ROWS_ONLY = (
     "cluster_embeddings",
     "cluster_prune",
     "dedup_incremental_minhash",
+    "hashed_embeddings",
 )
 
 

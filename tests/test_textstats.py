@@ -245,3 +245,52 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     )
     got = {r.pair: r.n for r in bpe_pair_counts(df, "doc_id", "text").collect()}
     assert got == {"aa": 3, "ab": 1}
+
+
+class TestHashedEmbedding:
+    def _emb(self, spark, rows):
+        from gdelt_extractor_spark.operators.textstats import hashed_embedding
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: list(r.embedding)
+                for r in hashed_embedding(df, "doc_id", "text").collect()}
+
+    def test_deterministic_and_partition_independent(self, spark):
+        from gdelt_extractor_spark.operators.textstats import hashed_embedding
+
+        rows = [(i, f"some shared words plus token{i} extra") for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {r.doc_id: list(r.embedding)
+             for r in hashed_embedding(df.repartition(3), "doc_id", "text").collect()}
+        b = {r.doc_id: list(r.embedding)
+             for r in hashed_embedding(df.repartition(7), "doc_id", "text").collect()}
+        assert a == b
+
+    def test_similarity_ordering_and_norm(self, spark):
+        import math
+
+        got = self._emb(spark, [
+            (1, "spark shuffles partitions and broadcasts joins"),
+            (2, "spark shuffles partitions and broadcasts tables"),   # near-dup of 1
+            (3, "entirely unrelated culinary discussion of breads"),
+        ])
+        def cos(a, b):
+            return sum(x * y for x, y in zip(a, b))
+        for v in got.values():
+            assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+        assert cos(got[1], got[2]) > cos(got[1], got[3]) + 0.3
+
+    def test_chains_into_ann(self, spark):
+        """The bridge works: hashed text embeddings flow straight
+        into the embedding ANN machinery."""
+        from gdelt_extractor_spark.operators.similarity import ann_bruteforce
+        from gdelt_extractor_spark.operators.textstats import hashed_embedding
+
+        rows = [(i, "alpha beta gamma " + ("delta " * (i % 3))) for i in range(9)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        emb = hashed_embedding(df, "doc_id", "text").withColumnRenamed(
+            "doc_id", "vec_id"
+        )
+        out = ann_bruteforce(emb, emb.filter("vec_id = 0"), k=3,
+                             query_id_col="vec_id")
+        assert len(out.collect()) == 3
