@@ -601,6 +601,15 @@ def _cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.cluster_prune(emb, k=8, keep_fraction=0.6, n_iter=3)
 
 
+def _contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (anchor, positive, negative) triplet mining from
+    the embedding clusters — the contrastive-training data prep.
+    Rows-only gate (k-means inside); cluster-membership semantics and
+    partition independence are tested in tests/test_clustering.py."""
+    emb = _emb(spark, sf_dir, width=0)
+    return CL.contrastive_triplets(emb, k=8, n_iter=2)
+
+
 def _quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table.  The qvec
     array serializes to CSV for the value-hash gate (portable across
@@ -1179,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": _bpe_pairs,
         "corpus_report": _corpus_report,
         "hashed_embeddings": _hashed_embeddings,
+        "contrastive_triplets": _contrastive_triplets,
         # §2c LLM-data ops
         "dedup_exact": _dedup_exact,
         "dedup_apply": _dedup_apply,

@@ -80,6 +80,7 @@ HEADLINE = [
     "bpe_pairs",
     "corpus_report",
     "hashed_embeddings",
+    "contrastive_triplets",
     "dedup_exact",
     "dedup_incremental",
     "dedup_apply",

@@ -54,7 +54,12 @@ from .multimodal import (
     image_features,
     resize_images,
 )
-from .clustering import cluster_prune, kmeans_cluster, kmeans_fit
+from .clustering import (
+    cluster_prune,
+    contrastive_triplets,
+    kmeans_cluster,
+    kmeans_fit,
+)
 from .similarity import (
     ann_bruteforce,
     ann_ivf,
@@ -86,7 +91,8 @@ __all__ = [
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",
     "fill_gaps", "fingerprint", "frame_sample", "geo_project",
     "hashed_embedding", "image_features", "image_phash",
-    "connected_components", "corpus_report", "cut_duplicate_spans",
+    "connected_components", "contrastive_triplets", "corpus_report",
+    "cut_duplicate_spans",
     "dedup_semantic", "grid_join",
     "duplicate_spans", "keep_canonical", "span_dup_fraction",
     "cluster_prune", "ivf_fit_centroids", "keyword_freq", "kmeans_cluster",

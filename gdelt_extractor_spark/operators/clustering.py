@@ -290,3 +290,64 @@ def cluster_prune(
         .filter(F.col("_rk") > n_drop)
         .select(id_col, "cluster", F.round("dist", 6).alias("dist"))
     )
+
+
+def contrastive_triplets(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "triplets-v1",
+    tol: float = 1e-6,
+    persist: bool = True,
+) -> DataFrame:
+    """Deterministic contrastive-training triplets mined from the
+    embedding clusters: each anchor pairs with a POSITIVE from its
+    own k-means cluster and a NEGATIVE representative from the next
+    cluster — the self-supervised (anchor, pos, neg) mining step,
+    with no randomness to replay.
+
+    Positives come from a salted-hash ring inside each cluster (lead
+    over the hash order, wrapping to the first member — every
+    non-singleton cluster member gets exactly one positive);
+    negatives are each cluster's min-id representative joined from a
+    broadcast k-row table, cluster (c+1) mod k.  One cluster-keyed
+    window shuffle on top of the k-means tagging pass; singleton
+    clusters drop (no in-cluster positive exists), and an anchor
+    whose next cluster happens to be empty drops with it (pick a
+    smaller k if clusters run empty).
+    """
+    from pyspark.sql import Window
+
+    tagged = kmeans_cluster(
+        vectors,
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        tol=tol,
+        persist=persist,
+    ).select(F.col(id_col).alias("anchor_id"), "cluster")
+    order = F.xxhash64(F.col("anchor_id").cast("string"), F.lit(salt))
+    w = Window.partitionBy("cluster").orderBy(order.asc(), F.col("anchor_id").asc())
+    ring = tagged.withColumn(
+        "positive_id",
+        F.coalesce(
+            F.lead("anchor_id").over(w),
+            F.first("anchor_id").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        ),
+    ).filter(F.col("positive_id") != F.col("anchor_id"))  # singletons drop
+    reps = (
+        tagged.groupBy("cluster")
+        .agg(F.min("anchor_id").alias("negative_id"))
+        .select((F.col("cluster")).alias("_nc"), "negative_id")
+    )
+    return (
+        ring.withColumn("_nc", (F.col("cluster") + 1) % k)
+        .join(F.broadcast(reps), "_nc")
+        .select("anchor_id", "positive_id", "negative_id", "cluster")
+        .orderBy("anchor_id")
+    )

@@ -150,3 +150,36 @@ def test_cluster_prune_partition_independence(spark, sf_dir):
         for r in cluster_prune(emb.repartition(13), k=4, keep_fraction=0.5, n_iter=2).collect()
     )
     assert a == b
+
+
+def test_contrastive_triplets_semantics(spark, sf_dir):
+    """Positives share the anchor's cluster, negatives never do,
+    every non-singleton member anchors exactly one triplet, and the
+    result is partition-independent."""
+    from gdelt_extractor_spark.operators.clustering import (
+        contrastive_triplets,
+        kmeans_cluster,
+    )
+
+    emb = _emb(spark, sf_dir)
+    clusters = {r.vec_id: r.cluster
+                for r in kmeans_cluster(emb, k=4, n_iter=2).collect()}
+    trip = contrastive_triplets(emb, k=4, n_iter=2).collect()
+    import collections
+
+    sizes = collections.Counter(clusters.values())
+    expect_anchors = sum(n for n in sizes.values() if n > 1)
+    assert len(trip) == expect_anchors
+    for r in trip:
+        assert clusters[r.anchor_id] == clusters[r.positive_id]
+        assert r.anchor_id != r.positive_id
+        assert clusters[r.negative_id] != clusters[r.anchor_id]
+
+    a = sorted((r.anchor_id, r.positive_id, r.negative_id) for r in trip)
+    b = sorted(
+        (r.anchor_id, r.positive_id, r.negative_id)
+        for r in contrastive_triplets(
+            emb.repartition(9), k=4, n_iter=2
+        ).collect()
+    )
+    assert a == b

@@ -77,6 +77,7 @@ ROWS_ONLY = (
     "cluster_prune",
     "dedup_incremental_minhash",
     "hashed_embeddings",
+    "contrastive_triplets",
 )
 
 
