@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: median_sec}, "runs": {name: [sec, ...]},
-"n_errors": N, "incomplete": bool, "sf": ...}.
+ONE COMPACT JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "n_queries": N, "subtotal_r4set": sec, "queries": {name:
+median_sec for the most expensive queries that fit ~1.8 KB},
+"n_errors": N, "incomplete": bool, "sf": ...}.  The COMPLETE
+per-query medians and raw rep timings are written to
+``BENCH_FULL.json`` next to this file (committed per round) — the
+stdout line must stay under the driver's ~2 KB stdout-tail capture
+or the round records "parsed": null (this is what happened to
+BENCH_r05).
 
 Per-query numbers are MEDIANS over N_REPS interleaved full passes
 (pass 1 times every query once, then pass 2, ...), so a one-off GC
@@ -176,6 +182,30 @@ HEADLINE = [
 ]
 
 
+# The 58-query set BENCH_r04 timed — "subtotal_r4set" sums these so
+# rounds stay comparable as the suite grows.
+R4_HEADLINE = [
+    "q1_pricing_summary", "q3_top_unshipped", "q5_region_volume",
+    "topk_per_group", "events_hourly", "sessionize", "pivot_event_values",
+    "anti_join_inactive", "dedup_first_by_key", "enrich_articles",
+    "keyword_freq", "lookup_rollup", "lookup_country_rollup",
+    "gkg_theme_cooccurrence", "quad_class_rollup", "goldstein_daily",
+    "geo_project", "dedup_exact", "dedup_apply", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+    "dedup_semantic", "dup_clusters", "pii_scan", "pack_sequences",
+    "mix_sources", "ann_topk", "ann_lsh_topk", "lang_id", "quality_score",
+    "gopher_rules", "token_stats", "fingerprint", "rollup_daily",
+    "value_quantiles", "asof_last_click", "decontaminate", "sample_split",
+    "corpus_stats", "q17_small_qty_revenue", "window_running",
+    "range_count_clicks_after_error", "user_set_ops",
+    "approx_distinct_users", "ann_ivf_topk", "props_json_extract",
+    "stratified_sample", "user_top_event", "cube_volume",
+    "q4_priority_exists", "order_price_ranks", "repetition_stats",
+    "remove_boilerplate", "lang_confusion", "tfidf_top_terms",
+    "top_bigrams",
+]
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -329,10 +359,17 @@ def main() -> None:
         if ts and n not in errors
     }
 
-    out: dict = {
+    # r4-comparable subtotal: the 58-query set BENCH_r04 timed, so the
+    # headline "value" growing with the suite doesn't read as a
+    # regression round-over-round.
+    r4set = [n for n in R4_HEADLINE if n in timings]
+    full: dict = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "n_queries": len(timings),
+        "subtotal_r4set": round(sum(timings[n] for n in r4set), 3),
+        "n_r4set": len(r4set),
         "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
         "runs": {n: ts for n, ts in reps.items() if ts},
         "n_errors": len(errors),
@@ -340,9 +377,36 @@ def main() -> None:
         "incomplete": bool(errors) or bool(subset) or reps_run < N_REPS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # Always exit 0 with the JSON line emitted: the driver's parse of
-    # stdout is the gate; per-query errors are visible in "queries".
-    print(json.dumps(out))
+    # Full per-query medians + raw reps go to a repo file (committed
+    # each round); stdout gets ONE COMPACT line.  The driver captures
+    # only a bounded tail of stdout (~2 KB) and parses the JSON line
+    # out of it — r5's 124-query line with per-rep arrays overflowed
+    # the tail, truncating the line's START, and the round lost all
+    # perf data ("parsed": null).  Compact line: all summary fields +
+    # the most expensive per-query medians that fit the budget.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the summary
+    compact = {k: v for k, v in full.items() if k != "runs"}
+    budget = 1800  # chars; driver tail observed ~2048
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    keep = len(by_cost)
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > budget and keep > 0:
+        keep -= 1
+        compact["queries"] = {
+            **{n: timings[n] for n in by_cost[:keep]},
+            **{n: {"err": e} for n, e in errors.items()},
+        }
+        compact["queries_shown"] = keep
+        line = json.dumps(compact, separators=(",", ":"))
+    # Always exit 0 with the JSON line emitted LAST: the driver's
+    # parse of the stdout tail is the gate.
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -696,8 +696,26 @@ def hashed_embedding(
         .alias("s"),
     )
     counts = bucketed.groupBy("id", "b").agg(F.sum("s").alias("c"))
-    as_map = counts.groupBy("id").agg(
-        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+    # Left-join the bucket aggregates back onto the distinct input ids:
+    # a doc whose text tokenizes to nothing emits no explode rows and
+    # would otherwise vanish from the output instead of yielding the
+    # documented zero vector (ADVICE r5).  The ids frame is one row
+    # per doc and joins on the same key the aggregate shuffled on.
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    as_map = ids.join(
+        counts.groupBy("id").agg(
+            F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+        ),
+        "id",
+        "left",
+    ).withColumn(
+        "m",
+        F.coalesce(
+            "m",
+            F.map_from_arrays(
+                F.array().cast("array<int>"), F.array().cast("array<double>")
+            ),
+        ),
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),

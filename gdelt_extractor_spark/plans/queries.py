@@ -1419,7 +1419,10 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair.  Week bucketing is integer epoch-day division (engine-
     portable, no WEEK() locale dependence)."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    week = (F.unix_date(F.to_date("ts")) / F.lit(7)).cast("long")
+    # floor(), not cast("long"): cast truncates toward zero, which
+    # diverges from the oracle's FLOOR for pre-1970 (negative epoch-
+    # day) timestamps (ADVICE r5).
+    week = F.floor(F.unix_date(F.to_date("ts")) / F.lit(7)).cast("long")
     w = Window.partitionBy("user_id")
     tagged = (
         e.withColumn("week", week)

@@ -47,5 +47,9 @@ def get_spark(app_name: str = "gdelt_extractor_spark") -> SparkSession:
         # is sized separately anyway.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Stage-progress bars write \r frames to stdout; the bench
+        # driver parses bench.py's final JSON line from a bounded
+        # stdout tail, so keep stdout machine-clean everywhere.
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

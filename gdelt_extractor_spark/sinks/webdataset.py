@@ -19,9 +19,11 @@ and user info, which would break byte-identical re-exports).
 
 Crash safety (same discipline as ``files.compact_parquet`` /
 ``pipelines.live``): tasks write into ``<path>/_staging``; only
-after the Spark job fully succeeds does the driver rename the tars
-into place and drop the previous export.  A crash leaves either the
-old export or an inert staging dir — never a half-visible mix.
+after the Spark job fully succeeds does the driver finalize with
+per-file ``os.replace`` (manifest staged with the tars, stale-shard
+removal only after the manifest swap — no pre-delete).  A crash
+leaves whole files only (each shard either old or new bytes, plus a
+whole manifest) and re-running converges byte-identically.
 LOCAL-FILESYSTEM ONLY (guarded): on an object store this belongs
 behind a committer; the rename finalize is not atomic on S3.
 """
@@ -91,17 +93,23 @@ def write_webdataset(
         stats: dict[int, list[int]] = {}
         try:
             for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    d = row._asdict()
-                    shard = int(d["wds_shard"])
+                # zip over real column names — itertuples renames any
+                # column that isn't a Python identifier (an extension
+                # with a dot/dash, e.g. 'seg.png') to a positional _N
+                # field and the lookup would KeyError (ADVICE r5).
+                member_cols = [f"wds_m_{ext}" for ext in exts]
+                for wds_id, shard, *vals in zip(
+                    pdf["wds_id"], pdf["wds_shard"],
+                    *(pdf[c] for c in member_cols),
+                ):
+                    shard = int(shard)
                     if shard not in tars:
                         tars[shard] = tarfile.open(
                             os.path.join(staging, f"shard-{shard:05d}.tar"), "w"
                         )
                         stats[shard] = [0, 0]
                     tf = tars[shard]
-                    for ext in exts:
-                        val = d[f"wds_m_{ext}"]
+                    for ext, val in zip(exts, vals):
                         if val is None:
                             continue
                         data = (
@@ -109,7 +117,7 @@ def write_webdataset(
                             if isinstance(val, str)
                             else bytes(val)
                         )
-                        info = tarfile.TarInfo(name=f"{d['wds_id']}.{ext}")
+                        info = tarfile.TarInfo(name=f"{wds_id}.{ext}")
                         info.size = len(data)
                         info.mtime = 0
                         info.uid = info.gid = 0
@@ -135,13 +143,26 @@ def write_webdataset(
         key=lambda r: r["shard"],
     )
 
-    # finalize: job succeeded → move tars into place, drop old export
-    for name in os.listdir(path):
-        if name.endswith(".tar"):
-            os.remove(os.path.join(path, name))
-    for name in sorted(os.listdir(staging)):
-        os.replace(os.path.join(staging, name), os.path.join(path, name))
-    shutil.rmtree(staging)
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
+    # Finalize: job succeeded → per-file os.replace ONLY, no pre-delete
+    # (ADVICE r5: the old delete-then-move left missing shards or a
+    # stale manifest on a mid-finalize crash).  The new manifest is
+    # staged alongside the tars, same-named shards are atomically
+    # replaced one file at a time, the manifest swap is the commit
+    # point, and only AFTERWARDS are shard names absent from the new
+    # export removed.  A crash at any point leaves every shard file
+    # whole (old or new bytes, never truncated) plus a whole manifest;
+    # re-running the export converges because shard assignment and tar
+    # bytes are content-deterministic.
+    with open(os.path.join(staging, "manifest.json"), "w") as fh:
         json.dump(manifest_rows, fh, indent=1)
+    new_tars = sorted(n for n in os.listdir(staging) if n.endswith(".tar"))
+    for name in new_tars:
+        os.replace(os.path.join(staging, name), os.path.join(path, name))
+    os.replace(
+        os.path.join(staging, "manifest.json"), os.path.join(path, "manifest.json")
+    )
+    for name in os.listdir(path):  # stale shards not in the new export
+        if name.endswith(".tar") and name not in new_tars:
+            os.remove(os.path.join(path, name))
+    shutil.rmtree(staging)
     return manifest_rows

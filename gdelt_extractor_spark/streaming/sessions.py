@@ -155,9 +155,16 @@ def _rate_cap_fn(window_s: int, max_per_window: int):
         win_start, n = state.get if state.exists else (None, 0)
         out_t: list[int] = []
         out_a: list[bool] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_time")
-            ts_us = pdf["event_time"].astype("int64") // 1000
+        # Materialize ALL Arrow chunks before sorting: a hot key's
+        # micro-batch rows can span chunks, and a per-chunk sort would
+        # process timestamps out of order across the chunk boundary —
+        # exactly the keys a rate limiter targets (ADVICE r5).  Bounded
+        # by micro-batch size per key, the same bound the per-chunk
+        # form already had in aggregate.
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("event_time")
+            ts_us = batch["event_time"].astype("int64") // 1000
             for t in ts_us.to_numpy():
                 t = int(t)
                 w = (t // win_us) * win_us
@@ -166,6 +173,8 @@ def _rate_cap_fn(window_s: int, max_per_window: int):
                 out_t.append(t)
                 out_a.append(n < max_per_window)
                 n += 1
+        if win_start is None:  # no rows and no prior state: nothing to keep
+            return
         timeout_ms = win_start // 1000 + 2 * window_s * 1000
         if timeout_ms <= state.getCurrentWatermarkMs():
             state.remove()  # already expired — a past timeout is invalid

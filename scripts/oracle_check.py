@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Full-registry replica of the driver's t2 correctness gate.
+
+The driver grades only the FIRST 50 ``queries()`` entries per round
+(observed r4+r5: CORRECTNESS_r0{4,5}.json each hold exactly the
+registry's first 50 keys, in order).  The registry rotates per round
+so every entry accumulates a driver-verified row, and THIS script
+covers the whole registry every round: it runs every entry at the
+driver's own scale (sf0.01 by default), compares against the
+``oracle_sql()`` DuckDB twin with the same contract (row count,
+column names, order-insensitive value equality), and writes
+``CORRECTNESS_FULL_LOCAL.json`` in the driver's per-query format
+plus per-query wall seconds.
+
+Usage:  python scripts/oracle_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from gdelt_extractor_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def canon(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(
+            None if isinstance(v, float) and math.isnan(v) else v for v in row
+        ))
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results: dict[str, dict] = {}
+    t_total0 = time.perf_counter()
+    for name, fn in queries.items():
+        rec: dict = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None, "sec": None,
+        }
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(sdf)
+            if name in oracles:
+                ddf = con.sql(oracles[name]).df()
+                rec["oracle_rows"] = len(ddf)
+                rec["rows_match"] = len(sdf) == len(ddf)
+                rec["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
+                rec["hash_match"] = (
+                    rec["rows_match"] and rec["schema_match"]
+                    and canon(sdf) == canon(ddf)
+                )
+            else:
+                rec["err"] = "no_oracle"
+        except Exception as exc:  # noqa: BLE001 — recorded per query
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+        rec["sec"] = round(time.perf_counter() - t0, 2)
+        results[name] = rec
+        status = (
+            "PASS" if rec["hash_match"]
+            else ("rows-only" if rec["err"] == "no_oracle" else "FAIL")
+        )
+        print(f"{name}: {status} ({rec['sec']}s)", flush=True)
+
+    n_pass = sum(1 for r in results.values() if r["hash_match"])
+    n_rows_only = sum(1 for r in results.values() if r["err"] == "no_oracle")
+    n_fail = len(results) - n_pass - n_rows_only
+    summary = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_hash_match": n_pass,
+        "n_rows_only": n_rows_only,
+        "n_fail_or_err": n_fail,
+        "total_sec": round(time.perf_counter() - t_total0, 1),
+    }
+    out = {"_summary": summary, **results}
+    with open(os.path.join(REPO, "CORRECTNESS_FULL_LOCAL.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(summary))
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
