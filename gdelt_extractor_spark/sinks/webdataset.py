@@ -77,8 +77,14 @@ def write_webdataset(
         shutil.rmtree(staging)  # inert leftover of a crashed export
     os.makedirs(staging, exist_ok=True)
 
+    # POSITIONAL internal member columns (wds_m_0, wds_m_1, ...):
+    # extensions are tar-member names, not identifiers — a dotted
+    # extension like 'seg.png' (common WebDataset convention) would
+    # read as a struct-field reference in Spark and get mangled by
+    # pandas itertuples (ADVICE r5), so it never becomes a column name.
+    exts = list(members)
     cols = [F.col(id_col).alias("wds_id")] + [
-        F.col(src).alias(f"wds_m_{ext}") for ext, src in members.items()
+        F.col(src).alias(f"wds_m_{i}") for i, src in enumerate(members.values())
     ]
     routed = (
         df.select(*cols)
@@ -86,18 +92,13 @@ def write_webdataset(
         .repartition(n_shards, F.col("wds_shard"))
         .sortWithinPartitions("wds_id")
     )
-    exts = list(members)
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tars: dict[int, tarfile.TarFile] = {}
         stats: dict[int, list[int]] = {}
         try:
             for pdf in batches:
-                # zip over real column names — itertuples renames any
-                # column that isn't a Python identifier (an extension
-                # with a dot/dash, e.g. 'seg.png') to a positional _N
-                # field and the lookup would KeyError (ADVICE r5).
-                member_cols = [f"wds_m_{ext}" for ext in exts]
+                member_cols = [f"wds_m_{i}" for i in range(len(exts))]
                 for wds_id, shard, *vals in zip(
                     pdf["wds_id"], pdf["wds_shard"],
                     *(pdf[c] for c in member_cols),

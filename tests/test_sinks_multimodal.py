@@ -409,3 +409,57 @@ def test_video_fingerprint_deterministic(spark):
     assert f1 == f2
     # sequence length follows n_frames = id%8+1
     assert all(len(v) == (k % 8 + 1) for k, v in f1.items())
+
+
+def test_write_webdataset_dotted_member_extensions(spark, tmp_path):
+    """WebDataset convention allows dotted/dashed member extensions
+    ('seg.png', 'output.json') — these are not valid Python
+    identifiers, so the row iteration must use real column names
+    (itertuples would rename them to positional _N fields and
+    KeyError — ADVICE r5)."""
+    import glob
+    import tarfile
+
+    from gdelt_extractor_spark.sinks.webdataset import write_webdataset
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}", f'{{"n": {i}}}') for i in range(6)],
+        "doc_id long, text string, meta string",
+    )
+    out = str(tmp_path / "wds_dotted")
+    m = write_webdataset(
+        docs, out,
+        members={"seg.png": "text", "output.json": "meta"},
+        n_shards=2,
+    )
+    assert sum(r["n_samples"] for r in m) == 6
+    seen = {}
+    for t in sorted(glob.glob(out + "/shard-*.tar")):
+        with tarfile.open(t) as tf:
+            for mem in tf.getmembers():
+                seen[mem.name] = tf.extractfile(mem).read()
+    assert seen["2.seg.png"] == b"body 2"
+    assert seen["3.output.json"] == b'{"n": 3}'
+
+
+def test_write_webdataset_finalize_keeps_manifest_consistent(spark, tmp_path):
+    """Re-export over an existing directory with FEWER shards must
+    leave no stale tars and a manifest matching the files on disk
+    (the old pre-delete finalize could leave a mix — ADVICE r5)."""
+    import glob
+    import json as _json
+
+    from gdelt_extractor_spark.sinks.webdataset import write_webdataset
+
+    out = str(tmp_path / "wds_re")
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(40)], "doc_id long, text string"
+    )
+    write_webdataset(docs, out, members={"txt": "text"}, n_shards=8)
+    # second export: one shard only — all shard-000{1..7} tars are stale
+    m2 = write_webdataset(docs, out, members={"txt": "text"}, n_shards=1)
+    tars = sorted(glob.glob(out + "/shard-*.tar"))
+    assert [t.rsplit("/", 1)[1] for t in tars] == ["shard-00000.tar"]
+    manifest = _json.load(open(out + "/manifest.json"))
+    assert manifest == m2
+    assert {r["shard"] for r in manifest} == {0}

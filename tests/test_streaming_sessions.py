@@ -138,3 +138,47 @@ def test_streaming_rate_cap(spark, cap_landing):
         ("2024-01-01 10:00:31", False),   # 6th: capped
         ("2024-01-01 10:01:05", True),    # new window: reset
     ]
+
+
+def test_streaming_rate_cap_rows_spanning_arrow_chunks(spark, tmp_path):
+    """A hot key whose micro-batch rows span multiple Arrow chunks
+    must still admit the EARLIEST events (global per-key sort, not
+    per-chunk — ADVICE r5): 9 events written in reverse time order
+    with 3-row Arrow chunks would, under per-chunk sorting, process
+    as 7,8,9,4,5,6,1,2,3 and admit the wrong five."""
+    from gdelt_extractor_spark.streaming.sessions import streaming_rate_cap
+
+    d = tmp_path / "cap_chunks"
+    d.mkdir()
+    rows = [f"1,2024-01-01 10:00:{s:02d},1.0" for s in range(9, 0, -1)]
+    (d / "b1.csv").write_text("\n".join(rows) + "\n")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = (
+            spark.readStream.format("csv").schema(SCHEMA).load(str(d))
+        )
+        out = streaming_rate_cap(stream, window_s=60, max_per_window=5)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cap_chunk_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    rows = spark.sql(
+        "SELECT * FROM cap_chunk_out ORDER BY event_time"
+    ).collect()
+    got = [(str(r.event_time), r.admitted) for r in rows]
+    assert got == [
+        (f"2024-01-01 10:00:0{s}", s <= 5) for s in range(1, 10)
+    ]

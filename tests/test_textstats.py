@@ -280,6 +280,19 @@ class TestHashedEmbedding:
             assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
         assert cos(got[1], got[2]) > cos(got[1], got[3]) + 0.3
 
+    def test_empty_doc_yields_zero_vector(self, spark):
+        """A doc whose text tokenizes to nothing must still appear,
+        as the zero vector — not silently vanish (ADVICE r5)."""
+        got = self._emb(spark, [
+            (1, "real words here"),
+            (2, ""),          # empty
+            (3, "   \n\t "),  # whitespace-only
+        ])
+        assert set(got) == {1, 2, 3}
+        assert got[2] == [0.0] * 64
+        assert got[3] == [0.0] * 64
+        assert any(v != 0.0 for v in got[1])
+
     def test_chains_into_ann(self, spark):
         """The bridge works: hashed text embeddings flow straight
         into the embedding ANN machinery."""
