@@ -1112,6 +1112,92 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.stratified_sample(docs, "source", "doc_id", n_per_stratum=2)
 
 
+
+# ------------------------------------------------- round-6 additions
+
+def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO-style CDC apply on the customer snapshot with four
+    deterministic change waves: an update (%7), a delete (%13), an
+    insert of new keys (%17, shifted by 10M), and a LATER second
+    update (%21 — overrides the first update, and resurrects
+    %13∩%21 keys deleted earlier, pinning latest-op-wins)."""
+    from gdelt_extractor_spark.operators.temporal import apply_cdc
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    snap = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").alias("nk"),
+    )
+
+    def wave(mod, op, ts, bal, key_shift=0):
+        return c.filter(F.col("c_custkey") % mod == 0).select(
+            (F.col("c_custkey") + key_shift).alias("c_custkey"),
+            F.lit(op).alias("op"),
+            F.lit(ts).cast("timestamp").alias("ts"),
+            bal.alias("bal"),
+            F.col("c_nationkey").alias("nk"),
+        )
+
+    changes = (
+        wave(7, "U", "2021-01-01", F.col("c_acctbal") + 50)
+        .unionByName(
+            wave(13, "D", "2022-01-01", F.lit(None).cast("double"))
+        )
+        .unionByName(
+            wave(17, "I", "2021-06-01", F.col("c_acctbal") * 2, key_shift=10_000_000)
+        )
+        .unionByName(wave(21, "U", "2023-01-01", F.col("c_acctbal") + 99))
+    )
+    return apply_cdc(snap, changes, "c_custkey", ["bal", "nk"])
+
+
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.bm25_search(
+        _docs(spark, sf_dir, width=0), "doc_id", "text",
+        query_terms=["spark", "hash", "join", "window"], top_k=20,
+    )
+
+
+def _corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff: v2 = documents with %13 ids removed, %7
+    texts changed, and %11 ids re-added under shifted ids."""
+    docs = _docs(spark, sf_dir)
+    changed = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" changed"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select("doc_id", changed.alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(F.lit("new document "), F.col("doc_id")).alias("text"),
+            )
+        )
+    )
+    return C.corpus_diff(docs, new, "doc_id", "text")
+
+
+def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelt_extractor_spark.operators.pii import k_anonymity
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
+def _length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelt_extractor_spark.operators.packing import length_buckets
+
+    return length_buckets(_docs(spark, sf_dir, width=0), "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1170,16 +1256,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_stats": _compression_stats,
         "lm_score": _lm_score,
         "dedup_lines": _dedup_lines,
-        # --- slots 43-50: oldest driver verification (r4) ---
+        # --- slots 43-47: new in round 6 ---
+        "cdc_apply": _cdc_apply,
+        "bm25_search": _bm25_search,
+        "corpus_diff": _corpus_diff,
+        "k_anonymity": _k_anonymity,
+        "length_buckets": _length_buckets,
+        # --- slots 48-50: oldest driver verification (r4) ---
         "lookup_rollup": _lookup_rollup,
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
+        # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "quad_class_rollup": _quad_class_rollup,
         "goldstein_daily": _goldstein_daily,
         "geo_project": _geo_project,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q3_top_unshipped": Q.q3_top_unshipped,
         "q5_region_volume": Q.q5_region_volume,
@@ -2251,6 +2343,126 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, CAST(n AS BIGINT) AS n,
               round(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
             FROM counted ORDER BY src, dst
+        """,
+        "cdc_apply": """
+            WITH snap AS (
+              SELECT c_custkey AS k, c_acctbal AS bal, c_nationkey AS nk
+              FROM customer),
+            chg AS (
+              SELECT c_custkey AS k, 'U' AS op,
+                TIMESTAMP '2021-01-01' AS ts, c_acctbal + 50 AS bal,
+                c_nationkey AS nk
+              FROM customer WHERE c_custkey % 7 = 0
+              UNION ALL
+              SELECT c_custkey, 'D', TIMESTAMP '2022-01-01',
+                CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+              FROM customer WHERE c_custkey % 13 = 0
+              UNION ALL
+              SELECT c_custkey + 10000000, 'I', TIMESTAMP '2021-06-01',
+                c_acctbal * 2, c_nationkey
+              FROM customer WHERE c_custkey % 17 = 0
+              UNION ALL
+              SELECT c_custkey, 'U', TIMESTAMP '2023-01-01',
+                c_acctbal + 99, c_nationkey
+              FROM customer WHERE c_custkey % 21 = 0),
+            latest AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY k ORDER BY ts DESC,
+                  CASE op WHEN 'D' THEN 0 WHEN 'U' THEN 1 ELSE 2 END)
+                  AS rn
+                FROM chg) WHERE rn = 1)
+            SELECT COALESCE(s.k, l.k) AS c_custkey,
+              CASE WHEN l.k IS NOT NULL THEN l.bal ELSE s.bal END AS bal,
+              CASE WHEN l.k IS NOT NULL THEN l.nk ELSE s.nk END AS nk
+            FROM snap s FULL JOIN latest l ON s.k = l.k
+            WHERE l.op IS NULL OR l.op <> 'D'
+        """,
+        "bm25_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_text}) AS t,
+                     len({toks_text}) AS dl
+              FROM documents),
+            tf AS (
+              SELECT doc_id, t, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+              FROM toks
+              WHERE t IN ('spark', 'hash', 'join', 'window')
+              GROUP BY doc_id, t),
+            stats AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(len({toks_text})) AS DOUBLE) AS total_toks
+              FROM documents),
+            dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+            scored AS (
+              SELECT tf.doc_id,
+                ((n - df + 0.5) / (df + 0.5)) * tf
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_toks / n)))
+                  AS contrib
+              FROM tf JOIN dfreq USING (t) CROSS JOIN stats)
+            SELECT doc_id,
+              CAST(SUM(CAST(contrib AS DECIMAL(25,6))) AS DOUBLE) AS score,
+              COUNT(*) AS n_terms_hit
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "corpus_diff": f"""
+            WITH old AS (
+              SELECT doc_id, md5({_NORM.format(c='text')}) AS old_hash
+              FROM documents),
+            newv AS (
+              SELECT doc_id,
+                md5({_NORM.format(c=("CASE WHEN doc_id % 7 = 0 THEN text || ' changed' ELSE text END"))}) AS new_hash
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000,
+                md5({_NORM.format(c="'new document ' || doc_id")})
+              FROM documents WHERE doc_id % 11 = 0)
+            SELECT COALESCE(old.doc_id, newv.doc_id) AS doc_id,
+              CASE WHEN old_hash IS NULL THEN 'added'
+                   WHEN new_hash IS NULL THEN 'removed'
+                   WHEN old_hash = new_hash THEN 'unchanged'
+                   ELSE 'changed' END AS status,
+              old_hash, new_hash
+            FROM old FULL JOIN newv ON old.doc_id = newv.doc_id
+        """,
+        "k_anonymity": """
+            WITH g AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                COUNT(*) AS n
+              FROM customer GROUP BY ALL)
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+              COUNT(*) AS n_groups,
+              MIN(n) AS min_group_size,
+              CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_small_groups,
+              CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                AS n_at_risk_rows,
+              ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                / SUM(n), 6) AS at_risk_frac
+            FROM g
+        """,
+        "length_buckets": f"""
+            WITH d AS (
+              SELECT doc_id, len({toks_text}) AS n FROM documents),
+            b AS (
+              SELECT doc_id, n,
+                CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                     WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                     WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+                     ELSE -1 END AS bucket
+              FROM d),
+            g AS (
+              SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+                CAST(SUM(n) AS BIGINT) AS n_tokens, MAX(n) AS max_tokens
+              FROM b GROUP BY bucket)
+            SELECT bucket, n_docs, n_tokens, max_tokens,
+              CASE WHEN bucket > 0 THEN bucket * n_docs
+                   ELSE max_tokens * n_docs END AS n_padded,
+              ROUND(1 - CAST(n_tokens AS DOUBLE)
+                / (CASE WHEN bucket > 0 THEN bucket * n_docs
+                        ELSE max_tokens * n_docs END), 6) AS waste_frac
+            FROM g
         """,
         "scd2_customers": """
             WITH cur AS (

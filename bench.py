@@ -53,6 +53,11 @@ import __spark_entry__ as entry_mod  # noqa: E402
 # is visible round-over-round (VERDICT r1: the exact pair-join
 # baselines and LSH ANN are benched too, not just their scale paths).
 HEADLINE = [
+    "cdc_apply",
+    "bm25_search",
+    "corpus_diff",
+    "k_anonymity",
+    "length_buckets",
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_region_volume",

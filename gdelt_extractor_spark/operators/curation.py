@@ -686,3 +686,41 @@ def corpus_report(
             "'n_langs', n_langs, 'dup_rate', dup_rate) AS (metric, value)"
         )
     ).orderBy("metric")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Diff two corpus versions — the is-this-dump-what-changed audit
+    run before promoting a new crawl: per doc id, status ∈
+    {'added','removed','changed','unchanged'} with the content hash
+    on each side.
+
+    Plan: each side reduces to (id, md5(normalized text)) in its own
+    scan projection, then ONE full-outer equi-join on id decides the
+    status — text never shuffles, only 32-byte hashes do.  At 100 TB
+    both sides' hash frames are a fraction of corpus bytes and the
+    join is the only exchange; with both versions bucketed on id it
+    disappears entirely.
+    """
+    from ..functions.text import normalize_text
+
+    def hashes(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.md5(normalize_text(text_col)).alias(f"{side}_hash"),
+        )
+
+    j = hashes(old, "old").join(hashes(new, "new"), "_id", "full")
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        F.col("_id").alias(id_col), status.alias("status"), "old_hash", "new_hash"
+    )

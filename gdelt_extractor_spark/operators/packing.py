@@ -137,3 +137,57 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundaries: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048),
+) -> DataFrame:
+    """Length-bucketed batching stats — the padding-waste report that
+    sizes inference/eval batching (group sequences of similar length
+    so a batch pads to its bucket cap, not the corpus max).
+
+    Each doc lands in the smallest bucket boundary ≥ its token count
+    (counts beyond the last boundary go to an overflow bucket keyed
+    by -1).  Per bucket: docs, real tokens, padded tokens
+    (docs × boundary), and the padding-waste fraction.
+
+    Plan: token count and bucket are one codegen projection (the
+    boundary CASE chain is a static unrolled expression), then one
+    map-side-combined groupBy on ≤ |boundaries|+1 keys.  Scan speed
+    at any scale; the aggregate output is bounded by the boundary
+    list, never by the corpus.
+    """
+    n_tok = F.size(tokens(text_col))
+    bucket = F.lit(-1)
+    for bound in sorted(boundaries, reverse=True):
+        bucket = F.when(n_tok <= bound, F.lit(bound)).otherwise(bucket)
+    per_doc = df.select(
+        F.col(id_col).alias("_id"),
+        n_tok.cast("long").alias("_n"),
+        bucket.cast("long").alias("bucket"),
+    )
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            "max_tokens",
+            # overflow bucket pads to its own max length
+            F.when(F.col("bucket") > 0, F.col("bucket") * F.col("n_docs"))
+            .otherwise(F.col("max_tokens") * F.col("n_docs"))
+            .alias("n_padded"),
+        )
+        .withColumn(
+            "waste_frac",
+            F.round(1 - F.col("n_tokens") / F.col("n_padded"), 6),
+        )
+    )

@@ -68,3 +68,44 @@ def redact_pii(
     default).  Pure projection — composes with any downstream
     operator without breaking pushdown or partitioning."""
     return df.withColumn(out_col or text_col, redact_expr(F.col(text_col)))
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """K-anonymity audit over a set of quasi-identifier columns — the
+    re-identification risk report run alongside PII scanning before a
+    corpus release: a row is k-anonymous when at least k−1 other rows
+    share its full quasi-identifier tuple.
+
+    Output: ONE summary row — total rows/groups, the minimum group
+    size, how many groups (and rows) fall below k, and the at-risk
+    row fraction.
+
+    Plan: one groupBy shuffle on the quasi tuple (map-side combined),
+    then a single-row aggregate over the group sizes.  Nothing is
+    collected; the group-size frame never contains payload columns.
+    NULL quasi values group together (SQL GROUP BY semantics), which
+    is the conservative choice for an anonymity audit.
+    """
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return sizes.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_n").alias("min_group_size"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0)).alias("n_small_groups"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)).alias(
+            "n_at_risk_rows"
+        ),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_group_size",
+        "n_small_groups",
+        "n_at_risk_rows",
+        F.round(F.col("n_at_risk_rows") / F.col("n_rows"), 6).alias(
+            "at_risk_frac"
+        ),
+    )

@@ -239,3 +239,59 @@ def scd2_apply(
             F.lead("_ts").over(w).alias(to_col),
         )
     )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    op_col: str = "op",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Apply a change-data-capture log to a snapshot — the MERGE INTO
+    every lakehouse table maintenance job runs: ``changes`` rows carry
+    ``op`` ∈ {'I','U','D'}; the LATEST change per key wins (ordered by
+    ``ts``, ties broken D > U > I so a same-timestamp delete is
+    final); 'D' removes the key, 'I'/'U' upsert the change's
+    attributes, keys without changes pass through.
+
+    Plan: the log collapses to one winner per key with a row_number
+    window (one shuffle on key, map-side nothing to combine but the
+    log is the SMALL side — a daily trickle vs the snapshot); the
+    snapshot then full-outer-joins the winners on the same key.  The
+    snapshot itself is never windowed — at 100 TB the big side pays
+    exactly one join shuffle, and with a bucketed snapshot layout
+    (sinks.files.write_bucketed) even that exchange disappears.
+    Output column order: key, *attr_cols.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_cdc_ts").desc(),
+        # rank ops explicitly so 'D' wins same-timestamp conflicts
+        F.when(F.col("_op") == "D", 0)
+        .when(F.col("_op") == "U", 1)
+        .otherwise(2)
+        .asc(),
+    )
+    latest = (
+        changes.select(
+            key_col,
+            F.col(op_col).alias("_op"),
+            F.col(ts_col).alias("_cdc_ts"),
+            *[F.col(c).alias(f"_new_{c}") for c in attr_cols],
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cdc_ts")
+    )
+    merged = snapshot.select(key_col, *attr_cols).join(latest, key_col, "full")
+    alive = merged.filter((F.col("_op").isNull()) | (F.col("_op") != "D"))
+    return alive.select(
+        key_col,
+        *[
+            F.when(F.col("_op").isNotNull(), F.col(f"_new_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in attr_cols
+        ],
+    )

@@ -741,3 +741,74 @@ def hashed_embedding(
             .alias("embedding"),
         )
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed term query —
+    the lexical half of every retrieval stack (the dense half is
+    ``hashed_embedding``/``ann_*``).
+
+    Engine-portable scoring: the classic log-idf is replaced by its
+    monotone rational core ``(N - df + 0.5) / (df + 0.5)`` — same
+    ranking, no transcendental function whose last-ulp behavior could
+    differ between engines — and the per-term contributions are
+    decimal-summed (micro-unit convention, see plans/queries.py) so
+    float summation order cannot flip the hash.
+
+    Plan: one corpus scan explodes tokens; doc length comes from the
+    same explode via a size() projection BEFORE the term filter (no
+    second scan); the per-term doc frequencies are a tiny |terms|-row
+    aggregate broadcast back; scoring is one (doc, term) aggregate
+    and a TakeOrderedAndProject top-k.  No UDF, no driver collect.
+    At 100 TB: the explode is map-side, both shuffles are keyed on
+    (doc, term) / doc, and the broadcast is |query| rows.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(text_col)).alias("_t"),
+        F.size(tokens(text_col)).alias("_dl"),
+    )
+    tf = (
+        toks.filter(F.col("_t").isin(terms))
+        .groupBy("_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"), 
+                       (F.sum(F.size(tokens(text_col)))).alias("_toks"))
+    dfreq = (
+        tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .join(F.broadcast(n_docs))
+        .withColumn("_avgdl", F.col("_toks") / F.col("_n"))
+        .withColumn(
+            "_idf", (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        )
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * F.col("_tf")
+            / (
+                F.col("_tf")
+                + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    dsum = F.sum(F.col("_contrib").cast("decimal(25,6)")).cast("double")
+    return (
+        scored.groupBy("_id")
+        .agg(dsum.alias("score"), F.count(F.lit(1)).alias("n_terms_hit"))
+        .select(F.col("_id").alias(id_col), "score", "n_terms_hit")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

@@ -95,3 +95,30 @@ def test_credit_card_grouping_and_no_luhn(spark):
 def test_redact_credit_card_tag(spark):
     out = redact_pii(_df(spark, "pay 4111 1111 1111 1111 now")).collect()[0].text
     assert out == "pay [CREDIT_CARD] now"
+
+
+def test_k_anonymity_report(spark):
+    from gdelt_extractor_spark.operators.pii import k_anonymity
+
+    df = spark.createDataFrame(
+        # quasi (age, zip): group sizes 3, 1, 2  → with k=3: two
+        # violating groups covering 3 rows
+        [(30, "94.", 1), (30, "94.", 2), (30, "94.", 3),
+         (40, "10.", 4),
+         (50, "60.", 5), (50, "60.", 6)],
+        "age int, zip string, row_id int",
+    )
+    r = k_anonymity(df, ["age", "zip"], k=3).collect()[0]
+    assert (r.n_rows, r.n_groups, r.min_group_size) == (6, 3, 1)
+    assert (r.n_small_groups, r.n_at_risk_rows) == (2, 3)
+    assert r.at_risk_frac == 0.5
+
+
+def test_k_anonymity_nulls_group_together(spark):
+    from gdelt_extractor_spark.operators.pii import k_anonymity
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 3), (1, 4)], "age int, row_id int"
+    )
+    r = k_anonymity(df, ["age"], k=2).collect()[0]
+    assert (r.n_groups, r.n_small_groups, r.n_at_risk_rows) == (2, 1, 1)

@@ -501,3 +501,26 @@ def test_source_quality_filter_drops_whole_source(spark):
     srcs = {r.source for r in out}
     assert srcs == {"good.com"}
     assert len(out) == 4
+
+
+def test_corpus_diff_statuses(spark):
+    from gdelt_extractor_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "Gamma  Ray")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (3, "gamma ray"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in
+           corpus_diff(old, new, "doc_id", "text").collect()}
+    # 3 is 'unchanged': diff hashes NORMALIZED text (case/whitespace)
+    assert out == {1: "unchanged", 2: "removed", 3: "unchanged", 4: "added"}
+
+    new2 = spark.createDataFrame([(1, "alpha CHANGED")],
+                                 "doc_id long, text string")
+    out2 = {r.doc_id: r.status for r in
+            corpus_diff(old, new2, "doc_id", "text").collect()}
+    assert out2 == {1: "changed", 2: "removed", 3: "removed"}

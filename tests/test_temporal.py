@@ -219,3 +219,56 @@ class TestScd2:
             (2, "gold", 2023, None),
             (2, "silver", 2022, 2023),
         ]
+
+
+class TestApplyCdc:
+    def _run(self, spark, snap_rows, chg_rows):
+        from gdelt_extractor_spark.operators.temporal import apply_cdc
+
+        snap = spark.createDataFrame(snap_rows, "k long, v string")
+        chg = spark.createDataFrame(
+            chg_rows, "k long, op string, ts timestamp, v string"
+        )
+        out = apply_cdc(snap, chg, "k", ["v"])
+        return {r.k: r.v for r in out.collect()}
+
+    def test_upsert_delete_insert_passthrough(self, spark):
+        import datetime as dt
+
+        t = lambda d: dt.datetime(2024, 1, d)
+        got = self._run(
+            spark,
+            [(1, "a"), (2, "b"), (3, "c")],
+            [
+                (1, "U", t(1), "a2"),   # update existing
+                (2, "D", t(1), None),   # delete existing
+                (9, "I", t(1), "new"),  # insert unseen key
+            ],
+        )
+        assert got == {1: "a2", 3: "c", 9: "new"}
+
+    def test_latest_change_wins(self, spark):
+        import datetime as dt
+
+        t = lambda d: dt.datetime(2024, 1, d)
+        got = self._run(
+            spark,
+            [(1, "a")],
+            [
+                (1, "U", t(1), "v1"),
+                (1, "D", t(2), None),
+                (1, "U", t(3), "v3"),  # latest: resurrects after D
+                (2, "I", t(1), "x"),
+                (2, "D", t(2), None),  # latest: never appears
+            ],
+        )
+        assert got == {1: "v3"}
+
+    def test_same_timestamp_delete_wins(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1)
+        got = self._run(
+            spark, [(1, "a")], [(1, "U", t, "u"), (1, "D", t, None)]
+        )
+        assert got == {}

@@ -307,3 +307,61 @@ class TestHashedEmbedding:
         out = ann_bruteforce(emb, emb.filter("vec_id = 0"), k=3,
                              query_id_col="vec_id")
         assert len(out.collect()) == 3
+
+
+class TestBm25Search:
+    def test_ranking_and_term_hits(self, spark):
+        from gdelt_extractor_spark.operators.textstats import bm25_search
+
+        df = spark.createDataFrame(
+            [
+                (1, "spark join spark join spark"),   # both terms, high tf
+                (2, "spark filter filter filter"),    # one term
+                (3, "nothing relevant at all here"),  # no terms
+                (4, "join join padding padding padding padding padding "
+                    "padding padding padding padding padding"),  # long doc
+            ],
+            "doc_id long, text string",
+        )
+        out = bm25_search(df, "doc_id", "text", ["spark", "join"], top_k=10)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert 3 not in rows                       # zero-hit docs absent
+        assert rows[1].n_terms_hit == 2
+        assert rows[2].n_terms_hit == 1
+        assert rows[1].score > rows[2].score       # more matched terms
+        assert rows[1].score > rows[4].score       # length normalization
+
+    def test_top_k_and_determinism(self, spark):
+        from gdelt_extractor_spark.operators.textstats import bm25_search
+
+        df = spark.createDataFrame(
+            [(i, "common term " + "pad " * (i % 5)) for i in range(30)],
+            "doc_id long, text string",
+        )
+        a = bm25_search(df, "doc_id", "text", ["term"], top_k=7).collect()
+        b = bm25_search(
+            df.repartition(5), "doc_id", "text", ["term"], top_k=7
+        ).collect()
+        assert len(a) == 7 and a == b
+
+
+def test_length_buckets_boundaries_and_overflow(spark):
+    from gdelt_extractor_spark.operators.packing import length_buckets
+
+    def doc(i, n):  # n whitespace tokens
+        return (i, " ".join(["w"] * n))
+
+    df = spark.createDataFrame(
+        [doc(1, 3), doc(2, 4), doc(3, 5), doc(4, 9), doc(5, 100)],
+        "doc_id long, text string",
+    )
+    out = {r.bucket: r for r in
+           length_buckets(df, "doc_id", "text",
+                          boundaries=(4, 8, 16)).collect()}
+    assert set(out) == {4, 8, 16, -1}
+    assert (out[4].n_docs, out[4].n_tokens, out[4].n_padded) == (2, 7, 8)
+    assert out[4].waste_frac == 0.125
+    assert (out[8].n_docs, out[8].n_tokens) == (1, 5)
+    assert (out[16].n_docs, out[16].n_tokens) == (1, 9)
+    # overflow pads to its own max length
+    assert (out[-1].n_docs, out[-1].n_padded, out[-1].waste_frac) == (1, 100, 0.0)
