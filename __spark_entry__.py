@@ -1198,6 +1198,14 @@ def _length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_buckets(_docs(spark, sf_dir, width=0), "doc_id", "text")
 
 
+def _mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.mixture_weights(_docs(spark, sf_dir), "source", alpha=0.5)
+
+
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.vocab_coverage(_docs(spark, sf_dir, width=0), "text", coverage=0.9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1262,11 +1270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _corpus_diff,
         "k_anonymity": _k_anonymity,
         "length_buckets": _length_buckets,
-        # --- slots 48-50: oldest driver verification (r4) ---
+        "mixture_weights": _mixture_weights,
+        "vocab_coverage": _vocab_coverage,
+        # --- slot 50: oldest driver verification (r4) ---
         "lookup_rollup": _lookup_rollup,
+        # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
-        # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "quad_class_rollup": _quad_class_rollup,
         "goldstein_daily": _goldstein_daily,
         "geo_project": _geo_project,
@@ -2343,6 +2353,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, CAST(n AS BIGINT) AS n,
               round(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
             FROM counted ORDER BY src, dst
+        """,
+        "mixture_weights": """
+            WITH s AS (
+              SELECT source, COUNT(*) AS m FROM documents GROUP BY source),
+            t AS (
+              SELECT CAST(SUM(m) AS DOUBLE) AS tot,
+                     SUM(SQRT(m)) AS pow_tot
+              FROM s),
+            scaled AS (
+              SELECT source, CAST(m AS BIGINT) AS mass,
+                ROUND(m / tot, 6) AS share,
+                ROUND(SQRT(m) / pow_tot, 6) AS sample_prob
+              FROM s CROSS JOIN t)
+            SELECT source, mass, share, sample_prob,
+              ROUND(sample_prob / share, 6) AS boost
+            FROM scaled
+        """,
+        "vocab_coverage": f"""
+            WITH f AS (
+              SELECT t AS token, COUNT(*) AS freq
+              FROM (SELECT unnest({toks_text}) AS t FROM documents)
+              WHERE t <> '' GROUP BY t),
+            tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS tot FROM f),
+            r AS (
+              SELECT token, freq,
+                row_number() OVER
+                  (ORDER BY freq DESC, token ASC) AS rank,
+                SUM(freq) OVER
+                  (ORDER BY freq DESC, token ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                COALESCE(SUM(freq) OVER
+                  (ORDER BY freq DESC, token ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prev_cum
+              FROM f)
+            SELECT rank, token, CAST(freq AS BIGINT) AS freq,
+              ROUND(CAST(cum AS DOUBLE) / tot, 6) AS cum_share,
+              CAST(prev_cum AS DOUBLE) / tot < 0.9 AS needed
+            FROM r CROSS JOIN tot
         """,
         "cdc_apply": """
             WITH snap AS (

@@ -724,3 +724,59 @@ def corpus_diff(
     return j.select(
         F.col("_id").alias(id_col), status.alias("status"), "old_hash", "new_hash"
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.3,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per source (the
+    multilingual/multi-source mixing recipe of Conneau & Lample 2019:
+    p_s ∝ (n_s/N)^alpha) — alpha<1 up-weights small sources, alpha=1
+    is natural sampling.  Output per source: share of the corpus,
+    scaled sampling probability, and the resulting over/under-sample
+    factor (prob/share) ready to feed ``mix_sources`` as its target
+    weight.
+
+    Mass is docs (or tokens when ``token_col`` is given).  Plan: one
+    map-side-combined groupBy to |sources| rows, a 1-row total cross-
+    joined back broadcast, and a window-free projection — the corpus
+    is scanned once, nothing collected.
+    """
+    mass = (
+        F.count(F.lit(1)).alias("_m")
+        if token_col is None
+        else F.sum(token_col).alias("_m")
+    )
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(mass)
+    # alpha=0.5 routes through sqrt: IEEE 754 requires sqrt to be
+    # correctly rounded, so both engines produce bit-identical
+    # weights; generic pow carries no such guarantee (same reasoning
+    # as bm25_search's rational idf)
+    def _scaled(c):
+        return F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(alpha))
+
+    tot = per_src.agg(
+        F.sum("_m").alias("_tot"),
+        F.sum(_scaled(F.col("_m"))).alias("_pow_tot"),
+    )
+    return (
+        per_src.join(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("_m").cast("long").alias("mass"),
+            F.round(F.col("_m") / F.col("_tot"), 6).alias("share"),
+            # (n_s/N)^a / Σ(n_t/N)^a == n_s^a / Σ n_t^a — compute the
+            # normalized-by-total form directly so both engines share
+            # the identical arithmetic
+            F.round(
+                _scaled(F.col("_m")) / F.col("_pow_tot"), 6
+            ).alias("sample_prob"),
+        )
+        .withColumn(
+            "boost",
+            F.round(F.col("sample_prob") / F.col("share"), 6),
+        )
+    )

@@ -812,3 +812,53 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    coverage: float = 0.9,
+) -> DataFrame:
+    """Cumulative vocabulary coverage — the tokenizer-budget planning
+    table: tokens ranked by corpus frequency with each rank's
+    cumulative share of total token mass, plus the flag marking the
+    smallest prefix that covers ``coverage`` of the corpus.  The
+    answer to "how big must the vocab be to cover 90% of tokens?" is
+    ``max(rank) WHERE needed``.
+
+    Plan: one corpus explode → token-frequency aggregate (map-side
+    combined), then ONE global window over the |vocab|-sized
+    frequency table (not the corpus) for rank + running sum.  The
+    deterministic (freq desc, token asc) order makes ranks and the
+    cumulative sum engine-portable; the 1-row total joins back as a
+    broadcast.  At 100 TB the window input is the vocabulary —
+    orders of magnitude smaller than the corpus; cap it with a
+    HAVING-style frequency floor upstream if even that is too wide.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = freq.agg(F.sum("freq").alias("_tot"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        freq.join(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_freq", F.sum("freq").over(w))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            F.round(F.col("cum_freq") / F.col("_tot"), 6).alias("cum_share"),
+            # needed = ranks up to and including the first that
+            # reaches the coverage target
+            (
+                F.lag(F.col("cum_freq"), 1, 0).over(w) / F.col("_tot")
+                < F.lit(coverage)
+            ).alias("needed"),
+        )
+    )

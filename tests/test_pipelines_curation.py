@@ -524,3 +524,36 @@ def test_corpus_diff_statuses(spark):
     out2 = {r.doc_id: r.status for r in
             corpus_diff(old, new2, "doc_id", "text").collect()}
     assert out2 == {1: "changed", 2: "removed", 3: "removed"}
+
+
+def test_mixture_weights_temperature_scaling(spark):
+    from gdelt_extractor_spark.operators.curation import mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    rows = {r.source: r for r in
+            mixture_weights(df, "source", alpha=0.5).collect()}
+    assert rows["big"].share == 0.9 and rows["small"].share == 0.1
+    # sqrt scaling compresses the ratio 9:1 → 3:1
+    assert abs(rows["big"].sample_prob / rows["small"].sample_prob - 3.0) < 1e-3
+    assert rows["small"].boost > 1.0 > rows["big"].boost
+    probs = sum(r.sample_prob for r in rows.values())
+    assert abs(probs - 1.0) < 1e-5
+
+
+def test_mixture_weights_token_mass(spark):
+    from gdelt_extractor_spark.operators.curation import mixture_weights
+
+    df = spark.createDataFrame(
+        [(1, "a", 300), (2, "a", 100), (3, "b", 100)],
+        "doc_id long, source string, n_tokens long",
+    )
+    rows = {r.source: r for r in
+            mixture_weights(df, "source", alpha=1.0,
+                            token_col="n_tokens").collect()}
+    assert rows["a"].mass == 400 and rows["b"].mass == 100
+    assert rows["a"].share == 0.8
+    # alpha=1: sampling follows mass exactly, boost == 1
+    assert rows["a"].sample_prob == 0.8 and rows["a"].boost == 1.0

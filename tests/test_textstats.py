@@ -365,3 +365,24 @@ def test_length_buckets_boundaries_and_overflow(spark):
     assert (out[16].n_docs, out[16].n_tokens) == (1, 9)
     # overflow pads to its own max length
     assert (out[-1].n_docs, out[-1].n_padded, out[-1].waste_frac) == (1, 100, 0.0)
+
+
+def test_vocab_coverage_ranks_and_needed_prefix(spark):
+    from gdelt_extractor_spark.operators.textstats import vocab_coverage
+
+    # 10 a, 5 b, 3 c, 2 d → total 20; 90% coverage needs a+b+c (18/20)
+    text = " ".join(["a"] * 10 + ["b"] * 5 + ["c"] * 3 + ["d"] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {r.rank: r for r in vocab_coverage(df, "text", 0.9).collect()}
+    assert [rows[i].token for i in range(1, 5)] == ["a", "b", "c", "d"]
+    assert rows[1].cum_share == 0.5
+    assert [rows[i].needed for i in range(1, 5)] == [True, True, True, False]
+
+
+def test_vocab_coverage_tie_break_deterministic(spark):
+    from gdelt_extractor_spark.operators.textstats import vocab_coverage
+
+    df = spark.createDataFrame([(1, "z y x z y x")], "doc_id long, text string")
+    toks = [r.token for r in
+            vocab_coverage(df.repartition(4), "text").orderBy("rank").collect()]
+    assert toks == ["x", "y", "z"]  # equal freq → token asc
