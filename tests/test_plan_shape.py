@@ -535,3 +535,60 @@ def test_geo_grid_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cdc_apply_snapshot_never_windowed(spark, sf_dir):
+    """The big (snapshot) side pays one join shuffle; only the small
+    change log is windowed — a Window over the snapshot would sort
+    100 TB."""
+    plan = plan_of(spark, "cdc_apply", sf_dir)
+    import re
+    windows = re.findall(r"^\(\d+\) Window$", plan, re.M)
+    assert len(windows) == 1, "exactly one Window node (the log collapse)"
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_df_table_broadcasts(spark, sf_dir):
+    """The |query|-row docfreq table and the 1-row corpus stats must
+    broadcast — never shuffle the scored side against them."""
+    plan = plan_of(spark, "bm25_search", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
+    assert "TakeOrderedAndProject" in plan    # top-k, no global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_diff_shuffles_hashes_not_text(spark, sf_dir):
+    """The diff join must move 32-byte md5s, not document bytes: no
+    'text' column may survive into the exchange."""
+    plan = plan_of(spark, "corpus_diff", sf_dir)
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan
+    import re
+    exchanges = [l for l in plan.split("\n") if "Arguments: hashpartitioning" in l]
+    assert exchanges and all("text" not in l for l in exchanges)
+
+
+def test_mixture_weights_total_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, "mixture_weights", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total
+    assert plan.count("Exchange hashpartitioning") <= 1, (
+        "one groupBy shuffle on source only"
+    )
+
+
+def test_vocab_coverage_window_over_vocab_not_corpus(spark, sf_dir):
+    """The rank window consumes the token-frequency AGGREGATE (its
+    input plan contains the HashAggregate), so the global sort is
+    |vocab|-sized, never corpus-sized."""
+    plan = plan_of(spark, "vocab_coverage", sf_dir)
+    assert "Window" in plan
+    i_win = plan.index("Window")
+    assert "HashAggregate" in plan[i_win:], (
+        "window must sit above the frequency aggregate"
+    )
+
+
+def test_length_buckets_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "length_buckets", sf_dir)
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Window" not in plan and "Join" not in plan
