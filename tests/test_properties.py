@@ -519,3 +519,78 @@ def test_fill_gaps_matches_pandas_ffill(spark, obs):
     for t, v in ser.items():
         pv, _ = got[t.to_pydatetime()]
         assert pv == v
+
+
+# --- apply_cdc vs a naive driver-side replay -----------------------
+
+CDC_OPS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),            # key
+        st.sampled_from(["I", "U", "D"]),                 # op
+        st.integers(min_value=1, max_value=9),            # ts (day)
+        st.integers(min_value=0, max_value=99),           # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+SNAP = st.dictionaries(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=0, max_value=99),
+    max_size=5,
+)
+
+
+@given(SNAP, CDC_OPS)
+@PROP
+def test_apply_cdc_matches_naive_replay(spark, snap, ops):
+    """apply_cdc == keep the latest change per key (ts desc, D>U>I on
+    ties) applied over the snapshot — computed naively in Python."""
+    import datetime as dt
+
+    from gdelt_extractor_spark.operators.temporal import apply_cdc
+
+    snap_df = spark.createDataFrame(
+        [(k, v) for k, v in snap.items()], "k long, v long"
+    )
+    chg_df = spark.createDataFrame(
+        [(k, op, dt.datetime(2024, 1, ts), v) for k, op, ts, v in ops],
+        "k long, op string, ts timestamp, v long",
+    )
+    got = {r.k: r.v for r in apply_cdc(snap_df, chg_df, "k", ["v"]).collect()}
+
+    expected = dict(snap)
+    rank = {"D": 0, "U": 1, "I": 2}
+    latest: dict[int, tuple] = {}
+    for k, op, ts, v in ops:
+        cur = latest.get(k)
+        if cur is None or (-ts, rank[op]) < (-cur[1], rank[cur[0]]):
+            latest[k] = (op, ts, v)
+    for k, (op, _ts, v) in latest.items():
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+    assert got == expected
+
+
+@given(DOCS)
+@PROP
+def test_length_buckets_conserves_docs_and_tokens(spark, texts):
+    """Bucket totals must partition the corpus exactly: Σ n_docs ==
+    |docs|, Σ n_tokens == Σ per-doc token counts, and no bucket's
+    max exceeds its boundary."""
+    from gdelt_extractor_spark.operators.packing import length_buckets
+
+    df = _df(spark, texts)
+    rows = length_buckets(df, "doc_id", "text", boundaries=(2, 4, 8)).collect()
+    n_total = sum(r.n_docs for r in rows)
+    tok_total = sum(r.n_tokens for r in rows)
+    per_doc = [r.n for r in df.select(F.size(tokens("text")).alias("n")).collect()]
+    assert n_total == len(texts)
+    assert tok_total == sum(per_doc)
+    for r in rows:
+        if r.bucket > 0:
+            assert r.max_tokens <= r.bucket
+            assert r.n_padded == r.bucket * r.n_docs
+        else:
+            assert r.max_tokens > 8
