@@ -1206,6 +1206,24 @@ def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.vocab_coverage(_docs(spark, sf_dir, width=0), "text", coverage=0.9)
 
 
+def _semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination of the embeddings table against an
+    eval set built from every 97th vector (cosine >= 0.95 leakage)."""
+    emb = _emb(spark, sf_dir)
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    return C.semantic_decontaminate(emb, ev, threshold=0.95).select(
+        "vec_id", "label"
+    )
+
+
+def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ann_pq(emb, q, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1272,7 +1290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _length_buckets,
         "mixture_weights": _mixture_weights,
         "vocab_coverage": _vocab_coverage,
-        # --- slot 50: oldest driver verification (r4) ---
+        "semantic_decontam": _semantic_decontam,
+        # --- slot 51+: rows-only PQ + rotation backlog ---
+        "ann_pq_topk": _ann_pq_topk,
         "lookup_rollup": _lookup_rollup,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
@@ -2353,6 +2373,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, CAST(n AS BIGINT) AS n,
               round(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
             FROM counted ORDER BY src, dst
+        """,
+        "semantic_decontam": """
+            WITH v AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            e AS (SELECT vv AS ev FROM v WHERE vec_id % 97 = 0)
+            SELECT vec_id, label FROM v
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e
+              WHERE round(
+                list_dot_product(v.vv, e.ev)
+                  / (sqrt(list_dot_product(v.vv, v.vv))
+                     * sqrt(list_dot_product(e.ev, e.ev))), 6) >= 0.95)
         """,
         "mixture_weights": """
             WITH s AS (

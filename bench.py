@@ -53,6 +53,8 @@ import __spark_entry__ as entry_mod  # noqa: E402
 # is visible round-over-round (VERDICT r1: the exact pair-join
 # baselines and LSH ANN are benched too, not just their scale paths).
 HEADLINE = [
+    "semantic_decontam",
+    "ann_pq_topk",
     "mixture_weights",
     "vocab_coverage",
     "cdc_apply",

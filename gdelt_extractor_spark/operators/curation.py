@@ -780,3 +780,40 @@ def mixture_weights(
             F.round(F.col("sample_prob") / F.col("share"), 6),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop every corpus
+    row whose vector is cosine-≥-threshold to ANY eval-set vector —
+    the semantic sibling of the n-gram ``decontaminate`` (paraphrased
+    or reformatted eval leakage that exact n-grams miss).
+
+    Plan: the eval side is SMALL by contract (an eval set) and
+    broadcasts; the corpus scans once through the broadcast nested-
+    loop with a JVM zip_with/aggregate cosine — no shuffle of corpus
+    rows at all; the contaminated-id set then anti-joins back.  At
+    larger eval sets, route through ``dedup_semantic``'s IVF cells
+    instead.
+    """
+    from .similarity import cosine as _cos
+    from .similarity import _as_double
+
+    ev = F.broadcast(
+        eval_set.select(_as_double(vec_col).alias("_ev"))
+    )
+    hits = (
+        corpus.select(F.col(id_col).alias("_cid"), _as_double(vec_col).alias("_cv"))
+        .join(ev)
+        .filter(F.round(_cos(F.col("_cv"), F.col("_ev")), 6) >= threshold)
+        .select("_cid")
+        .distinct()
+    )
+    return corpus.join(
+        hits.withColumnRenamed("_cid", id_col), id_col, "left_anti"
+    )

@@ -482,3 +482,166 @@ def quantize_embeddings(
         )
     )
     return out.select(id_col, "scale", "qvec", "max_err")
+
+
+# ------------------------------------------------ product quantization
+
+def pq_fit_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int | None = None,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    splits into ``m`` contiguous subspaces and each subspace gets its
+    own ``ksub``-centroid Lloyd codebook — compression is
+    m·log2(ksub) bits per vector vs dim·32 raw (64-dim float → 4
+    bytes at m=4, ksub=16: a 64× cut vs int8's 4×).
+
+    Same determinism recipe as ``ivf_fit_centroids``: one bounded
+    TakeOrdered sample job (salted content-hash order), all Lloyd
+    iterations driver-side on the (S, dim) sample.  Init per subspace
+    is the first ksub rows IN SAMPLE (hash) ORDER — deterministic and
+    hash-scattered, so the seeds don't all land in one id-adjacent
+    cluster.  Returns (m, ksub, dim//m).
+    """
+    S = sample_size or max(64 * ksub, 1024)
+    v = vectors.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    sample = (
+        v.orderBy(
+            F.xxhash64(F.col("id").cast("string"), F.lit("pq-fit")).asc(),
+            F.col("id").asc(),
+        )
+        .limit(S)
+        .collect()
+    )
+    X = np.vstack([r.v for r in sample])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    init_rows = np.arange(min(ksub, X.shape[0]))
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        Xj = X[:, j * dsub : (j + 1) * dsub]
+        cents = Xj[init_rows].copy()
+        for _ in range(n_iter):
+            d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (Xj @ cents.T)
+            a = d.argmin(axis=1)
+            nxt = cents.copy()  # empty cells keep their centroid
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    nxt[c] = Xj[mask].mean(axis=0)
+            cents = nxt
+        books[j] = cents
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow UDF: vector → array<int> of per-subspace nearest-centroid
+    codes (ties → lowest code, matching every argmin in this module)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.vstack(vecs.to_numpy())
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * dsub : (j + 1) * dsub]
+            cents = books[j]
+            d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (Xj @ cents.T)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return encode
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → (id, codes array<int>): one scan, one vectorized
+    Arrow pass, no shuffle.  Stored codes are the 100 TB artifact —
+    m·log2(ksub) bits a vector."""
+    enc = _pq_encode_udf(books)
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), enc(_as_double(vec_col)).alias("codes")
+    )
+
+
+def ann_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    corpus vectors live only as their codes; each query precomputes a
+    tiny (m × ksub) table of exact partial squared distances to every
+    codebook centroid, and a vector's approximate distance is the sum
+    of m table lookups — the classic memory-bound ANN scan.
+
+    Plan: codes come from one Arrow pass (``pq_encode``); the lookup
+    is codes-posexploded (m rows per vector) equi-joined to the
+    BROADCAST partial table on (query, subspace, code), then one
+    (query, vector) aggregate and a per-query top-k window.  Scan
+    cost is Θ(|Q|·m·N) additions — same asymptotics as brute force
+    but each term is a lookup+add instead of a dim-length dot, and
+    the corpus payload is codes, not floats.  The queries frame is
+    BOUNDED by contract (same as ann_bruteforce's broadcast side):
+    its driver collect is |Q|·dim doubles.  Approximate distances
+    decimal-sum so ranking is partition-independent.
+    """
+    books = pq_fit_codebooks(
+        vectors, m=m, ksub=ksub, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).collect()  # bounded probe set by contract
+    spark = vectors.sparkSession
+    dsub = books.shape[2]
+    partial_rows = []
+    for r in q_rows:
+        qv = np.asarray(r.qv)
+        for j in range(m):
+            qj = qv[j * dsub : (j + 1) * dsub]
+            d = ((books[j] - qj[None, :]) ** 2).sum(axis=1)
+            for c in range(ksub):
+                partial_rows.append((r.query_id, j, c, round(float(d[c]), 9)))
+    partials = spark.createDataFrame(
+        partial_rows, "query_id long, j int, code int, pd double"
+    )
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(partials), ["j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("pd").cast("decimal(25,9)")).cast("double").alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("nbr_id"), "rank",
+                F.round("adist", 6).alias("approx_dist"))
+    )

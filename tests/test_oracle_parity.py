@@ -78,6 +78,7 @@ ROWS_ONLY = (
     "dedup_incremental_minhash",
     "hashed_embeddings",
     "contrastive_triplets",
+    "ann_pq_topk",
 )
 
 

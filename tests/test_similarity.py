@@ -189,3 +189,77 @@ def test_quantize_embeddings_bounds(spark, sf_dir):
     )
     (z,) = quantize_embeddings(zero).collect()
     assert z.scale == 0.0 and list(z.qvec) == [0, 0, 0] and z.max_err == 0.0
+
+
+def test_pq_recall_on_clustered_vectors(spark):
+    """PQ ADC on well-separated clusters must retrieve neighbors
+    exclusively from the query's own cluster: every subspace codebook
+    snaps onto the per-cluster sub-vectors, so within-cluster approx
+    distances stay far below cross-cluster ones."""
+    import numpy as np
+
+    rs = np.random.RandomState(3)
+    rows = []
+    for c in range(8):
+        center = 3.0 * rs.standard_normal(16)
+        for j in range(25):
+            v = center + 0.05 * rs.standard_normal(16)
+            rows.append((c * 100 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.ann_pq(emb, q, k=5, m=4, ksub=8, n_iter=3).collect()
+    assert len(got) == 5 * 8
+    # PQ cannot rank WITHIN a cell (same-cluster vectors share codes,
+    # ties break by id — inherent to the method), so the correctness
+    # property is cluster retrieval: every returned neighbor must
+    # come from the query's own generating cluster, at near-zero
+    # approximate distance.
+    for r in got:
+        assert r.nbr_id // 100 == r.query_id // 100, (r.query_id, r.nbr_id)
+
+
+def test_pq_codebooks_and_codes_deterministic(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = S.pq_fit_codebooks(emb, m=4, ksub=8, n_iter=1)
+    b2 = S.pq_fit_codebooks(emb.repartition(7), m=4, ksub=8, n_iter=1)
+    assert np.array_equal(b1, b2), "codebooks must not depend on partitioning"
+    c1 = {r.vec_id: list(r.codes) for r in S.pq_encode(emb, b1).collect()}
+    c2 = {r.vec_id: list(r.codes)
+          for r in S.pq_encode(emb.repartition(5), b1).collect()}
+    assert c1 == c2
+    m, ksub, dsub = b1.shape
+    assert (m, ksub, dsub) == (4, 8, 16)
+    assert all(0 <= c < ksub for cs in c1.values() for c in cs)
+
+
+def test_pq_rejects_indivisible_dim(spark, sf_dir):
+    import pytest as _pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="not divisible"):
+        S.pq_fit_codebooks(emb, m=7, ksub=4, n_iter=1)
+
+
+def test_semantic_decontaminate_drops_eval_and_scaled_copies(spark):
+    from gdelt_extractor_spark.operators.curation import semantic_decontaminate
+
+    base = [1.0] + [0.0] * 7
+    other = [0.0] * 7 + [1.0]
+    corpus = spark.createDataFrame(
+        [
+            (1, base, 0),
+            (2, [x * 5.0 for x in base], 0),   # scaled copy: cosine 1.0
+            (3, other, 1),                      # orthogonal: survives
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    ev = spark.createDataFrame(
+        [(100, base, 0)], "vec_id long, embedding array<double>, label int"
+    )
+    kept = {r.vec_id for r in
+            semantic_decontaminate(corpus, ev, threshold=0.95).collect()}
+    assert kept == {3}
