@@ -182,3 +182,68 @@ def test_streaming_rate_cap_rows_spanning_arrow_chunks(spark, tmp_path):
     assert got == [
         (f"2024-01-01 10:00:0{s}", s <= 5) for s in range(1, 10)
     ]
+
+
+def test_streaming_anomaly_transform_with_state(spark, tmp_path):
+    """EWMA anomaly scoring: stable values warm the state up across
+    TWO micro-batches (state persists), then a spike in batch 2 must
+    flag."""
+    from gdelt_extractor_spark.streaming.anomaly import streaming_anomaly
+
+    d = tmp_path / "anom"
+    d.mkdir()
+    (d / "b1.csv").write_text(
+        "".join(f"1,2024-01-01 10:00:{s:02d},10.{s}\n" for s in range(6))
+    )
+    (d / "b2.csv").write_text(
+        "1,2024-01-01 10:01:00,10.3\n"
+        "1,2024-01-01 10:01:10,99.0\n"   # spike
+        "1,2024-01-01 10:01:20,10.4\n"
+    )
+    import os
+    import time
+
+    now = time.time()
+    os.utime(d / "b1.csv", (now - 60, now - 60))
+    os.utime(d / "b2.csv", (now, now))
+
+    stream = (
+        spark.readStream.format("csv")
+        .option("maxFilesPerTrigger", "1")
+        .schema(SCHEMA)
+        .load(str(d))
+    )
+    out = streaming_anomaly(stream, alpha=0.2, z_thresh=4.0, warmup=5)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anom_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM anom_out ORDER BY event_time").collect()
+    assert len(rows) == 9
+    flags = {str(r.event_time): r.is_anomaly for r in rows}
+    assert flags["2024-01-01 10:01:10"] is True         # the spike
+    assert sum(flags.values()) == 1                     # only the spike
+    # warmup events score 0
+    assert all(r.z == 0.0 for r in rows[:5])
+    # state persisted across batches: batch-2 stable values score small
+    z2 = {str(r.event_time): r.z for r in rows}
+    assert abs(z2["2024-01-01 10:01:00"]) < 4.0
+
+
+def test_streaming_anomaly_tws_env_gate(spark):
+    """The transformWithState variant must either run (protobuf
+    present) or refuse with a clear error — never crash mid-query."""
+    from gdelt_extractor_spark.streaming import anomaly as A
+
+    if not A._HAS_PROTOBUF:
+        import pytest as _pytest
+
+        df = spark.readStream.format("rate").load()
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            A.streaming_anomaly_tws(df)
