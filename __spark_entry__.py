@@ -1224,6 +1224,44 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_pq(emb, q, k=5)
 
 
+_DRIFT_MUT = """
+  SELECT o_orderkey,
+    o_orderstatus,
+    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+         ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         ELSE o_orderpriority END AS o_orderpriority,
+    o_orderkey % 2 AS o_flag
+  FROM orders"""
+
+
+def _schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/profile drift between orders and a deterministically
+    mutated snapshot: o_custkey removed, o_flag added, every 3rd
+    total price doubled (mean shift), every 5th priority nulled
+    (null-fraction drift)."""
+    from gdelt_extractor_spark.operators.profiling import schema_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    mutated = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        (F.col("o_orderkey") % 2).alias("o_flag"),
+    )
+    return schema_drift(
+        o, mutated,
+        cols_old=[c for c, _ in _PROFILE_COLS],
+        cols_new=["o_orderkey", "o_orderstatus", "o_totalprice",
+                  "o_orderpriority", "o_flag"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1291,7 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": _mixture_weights,
         "vocab_coverage": _vocab_coverage,
         "semantic_decontam": _semantic_decontam,
-        # --- slot 51+: rows-only PQ + rotation backlog ---
+        # --- slot 51+: rotation backlog (graded next round) ---
+        "schema_drift": _schema_drift,
         "ann_pq_topk": _ann_pq_topk,
         "lookup_rollup": _lookup_rollup,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
@@ -1422,6 +1461,21 @@ _DE = "('der','die','das','und','ist','nicht')"
 _FR = "('le','la','les','et','est','dans')"
 _ES = "('el','los','las','y','es','en')"
 _STOP = "('the','a','of','and','is','to','in','it','that','this','for','on','with')"
+
+
+def _profile_block_sql(table: str, cols: list[tuple[str, bool]]) -> str:
+    """Per-column profile SELECT … UNION ALL block over ``table`` —
+    the same generated form the profile_orders oracle uses, reusable
+    for drift comparisons over CTEs."""
+    return " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+          {"CAST(SUM(CAST(CAST(" + c + " AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)/COUNT(" + c + ")" if num else "CAST(NULL AS DOUBLE)"} AS mean_num
+        FROM {table}"""
+        for c, num in cols
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2374,6 +2428,34 @@ def oracle_sql() -> dict[str, str]:
               round(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
             FROM counted ORDER BY src, dst
         """,
+        "schema_drift": (lambda prof: f"""
+            WITH newv AS ({_DRIFT_MUT}),
+            po AS ({prof("orders", [("o_orderkey", True), ("o_custkey", True),
+                                    ("o_orderstatus", False),
+                                    ("o_totalprice", True),
+                                    ("o_orderpriority", False)])}),
+            pn AS ({prof("newv", [("o_orderkey", True),
+                                  ("o_orderstatus", False),
+                                  ("o_totalprice", True),
+                                  ("o_orderpriority", False),
+                                  ("o_flag", True)])})
+            SELECT COALESCE(po.col_name, pn.col_name) AS col_name,
+              CASE WHEN po.col_name IS NULL THEN 'added'
+                   WHEN pn.col_name IS NULL THEN 'removed'
+                   ELSE 'common' END AS status,
+              ROUND(CAST(po.n_null AS DOUBLE) / po.n_rows, 6)
+                AS null_frac_old,
+              ROUND(CAST(pn.n_null AS DOUBLE) / pn.n_rows, 6)
+                AS null_frac_new,
+              po.n_distinct AS distinct_old,
+              pn.n_distinct AS distinct_new,
+              CASE WHEN po.n_distinct > 0 THEN
+                ROUND(CAST(pn.n_distinct AS DOUBLE) / po.n_distinct, 6)
+              END AS distinct_ratio,
+              ROUND(pn.mean_num - po.mean_num, 6) AS mean_shift
+            FROM po FULL JOIN pn ON po.col_name = pn.col_name
+            ORDER BY col_name
+        """)(_profile_block_sql),
         "semantic_decontam": """
             WITH v AS (
               SELECT vec_id, label,

@@ -54,6 +54,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 # baselines and LSH ANN are benched too, not just their scale paths).
 HEADLINE = [
     "semantic_decontam",
+    "schema_drift",
     "ann_pq_topk",
     "mixture_weights",
     "vocab_coverage",

@@ -60,3 +60,50 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "(col_name, n_rows, n_null, n_distinct, min_num, max_num, mean_num)"
     )
     return one.select(F.expr(expr)).orderBy("col_name")
+
+
+def schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols_old: list[str] | None = None,
+    cols_new: list[str] | None = None,
+) -> DataFrame:
+    """Profile-level drift between two snapshots of a table — the
+    did-the-new-drop-change-shape audit run before promoting a crawl:
+    per column, presence (added/removed/common), null-fraction on
+    each side, the distinct-count ratio, and the numeric mean shift.
+
+    Plan: each side is ONE ``profile_table`` aggregate pass (single
+    scan, Expand-shared multi-distinct); the drift join touches
+    |columns| rows.  Nothing scales with row count beyond the two
+    profile scans.
+    """
+    def side(df: DataFrame, cols, prefix: str) -> DataFrame:
+        p = profile_table(df, cols)
+        return p.select(
+            "col_name",
+            F.col("n_rows").alias(f"{prefix}_rows"),
+            F.col("n_null").alias(f"{prefix}_null"),
+            F.col("n_distinct").alias(f"{prefix}_distinct"),
+            F.col("mean_num").alias(f"{prefix}_mean"),
+        )
+
+    j = side(old, cols_old, "o").join(side(new, cols_new, "n"), "col_name", "full")
+    status = (
+        F.when(F.col("o_rows").isNull(), "added")
+        .when(F.col("n_rows").isNull(), "removed")
+        .otherwise("common")
+    )
+    return j.select(
+        "col_name",
+        status.alias("status"),
+        F.round(F.col("o_null") / F.col("o_rows"), 6).alias("null_frac_old"),
+        F.round(F.col("n_null") / F.col("n_rows"), 6).alias("null_frac_new"),
+        F.col("o_distinct").alias("distinct_old"),
+        F.col("n_distinct").alias("distinct_new"),
+        F.when(
+            F.col("o_distinct") > 0,
+            F.round(F.col("n_distinct") / F.col("o_distinct"), 6),
+        ).alias("distinct_ratio"),
+        F.round(F.col("n_mean") - F.col("o_mean"), 6).alias("mean_shift"),
+    ).orderBy("col_name")

@@ -386,3 +386,26 @@ def test_vocab_coverage_tie_break_deterministic(spark):
     toks = [r.token for r in
             vocab_coverage(df.repartition(4), "text").orderBy("rank").collect()]
     assert toks == ["x", "y", "z"]  # equal freq → token asc
+
+
+def test_schema_drift_statuses_and_metrics(spark):
+    from gdelt_extractor_spark.operators.profiling import schema_drift
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, None), (3, 30.0, "y"), (4, 40.0, "y")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 99.0, 1), (3, 30.0, 0), (4, None, 0)],
+        "k long, v double, flag int",
+    )
+    rows = {r.col_name: r for r in schema_drift(old, new).collect()}
+    assert rows["k"].status == "common"
+    assert rows["s"].status == "removed" and rows["flag"].status == "added"
+    assert rows["s"].null_frac_old == 0.25 and rows["s"].null_frac_new is None
+    assert rows["v"].null_frac_new == 0.25
+    assert rows["v"].distinct_old == 4 and rows["v"].distinct_new == 3
+    assert rows["v"].distinct_ratio == 0.75
+    # mean over non-null: old (10+20+30+40)/4=25, new (10+99+30)/3
+    assert abs(rows["v"].mean_shift - (139.0 / 3 - 25.0)) < 1e-6
+    assert rows["flag"].mean_shift is None and rows["flag"].distinct_ratio is None
