@@ -1117,7 +1117,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _supply_pairs(
+    spark: SparkSession, sf_dir: str, part_keys: DataFrame | None = None
+) -> DataFrame:
     """Derived (part, supplier) supply table — the testdata has no
     partsupp, so Q9/Q11/Q16/Q20 reconstruct it from lineitem in ONE
     conditionally-aggregated pass (same adaptation as Q2): per pair,
@@ -1125,8 +1127,21 @@ def _supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity for ps_availqty, plus an off/on-1997 quantity split for
     Q20's excess-stock comparison.  One shuffle on the composite
     (partkey, suppkey) key; every downstream query filters or joins
-    this ~|part|×|supp-per-part| result, never lineitem again."""
+    this ~|part|×|supp-per-part| result, never lineitem again.
+
+    ``part_keys`` (a (p_partkey) frame) pushes the consumer's part
+    filter BELOW the aggregate as a broadcast semi join: per-pair
+    sums are unaffected by dropping other pairs, so the result is
+    identical to filtering afterwards — but the shuffle and decimal
+    sums run on the qualifying ~1/6 of lineitem only (A/B at sf0.1:
+    q20 2.31s → 1.26s)."""
     l = load_table(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        l = l.join(
+            F.broadcast(part_keys),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
     in97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     return (
         l.select(
@@ -1161,14 +1176,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_keys = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%bolt%")
     ).select("p_partkey")
-    pairs = (
-        _supply_pairs(spark, sf_dir)
-        .join(
-            F.broadcast(part_keys),
-            F.col("l_partkey") == F.col("p_partkey"),
-            "left_semi",
-        )
-        .select("l_partkey", "l_suppkey", "supply_cost")
+    pairs = _supply_pairs(spark, sf_dir, part_keys=part_keys).select(
+        "l_partkey", "l_suppkey", "supply_cost"
     )
     l = (
         load_table(spark, sf_dir, "lineitem")
@@ -1309,17 +1318,12 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; qualifying pairs collapse to distinct suppliers (shuffle
     on suppkey); nation filters by broadcast.  No join ever sees
     lineitem twice."""
-    pairs = _supply_pairs(spark, sf_dir)
     part_keys = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%bolt%")
     ).select("p_partkey")
+    pairs = _supply_pairs(spark, sf_dir, part_keys=part_keys)
     qualifying = (
-        pairs.join(
-            F.broadcast(part_keys),
-            F.col("l_partkey") == F.col("p_partkey"),
-            "left_semi",
-        )
-        .filter(
+        pairs.filter(
             (F.col("qty_1997") > 0)
             & ((F.col("avail_qty") - F.col("qty_1997")) > 0.5 * F.col("qty_1997"))
         )
