@@ -1262,6 +1262,20 @@ def _schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _actor_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country-actor communities by deterministic label propagation
+    over the dyad interaction graph — the density-aware complement
+    to actor_pagerank (influence) and dup_clusters (reachability).
+    Iterative label voting → rows-only; contracts property-tested in
+    tests/test_graph.py (clique separation, min-label convergence,
+    partition independence)."""
+    from gdelt_extractor_spark.operators.graph import label_propagation
+    from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
+
+    dyads = actor_dyad_rollup(read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv"))
+    return label_propagation(dyads, src="actor1_cc", dst="actor2_cc")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1331,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": _semantic_decontam,
         # --- slot 51+: rotation backlog (graded next round) ---
         "schema_drift": _schema_drift,
+        "actor_communities": _actor_communities,
         "ann_pq_topk": _ann_pq_topk,
         "lookup_rollup": _lookup_rollup,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---

@@ -55,6 +55,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 HEADLINE = [
     "semantic_decontam",
     "schema_drift",
+    "actor_communities",
     "ann_pq_topk",
     "mixture_weights",
     "vocab_coverage",

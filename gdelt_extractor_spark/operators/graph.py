@@ -21,7 +21,7 @@ declared rows-only for the oracle gate and property-tested instead
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -106,3 +106,78 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007): every node repeatedly adopts the most frequent label among
+    its neighbors (ties → smallest label), starting from its own id.
+    Communities are denser than connected components — a bridge edge
+    joins two components but rarely flips a whole community's vote —
+    so this complements ``dedup.connected_components`` (membership)
+    and ``pagerank`` (influence) as the density-aware grouping.
+
+    Determinism: synchronous updates + (count desc, label asc)
+    argmax make every round a pure function of the previous labels —
+    no dependence on partitioning or visit order (the classic async
+    formulation is order-dependent; this is the deterministic
+    variant, property-tested).  Convergence: stops early when no
+    label changed; synchronous LPA can 2-cycle on bipartite
+    structures, so ``max_iter`` bounds the loop and the last
+    iteration's labels are returned as-is.
+
+    Scale shape: per round ONE equi-join of the symmetrized edge list
+    with the (node, label) frame on the source key and ONE
+    (node, label) count aggregate + per-node argmax — the same
+    join-then-aggregate round as ``pagerank``, with per-round
+    localCheckpoint lineage cuts and a single changed-count scalar to
+    the driver.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
+    )
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # deterministic argmax for ANY orderable label type (ids or
+        # country codes): rank per node by (count desc, label asc)
+        # and keep rank 1 — the window reuses the node partitioning
+        # the next round's join wants
+        wv = Window.partitionBy("node").orderBy(
+            F.col("n").desc(), F.col("label").asc()
+        )
+        best = (
+            votes.withColumn("_rn", F.row_number().over(wv))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        nxt = best.localCheckpoint(eager=True)
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("community"))

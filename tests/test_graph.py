@@ -53,3 +53,54 @@ def test_weighted_edges_shift_rank(spark):
 def test_empty_graph(spark):
     e = _edges(spark, [], "src string, dst string")
     assert pagerank(e).count() == 0
+
+
+class TestLabelPropagation:
+    def _lp(self, spark, pairs, **kw):
+        from gdelt_extractor_spark.operators.graph import label_propagation
+
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        return {r.node: r.community
+                for r in label_propagation(e, **kw).collect()}
+
+    def test_two_cliques_with_bridge(self, spark):
+        """Two 4-cliques joined by ONE bridge edge must form two
+        communities — precisely what connected components cannot
+        see (it reports a single component)."""
+        from itertools import combinations
+
+        c1 = list(combinations([1, 2, 3, 4], 2))
+        c2 = list(combinations([11, 12, 13, 14], 2))
+        got = self._lp(spark, c1 + c2 + [(4, 11)])
+        assert len({got[n] for n in (1, 2, 3, 4)}) == 1
+        assert len({got[n] for n in (11, 12, 13, 14)}) == 1
+        assert got[1] != got[11]
+
+    def test_isolated_clique_converges_to_min_label(self, spark):
+        from itertools import combinations
+
+        got = self._lp(spark, list(combinations([5, 6, 7], 2)))
+        assert got == {5: 5, 6: 5, 7: 5}
+
+    def test_partition_independent(self, spark):
+        from gdelt_extractor_spark.operators.graph import label_propagation
+
+        pairs = [(i, i + 1) for i in range(20)] + [(0, 10), (5, 15)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        a = {r.node: r.community for r in label_propagation(e).collect()}
+        b = {r.node: r.community
+             for r in label_propagation(e.repartition(7)).collect()}
+        assert a == b
+
+
+def test_label_propagation_string_labels(spark):
+    """Labels must order correctly for non-numeric node ids (country
+    codes) — the argmax tie-break is type-generic."""
+    from gdelt_extractor_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [("US", "CN"), ("CN", "RU"), ("FR", "DE")], "src string, dst string"
+    )
+    got = {r.node: r.community for r in label_propagation(e).collect()}
+    assert got["FR"] == got["DE"]
+    assert len({got["US"], got["CN"], got["RU"]} & {got["FR"]}) == 0

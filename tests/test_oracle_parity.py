@@ -79,6 +79,7 @@ ROWS_ONLY = (
     "hashed_embeddings",
     "contrastive_triplets",
     "ann_pq_topk",
+    "actor_communities",
 )
 
 
