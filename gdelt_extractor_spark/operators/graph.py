@@ -126,10 +126,13 @@ def label_propagation(
     argmax make every round a pure function of the previous labels —
     no dependence on partitioning or visit order (the classic async
     formulation is order-dependent; this is the deterministic
-    variant, property-tested).  Convergence: stops early when no
-    label changed; synchronous LPA can 2-cycle on bipartite
-    structures, so ``max_iter`` bounds the loop and the last
-    iteration's labels are returned as-is.
+    variant, property-tested).  Each node also votes for its OWN
+    current label (a self-loop added once before the loop): without
+    the self-vote, synchronous LPA 2-cycles forever on pendant pairs
+    and bipartite structures (FR–DE swaps labels every round); with
+    it, ties break toward stability and such pairs converge in one
+    round.  ``max_iter`` still bounds the loop; early-stop when no
+    label changes.
 
     Scale shape: per round ONE equi-join of the symmetrized edge list
     with the (node, label) frame on the source key and ONE
@@ -141,17 +144,20 @@ def label_propagation(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
     )
+    undirected = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = undirected.select(F.col("u").alias("node")).distinct()
+    # self-loops implement the self-vote (docstring): one extra edge
+    # per node, not per round
     sym = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        undirected.unionByName(
+            nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         votes = (
             sym.join(labels.withColumnRenamed("node", "v"), "v")
