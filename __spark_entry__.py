@@ -1276,6 +1276,21 @@ def _actor_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(dyads, src="actor1_cc", dst="actor2_cc")
 
 
+def _bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE pipeline over documents: train 50 merges from the
+    distributed word-frequency table (bounded driver loop), encode
+    the corpus with the learned merges (one Arrow pass).  Iterative
+    training → rows-only; the merge-sequence/losslessness/partition-
+    independence contracts are pinned in tests/test_textstats.py."""
+    from gdelt_extractor_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir, width=0)
+    merges = bpe_train(docs, "text", n_merges=50)
+    return bpe_encode(docs, "doc_id", "text", merges).select(
+        "doc_id", "n_subwords"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1346,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slot 51+: rotation backlog (graded next round) ---
         "schema_drift": _schema_drift,
         "actor_communities": _actor_communities,
+        "bpe_subwords": _bpe_subwords,
         "ann_pq_topk": _ann_pq_topk,
         "lookup_rollup": _lookup_rollup,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---

@@ -56,6 +56,7 @@ HEADLINE = [
     "semantic_decontam",
     "schema_drift",
     "actor_communities",
+    "bpe_subwords",
     "ann_pq_topk",
     "mixture_weights",
     "vocab_coverage",

@@ -80,6 +80,7 @@ ROWS_ONLY = (
     "contrastive_triplets",
     "ann_pq_topk",
     "actor_communities",
+    "bpe_subwords",
 )
 
 

@@ -409,3 +409,50 @@ def test_schema_drift_statuses_and_metrics(spark):
     # mean over non-null: old (10+20+30+40)/4=25, new (10+99+30)/3
     assert abs(rows["v"].mean_shift - (139.0 / 3 - 25.0)) < 1e-6
     assert rows["flag"].mean_shift is None and rows["flag"].distinct_ratio is None
+
+
+class TestBpeTokenizer:
+    def test_classic_merge_sequence(self, spark):
+        """Sennrich's low/lower/newest/widest example: the first
+        merges must be (e,s), (es,t), (est,</w>) — the published
+        progression for these frequencies."""
+        from gdelt_extractor_spark.operators.tokenizer import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3)],
+            "doc_id long, text string",
+        )
+        merges = bpe_train(df, "text", n_merges=4)
+        assert merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+
+    def test_encode_reconstructs_words(self, spark):
+        """Dropping the </w> markers and joining subwords must
+        reproduce every normalized word exactly (BPE is lossless)."""
+        from gdelt_extractor_spark.functions.text import normalize_text
+        from gdelt_extractor_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"spark shuffles Partition{i} data") for i in range(6)],
+            "doc_id long, text string",
+        )
+        merges = bpe_train(df, "text", n_merges=30)
+        out = {r.doc_id: r.subwords for r in
+               bpe_encode(df, "doc_id", "text", merges).collect()}
+        norm = {r.doc_id: r.t for r in
+                df.select("doc_id", normalize_text("text").alias("t")).collect()}
+        for i, subs in out.items():
+            rebuilt = "".join(subs).replace("</w>", " ").strip()
+            assert rebuilt == norm[i]
+
+    def test_train_partition_independent(self, spark):
+        from gdelt_extractor_spark.operators.tokenizer import bpe_train
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma delta " * (i % 3 + 1)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        assert (bpe_train(df, "text", n_merges=15)
+                == bpe_train(df.repartition(7), "text", n_merges=15))
