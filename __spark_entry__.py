@@ -1291,6 +1291,62 @@ def _bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation closing the ANN loop: brute-force cosine top-10
+    as the ranked results, same-label vectors as binary qrels →
+    per-query recall@10 / MRR / NDCG@10.  The NDCG discount and
+    ideal-DCG tables are driver-precomputed doubles shared verbatim
+    with the oracle (no engine-side transcendental)."""
+    emb = _emb(spark, sf_dir, width=8)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    results = S.ann_bruteforce(emb, q, k=10)
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("_ql"))
+    qrels = (
+        qe.filter(F.col("query_id") < 8)
+        .join(
+            emb.select(F.col("vec_id").alias("nbr_id"), "label"),
+            F.col("_ql") == F.col("label"),
+        )
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id")
+    )
+    return S.ranking_metrics(results, qrels, k=10)
+
+
+def _incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-summary maintenance: corpus_stats of the even-id
+    half folded with the odd-id half via merge_corpus_stats must
+    equal the full recompute — the oracle IS that recompute, so the
+    hash gate proves mergeability."""
+    docs = _docs(spark, sf_dir)
+    hist = C.corpus_stats(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = C.corpus_stats(docs.filter(F.col("doc_id") % 2 == 1))
+    return C.merge_corpus_stats(hist, batch)
+
+
+def _equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-depth (equal-mass) histogram of values —
+    ntile ordered by (value, event_id) so bucket assignment is a
+    total order both engines share."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("bucket", F.ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1362,6 +1418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift": _schema_drift,
         "actor_communities": _actor_communities,
         "bpe_subwords": _bpe_subwords,
+        "retrieval_eval": _retrieval_eval,
+        "incremental_stats": _incremental_stats,
+        "equidepth_histogram": _equidepth_histogram,
         "ann_pq_topk": _ann_pq_topk,
         "lookup_rollup": _lookup_rollup,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
@@ -1507,6 +1566,10 @@ def _profile_block_sql(table: str, cols: list[tuple[str, bool]]) -> str:
         FROM {table}"""
         for c, num in cols
     )
+
+
+_NDCG_DISC_VALUES = "(1, 1.0), (2, 0.6309297535714575), (3, 0.5), (4, 0.43067655807339306), (5, 0.38685280723454163), (6, 0.3562071871080222), (7, 0.3333333333333333), (8, 0.31546487678572877), (9, 0.3010299956639812), (10, 0.2890648263178879)"
+_NDCG_IDCG_VALUES = "(1, 1.0), (2, 1.6309297535714575), (3, 2.1309297535714578), (4, 2.5616063116448506), (5, 2.9484591188793923), (6, 3.3046663059874146), (7, 3.637999639320748), (8, 3.953464516106477), (9, 4.254494511770458), (10, 4.543559338088346)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2487,6 +2550,76 @@ def oracle_sql() -> dict[str, str]:
             FROM po FULL JOIN pn ON po.col_name = pn.col_name
             ORDER BY col_name
         """)(_profile_block_sql),
+        "retrieval_eval": f"""
+            WITH v AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            n AS (SELECT vec_id, label, vv,
+              sqrt(list_dot_product(vv, vv)) AS nrm FROM v),
+            ranked AS (
+              SELECT query_id, nbr_id, rank FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS nbr_id,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_dot_product(q.vv, v.vv)/(q.nrm*v.nrm)
+                      DESC, v.vec_id ASC) AS rank
+                FROM n q JOIN n v ON v.vec_id <> q.vec_id
+                WHERE q.vec_id < 8)
+              WHERE rank <= 10),
+            qrels AS (
+              SELECT q.vec_id AS query_id, v.vec_id AS nbr_id
+              FROM v q JOIN v v ON q.label = v.label
+                AND v.vec_id <> q.vec_id
+              WHERE q.vec_id < 8),
+            nrel AS (
+              SELECT query_id, COUNT(*) AS n_relevant
+              FROM qrels GROUP BY query_id),
+            disc(rank, d) AS (VALUES {_NDCG_DISC_VALUES}),
+            idcg(nc, ideal) AS (VALUES {_NDCG_IDCG_VALUES}),
+            hits AS (
+              SELECT r.query_id, r.rank, d.d,
+                CASE WHEN qr.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+              FROM ranked r
+              JOIN disc d USING (rank)
+              LEFT JOIN qrels qr
+                ON qr.query_id = r.query_id AND qr.nbr_id = r.nbr_id),
+            perq AS (
+              SELECT query_id,
+                CAST(SUM(hit) AS BIGINT) AS n_hits,
+                MIN(CASE WHEN hit = 1 THEN rank END) AS first_hit,
+                CAST(SUM(CAST(CASE WHEN hit = 1 THEN d ELSE 0.0 END
+                  AS DECIMAL(25,9))) AS DOUBLE) AS dcg
+              FROM hits GROUP BY query_id)
+            SELECT p.query_id, nr.n_relevant, p.n_hits,
+              ROUND(CAST(p.n_hits AS DOUBLE) / nr.n_relevant, 6)
+                AS recall_at_10,
+              ROUND(COALESCE(1.0 / p.first_hit, 0.0), 6) AS mrr,
+              ROUND(p.dcg / i.ideal, 6) AS ndcg_at_10
+            FROM perq p
+            JOIN nrel nr USING (query_id)
+            LEFT JOIN idcg i
+              ON i.nc = LEAST(nr.n_relevant, 10)
+        """,
+        "incremental_stats": f"""
+            SELECT source, lang, COUNT(*) AS n_docs,
+              CAST(SUM(len({toks_text})) AS BIGINT) AS total_tokens,
+              CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+              CAST(SUM(len({toks_text})) AS DOUBLE) / COUNT(*)
+                AS avg_tokens
+            FROM documents GROUP BY source, lang
+        """,
+        "equidepth_histogram": """
+            WITH b AS (
+              SELECT event_type, value,
+                ntile(10) OVER (
+                  PARTITION BY event_type
+                  ORDER BY value ASC, event_id ASC) AS bucket
+              FROM events)
+            SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+              COUNT(*) AS n_rows, MIN(value) AS lo, MAX(value) AS hi
+            FROM b GROUP BY event_type, bucket
+        """,
         "semantic_decontam": """
             WITH v AS (
               SELECT vec_id, label,

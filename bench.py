@@ -57,6 +57,9 @@ HEADLINE = [
     "schema_drift",
     "actor_communities",
     "bpe_subwords",
+    "retrieval_eval",
+    "incremental_stats",
+    "equidepth_histogram",
     "ann_pq_topk",
     "mixture_weights",
     "vocab_coverage",

@@ -817,3 +817,37 @@ def semantic_decontaminate(
     return corpus.join(
         hits.withColumnRenamed("_cid", id_col), id_col, "left_anti"
     )
+
+
+def merge_corpus_stats(history: DataFrame, batch_stats: DataFrame) -> DataFrame:
+    """Incremental maintenance of the ``corpus_stats`` table: fold a
+    new batch's per-stratum stats into the standing history WITHOUT
+    rescanning historical text — the daily-increment production shape
+    (same philosophy as ``dedup.dedup_incremental``'s index).
+
+    Works because every corpus_stats column is a MERGEABLE summary:
+    counts and sums add; the average re-derives from the merged sums
+    (averages themselves never merge).  Strata present on only one
+    side pass through.  Plan: one union + one groupBy on the
+    small-cardinality strata key — cost is independent of corpus
+    size, which is the whole point.
+    """
+    group_cols = [c for c in history.columns
+                  if c not in ("n_docs", "total_tokens", "total_chars",
+                               "avg_tokens")]
+    both = history.select(*group_cols, "n_docs", "total_tokens",
+                          "total_chars").unionByName(
+        batch_stats.select(*group_cols, "n_docs", "total_tokens",
+                           "total_chars")
+    )
+    return (
+        both.groupBy(*group_cols)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("total_chars").alias("total_chars"),
+        )
+        .withColumn(
+            "avg_tokens", F.col("total_tokens") / F.col("n_docs")
+        )
+    )

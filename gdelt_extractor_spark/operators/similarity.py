@@ -645,3 +645,91 @@ def ann_pq(
         .select("query_id", F.col("vec_id").alias("nbr_id"), "rank",
                 F.round("adist", 6).alias("approx_dist"))
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "nbr_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality metrics per query — recall@k, MRR, NDCG@k
+    (binary relevance) — the evaluation loop that closes the ANN /
+    BM25 family: ``results`` is any ranked (query, doc, rank) frame,
+    ``qrels`` the relevant (query, doc) pairs.
+
+    Engine-portable NDCG: the 1/log2(r+1) discounts are PRECOMPUTED
+    driver-side into a k-row table joined in (broadcast), so both
+    this plan and any SQL oracle share literally identical doubles —
+    no transcendental evaluated engine-side (the bm25/mixture
+    lesson).  Per-query sums are decimal-cast; recall/MRR are exact
+    rationals.
+
+    Plan: results filter to rank ≤ k (codegen), one equi-join to
+    qrels on (query, doc) marking hits, the k-row discount broadcast,
+    one (query) aggregate joined to the |relevant|-per-query
+    aggregate.  Scales with |results|, never with the corpus.
+    """
+    import math as _math
+
+    spark = results.sparkSession
+    discounts = spark.createDataFrame(
+        [(r, 1.0 / _math.log2(r + 1)) for r in range(1, k + 1)],
+        f"{rank_col} long, _disc double",
+    )
+    # ideal DCG per relevant-count: idcg(n) = sum of first min(n,k)
+    # discounts — also driver-precomputed so engines agree
+    acc, idcg_rows = 0.0, []
+    for r in range(1, k + 1):
+        acc += 1.0 / _math.log2(r + 1)
+        idcg_rows.append((r, acc))
+    idcg = spark.createDataFrame(idcg_rows, "_nrel_c long, _idcg double")
+
+    topk = results.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias(rank_col),
+    ).filter(F.col(rank_col) <= k)
+    rel = qrels.select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+    ).distinct()
+    n_rel = rel.groupBy("_q").agg(F.count(F.lit(1)).alias("n_relevant"))
+
+    hits = (
+        topk.join(rel.withColumn("_hit", F.lit(1)), ["_q", "_d"], "left")
+        .join(F.broadcast(discounts), rank_col)
+        .withColumn("_hit", F.coalesce("_hit", F.lit(0)))
+    )
+    per_q = hits.groupBy("_q").agg(
+        F.sum("_hit").alias("n_hits"),
+        F.min(F.when(F.col("_hit") == 1, F.col(rank_col))).alias("_first"),
+        F.sum(
+            F.when(F.col("_hit") == 1, F.col("_disc"))
+            .otherwise(0.0)
+            .cast("decimal(25,9)")
+        )
+        .cast("double")
+        .alias("_dcg"),
+    )
+    return (
+        per_q.join(n_rel, "_q")
+        .join(
+            F.broadcast(idcg),
+            F.least(F.col("n_relevant"), F.lit(k)) == F.col("_nrel_c"),
+            "left",
+        )
+        .select(
+            F.col("_q").alias(query_col),
+            "n_relevant",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_relevant"), 6).alias(
+                f"recall_at_{k}"
+            ),
+            F.round(
+                F.coalesce(1.0 / F.col("_first"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("_dcg") / F.col("_idcg"), 6).alias(f"ndcg_at_{k}"),
+        )
+    )

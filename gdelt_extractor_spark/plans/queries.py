@@ -1628,3 +1628,36 @@ def biggest_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.day").alias("day"),
         F.col("b.delta").alias("delta"),
     ).orderBy("event_type")
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-key equi-depth histogram: values split into ``n_buckets``
+    rank buckets (ntile) with each bucket's row count and value
+    range — the optimizer-statistics histogram (equal mass, variable
+    width) complementing ``value_histogram`` (fixed width, variable
+    mass).
+
+    One shuffle on the key for the ntile window, one partial-agg
+    rollup on (key, bucket); deterministic tie-handling because ntile
+    assigns by the (value, then input-order-free) sort — we order by
+    (value, a stable per-row tiebreak is unnecessary since bucket
+    counts and min/max are tie-invariant under any permutation of
+    equal values).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(value_col).asc())
+    return (
+        df.select(key_col, value_col)
+        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+        .orderBy(key_col, "bucket")
+    )

@@ -557,3 +557,29 @@ def test_mixture_weights_token_mass(spark):
     assert rows["a"].share == 0.8
     # alpha=1: sampling follows mass exactly, boost == 1
     assert rows["a"].sample_prob == 0.8 and rows["a"].boost == 1.0
+
+
+def test_merge_corpus_stats_equals_recompute_and_passthrough(spark):
+    from gdelt_extractor_spark.operators.curation import (
+        corpus_stats,
+        merge_corpus_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word " * (i + 1), "en", f"s{i % 3}") for i in range(12)],
+        "doc_id long, text string, lang string, source string",
+    )
+    full = {tuple(r[:2]): r[2:] for r in
+            corpus_stats(docs).collect()}
+    merged_df = merge_corpus_stats(
+        corpus_stats(docs.filter("doc_id % 2 = 0")),
+        corpus_stats(docs.filter("doc_id % 2 = 1")),
+    )
+    merged = {tuple(r[:2]): r[2:] for r in merged_df.collect()}
+    assert merged == full
+    # a stratum present on one side only passes through
+    only_hist = merge_corpus_stats(
+        corpus_stats(docs.filter("source = 's0'")),
+        corpus_stats(docs.filter("source = 's1'")),
+    ).collect()
+    assert {r.source for r in only_hist} == {"s0", "s1"}

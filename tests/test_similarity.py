@@ -263,3 +263,31 @@ def test_semantic_decontaminate_drops_eval_and_scaled_copies(spark):
     kept = {r.vec_id for r in
             semantic_decontaminate(corpus, ev, threshold=0.95).collect()}
     assert kept == {3}
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    results = spark.createDataFrame(
+        # q1: relevant at ranks 1 and 3 (of 3 relevant total)
+        # q2: nothing relevant retrieved (2 relevant exist)
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id long, nbr_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 77), (2, 78)],
+        "query_id long, nbr_id long",
+    )
+    got = {r.query_id: r for r in
+           S.ranking_metrics(results, qrels, k=3).collect()}
+    q1 = got[1]
+    assert (q1.n_relevant, q1.n_hits) == (3, 2)
+    assert q1.recall_at_3 == round(2 / 3, 6)
+    assert q1.mrr == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(q1.ndcg_at_3 - dcg / idcg) < 1e-6
+    q2 = got[2]
+    assert (q2.n_hits, q2.mrr, q2.ndcg_at_3) == (0, 0.0, 0.0)
+    assert q2.recall_at_3 == 0.0
