@@ -1366,7 +1366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_stats": _mention_stats,
         "gkg_theme_daily": _gkg_theme_daily,
         "actor_dyads": _actor_dyads,
-        "actor_pagerank": _actor_pagerank,
         "jsonl_corpus_stats": _jsonl_corpus_stats,
         "gdelt_v1_daily": _gdelt_v1_daily,
         "gdelt_clean": _gdelt_clean,
@@ -1378,8 +1377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": Q.session_paths,
         "bpe_pairs": _bpe_pairs,
         "corpus_report": _corpus_report,
-        "hashed_embeddings": _hashed_embeddings,
-        "contrastive_triplets": _contrastive_triplets,
         "dedup_pipeline": _dedup_pipeline,
         "curation_pipeline": _curation_pipeline,
         "dedup_containment": _dedup_containment,
@@ -1402,7 +1399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "fuzzy_join": _fuzzy_join,
         "shard_manifest": _shard_manifest,
-        "compression_stats": _compression_stats,
         "lm_score": _lm_score,
         "dedup_lines": _dedup_lines,
         # --- slots 43-47: new in round 6 ---
@@ -1414,13 +1410,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": _mixture_weights,
         "vocab_coverage": _vocab_coverage,
         "semantic_decontam": _semantic_decontam,
-        # --- slot 51+: rotation backlog (graded next round) ---
         "schema_drift": _schema_drift,
-        "actor_communities": _actor_communities,
-        "bpe_subwords": _bpe_subwords,
         "retrieval_eval": _retrieval_eval,
         "incremental_stats": _incremental_stats,
         "equidepth_histogram": _equidepth_histogram,
+        # --- slot 51+: rotation backlog (graded next round; the
+        # rows-only ops displaced from the window record only
+        # "no_oracle" driver-side and are property-tested locally ---
+        "actor_communities": _actor_communities,
+        "bpe_subwords": _bpe_subwords,
+        "actor_pagerank": _actor_pagerank,
+        "hashed_embeddings": _hashed_embeddings,
+        "contrastive_triplets": _contrastive_triplets,
+        "compression_stats": _compression_stats,
         "ann_pq_topk": _ann_pq_topk,
         "lookup_rollup": _lookup_rollup,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
