@@ -1347,6 +1347,24 @@ def _equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val split over embeddings: near-dup
+    clusters (cosine pairs → components, the dup_clusters machinery)
+    split by their REPRESENTATIVE's hash so every near-dup lands
+    whole in one side; singletons fall back to their own id.  The
+    oracle re-derives the same clusters with the recursive-CTE
+    closure and applies the identical md5 bucket arithmetic."""
+    from gdelt_extractor_spark.operators.curation import cluster_split
+
+    emb = _emb(spark, sf_dir, width=0)
+    pairs = D.dedup_embedding(emb, threshold=0.3)
+    clusters = D.connected_components(pairs)
+    return cluster_split(
+        emb.select("vec_id", "label"), clusters,
+        id_col="vec_id", train_pct=90,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1414,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": _retrieval_eval,
         "incremental_stats": _incremental_stats,
         "equidepth_histogram": _equidepth_histogram,
+        "cluster_split": _cluster_split,
         # --- slot 51+: rotation backlog (graded next round; the
         # rows-only ops displaced from the window record only
         # "no_oracle" driver-side and are property-tested locally ---
@@ -2621,6 +2640,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
               COUNT(*) AS n_rows, MIN(value) AS lo, MAX(value) AS hi
             FROM b GROUP BY event_type, bucket
+        """,
+        "cluster_split": """
+            WITH RECURSIVE
+            vv0 AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            nn AS (SELECT vec_id, label, vv,
+                sqrt(list_dot_product(vv, vv)) AS nrm FROM vv0),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.vv, b.vv)/(a.nrm*b.nrm), 6) >= 0.3),
+            edges AS (
+              SELECT id_a AS u, id_b AS w FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(u, w) AS (
+              SELECT u, w FROM edges
+              UNION
+              SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u),
+            reps AS (
+              SELECT u AS vec_id, least(u, MIN(w)) AS rep
+              FROM reach GROUP BY u),
+            keyed AS (
+              SELECT e.vec_id, e.label,
+                COALESCE(r.rep, e.vec_id) AS split_key
+              FROM embeddings e LEFT JOIN reps r USING (vec_id)),
+            bucketed AS (
+              SELECT vec_id, label,
+                CAST(('0x' || substring(
+                  md5('cluster-split-v1:' || CAST(split_key AS VARCHAR)),
+                  1, 4)) AS BIGINT) % 100 AS bucket
+              FROM keyed)
+            SELECT vec_id, label, bucket,
+              CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+            FROM bucketed
         """,
         "semantic_decontam": """
             WITH v AS (

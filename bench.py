@@ -60,6 +60,7 @@ HEADLINE = [
     "retrieval_eval",
     "incremental_stats",
     "equidepth_histogram",
+    "cluster_split",
     "ann_pq_topk",
     "mixture_weights",
     "vocab_coverage",

@@ -851,3 +851,57 @@ def merge_corpus_stats(history: DataFrame, batch_stats: DataFrame) -> DataFrame:
             "avg_tokens", F.col("total_tokens") / F.col("n_docs")
         )
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    train_pct: int = 90,
+    salt: str = "cluster-split-v1",
+) -> DataFrame:
+    """Leakage-free train/val split: near-duplicate documents must
+    land in the SAME split — a per-doc hash split puts one copy of a
+    near-dup pair in train and its twin in val, silently leaking
+    training data into evaluation.  The split key is therefore the
+    doc's CLUSTER REPRESENTATIVE (its component's min id from
+    ``dedup.connected_components``); singleton docs key on their own
+    id, which is exactly the same hash ``sample_split`` would draw.
+
+    Plan: one left join of the corpus to the (node, cluster) frame
+    — cluster frames only contain docs that HAVE a near-dup, so the
+    join's build side is the duplicate subset, not the corpus — then
+    the same md5 bucket projection as ``sample_split``.  Scan-speed
+    plus one bounded join; identical salt semantics.
+    """
+    c = clusters.select(
+        F.col(node_col).alias(id_col), F.col(cluster_col).alias("_rep")
+    )
+    keyed = df.join(c, id_col, "left").withColumn(
+        "_split_key", F.coalesce(F.col("_rep"), F.col(id_col))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col("_split_key").cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return keyed.select(
+        *[F.col(c) for c in df.columns],
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )

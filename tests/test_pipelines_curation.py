@@ -583,3 +583,34 @@ def test_merge_corpus_stats_equals_recompute_and_passthrough(spark):
         corpus_stats(docs.filter("source = 's1'")),
     ).collect()
     assert {r.source for r in only_hist} == {"s0", "s1"}
+
+
+def test_cluster_split_keeps_near_dups_together(spark):
+    """Every cluster lands whole in one split; singletons split by
+    their own id exactly as sample_split would."""
+    from gdelt_extractor_spark.operators.curation import (
+        cluster_split,
+        sample_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # clusters: {0,1,2} rep 0; {10,11} rep 10
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "node long, cluster_id long",
+    )
+    out = {r.doc_id: r.split for r in
+           cluster_split(docs, clusters, train_pct=50).collect()}
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11]
+    assert {"train", "val"} == set(out.values())  # both splits non-trivial
+    # singletons match the plain per-doc hash with the same salt
+    plain = {r.doc_id: r.split for r in
+             sample_split(docs, "doc_id", train_pct=50,
+                          salt="cluster-split-v1").collect()}
+    clustered_ids = {0, 1, 2, 10, 11}
+    for i in range(200):
+        if i not in clustered_ids:
+            assert out[i] == plain[i]
