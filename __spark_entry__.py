@@ -1365,6 +1365,28 @@ def _cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_WEIGHTS = {"q1": 0.25, "q2": 0.5, "q3": 1.0, "q4": 2.0}
+
+
+def _curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum mixture as ONE composed unit: quality_score
+    → global quality quartiles (ntile over the engine-shared
+    (quality, doc_id) order) → tier-weighted deterministic resampling
+    (mix_sources machinery): keep 25% of the worst quartile, half of
+    q2, all of q3, and 2× the best.  The oracle chains the same three
+    stages' SQL conventions."""
+    docs = _docs(spark, sf_dir, width=0)
+    q = TS.quality_score(docs, "doc_id", "text")
+    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    tiers = q.select("doc_id", "quality").withColumn(
+        "tier", F.concat(F.lit("q"), F.ntile(4).over(w).cast("string"))
+    )
+    return C.mix_sources(
+        tiers, CURRICULUM_WEIGHTS, source_col="tier", id_col="doc_id",
+        salt="curriculum-v1",
+    ).select("doc_id", "tier", "copy_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1433,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_stats": _incremental_stats,
         "equidepth_histogram": _equidepth_histogram,
         "cluster_split": _cluster_split,
+        "curriculum_mixture": _curriculum_mixture,
         # --- slot 51+: rotation backlog (graded next round; the
         # rows-only ops displaced from the window record only
         # "no_oracle" driver-side and are property-tested locally ---
@@ -2640,6 +2663,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
               COUNT(*) AS n_rows, MIN(value) AS lo, MAX(value) AS hi
             FROM b GROUP BY event_type, bucket
+        """,
+        "curriculum_mixture": """
+            WITH s AS (
+              SELECT doc_id, text,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                  'g')), ' ') AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                len(list_filter(toks, w -> w IN ('the','a','of','and','is',
+                  'to','in','it','that','this','for','on','with')))
+                  / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+                length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE) AS alpha_ratio
+              FROM s),
+            q AS (
+              SELECT doc_id,
+                round(least(n_tokens/100.0, 1.0)*0.4 + alpha_ratio*0.3
+                  + (1-stop_ratio)*0.3, 6) AS quality
+              FROM m),
+            t AS (
+              SELECT doc_id,
+                'q' || CAST(ntile(4) OVER
+                  (ORDER BY quality ASC, doc_id ASC) AS VARCHAR) AS tier
+              FROM q),
+            u AS (
+              SELECT *, CAST(('0x' || substring(md5('curriculum-v1:'
+                || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 1000000 AS u
+              FROM t),
+            w AS (
+              SELECT *,
+                CASE tier WHEN 'q1' THEN 0 WHEN 'q2' THEN 0
+                  WHEN 'q3' THEN 1 WHEN 'q4' THEN 2 ELSE 1 END AS fw,
+                CASE tier WHEN 'q1' THEN 250000 WHEN 'q2' THEN 500000
+                  WHEN 'q3' THEN 0 WHEN 'q4' THEN 0 ELSE 0 END AS thr
+              FROM u),
+            c AS (
+              SELECT *, fw + CASE WHEN u < thr THEN 1 ELSE 0 END AS n
+              FROM w)
+            SELECT doc_id, tier,
+              CAST(UNNEST(range(CAST(n AS BIGINT))) + 1 AS INT) AS copy_id
+            FROM c
         """,
         "cluster_split": """
             WITH RECURSIVE

@@ -61,6 +61,7 @@ HEADLINE = [
     "incremental_stats",
     "equidepth_histogram",
     "cluster_split",
+    "curriculum_mixture",
     "ann_pq_topk",
     "mixture_weights",
     "vocab_coverage",
