@@ -594,3 +594,49 @@ def test_length_buckets_conserves_docs_and_tokens(spark, texts):
             assert r.n_padded == r.bucket * r.n_docs
         else:
             assert r.max_tokens > 8
+
+
+@given(DOCS)
+@PROP
+def test_bm25_matches_naive_python(spark, texts):
+    """bm25_search == a straight-line Python BM25 with the same
+    rational idf, on random corpora (scores to 6dp, same ranking)."""
+    import re as _re
+
+    from gdelt_extractor_spark.operators.textstats import bm25_search
+
+    terms = ["spark", "data", "a"]
+    df = _df(spark, texts)
+    got = {
+        r[0]: (r.score, r.n_terms_hit)
+        for r in bm25_search(df, "doc_id", "text", terms, top_k=1000).collect()
+    }
+
+    def toks(t):
+        return [w for w in _re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w != ""] or [""]
+
+    docs = {i: toks(t) for i, t in enumerate(texts)}
+    # mirror the operator: dl counts ALL tokens of the normalized
+    # text (split of "" yields one empty token, as in Spark)
+    dls = {i: len((_re.sub(r"\s+", " ", t.lower()).strip() or "").split(" ")) for i, t in enumerate(texts)}
+    n = len(texts)
+    total = sum(dls.values())
+    avgdl = total / n
+    dfreq = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+    expected = {}
+    for i, ws in docs.items():
+        score, hits = 0.0, 0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            contrib = idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl))
+            score += round(contrib, 6)
+        if hits:
+            expected[i] = (round(score, 6), hits)
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i][1] == expected[i][1], (i, got[i], expected[i])
+        assert abs(got[i][0] - expected[i][0]) < 2e-6, (i, got[i], expected[i])
