@@ -1328,22 +1328,13 @@ def _incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type equi-depth (equal-mass) histogram of values —
-    ntile ordered by (value, event_id) so bucket assignment is a
-    total order both engines share."""
+    the event_id tiebreak makes the ntile order total, so both
+    engines assign identical buckets."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value", "event_id"
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    return (
-        ev.withColumn("bucket", F.ntile(10).over(w).cast("long"))
-        .groupBy("event_type", "bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
-        )
+    return Q.equidepth_histogram(
+        ev, "event_type", "value", n_buckets=10, tiebreak_col="event_id"
     )
 
 
@@ -1402,7 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     committed output (CORRECTNESS_FULL_LOCAL.json) covers the full
     registry every round."""
     return {
-        # --- slots 1-42: never driver-verified before round 6 ---
+        # --- never driver-verified before round 6 (rotation head) ---
         "mention_stats": _mention_stats,
         "gkg_theme_daily": _gkg_theme_daily,
         "actor_dyads": _actor_dyads,
@@ -1428,10 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "doc_chunks": _doc_chunks,
         "url_filter": _url_filter,
-        "cluster_embeddings": _cluster_embeddings,
         "quantize_embeddings": _quantize_embeddings,
         "source_quality_filter": _source_quality_filter,
-        "cluster_prune": _cluster_prune,
         "dedup_incremental_minhash": _dedup_incremental_minhash,
         "ngram_repetition": _ngram_repetition,
         "source_overlap": _source_overlap,
@@ -1441,7 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _shard_manifest,
         "lm_score": _lm_score,
         "dedup_lines": _dedup_lines,
-        # --- slots 43-47: new in round 6 ---
+        # --- new in round 6 (oracle-gated) ---
         "cdc_apply": _cdc_apply,
         "bm25_search": _bm25_search,
         "corpus_diff": _corpus_diff,
@@ -1456,9 +1445,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram": _equidepth_histogram,
         "cluster_split": _cluster_split,
         "curriculum_mixture": _curriculum_mixture,
-        # --- slot 51+: rotation backlog (graded next round; the
-        # rows-only ops displaced from the window record only
-        # "no_oracle" driver-side and are property-tested locally ---
+        # --- beyond the 50-slot window: rotation backlog (graded in
+        # a later round; rows-only ops displaced from the window
+        # record only "no_oracle" driver-side and are property-tested
+        # locally) ---
+        "cluster_embeddings": _cluster_embeddings,
+        "cluster_prune": _cluster_prune,
         "actor_communities": _actor_communities,
         "bpe_subwords": _bpe_subwords,
         "actor_pagerank": _actor_pagerank,
@@ -2763,7 +2755,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, COUNT(*) AS m FROM documents GROUP BY source),
             t AS (
               SELECT CAST(SUM(m) AS DOUBLE) AS tot,
-                     SUM(SQRT(m)) AS pow_tot
+                     CAST(SUM(CAST(SQRT(m) AS DECIMAL(25,9))) AS DOUBLE)
+                       AS pow_tot
               FROM s),
             scaled AS (
               SELECT source, CAST(m AS BIGINT) AS mass,

@@ -409,16 +409,28 @@ def main() -> None:
         pass  # read-only checkout: the stdout line still carries the summary
     compact = {k: v for k, v in full.items() if k != "runs"}
     budget = 1800  # chars; driver tail observed ~2048
+    # error strings are capped hard in the compact line (full text
+    # lives in BENCH_FULL.json): uncapped they alone could overflow
+    # the tail and reproduce the r5 parsed:null failure
+    short_errs = {n: {"err": e[:80]} for n, e in errors.items()}
     by_cost = sorted(timings, key=timings.get, reverse=True)
     keep = len(by_cost)
+    compact["queries"] = {
+        **{n: timings[n] for n in by_cost[:keep]},
+        **short_errs,
+    }
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > budget and keep > 0:
         keep -= 1
         compact["queries"] = {
             **{n: timings[n] for n in by_cost[:keep]},
-            **{n: {"err": e} for n, e in errors.items()},
+            **short_errs,
         }
         compact["queries_shown"] = keep
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:  # errors alone overflow: counts only
+        compact["queries"] = {}
+        compact["err_names"] = sorted(errors)[:20]
         line = json.dumps(compact, separators=(",", ":"))
     # Always exit 0 with the JSON line emitted LAST: the driver's
     # parse of the stdout tail is the gate.

@@ -709,16 +709,19 @@ def corpus_diff(
     from ..functions.text import normalize_text
 
     def hashes(df: DataFrame, side: str) -> DataFrame:
+        # explicit presence marker: NULL text hashes to NULL, so the
+        # hash cannot double as an existence signal
         return df.select(
             F.col(id_col).alias("_id"),
             F.md5(normalize_text(text_col)).alias(f"{side}_hash"),
+            F.lit(1).alias(f"_in_{side}"),
         )
 
     j = hashes(old, "old").join(hashes(new, "new"), "_id", "full")
     status = (
-        F.when(F.col("old_hash").isNull(), "added")
-        .when(F.col("new_hash").isNull(), "removed")
-        .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")), "unchanged")
         .otherwise("changed")
     )
     return j.select(
@@ -758,9 +761,14 @@ def mixture_weights(
     def _scaled(c):
         return F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(alpha))
 
+    # decimal-cast the scaled sum: plain double summation order is
+    # partition-dependent and an ulp shift can flip the 6dp rounding
+    # of sample_prob (the repo-wide dsum convention)
     tot = per_src.agg(
         F.sum("_m").alias("_tot"),
-        F.sum(_scaled(F.col("_m"))).alias("_pow_tot"),
+        F.sum(_scaled(F.col("_m")).cast("decimal(25,9)"))
+        .cast("double")
+        .alias("_pow_tot"),
     )
     return (
         per_src.join(F.broadcast(tot))

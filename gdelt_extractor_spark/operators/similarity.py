@@ -522,8 +522,13 @@ def pq_fit_codebooks(
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if X.shape[0] < ksub:
+        raise ValueError(
+            f"PQ needs >= ksub={ksub} sample vectors, got {X.shape[0]}; "
+            "lower ksub or provide more data"
+        )
     dsub = dim // m
-    init_rows = np.arange(min(ksub, X.shape[0]))
+    init_rows = np.arange(ksub)
     books = np.empty((m, ksub, dsub))
     for j in range(m):
         Xj = X[:, j * dsub : (j + 1) * dsub]

@@ -272,6 +272,10 @@ def apply_cdc(
         .when(F.col("_op") == "U", 1)
         .otherwise(2)
         .asc(),
+        # final tiebreak for identical (ts, op) duplicates: smallest
+        # attribute tuple wins — without a total order the surviving
+        # value would depend on partition/arrival order
+        F.struct(*[F.col(f"_new_{c}") for c in attr_cols]).asc(),
     )
     latest = (
         changes.select(

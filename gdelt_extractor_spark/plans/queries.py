@@ -1635,6 +1635,7 @@ def equidepth_histogram(
     key_col: str,
     value_col: str,
     n_buckets: int = 10,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-key equi-depth histogram: values split into ``n_buckets``
     rank buckets (ntile) with each bucket's row count and value
@@ -1643,15 +1644,18 @@ def equidepth_histogram(
     mass).
 
     One shuffle on the key for the ntile window, one partial-agg
-    rollup on (key, bucket); deterministic tie-handling because ntile
-    assigns by the (value, then input-order-free) sort — we order by
-    (value, a stable per-row tiebreak is unnecessary since bucket
-    counts and min/max are tie-invariant under any permutation of
-    equal values).
+    rollup on (key, bucket).  Pass ``tiebreak_col`` (a unique column)
+    whenever equal values can span a bucket boundary and the result
+    must be engine-reproducible: it makes the ntile order TOTAL, so
+    two engines assign identical buckets.
     """
-    w = Window.partitionBy(key_col).orderBy(F.col(value_col).asc())
+    order = [F.col(value_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    cols = [key_col, value_col] + ([tiebreak_col] if tiebreak_col else [])
     return (
-        df.select(key_col, value_col)
+        df.select(*cols)
         .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
         .groupBy(key_col, "bucket")
         .agg(

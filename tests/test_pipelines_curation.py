@@ -614,3 +614,17 @@ def test_cluster_split_keeps_near_dups_together(spark):
     for i in range(200):
         if i not in clustered_ids:
             assert out[i] == plain[i]
+
+
+def test_corpus_diff_null_text_presence(spark):
+    """A NULL-text doc present on both sides must NOT read as
+    added/removed — presence comes from the id, not the hash."""
+    from gdelt_extractor_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(1, None), (2, None)],
+                                "doc_id long, text string")
+    got = {r.doc_id: r.status for r in
+           corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed"}

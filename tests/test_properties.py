@@ -563,7 +563,12 @@ def test_apply_cdc_matches_naive_replay(spark, snap, ops):
     latest: dict[int, tuple] = {}
     for k, op, ts, v in ops:
         cur = latest.get(k)
-        if cur is None or (-ts, rank[op]) < (-cur[1], rank[cur[0]]):
+        # mirror the operator's total order: ts desc, D>U>I, then
+        # smallest attribute value (None sorts first, like Spark's
+        # nulls-first asc)
+        key = (-ts, rank[op], (v is not None, v))
+        if cur is None or key < (-cur[1], rank[cur[0]],
+                                 (cur[2] is not None, cur[2])):
             latest[k] = (op, ts, v)
     for k, (op, _ts, v) in latest.items():
         if op == "D":

@@ -291,3 +291,14 @@ def test_ranking_metrics_hand_computed(spark):
     q2 = got[2]
     assert (q2.n_hits, q2.mrr, q2.ndcg_at_3) == (0, 0.0, 0.0)
     assert q2.recall_at_3 == 0.0
+
+
+def test_pq_rejects_small_sample(spark):
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="ksub"):
+        S.pq_fit_codebooks(emb, m=2, ksub=16, n_iter=1)
