@@ -1378,6 +1378,32 @@ def _curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "tier", "copy_id")
 
 
+def _strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style markup stripping over a deterministically HTML-wrapped
+    corpus: every doc gains tags, every 3rd a script block, every 5th
+    entities + a comment; the cleaner must recover plain text.  The
+    oracle applies the identical RE2-safe regex sequence (no
+    backreferences — RE2 engines drop them silently)."""
+    from gdelt_extractor_spark.functions.text import strip_markup
+
+    docs = _docs(spark, sf_dir, width=0)
+    html = (
+        F.concat(F.lit('<div class="doc"><p>'), F.col("text"), F.lit("</p>"))
+    )
+    html = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(html, F.lit("<script>var x = '<b>hi</b>';</script>")),
+    ).otherwise(html)
+    html = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(html, F.lit("&quot;quoted&quot; &amp; more<!-- note -->")),
+    ).otherwise(html)
+    html = F.concat(html, F.lit("</div>"))
+    return docs.select(
+        "doc_id", strip_markup(html).alias("clean")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1445,10 +1471,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram": _equidepth_histogram,
         "cluster_split": _cluster_split,
         "curriculum_mixture": _curriculum_mixture,
-        # --- beyond the 50-slot window: rotation backlog (graded in
+        # --- beyond the 50-slot window (strip_markup rotates into
+        # the graded window next round): rotation backlog (graded in
         # a later round; rows-only ops displaced from the window
         # record only "no_oracle" driver-side and are property-tested
         # locally) ---
+        "strip_markup": _strip_markup,
         "cluster_embeddings": _cluster_embeddings,
         "cluster_prune": _cluster_prune,
         "actor_communities": _actor_communities,
@@ -2655,6 +2683,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
               COUNT(*) AS n_rows, MIN(value) AS lo, MAX(value) AS hi
             FROM b GROUP BY event_type, bucket
+        """,
+        "strip_markup": """
+            WITH h AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN
+                  CASE WHEN doc_id % 3 = 0 THEN
+                    '<div class="doc"><p>' || text || '</p>'
+                      || '<script>var x = ' || CHR(39) || '<b>hi</b>'
+                      || CHR(39) || ';</script>'
+                      || '&quot;quoted&quot; &amp; more<!-- note --></div>'
+                  ELSE
+                    '<div class="doc"><p>' || text || '</p>'
+                      || '&quot;quoted&quot; &amp; more<!-- note --></div>'
+                  END
+                ELSE
+                  CASE WHEN doc_id % 3 = 0 THEN
+                    '<div class="doc"><p>' || text || '</p>'
+                      || '<script>var x = ' || CHR(39) || '<b>hi</b>'
+                      || CHR(39) || ';</script></div>'
+                  ELSE
+                    '<div class="doc"><p>' || text || '</p></div>'
+                  END
+                END AS html
+              FROM documents)
+            SELECT doc_id, trim(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(html,
+              '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+              '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?s)</?[a-zA-Z][^>]*>', ' ', 'g'),
+              '&lt;', '<', 'g'),
+              '&gt;', '>', 'g'),
+              '&quot;', '"', 'g'),
+              '&#39;', CHR(39), 'g'),
+              '&amp;', '&', 'g'),
+              '\\s+', ' ', 'g')) AS clean
+            FROM h
         """,
         "curriculum_mixture": """
             WITH s AS (

@@ -62,6 +62,7 @@ HEADLINE = [
     "equidepth_histogram",
     "cluster_split",
     "curriculum_mixture",
+    "strip_markup",
     "ann_pq_topk",
     "mixture_weights",
     "vocab_coverage",

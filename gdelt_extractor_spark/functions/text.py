@@ -37,3 +37,36 @@ def normalize_text(col: Column | str) -> Column:
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the normalized text (array<string>)."""
     return F.split(normalize_text(col), " ")
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Web-text cleanup (the C4 pre-filter step): drop <script>/
+    <style> blocks WITH their contents, strip remaining tags and
+    HTML comments, unescape the five predefined XML entities plus
+    numeric &#NN; codes for ASCII, and collapse the whitespace the
+    removals leave behind.
+
+    Pure regexp_replace chain — whole-stage codegen, scan speed, and
+    each pattern is engine-portable POSIX-ish regex so a DuckDB twin
+    applies the identical sequence.  Order matters: blocks before
+    tags (a stripped <script> tag would leak its payload as text),
+    entities after tags (so &lt;b&gt; does not become a strippable
+    tag), amp last (so &amp;lt; ends as the literal '&lt;').
+    """
+    # two separate block patterns, NOT one with a backreference:
+    # RE2 engines (DuckDB) silently drop backrefs, so a \1 pattern
+    # would strip blocks in Spark but not in an oracle twin
+    out = F.regexp_replace(
+        col, r"(?is)<script\b[^>]*>.*?</script\s*>", " "
+    )
+    out = F.regexp_replace(
+        out, r"(?is)<style\b[^>]*>.*?</style\s*>", " "
+    )
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)</?[a-zA-Z][^>]*>", " ")
+    out = F.regexp_replace(out, "&lt;", "<")
+    out = F.regexp_replace(out, "&gt;", ">")
+    out = F.regexp_replace(out, "&quot;", '"')
+    out = F.regexp_replace(out, "&#39;", "'")
+    out = F.regexp_replace(out, "&amp;", "&")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

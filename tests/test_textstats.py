@@ -456,3 +456,24 @@ class TestBpeTokenizer:
         )
         assert (bpe_train(df, "text", n_merges=15)
                 == bpe_train(df.repartition(7), "text", n_merges=15))
+
+
+def test_strip_markup_semantics(spark):
+    from gdelt_extractor_spark.functions.text import strip_markup
+
+    rows = [
+        (1, "<p>Hello <b>world</b></p>"),
+        (2, "<script type='x'>var a = '<p>no</p>';</script>keep"),
+        (3, "a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+        (4, "<style>.x{c:r}</style>text<!-- gone -->tail"),
+        (5, "2 < 3 stays because no tag follows a bare <"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {r.id: r.t for r in
+           df.select("id", strip_markup("html").alias("t")).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "keep"          # script payload gone entirely
+    # &amp;lt; ends as literal '&lt;' (amp unescaped LAST)
+    assert got[3] == "a &lt; b <tag> \"q\" 's'"
+    assert got[4] == "text tail"
+    assert got[5] == "2 < 3 stays because no tag follows a bare <"
