@@ -2726,7 +2726,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_mixture": """
             WITH s AS (
               SELECT doc_id, text,
-                string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
                   'g')), ' ') AS toks
               FROM documents),
             m AS (
