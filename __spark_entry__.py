@@ -1361,17 +1361,24 @@ CURRICULUM_WEIGHTS = {"q1": 0.25, "q2": 0.5, "q3": 1.0, "q4": 2.0}
 
 def _curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum mixture as ONE composed unit: quality_score
-    → global quality quartiles (ntile over the engine-shared
-    (quality, doc_id) order) → tier-weighted deterministic resampling
-    (mix_sources machinery): keep 25% of the worst quartile, half of
-    q2, all of q3, and 2× the best.  The oracle chains the same three
-    stages' SQL conventions."""
+    → global quality quartiles (scalable two-phase global_ntile over
+    the engine-shared (quality, doc_id) order — no single-partition
+    window) → tier-weighted deterministic resampling (mix_sources
+    machinery): keep 25% of the worst quartile, half of q2, all of
+    q3, and 2× the best.  The oracle chains the same three stages'
+    SQL conventions (DuckDB ntile shares global_ntile's larger-
+    buckets-first arithmetic)."""
+    from gdelt_extractor_spark.operators.ranking import global_ntile
+
     docs = _docs(spark, sf_dir, width=0)
     q = TS.quality_score(docs, "doc_id", "text")
-    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
-    tiers = q.select("doc_id", "quality").withColumn(
-        "tier", F.concat(F.lit("q"), F.ntile(4).over(w).cast("string"))
-    )
+    tiers = global_ntile(
+        q.select("doc_id", "quality"),
+        4,
+        [F.col("quality").asc(), F.col("doc_id").asc()],
+    ).withColumn(
+        "tier", F.concat(F.lit("q"), F.col("bucket").cast("string"))
+    ).drop("bucket")
     return C.mix_sources(
         tiers, CURRICULUM_WEIGHTS, source_col="tier", id_col="doc_id",
         salt="curriculum-v1",
