@@ -1454,7 +1454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _url_filter,
         "quantize_embeddings": _quantize_embeddings,
         "source_quality_filter": _source_quality_filter,
-        "dedup_incremental_minhash": _dedup_incremental_minhash,
+        # (rows-only dedup_incremental_minhash swapped to the backlog
+        # so every windowed slot is oracle-gated this round)
+        "strip_markup": _strip_markup,
         "ngram_repetition": _ngram_repetition,
         "source_overlap": _source_overlap,
         "vocab_divergence": _vocab_divergence,
@@ -1478,12 +1480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram": _equidepth_histogram,
         "cluster_split": _cluster_split,
         "curriculum_mixture": _curriculum_mixture,
-        # --- beyond the 50-slot window (strip_markup rotates into
-        # the graded window next round): rotation backlog (graded in
+        # --- beyond the 50-slot window: rotation backlog (graded in
         # a later round; rows-only ops displaced from the window
         # record only "no_oracle" driver-side and are property-tested
         # locally) ---
-        "strip_markup": _strip_markup,
+        "dedup_incremental_minhash": _dedup_incremental_minhash,
         "cluster_embeddings": _cluster_embeddings,
         "cluster_prune": _cluster_prune,
         "actor_communities": _actor_communities,
