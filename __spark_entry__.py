@@ -1411,6 +1411,108 @@ def _strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/joins.py): lineitem
+    rows whose order is URGENT, with the bloom bitmap built
+    distributed from the dim keys and probed codegen-side BEFORE the
+    exchange.  verify=True keeps exactness, so the oracle is the
+    plain semi join — the bloom only cuts shuffle volume."""
+    from gdelt_extractor_spark.operators.joins import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, urgent, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            Q.dsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass rule audit (check_expectations): five per-row
+    contracts over lineitem, each a conditional sum in a single
+    aggregate projection."""
+    from gdelt_extractor_spark.operators.profiling import check_expectations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_in_range": F.col("l_quantity").between(1, 50),
+        "discount_le_10pct": F.col("l_discount") <= 0.10,
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        "returnflag_valid": F.col("l_returnflag").isin("R", "A", "N"),
+        "tax_le_8pct": F.col("l_tax") <= 0.08,
+    }
+    return check_expectations(li, rules)
+
+
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit: ln(freq) ~ ln(rank) OLS over the token
+    frequency table (textstats.zipf_fit)."""
+    return TS.zipf_fit(_docs(spark, sf_dir, width=0), "text")
+
+
+def _unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.unicode_nfc —
+    Arrow-vectorized pandas UDF) over text wrapped with decomposed
+    sequences, so composition actually fires: per doc, the char
+    count before/after NFC and the composed prefix.  Oracle:
+    DuckDB nfc_normalize over the identical construction."""
+    from gdelt_extractor_spark.functions.text import unicode_nfc
+
+    docs = _docs(spark, sf_dir, width=0)
+    # DECOMPOSED wrapper ('Cafe'+U+0301, 'nai'+U+0308): NFC must
+    # compose these, so n_chars_nfc < n_chars_raw on every row.
+    raw = F.concat(
+        F.lit("Cafe\u0301 nai\u0308ve "), F.col("text")
+    )
+    norm = unicode_nfc(raw)
+    return docs.select(
+        "doc_id",
+        F.length(raw).alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_nfc"),
+        F.substring(norm, 1, 10).alias("prefix_nfc"),
+    )
+
+
+def _canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/text.canonicalize_url) over
+    deterministically-messy URLs built from documents: mixed-case
+    hosts, default ports, tracking params in head/tail position,
+    fragments, trailing slashes.  The oracle applies the same spec
+    in DuckDB's regex dialect; a codegen-only expression chain on
+    the Spark side."""
+    from gdelt_extractor_spark.functions.text import canonicalize_url
+
+    docs = _docs(spark, sf_dir, width=0)
+    sid = F.col("doc_id").cast("string")
+    murl = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://Example.COM:443"))
+        .otherwise(F.lit("http://News.Site.ORG:80")),
+        F.lit("/articles/"), sid,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), sid,
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("&utm_medium=email&page=2")
+        ).otherwise(F.lit("")),
+        F.lit("#s-"), (F.col("doc_id") % 5).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        murl.alias("url_raw"),
+        canonicalize_url(murl).alias("url_canon"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1484,6 +1586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a later round; rows-only ops displaced from the window
         # record only "no_oracle" driver-side and are property-tested
         # locally) ---
+        "bloom_filter_join": _bloom_filter_join,
+        "canonical_urls": _canonical_urls,
+        "expectations_audit": _expectations_audit,
+        "zipf_fit": _zipf_fit,
+        "unicode_normalize": _unicode_normalize,
         "dedup_incremental_minhash": _dedup_incremental_minhash,
         "cluster_embeddings": _cluster_embeddings,
         "cluster_prune": _cluster_prune,
@@ -3917,5 +4024,109 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
               CAST(SUM(len({toks_text})) AS BIGINT) / COUNT(*) AS avg_tokens
             FROM documents GROUP BY source, lang
+        """,
+        "bloom_filter_join": f"""
+            SELECT l_returnflag, COUNT(*) AS n_items,
+              {_dsum('l_extendedprice')} AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "expectations_audit": """
+            WITH a AS (
+              SELECT COUNT(*) AS n_rows,
+                SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50,
+                  FALSE) THEN 0 ELSE 1 END) AS v_qty,
+                SUM(CASE WHEN COALESCE(l_discount <= 0.10,
+                  FALSE) THEN 0 ELSE 1 END) AS v_disc,
+                SUM(CASE WHEN l_shipdate IS NOT NULL
+                  THEN 0 ELSE 1 END) AS v_ship,
+                SUM(CASE WHEN COALESCE(l_returnflag IN ('R','A','N'),
+                  FALSE) THEN 0 ELSE 1 END) AS v_flag,
+                SUM(CASE WHEN COALESCE(l_tax <= 0.08,
+                  FALSE) THEN 0 ELSE 1 END) AS v_tax
+              FROM lineitem),
+            u AS (
+              SELECT 'qty_in_range' AS rule, v_qty AS v FROM a
+              UNION ALL SELECT 'discount_le_10pct', v_disc FROM a
+              UNION ALL SELECT 'shipdate_not_null', v_ship FROM a
+              UNION ALL SELECT 'returnflag_valid', v_flag FROM a
+              UNION ALL SELECT 'tax_le_8pct', v_tax FROM a)
+            SELECT rule, a.n_rows,
+              CAST(v AS BIGINT) AS n_violations,
+              ROUND(CAST(v AS DOUBLE) / a.n_rows, 6) AS violation_rate,
+              v = 0 AS passed
+            FROM u CROSS JOIN a ORDER BY rule
+        """,
+        "zipf_fit": f"""
+            WITH f AS (
+              SELECT t AS token, COUNT(*) AS freq
+              FROM (SELECT unnest({toks_text}) AS t FROM documents)
+              WHERE t <> '' GROUP BY t),
+            r AS (
+              SELECT ln(CAST(row_number() OVER
+                  (ORDER BY freq DESC, token ASC) AS DOUBLE)) AS x,
+                ln(CAST(freq AS DOUBLE)) AS y, freq
+              FROM f),
+            s AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                {_dsum('x')} AS sx, {_dsum('y')} AS sy,
+                {_dsum('x * y')} AS sxy, {_dsum('x * x')} AS sxx,
+                {_dsum('y * y')} AS syy,
+                CAST(SUM(freq) AS BIGINT) AS n_tokens
+              FROM r)
+            SELECT CAST(n AS BIGINT) AS n_types, n_tokens,
+              ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+              ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n,
+                6) AS intercept,
+              ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)
+                * (n*syy - sy*sy)), 6) AS r
+            FROM s
+        """,
+        "canonical_urls": """
+            WITH raw AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Example.COM:443'
+                      ELSE 'http://News.Site.ORG:80' END)
+                || '/articles/' || CAST(doc_id AS VARCHAR)
+                || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                || (CASE WHEN doc_id % 4 = 0
+                    THEN '&utm_medium=email&page=2' ELSE '' END)
+                || '#s-' || CAST(doc_id % 5 AS VARCHAR) AS url_raw
+              FROM documents),
+            s1 AS (SELECT doc_id, url_raw,
+              regexp_replace(url_raw, '#.*$', '') AS u FROM raw),
+            s2 AS (SELECT doc_id, url_raw,
+              CASE WHEN regexp_extract(u,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) <> ''
+                THEN lower(regexp_extract(u,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+                  || substring(u, length(regexp_extract(u,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)) + 1)
+                ELSE u END AS u FROM s1),
+            s3 AS (SELECT doc_id, url_raw, regexp_replace(u,
+              '^([a-z][a-z0-9+.-]*://[^/?:]*):(?:80|443)(/|\\?|$)',
+              '\\1\\2') AS u FROM s2),
+            s4 AS (SELECT doc_id, url_raw, regexp_replace(u,
+              '[?&](?:utm_[a-zA-Z]+|fbclid|gclid|mc_cid|mc_eid|igshid)=[^&]*',
+              '', 'g') AS u FROM s3),
+            s5 AS (SELECT doc_id, url_raw, regexp_replace(regexp_replace(u,
+              '^([^?&]*)&', '\\1?'), '[?&]$', '') AS u FROM s4)
+            SELECT doc_id, url_raw,
+              regexp_replace(u, '([^/])/$', '\\1') AS url_canon
+            FROM s5
+        """,
+        "unicode_normalize": """
+            SELECT doc_id,
+              length('Cafe' || chr(769) || ' nai' || chr(776) || 've '
+                || text) AS n_chars_raw,
+              length(nfc_normalize('Cafe' || chr(769) || ' nai'
+                || chr(776) || 've ' || text)) AS n_chars_nfc,
+              substring(nfc_normalize('Cafe' || chr(769) || ' nai'
+                || chr(776) || 've ' || text), 1, 10) AS prefix_nfc
+            FROM documents
         """,
     }

@@ -197,6 +197,11 @@ HEADLINE = [
     "lang_confusion",
     "tfidf_top_terms",
     "top_bigrams",
+    "bloom_filter_join",
+    "canonical_urls",
+    "expectations_audit",
+    "zipf_fit",
+    "unicode_normalize",
 ]
 
 

@@ -70,3 +70,81 @@ def strip_markup(col: Column | str) -> Column:
     out = F.regexp_replace(out, "&#39;", "'")
     out = F.regexp_replace(out, "&amp;", "&")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def unicode_nfc(col: Column | str) -> Column:
+    """Unicode NFC canonical normalization — the composition pass a
+    multilingual corpus needs before hashing/dedup (decomposed
+    e + U+0301 and precomposed é must collide).
+
+    No JVM builtin exposes NFC through the DataFrame API, so this is
+    the one text function that drops to Python — an Arrow-batched
+    pandas UDF (vectorized str accessor, never per-row Python), kept
+    OUT of the hot scrub path: normalize once on ingest, then every
+    downstream hash/compare stays codegen.  Parity twin: DuckDB
+    ``nfc_normalize``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # No type hints: the module's `from __future__ import annotations`
+    # stringifies them and pandas_udf can't resolve `pd` from a local
+    # import; the explicit returnType + PandasUDFType-free scalar
+    # default carries the same contract.
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    _nfc_fn.__annotations__ = {}
+    import pandas as pd
+
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_nfc_fn, "string")
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """URL canonicalization for dedup/join keys — the normalization
+    every web-corpus pipeline applies before grouping by URL
+    (reference keys its keep-first dedup on raw SOURCEURL;
+    canonicalizing first collapses the tracking-param and
+    case/port/slash variants of the same page).
+
+    Spec (mirrored by the DuckDB oracle twin in its own regex
+    dialect — Java replacement ``$1`` vs RE2 ``\\1``):
+      1. drop the fragment (first ``#`` onward)
+      2. lowercase the ``scheme://host[:port]`` prefix
+      3. drop default ports ``:80``/``:443`` at the authority end
+      4. drop tracking params (utm_*, fbclid, gclid, mc_cid, mc_eid,
+         igshid) wherever they sit in the query string
+      5. repair separators: a query now starting with ``&`` gets
+         ``?``, and a bare trailing ``?``/``&`` is dropped
+      6. drop a trailing slash unless it is the ``://`` root
+
+    Pure codegen expression chain — no UDF.  Param ORDER is
+    preserved (sorting the query string is intentionally out of
+    scope; order-insensitive keys should hash the sorted param list
+    separately).
+    """
+    url = F.col(col) if isinstance(col, str) else col
+    # 1. fragment
+    u = F.regexp_replace(url, "#.*$", "")
+    # 2. lowercase scheme://authority (authority = up to / ? or end)
+    prefix = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    rest = F.substring(u, F.length(prefix) + 1, F.lit(1 << 30))
+    u = F.when(prefix != "", F.concat(F.lower(prefix), rest)).otherwise(u)
+    # 3. default ports at the end of the authority
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?:]*):(?:80|443)(/|\?|$)", r"$1$2")
+    # 4. tracking params (value may be empty; stop at & or #)
+    u = F.regexp_replace(
+        u, r"[?&](?:utm_[a-zA-Z]+|fbclid|gclid|mc_cid|mc_eid|igshid)=[^&]*", ""
+    )
+    # 5. separator repair: first '&' with no '?' before it becomes '?'
+    u = F.regexp_replace(u, r"^([^?&]*)&", r"$1?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # 6. trailing slash (never the '://' root slash)
+    u = F.regexp_replace(u, r"([^/])/$", r"$1")
+    return u

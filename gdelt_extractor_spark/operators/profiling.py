@@ -107,3 +107,51 @@ def schema_drift(
         ).alias("distinct_ratio"),
         F.round(F.col("n_mean") - F.col("o_mean"), 6).alias("mean_shift"),
     ).orderBy("col_name")
+
+
+def check_expectations(
+    df: DataFrame, rules: dict[str, "F.Column"]
+) -> DataFrame:
+    """Rule-based expectations audit (the Deequ/Great-Expectations
+    check suite shape): each rule is a per-row boolean Column that
+    must hold; the result is one row per rule with
+    (rule, n_rows, n_violations, violation_rate, passed).
+
+    ONE aggregate pass over the data — every rule becomes a
+    conditional SUM in the same projection (map-side combined, no
+    extra scans, no shuffle beyond the single global aggregate of
+    |rules| longs) — then a stack() unpivot of the 1-row result.
+    A NULL rule result counts as a violation (SQL three-valued
+    logic would otherwise silently pass nulls).
+    """
+    if not rules:
+        raise ValueError("check_expectations: at least one rule")
+    for name in rules:  # names are spliced into stack() SQL
+        if not name.replace("_", "").isalnum():
+            raise ValueError(f"rule name must be alphanumeric_: {name!r}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+            ).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{name}', __v_{name}" for name in rules
+    )
+    return (
+        one.select(
+            F.col("__n"),
+            F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"),
+        )
+        .select(
+            "rule",
+            F.col("__n").alias("n_rows"),
+            "n_violations",
+            F.round(F.col("n_violations") / F.col("__n"), 6)
+            .alias("violation_rate"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("rule")
+    )

@@ -862,3 +862,67 @@ def vocab_coverage(
             ).alias("needed"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS of
+    ln(freq) on ln(rank) — slope ≈ -1 for natural text, and the
+    deviation is a fast corpus-health signal (synthetic/templated
+    text flattens the head, boilerplate steepens it).
+
+    One corpus scan (explode → map-side-combined token aggregate),
+    then ln/rank and the five OLS sufficient statistics over the
+    VOCABULARY-sized frequency table — like ``vocab_coverage``, the
+    global rank window's input is |vocab|, orders of magnitude below
+    the corpus; raise ``min_freq`` to shrink it further at scale.
+    x = ln(rank), y = ln(freq) as doubles; the sufficient statistics
+    use the decimal-sum convention (plans/queries.py) so both
+    engines round each term to 6 dp before summing — partition-order
+    independent and engine-portable.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    xy = freq.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+        F.col("freq"),
+    )
+
+    def _dsum(c: Column) -> Column:
+        return F.sum(c.cast("decimal(25,6)")).cast("double")
+
+    stats = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("freq").alias("n_tokens"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return stats.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r_num / r_den, 6).alias("r"),
+    )
