@@ -843,6 +843,75 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block→document materialization map for the same packing
+    layout as pack_sequences (8 shards, 512-token budget): one row
+    per (block, doc span), boundary-crossing docs split across
+    blocks.  The oracle reproduces layout + generate_series fan-out
+    + greatest/least clipping."""
+    from gdelt_extractor_spark.operators.packing import lm_block_spans
+
+    return lm_block_spans(_docs(spark, sf_dir), budget=512, n_shards=8)
+
+
+def _chat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat validation + template rendering (operators/chat.py)
+    over conversations constructed deterministically from documents:
+    2..4 body turns of token slices (lm_block-style floor
+    boundaries), a system head for doc_id%5==0, roles from
+    pmod(doc_id*j, 2) — even doc_ids produce all-user transcripts
+    (alternation violations), doc_id%11==0 blanks turn 1 (empty-turn
+    violations).  The generic validator's flags must agree with the
+    oracle's closed-form truth of the same construction."""
+    from gdelt_extractor_spark.operators.chat import chat_report
+
+    d = _docs(spark, sf_dir, width=0)
+    toks = tokens("text")
+    nt = F.size(toks).cast("long")
+    n_body = (F.lit(2) + F.pmod(F.col("doc_id"), 3)).cast("long")
+    j = F.sequence(F.lit(0).cast("long"), n_body - 1)
+    lo = F.floor(F.col("_j") * nt / n_body)
+    hi = F.floor((F.col("_j") + 1) * nt / n_body)
+    body = F.transform(
+        j,
+        lambda jj: F.struct(
+            F.when(F.pmod(F.col("doc_id") * jj, 2) == 0, "user")
+            .otherwise("assistant")
+            .alias("role"),
+            F.when(
+                (F.pmod(F.col("doc_id"), 11) == 0) & (jj == 1), F.lit("")
+            )
+            .otherwise(
+                F.array_join(
+                    F.slice(
+                        toks,
+                        (F.floor(jj * nt / n_body) + 1).cast("int"),
+                        (
+                            F.floor((jj + 1) * nt / n_body)
+                            - F.floor(jj * nt / n_body)
+                        ).cast("int"),
+                    ),
+                    " ",
+                )
+            )
+            .alias("content"),
+        ),
+    )
+    _ = (lo, hi)  # documented formula; inlined above
+    system = F.array(
+        F.struct(
+            F.lit("system").alias("role"),
+            F.lit("You are a helpful assistant.").alias("content"),
+        )
+    )
+    chat = F.when(
+        F.pmod(F.col("doc_id"), 5) == 0, F.concat(system, body)
+    ).otherwise(body)
+    return chat_report(
+        d.select("doc_id", chat.alias("chat")), "chat", "doc_id"
+    ).orderBy("doc_id")
+
+
 def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over documents with deterministically
     injected PII (the synthetic corpus contains none): emails on even
@@ -1587,6 +1656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # record only "no_oracle" driver-side and are property-tested
         # locally) ---
         "bloom_filter_join": _bloom_filter_join,
+        "lm_block_spans": _lm_block_spans,
+        "chat_audit": _chat_audit,
         "canonical_urls": _canonical_urls,
         "expectations_audit": _expectations_audit,
         "zipf_fit": _zipf_fit,
@@ -3323,6 +3394,84 @@ def oracle_sql() -> dict[str, str]:
               CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
               CAST(st % 512 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "chat_audit": f"""
+            WITH s AS (
+              SELECT doc_id, {toks_text} AS toks,
+                CAST(len({toks_text}) AS BIGINT) AS nt,
+                CAST(2 + doc_id % 3 AS BIGINT) AS nb,
+                (doc_id % 5 = 0) AS has_sys
+              FROM documents),
+            t AS (
+              SELECT doc_id, nb, has_sys,
+                list_transform(range(0, nb), j ->
+                  CASE WHEN (doc_id * j) % 2 = 0
+                    THEN 'user' ELSE 'assistant' END) AS roles,
+                list_transform(range(0, nb), j ->
+                  CASE WHEN doc_id % 11 = 0 AND j = 1 THEN ''
+                  ELSE array_to_string(list_slice(toks,
+                    CAST(floor(j * nt / nb) + 1 AS BIGINT),
+                    CAST(floor((j + 1) * nt / nb) AS BIGINT)), ' ')
+                  END) AS conts
+              FROM s),
+            r AS (
+              SELECT doc_id, nb, has_sys, conts,
+                list_concat(
+                  CASE WHEN has_sys THEN
+                    ['<|im_start|>system' || chr(10) ||
+                     'You are a helpful assistant.<|im_end|>']
+                  ELSE [] END,
+                  list_transform(range(0, nb), j ->
+                    '<|im_start|>' || roles[CAST(j+1 AS INT)] || chr(10)
+                    || conts[CAST(j+1 AS INT)] || '<|im_end|>')
+                ) AS turns
+              FROM t)
+            SELECT doc_id,
+              CAST(nb + CASE WHEN has_sys THEN 1 ELSE 0 END AS INT)
+                AS n_turns,
+              CAST(nb AS INT) AS n_body_turns,
+              TRUE AS starts_ok,
+              (doc_id % 2 = 1) AS alternates,
+              len(list_filter(conts, c -> trim(c) = '')) = 0 AS no_empty,
+              ((doc_id * (nb - 1)) % 2 = 1) AS ends_assistant,
+              ((doc_id % 2 = 1)
+                AND len(list_filter(conts, c -> trim(c) = '')) = 0
+                AND ((doc_id * (nb - 1)) % 2 = 1)) AS valid,
+              CAST(length(array_to_string(turns, chr(10))) AS BIGINT)
+                AS n_render_chars,
+              substr(array_to_string(turns, chr(10)), 1, 48)
+                AS render_head
+            FROM r ORDER BY doc_id
+        """,
+        "lm_block_spans": f"""
+            WITH s AS (
+              SELECT doc_id,
+                CAST(doc_id % 8 AS INT) AS shard,
+                md5('pack-v1:' || CAST(doc_id AS VARCHAR)) AS ok,
+                CAST(len({toks_text}) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                CAST(SUM(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY ok ASC, doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS st
+              FROM s WHERE TRUE),
+            p AS (SELECT * FROM c WHERE n_tokens > 0),
+            x AS (
+              SELECT doc_id, shard, st, n_tokens,
+                unnest(generate_series(
+                  CAST(floor(st / 512.0) AS BIGINT),
+                  CAST(floor((st + n_tokens - 1) / 512.0) AS BIGINT)
+                )) AS block_id
+              FROM p)
+            SELECT shard, CAST(block_id AS BIGINT) AS block_id, doc_id,
+              CAST(greatest(st, block_id * 512) - st AS BIGINT)
+                AS doc_from,
+              CAST(greatest(st, block_id * 512) - block_id * 512
+                AS BIGINT) AS block_from,
+              CAST(least(st + n_tokens, (block_id + 1) * 512)
+                - greatest(st, block_id * 512) AS BIGINT) AS span_len
+            FROM x
         """,
         "doc_chunks": f"""
             WITH s AS (

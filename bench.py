@@ -202,6 +202,8 @@ HEADLINE = [
     "expectations_audit",
     "zipf_fit",
     "unicode_normalize",
+    "lm_block_spans",
+    "chat_audit",
 ]
 
 

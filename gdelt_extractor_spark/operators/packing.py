@@ -191,3 +191,82 @@ def length_buckets(
             F.round(1 - F.col("n_tokens") / F.col("n_padded"), 6),
         )
     )
+
+
+def lm_block_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_shards: int = 8,
+    order_salt: str = "pack-v1",
+) -> DataFrame:
+    """The block→document materialization map for concat-then-chunk
+    packing: one row per (block, contributing document span), i.e.
+    what a data loader actually reads to assemble fixed-``budget``
+    training blocks.  ``pack_sequences`` answers "where does doc d
+    start"; this answers "which token ranges fill block b" — a doc
+    crossing block boundaries appears once per block it touches.
+
+    Columns: (shard, block_id, doc_id, doc_from, block_from,
+    span_len) with token offsets 0-based: block b of a shard is
+    rebuilt by concatenating its spans ordered by block_from, taking
+    ``tokens(text)[doc_from : doc_from+span_len]`` of each doc.
+
+    Scale shape: identical layout math to ``pack_sequences`` (same
+    salted shards, same per-shard running-sum window — NO global
+    order), then a pure-arithmetic fan-out: each doc explodes into
+    ``floor(start/B)..floor((end-1)/B)`` — output rows ≈ corpus
+    tokens / budget extra rows over the doc count, never per-token.
+    Zero-token docs contribute no span (defensive filter only — the
+    repo-wide tokenizer gives blank text one empty token, so every
+    doc occupies >= 1 slot, same as pack_sequences).  All codegen:
+    sequence() explode + greatest/least span clipping.
+    """
+    order_key = F.md5(
+        F.concat(F.lit(order_salt + ":"), F.col(id_col).cast("string"))
+    )
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    else:
+        shard = F.pmod(
+            F.conv(F.substring(order_key, 1, 8), 16, 10).cast("long"),
+            F.lit(n_shards),
+        )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shard.cast("int").alias("shard"),
+        order_key.alias("_ok"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_ok").asc(), F.col("doc_id").asc()
+    )
+    placed = base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    ).filter(F.col("n_tokens") > 0)
+    b = F.lit(int(budget)).cast("long")
+    first_b = F.floor(F.col("start") / b)
+    last_b = F.floor((F.col("start") + F.col("n_tokens") - 1) / b)
+    spans = placed.select(
+        "doc_id",
+        "shard",
+        "start",
+        "n_tokens",
+        F.explode(F.sequence(first_b, last_b)).alias("block_id"),
+    )
+    tok_from = F.greatest(F.col("start"), F.col("block_id") * b)
+    tok_to = F.least(
+        F.col("start") + F.col("n_tokens"), (F.col("block_id") + 1) * b
+    )
+    return spans.select(
+        "shard",
+        F.col("block_id").cast("long").alias("block_id"),
+        "doc_id",
+        (tok_from - F.col("start")).cast("long").alias("doc_from"),
+        (tok_from - F.col("block_id") * b).cast("long").alias("block_from"),
+        (tok_to - tok_from).cast("long").alias("span_len"),
+    )
