@@ -912,6 +912,62 @@ def _chat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (temporal.interval_overlap_join
+    — bin-trick equi-join, first-shared-bin emission, no distinct):
+    view intervals [ts, ts+value minutes] × click intervals
+    [ts, ts+value*30 s] from events, plus the overlap length.
+    Durations go through integer micro-units (round(value*100) cents
+    × fixed factors) so neither engine's double→int cast rounding
+    mode matters.  Oracle: the plain theta join."""
+    from gdelt_extractor_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("um"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_type",
+    )
+    l = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("um").alias("start"),
+        (F.col("um") + F.col("cents") * 600000).alias("end"),
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("um").alias("start"),
+        (F.col("um") + F.col("cents") * 300000).alias("end"),
+    )
+    pairs = interval_overlap_join(
+        l, r, "start", "end", bin_width=1_800_000_000
+    )
+    return pairs.select(
+        "view_id",
+        "click_id",
+        (
+            F.least(F.col("end"), F.col("end_r"))
+            - F.greatest(F.col("start"), F.col("start_r"))
+        ).alias("overlap_us"),
+    )
+
+
+def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair mining (curation.preference_pairs): per
+    source, highest- vs lowest-token-count doc with deterministic
+    (score, id) struct tie-breaks; single max_by/min_by aggregate.
+    Oracle reproduces the lexicographic order with window ranks."""
+    from gdelt_extractor_spark.operators.curation import preference_pairs
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(tokens("text")).cast("double").alias("score"),
+    )
+    return preference_pairs(d, "source", "doc_id", "score")
+
+
 def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over documents with deterministically
     injected PII (the synthetic corpus contains none): emails on even
@@ -1658,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter_join": _bloom_filter_join,
         "lm_block_spans": _lm_block_spans,
         "chat_audit": _chat_audit,
+        "interval_overlaps": _interval_overlaps,
+        "preference_pairs": _preference_pairs,
         "canonical_urls": _canonical_urls,
         "expectations_audit": _expectations_audit,
         "zipf_fit": _zipf_fit,
@@ -3394,6 +3452,47 @@ def oracle_sql() -> dict[str, str]:
               CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
               CAST(st % 512 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "interval_overlaps": """
+            WITH e AS (
+              SELECT event_id, epoch_us(ts) AS um,
+                CAST(round(value * 100) AS BIGINT) AS cents, event_type
+              FROM events),
+            l AS (
+              SELECT event_id AS view_id, um AS s,
+                um + cents * 600000 AS e
+              FROM e WHERE event_type = 'view'),
+            r AS (
+              SELECT event_id AS click_id, um AS s,
+                um + cents * 300000 AS e
+              FROM e WHERE event_type = 'click')
+            SELECT view_id, click_id,
+              least(l.e, r.e) - greatest(l.s, r.s) AS overlap_us
+            FROM l JOIN r ON l.s < r.e AND r.s < l.e
+        """,
+        "preference_pairs": f"""
+            WITH s AS (
+              SELECT source, doc_id,
+                CAST(len({toks_text}) AS DOUBLE) AS score
+              FROM documents),
+            a AS (
+              SELECT source, doc_id, score,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY score DESC, doc_id DESC) AS rc,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY score ASC, doc_id ASC) AS rr,
+                COUNT(*) OVER (PARTITION BY source) AS nm
+              FROM s),
+            c AS (SELECT source, doc_id AS chosen_id,
+                    score AS chosen_score, nm FROM a WHERE rc = 1),
+            r AS (SELECT source, doc_id AS rejected_id,
+                    score AS rejected_score FROM a WHERE rr = 1)
+            SELECT c.source, chosen_id, rejected_id,
+              chosen_score, rejected_score,
+              chosen_score - rejected_score AS margin,
+              CAST(nm AS BIGINT) AS n_members
+            FROM c JOIN r USING (source)
+            WHERE nm >= 2 AND chosen_score - rejected_score > 0
         """,
         "chat_audit": f"""
             WITH s AS (

@@ -204,6 +204,8 @@ HEADLINE = [
     "unicode_normalize",
     "lm_block_spans",
     "chat_audit",
+    "interval_overlaps",
+    "preference_pairs",
 ]
 
 

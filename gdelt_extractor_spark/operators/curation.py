@@ -913,3 +913,55 @@ def cluster_split(
         .otherwise(F.lit("val"))
         .alias("split"),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF prep: per group (prompt,
+    topic, source...), pair the highest-scoring member as ``chosen``
+    against the lowest as ``rejected`` with the score margin.
+
+    ONE map-side-combinable aggregate — ``max_by``/``min_by`` with a
+    (score, id) struct ordering, so ties break deterministically on
+    the id (largest id wins chosen, smallest id wins rejected) and
+    the result is engine-portable (the oracle reproduces the same
+    lexicographic order with window ranks).  Groups with fewer than
+    two members or margin <= ``min_margin`` are dropped — a
+    single-member group can't form a pair, and zero-margin pairs
+    carry no preference signal.
+    """
+    s, i = F.col(score_col), F.col(id_col)
+    agg = df.groupBy(group_col).agg(
+        F.max_by(i, F.struct(s.alias("s"), i.alias("i"))).alias("chosen_id"),
+        F.min_by(i, F.struct(s.alias("s"), i.alias("i"))).alias(
+            "rejected_id"
+        ),
+        F.max(s).alias("chosen_score"),
+        F.min(s).alias("rejected_score"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        agg.filter(
+            (F.col("n_members") >= 2)
+            & (
+                F.col("chosen_score") - F.col("rejected_score")
+                > F.lit(float(min_margin))
+            )
+        )
+        .select(
+            group_col,
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias(
+                "margin"
+            ),
+            "n_members",
+        )
+    )

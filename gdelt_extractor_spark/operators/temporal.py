@@ -299,3 +299,69 @@ def apply_cdc(
             for c in attr_cols
         ],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    by: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval×interval OVERLAP join (half-open: ``l.start <
+    r.end AND r.start < l.end``) as a distributed equi-join — the
+    missing sibling of ``range_join``'s interval×point case.
+
+    Both sides explode into the ``bin_width`` bins they cover, the
+    join runs on bin equality, and each overlapping pair would match
+    in EVERY shared bin — so a pair is emitted only from its FIRST
+    shared bin (``bin == floor(max(l.start, r.start) / W)``), which
+    dedups without a distinct (no second shuffle).  The exact
+    overlap predicate re-checks after the bin match, so bins only
+    cut candidates, never correctness.  Pick ``bin_width`` ≈ the
+    typical interval length; pathological long intervals explode to
+    many bins — clamp upstream if the length distribution is
+    heavy-tailed.
+
+    Columns must be numeric (callers convert timestamps via
+    ``unix_micros``).  ``by`` adds equi-keys.  Right columns keep
+    their names with ``suffix`` appended on collision.
+    """
+    by = list(by or [])
+    w = int(bin_width)
+
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        bins = F.sequence(
+            F.floor(F.col(start_col) / w).cast("long"),
+            F.floor(F.col(end_col) / w).cast("long"),
+        )
+        return df.withColumn(tag, F.explode(bins))
+
+    lb = binned(left, "_lbin")
+    rb = binned(right, "_rbin")
+    renames = {
+        c: c + suffix
+        for c in right.columns
+        if c in left.columns and c not in by
+    }
+    rb = rb.select(
+        "_rbin", *[F.col(c).alias(renames.get(c, c)) for c in right.columns]
+    )
+    rs, re_ = renames.get(start_col, start_col), renames.get(end_col, end_col)
+    first_shared = F.floor(
+        F.greatest(lb[start_col], rb[rs]) / w
+    ).cast("long")
+    on = (
+        (lb["_lbin"] == rb["_rbin"])
+        & (lb[start_col] < rb[re_])
+        & (rb[rs] < lb[end_col])
+        & (lb["_lbin"] == first_shared)
+    )
+    for c in by:
+        on = on & (lb[c] == rb[c])
+    out = lb.join(rb, on, "inner").drop(lb["_lbin"]).drop(rb["_rbin"])
+    for c in by:
+        out = out.drop(rb[c])
+    return out
