@@ -968,6 +968,40 @@ def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(d, "source", "doc_id", "score")
 
 
+def _asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (temporal.asof_join
+    direction='forward'): each view attaches the EARLIEST following
+    click (strictly later) within 6 h, per user — the conversion
+    attribution query.  Ties on click ts break on smallest event_id
+    (tie_col).  Oracle: correlated ORDER-BY-LIMIT-1 subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    from gdelt_extractor_spark.operators.temporal import asof_join
+
+    out = asof_join(
+        views,
+        clicks,
+        on="ts",
+        by="user_id",
+        value_cols=["click_id", "value"],
+        strict=True,
+        direction="forward",
+        tolerance=21600.0,
+        tie_col="click_id",
+    )
+    return out.select(
+        "view_id",
+        "user_id",
+        F.col("asof_click_id").alias("next_click_id"),
+        F.col("asof_value").alias("next_click_value"),
+    )
+
+
 def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over documents with deterministically
     injected PII (the synthetic corpus contains none): emails on even
@@ -1715,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_block_spans": _lm_block_spans,
         "chat_audit": _chat_audit,
         "interval_overlaps": _interval_overlaps,
+        "asof_next_click": _asof_next_click,
         "preference_pairs": _preference_pairs,
         "canonical_urls": _canonical_urls,
         "expectations_audit": _expectations_audit,
@@ -3452,6 +3487,23 @@ def oracle_sql() -> dict[str, str]:
               CAST(floor(st / 512.0) AS BIGINT) AS seq_id,
               CAST(st % 512 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "asof_next_click": """
+            WITH v AS (
+              SELECT event_id AS view_id, user_id, ts
+              FROM events WHERE event_type = 'view'),
+            c AS (
+              SELECT event_id AS click_id, user_id, ts, value
+              FROM events WHERE event_type = 'click')
+            SELECT v.view_id, v.user_id,
+              n.click_id AS next_click_id,
+              n.value AS next_click_value
+            FROM v LEFT JOIN LATERAL (
+              SELECT c.click_id, c.value FROM c
+              WHERE c.user_id = v.user_id AND c.ts > v.ts
+                AND c.ts <= v.ts + INTERVAL 21600 SECOND
+              ORDER BY c.ts ASC, c.click_id ASC LIMIT 1
+            ) n ON TRUE
         """,
         "interval_overlaps": """
             WITH e AS (

@@ -206,6 +206,7 @@ HEADLINE = [
     "chat_audit",
     "interval_overlaps",
     "preference_pairs",
+    "asof_next_click",
 ]
 
 

@@ -23,21 +23,45 @@ def asof_join(
     by: str,
     value_cols: list[str],
     strict: bool = True,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    tie_col: str | None = None,
 ) -> DataFrame:
-    """Left as-of join: for each left row attach ``value_cols`` from
-    the latest right row with ``right.on < left.on`` (strict, the
-    DuckDB ``l.ts > r.ts`` shape) or ``<=`` (non-strict), matched on
-    ``by``.  Unmatched left rows keep NULLs.
+    """Left as-of join (pandas ``merge_asof`` semantics): for each
+    left row attach ``value_cols`` from the nearest right row matched
+    on ``by``:
 
-    Output columns: all of ``left`` plus ``asof_<c>`` per value col.
+    - ``direction='backward'`` (default): latest right row with
+      ``right.on < left.on`` (strict) / ``<=`` (non-strict) — the
+      DuckDB native ``ASOF JOIN`` shape.
+    - ``direction='forward'``: earliest right row with
+      ``right.on > left.on`` (strict) / ``>=``.
+
+    ``tolerance`` (same units as ``on``; SECONDS for timestamp
+    columns) nulls the attachment when the matched right row is
+    farther than that from the left row.  ``tie_col`` makes right
+    rows sharing the boundary ``on`` deterministic: backward picks
+    the LARGEST tie value, forward the SMALLEST (both are "the last
+    row the carry saw" under their traversal order).  Unmatched left
+    rows keep NULLs.
+
+    Still ONE shuffle on the ``by`` key for every variant — the
+    union-and-window carry, never a range-explosion join.  Output:
+    all of ``left`` plus ``asof_<c>`` per value col.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    carry = list(value_cols)
+    if tolerance is not None and on not in carry:
+        carry.append(on)  # need the matched row's on to window the gap
     lcols = left.columns
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tie"),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in value_cols
+            for c in carry
         ],
     )
     tagged_r = right.select(
@@ -46,14 +70,27 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        (
+            F.col(tie_col).cast("long") if tie_col else F.lit(0).cast("long")
+        ).alias("_tie"),
+        *[F.col(c).alias(f"_r_{c}") for c in carry],
     )
-    # At equal ts: strict → left sorts BEFORE right (side desc: 1,0)
-    # so the right row is not yet visible; non-strict → right first.
+    # Traversal: backward walks on ASC (carry = latest earlier right
+    # row), forward walks on DESC (carry = earliest later right row).
+    # At equal on: strict → left sorts BEFORE right under either
+    # traversal (side desc: 1,0) so the boundary right row is not yet
+    # visible; non-strict → right first.  _tie asc means the LAST
+    # right row the carry sees at a shared boundary is the largest
+    # tie under backward and the smallest under forward (desc
+    # traversal reverses it).
+    on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     side_order = F.col("_side").desc() if strict else F.col("_side").asc()
+    tie_order = (
+        F.col("_tie").asc() if direction == "backward" else F.col("_tie").desc()
+    )
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), side_order)
+        .orderBy(on_order, side_order, tie_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = tagged_l.unionByName(tagged_r).select(
@@ -61,10 +98,27 @@ def asof_join(
         "_side",
         *[
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
+            for c in carry
         ],
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        lo, ro = F.col(on), F.col(f"asof_{on}")
+        if "timestamp" in out.schema[on].dataType.simpleString():
+            gap = (F.unix_micros(lo) - F.unix_micros(ro)) / 1e6
+        else:
+            gap = lo - ro
+        if direction == "forward":
+            gap = -gap
+        ok = ro.isNotNull() & (gap <= F.lit(float(tolerance)))
+        out = out.select(
+            *lcols,
+            *[
+                F.when(ok, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
+    return out
 
 
 def range_join(

@@ -272,3 +272,81 @@ class TestApplyCdc:
             spark, [(1, "a")], [(1, "U", t, "u"), (1, "D", t, None)]
         )
         assert got == {}
+
+
+def test_asof_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 50), (3, "u", 100)],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [(7, "u", 12, 1.0), (8, "u", 12, 2.0), (9, "u", 60, 3.0),
+         (10, "v", 11, 9.9)],
+        "rid long, k string, t long, v double",
+    )
+    from gdelt_extractor_spark.operators.temporal import asof_join
+
+    out = {
+        r["lid"]: r.asDict()
+        for r in asof_join(
+            left, right, on="t", by="k", value_cols=["rid", "v"],
+            direction="forward", tie_col="rid",
+        ).collect()
+    }
+    # forward: earliest later right row; tie at t=12 -> smallest rid
+    assert out[1]["asof_rid"] == 7 and out[1]["asof_v"] == 1.0
+    assert out[2]["asof_rid"] == 9
+    assert out[3]["asof_rid"] is None  # nothing after t=100
+
+    tol = {
+        r["lid"]: r.asDict()
+        for r in asof_join(
+            left, right, on="t", by="k", value_cols=["rid"],
+            direction="forward", tolerance=5.0, tie_col="rid",
+        ).collect()
+    }
+    assert tol[1]["asof_rid"] == 7     # gap 2 <= 5
+    assert tol[2]["asof_rid"] is None  # gap 10 > 5
+
+
+def test_asof_backward_tie_and_strictness(spark):
+    left = spark.createDataFrame([(1, "u", 12)], "lid long, k string, t long")
+    right = spark.createDataFrame(
+        [(7, "u", 12, 1.0), (8, "u", 12, 2.0), (5, "u", 3, 0.5)],
+        "rid long, k string, t long, v double",
+    )
+    from gdelt_extractor_spark.operators.temporal import asof_join
+
+    strict = asof_join(
+        left, right, on="t", by="k", value_cols=["rid"], strict=True,
+        tie_col="rid",
+    ).first()
+    assert strict["asof_rid"] == 5  # boundary rows invisible
+    loose = asof_join(
+        left, right, on="t", by="k", value_cols=["rid"], strict=False,
+        tie_col="rid",
+    ).first()
+    assert loose["asof_rid"] == 8  # backward tie -> largest rid
+
+
+def test_asof_timestamp_tolerance_units(spark):
+    from datetime import datetime
+
+    from gdelt_extractor_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 1, 0, 0, 30))],
+        "lid long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, "u", datetime(2024, 1, 1, 0, 0, 0), 1.0)],
+        "rid long, k string, t timestamp, v double",
+    )
+    hit = asof_join(
+        left, right, on="t", by="k", value_cols=["rid"], tolerance=30.0
+    ).first()
+    assert hit["asof_rid"] == 7  # 30 s gap == 30 s tolerance
+    miss = asof_join(
+        left, right, on="t", by="k", value_cols=["rid"], tolerance=29.0
+    ).first()
+    assert miss["asof_rid"] is None
