@@ -870,8 +870,6 @@ def _chat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = F.size(toks).cast("long")
     n_body = (F.lit(2) + F.pmod(F.col("doc_id"), 3)).cast("long")
     j = F.sequence(F.lit(0).cast("long"), n_body - 1)
-    lo = F.floor(F.col("_j") * nt / n_body)
-    hi = F.floor((F.col("_j") + 1) * nt / n_body)
     body = F.transform(
         j,
         lambda jj: F.struct(
@@ -897,7 +895,6 @@ def _chat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content"),
         ),
     )
-    _ = (lo, hi)  # documented formula; inlined above
     system = F.array(
         F.struct(
             F.lit("system").alias("role"),
