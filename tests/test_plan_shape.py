@@ -592,3 +592,73 @@ def test_length_buckets_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, "length_buckets", sf_dir)
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_interval_overlap_no_nested_loop(spark, sf_dir):
+    # the bin trick must plan the interval×interval overlap as an
+    # equi-join on the bin key — a BNLJ/cartesian here is the 100 TB
+    # killer.  At sf0.001 AQE may broadcast the small side; any hash
+    # equi-join is acceptable, a nested loop is not.
+    plan = plan_of(spark, "interval_overlaps", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def exchange_args(plan: str) -> list[str]:
+    """Partitioning argument of each Exchange in a formatted plan.
+
+    ``explain("formatted")`` prints each node twice (tree + detail
+    section), so substring counts double-count; parse the detail
+    blocks instead.
+    """
+    import re
+
+    out = []
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if block.startswith("Exchange"):
+            m = re.search(r"Arguments: ([^\n]+)", block)
+            out.append(m.group(1) if m else "")
+    return out
+
+
+def test_lm_block_spans_single_exchange(spark, sf_dir):
+    # one shard shuffle feeds both the running-sum window and the
+    # span fan-out; the explode adds no shuffle
+    plan = plan_of(spark, "lm_block_spans", sf_dir)
+    ex = exchange_args(plan)
+    assert len(ex) == 1 and "hashpartitioning" in ex[0]
+    assert "Generate" in plan  # the sequence() explode
+
+
+def test_asof_forward_single_exchange_no_join(spark, sf_dir):
+    # merge_asof variants stay the union+window carry: one shuffle on
+    # the by key, never a join operator
+    plan = plan_of(spark, "asof_next_click", sf_dir)
+    assert "Join" not in plan
+    ex = exchange_args(plan)
+    assert len(ex) == 1 and "hashpartitioning" in ex[0]
+    assert "Union" in plan
+
+
+def test_preference_pairs_partial_aggregate(spark, sf_dir):
+    # max_by/min_by must plan as a map-side-combined aggregate
+    # (partial + final around one exchange), no window
+    plan = plan_of(spark, "preference_pairs", sf_dir)
+    assert "Window" not in plan
+    ex = exchange_args(plan)
+    assert len(ex) == 1 and "hashpartitioning" in ex[0]
+    assert "partial_max_by" in plan  # map-side combine really planned
+
+
+def test_chat_audit_no_shuffle_projection(spark, sf_dir):
+    # validation + rendering is a pure projection over the scan: no
+    # hashpartitioning shuffle anywhere (the width-posture RoundRobin
+    # repartition and the final deterministic sort are allowed)
+    plan = plan_of(spark, "chat_audit", sf_dir)
+    assert not any("hashpartitioning" in e for e in exchange_args(plan))
+    assert "Join" not in plan and "Window" not in plan
