@@ -1669,6 +1669,115 @@ def _canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (textstats.pmi_collocations):
+    unigram + bigram count shuffles, broadcast unigram joins, natural
+    log rounded to 6."""
+    return TS.pmi_collocations(
+        _docs(spark, sf_dir, width=0), "text", k=20, min_count=5
+    )
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores vs target domain src0
+    (curation.dsir_importance): md5-hashed unigram buckets, add-one
+    smoothed log-likelihood ratios, per-doc mean with the decimal-sum
+    convention."""
+    return C.dsir_importance(
+        _docs(spark, sf_dir, width=0),
+        target="src0",
+        n_buckets=64,
+    )
+
+
+def _luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Card-number extraction + Luhn validation (pii.luhn_scan) over
+    text with deterministically injected candidates (the corpus is
+    digit-free — verified at build time): docs with doc_id%3==0 get a
+    16-digit number whose check digit is Luhn-correct iff
+    doc_id%6==0.  Both sides construct the same candidates and the
+    oracle re-runs extraction + the mod-10 checksum in DuckDB's list
+    dialect, so the HOF checksum expression is value-hash-gated."""
+    from gdelt_extractor_spark.operators.pii import luhn_scan
+
+    docs = _docs(spark, sf_dir, width=0)
+    base = F.concat(
+        F.lpad(
+            F.pmod(F.col("doc_id") * 2654435761, F.lit(1000000000)).cast(
+                "string"
+            ),
+            9,
+            "0",
+        ),
+        F.lpad(
+            F.pmod(F.col("doc_id") * 40503 + 7, F.lit(1000000)).cast(
+                "string"
+            ),
+            6,
+            "0",
+        ),
+    )
+    # Luhn sum of the 15 base digits as they will sit in a 16-digit
+    # number (reversed positions 2..16 → double at odd base-reversed
+    # positions), then the check digit that zeroes the total mod 10.
+    rev = F.reverse(base)
+
+    def _term(i):
+        d = F.substr(rev, i, F.lit(1)).cast("int")
+        dbl = d * 2
+        return F.when(
+            F.pmod(i, F.lit(2)) == 1,
+            F.when(dbl > 9, dbl - 9).otherwise(dbl),
+        ).otherwise(d)
+
+    s = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.length(base)), _term),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    check = F.pmod(F.lit(10) - F.pmod(s, F.lit(10)), F.lit(10))
+    digit = F.when(
+        F.col("doc_id") % 6 == 0, check
+    ).otherwise(F.pmod(check + 5, F.lit(10)))
+    blob = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" "), base, digit.cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return luhn_scan(
+        docs.select("doc_id", blob.alias("text")), "doc_id", "text"
+    )
+
+
+def _dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-blocked Levenshtein near-dup pairs
+    (dedup.dedup_editdistance): equi-join on (12-char normalized
+    prefix, 64-char length band) blocks, exact edit distance on
+    64-char prefixes, threshold 16."""
+    return D.dedup_editdistance(
+        _docs(spark, sf_dir, width=0), "text", "doc_id"
+    )
+
+
+def _events_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (temporal.fill_gaps
+    fill='linear') over the same sparse daily means as
+    events_gap_fill: holes get the straight line between surrounding
+    observations, edges clamp to the nearest anchor."""
+    from gdelt_extractor_spark.operators.temporal import fill_gaps
+    from gdelt_extractor_spark.plans.queries import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value") > 200)
+        .groupBy("event_type", F.date_trunc("DAY", F.col("ts")).alias("ts"))
+        .agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"))
+    )
+    return fill_gaps(daily, "event_type", "ts", "mean_value", fill="linear")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1743,6 +1852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # record only "no_oracle" driver-side and are property-tested
         # locally) ---
         "bloom_filter_join": _bloom_filter_join,
+        "pmi_collocations": _pmi_collocations,
+        "dsir_weights": _dsir_weights,
+        "luhn_scan": _luhn_scan,
+        "dedup_editdist": _dedup_editdist,
+        "events_gap_interpolate": _events_gap_interpolate,
         "lm_block_spans": _lm_block_spans,
         "chat_audit": _chat_audit,
         "interval_overlaps": _interval_overlaps,
@@ -2621,6 +2735,164 @@ def oracle_sql() -> dict[str, str]:
               o.mean_value IS NOT NULL AS is_observed
             FROM grid g
             LEFT JOIN obs o ON g.event_type = o.event_type AND g.day = o.day
+        """,
+        "events_gap_interpolate": f"""
+            WITH obs AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                {_dsum('value')}/COUNT(*) AS mean_value
+              FROM events WHERE value > 200 GROUP BY 1, 2),
+            span AS (
+              SELECT event_type, min(day) AS lo, max(day) AS hi
+              FROM obs GROUP BY event_type),
+            grid AS (
+              SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM span),
+            j AS (
+              SELECT g.event_type, g.day, o.mean_value AS v
+              FROM grid g
+              LEFT JOIN obs o
+                ON g.event_type = o.event_type AND g.day = o.day),
+            anch AS (
+              SELECT event_type, day, v,
+                last_value(v IGNORE NULLS) OVER back AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER back AS pd,
+                first_value(v IGNORE NULLS) OVER fwd AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN day END
+                            IGNORE NULLS) OVER fwd AS nd
+              FROM j
+              WINDOW back AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              fwd AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT event_type, day,
+              round(CASE
+                WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) *
+                  (date_diff('day', pd, day) /
+                   CAST(date_diff('day', pd, nd) AS DOUBLE))
+              END, 6) AS mean_value,
+              v IS NOT NULL AS is_observed
+            FROM anch
+        """,
+        "pmi_collocations": f"""
+            WITH base AS (
+              SELECT {toks_text} AS toks, len({toks_text}) AS n
+              FROM documents),
+            uc AS (
+              SELECT term, COUNT(*) AS c_term
+              FROM (SELECT unnest(toks) AS term FROM base) GROUP BY term),
+            pc AS (
+              SELECT w1, w2, COUNT(*) AS c_pair FROM (
+                SELECT toks[i] AS w1, toks[i+1] AS w2
+                FROM base, unnest(range(1, n)) AS u(i)
+                WHERE n >= 2)
+              GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+            tot AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+                CAST(SUM(greatest(n - 1, 0)) AS BIGINT) AS n_pairs
+              FROM base)
+            SELECT w1 || ' ' || w2 AS bigram,
+              CAST(c_pair AS BIGINT) AS n,
+              round(ln((c_pair / CAST(n_pairs AS DOUBLE)) /
+                ((u1.c_term / CAST(n_tokens AS DOUBLE)) *
+                 (u2.c_term / CAST(n_tokens AS DOUBLE)))), 6) AS pmi
+            FROM pc
+            JOIN uc u1 ON pc.w1 = u1.term
+            JOIN uc u2 ON pc.w2 = u2.term
+            CROSS JOIN tot
+            ORDER BY pmi DESC, bigram ASC
+            LIMIT 20
+        """,
+        "dsir_weights": f"""
+            WITH tr AS (
+              SELECT doc_id, source,
+                CAST(('0x' || substring(md5('dsir-v1:' || term), 1, 8))
+                  AS BIGINT) % 64 AS bucket
+              FROM (
+                SELECT doc_id, source, unnest({toks_text}) AS term
+                FROM documents)),
+            c AS (
+              SELECT bucket, COUNT(*) AS c_raw,
+                SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_tgt
+              FROM tr GROUP BY bucket),
+            tot AS (
+              SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+                CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM c),
+            w AS (
+              SELECT bucket,
+                ln((c_tgt + 1) / CAST(n_tgt + 64 AS DOUBLE)) -
+                ln((c_raw + 1) / CAST(n_raw + 64 AS DOUBLE)) AS w
+              FROM c CROSS JOIN tot)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              round(CAST(SUM(CAST(w AS DECIMAL(30,15))) AS DOUBLE)
+                / COUNT(*), 6) AS dsir_logratio
+            FROM tr JOIN w USING (bucket)
+            GROUP BY doc_id
+        """,
+        "luhn_scan": """
+            WITH built AS (
+              SELECT doc_id,
+                lpad(CAST((doc_id * 2654435761) % 1000000000 AS VARCHAR),
+                     9, '0') ||
+                lpad(CAST((doc_id * 40503 + 7) % 1000000 AS VARCHAR),
+                     6, '0') AS base,
+                text
+              FROM documents),
+            summed AS (
+              SELECT doc_id, base, text,
+                list_sum(list_transform(range(1, 16), i ->
+                  CASE WHEN i % 2 = 1 THEN
+                    CASE WHEN 2*CAST(substring(reverse(base), i, 1) AS INT) > 9
+                         THEN 2*CAST(substring(reverse(base), i, 1) AS INT) - 9
+                         ELSE 2*CAST(substring(reverse(base), i, 1) AS INT) END
+                  ELSE CAST(substring(reverse(base), i, 1) AS INT) END
+                )) AS s
+              FROM built),
+            blobbed AS (
+              SELECT doc_id,
+                text || CASE WHEN doc_id % 3 = 0
+                  THEN ' ' || base || CAST(
+                    CASE WHEN doc_id % 6 = 0
+                      THEN (10 - s % 10) % 10
+                      ELSE ((10 - s % 10) % 10 + 5) % 10 END AS VARCHAR)
+                  ELSE '' END AS blob
+              FROM summed),
+            cands AS (
+              SELECT doc_id,
+                regexp_extract_all(blob, '\\d{13,19}') AS l
+              FROM blobbed)
+            SELECT doc_id,
+              CAST(i - 1 AS BIGINT) AS pos,
+              l[i] AS candidate,
+              CAST(length(l[i]) AS BIGINT) AS n_digits,
+              list_sum(list_transform(range(1, length(l[i]) + 1), i2 ->
+                CASE WHEN i2 % 2 = 0 THEN
+                  CASE WHEN 2*CAST(substring(reverse(l[i]), i2, 1) AS INT) > 9
+                       THEN 2*CAST(substring(reverse(l[i]), i2, 1) AS INT) - 9
+                       ELSE 2*CAST(substring(reverse(l[i]), i2, 1) AS INT) END
+                ELSE CAST(substring(reverse(l[i]), i2, 1) AS INT) END
+              )) % 10 = 0 AS luhn_ok
+            FROM cands, unnest(range(1, len(l) + 1)) AS u(i)
+        """,
+        "dedup_editdist": f"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                substring(norm, 1, 64) AS pref,
+                substring(norm, 1, 12) || '#' ||
+                  CAST(CAST(floor(length(norm) / 64) AS BIGINT)
+                       AS VARCHAR) AS block
+              FROM (
+                SELECT doc_id, {_NORM.format(c='text')} AS norm
+                FROM documents))
+            SELECT a.id AS id_a, b.id AS id_b,
+              CAST(levenshtein(a.pref, b.pref) AS BIGINT) AS edit_distance
+            FROM base a
+            JOIN base b ON a.block = b.block AND a.id < b.id
+            WHERE levenshtein(a.pref, b.pref) <= 16
         """,
         "event_spikes": """
             WITH daily AS (

@@ -207,6 +207,11 @@ HEADLINE = [
     "interval_overlaps",
     "preference_pairs",
     "asof_next_click",
+    "pmi_collocations",
+    "dsir_weights",
+    "luhn_scan",
+    "dedup_editdist",
+    "events_gap_interpolate",
 ]
 
 

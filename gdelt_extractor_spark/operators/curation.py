@@ -965,3 +965,88 @@ def preference_pairs(
             "n_members",
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target: str = "src0",
+    n_buckets: int = 64,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023) scores: hashed unigram bag-of-words features, an add-one
+    smoothed log-likelihood ratio per feature bucket between the
+    target domain (rows whose ``source_col`` equals ``target``) and
+    the raw corpus, and a per-document importance score = mean
+    bucket log-ratio over its token occurrences.  Documents scoring
+    high "look like" the target domain; resampling by these weights
+    is the standard pretraining-mixture selection recipe.
+
+    Buckets come from md5 (engine-portable, content-stable), NOT the
+    engine's native hash, so the draw is reproducible anywhere and
+    oracle-checkable.
+
+    Scale shape: pass 1 computes BOTH distributions in one
+    partial-aggregated shuffle over the bucket key (a conditional
+    count for the target side, ≤ ``n_buckets`` result rows); the
+    weight table is then a broadcast onto pass 2's token stream —
+    per-doc scoring is one shuffle on the doc id with a decimal
+    (order-independent) sum.  Two scans of the corpus, two
+    shuffles, nothing driver-side.
+    """
+    from ..functions.text import tokens
+
+    term_rows = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(tokens(text_col)).alias("term"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + ":"), F.col("term"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+    counts = term_rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count_if(F.col(source_col) == target).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    b = F.lit(n_buckets).cast("long")
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_tgt") + 1) / (F.col("n_tgt") + b).cast("double")
+            )
+            - F.log(
+                (F.col("c_raw") + 1) / (F.col("n_raw") + b).cast("double")
+            )
+        ).alias("w"),
+    )
+    return (
+        term_rows.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("w").cast("decimal(30,15)")).alias("_sw"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("_sw").cast("double") / F.col("n_tokens"), 6
+            ).alias("dsir_logratio"),
+        )
+    )

@@ -1407,3 +1407,64 @@ def updated_band_index(
     return index.unionByName(
         minhash_band_index(survivors, text_col, id_col, num_hashes, bands, n)
     )
+
+
+def dedup_editdistance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_prefix: int = 12,
+    length_bucket: int = 64,
+    compare_prefix: int = 64,
+    max_dist: int = 16,
+) -> DataFrame:
+    """Pairs (id_a < id_b) whose normalized-text prefixes are within
+    ``max_dist`` Levenshtein edits — the character-level near-dup
+    verifier that catches small in-place mutations (typo injection,
+    template slot swaps) which shingle-set Jaccard scores leniently
+    and embedding cosine misses entirely.
+
+    Candidate generation is standard blocking: documents sharing BOTH
+    a ``block_prefix``-char normalized prefix and a
+    ``length_bucket``-char length band ever meet, so the self-join is
+    an equi-join on the block key (shuffle hash join — never a
+    cartesian), and the O(b²) blow-up is bounded by the block sizes.
+    Verification runs built-in ``levenshtein`` (JVM codegen, exact
+    DP) on ``compare_prefix``-char prefixes — constant work per pair.
+    Recall boundary (documented, standard for blocking): a pair whose
+    edits fall inside the first ``block_prefix`` chars or straddle a
+    length-band boundary is missed; run with a rotated prefix (e.g.
+    suffix blocking) for the union if that matters.
+
+    Scale shape: one projection pass (normalize + block key), one
+    shuffle equi-join on the block key, per-pair constant-cost
+    verify.  No Python, no UDFs, no full-text transfer — only the
+    bounded prefixes move through the shuffle.
+    """
+    from ..functions.text import normalize_text
+
+    norm = normalize_text(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, compare_prefix).alias("pref"),
+        F.concat_ws(
+            "#",
+            F.substring(norm, 1, block_prefix),
+            F.floor(F.length(norm) / length_bucket).cast("string"),
+        ).alias("block"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dist = F.levenshtein(F.col("a.pref"), F.col("b.pref"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+    )

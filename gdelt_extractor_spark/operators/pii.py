@@ -109,3 +109,65 @@ def k_anonymity(
             "at_risk_frac"
         ),
     )
+
+
+def luhn_valid(col: Column) -> Column:
+    """True iff the digit-string Column passes the Luhn mod-10
+    checksum (ISO/IEC 7812) — the validity gate real card-number
+    detection adds on top of the regex shape match (the docstring on
+    ``PII_PATTERNS`` notes plain regex over-counts).
+
+    Pure higher-order-function expression: reverse, per-position
+    digit extract, double-every-second with the >9 → −9 fold, one
+    ``aggregate`` sum — no UDF, runs inside codegen, and has an
+    exact DuckDB twin (list_transform over range + list_sum), so the
+    check is oracle-portable.
+    """
+    rev = F.reverse(col)
+
+    def term(i: Column) -> Column:
+        d = F.substr(rev, i, F.lit(1)).cast("int")
+        dbl = d * 2
+        return F.when(
+            F.pmod(i, F.lit(2)) == 0,
+            F.when(dbl > 9, dbl - 9).otherwise(dbl),
+        ).otherwise(d)
+
+    s = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.length(col)), term),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.pmod(s, F.lit(10)) == 0
+
+
+def luhn_scan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Card-number candidate extraction + Luhn validation: every
+    13–19 digit run in the text becomes one output row with its
+    checksum verdict.  This is the precision upgrade over the
+    regex-only ``credit_card`` pattern: a pipeline redacts shape
+    matches but ALERTS (routes for review / hard-drops the doc) only
+    on checksum-valid hits, which is the standard precision/recall
+    split for card PII.
+
+    Scale shape: ``regexp_extract_all`` + explode + the ``luhn_valid``
+    HOF — a single projection stage over the scan, zero shuffles,
+    zero Python.  Docs without candidates emit nothing (explode, not
+    explode_outer): at 100 TB the hit set is sparse and the output
+    should be too.
+    """
+    cand = F.regexp_extract_all(F.col(text_col), F.lit(r"\d{13,19}"), 0)
+    return (
+        df.select(F.col(id_col), F.posexplode(cand).alias("pos", "candidate"))
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            "candidate",
+            F.length("candidate").cast("long").alias("n_digits"),
+            luhn_valid(F.col("candidate")).alias("luhn_ok"),
+        )
+    )

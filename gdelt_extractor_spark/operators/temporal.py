@@ -195,7 +195,10 @@ def fill_gaps(
     """Time-series gap filling: densify each key's day series to a
     complete calendar between its own first and last day, then fill
     the holes — ``ffill`` carries the last observed value forward
-    (level metrics), ``zero`` fills 0.0 (count/flow metrics).
+    (level metrics), ``zero`` fills 0.0 (count/flow metrics),
+    ``linear`` interpolates between the surrounding observations
+    (sensor/level series where a straight line is the honest guess;
+    values rounded to 6 decimals for engine-portable results).
 
     Input is one row per (key, day) — pre-aggregate first (e.g. a
     daily mean).  Output: (key, day, value, is_observed).
@@ -228,6 +231,35 @@ def fill_gaps(
     joined = grid.join(obs, ["key", "day"], "left")
     if fill == "zero":
         filled = F.coalesce(F.col("value"), F.lit(0.0))
+    elif fill == "linear":
+        # prev/next observed (value, day) via running windows — the
+        # interpolation needs both anchors, still just the one
+        # key-partitioned sort the ffill path already pays (two
+        # frames over the same Window partition plan as ONE Window
+        # operator, so no extra shuffle).
+        back = (
+            Window.partitionBy("key")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fwd = (
+            Window.partitionBy("key")
+            .orderBy("day")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        obs_day = F.when(F.col("value").isNotNull(), F.col("day"))
+        pv = F.last("value", ignorenulls=True).over(back)
+        pd_ = F.last(obs_day, ignorenulls=True).over(back)
+        nv = F.first("value", ignorenulls=True).over(fwd)
+        nd = F.first(obs_day, ignorenulls=True).over(fwd)
+        frac = F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_)
+        filled = F.round(
+            F.when(F.col("value").isNotNull(), F.col("value"))
+            .when(pv.isNull(), nv)
+            .when(nv.isNull(), pv)
+            .otherwise(pv + (nv - pv) * frac),
+            6,
+        )
     else:
         w = (
             Window.partitionBy("key")

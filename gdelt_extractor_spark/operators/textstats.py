@@ -926,3 +926,84 @@ def zipf_fit(
         F.round(intercept, 6).alias("intercept"),
         F.round(r_num / r_den, 6).alias("r"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k token-bigram collocations by pointwise mutual
+    information — PMI(x,y) = ln( p(xy) / (p(x)·p(y)) ) with
+    p(xy) = c_xy / n_pairs and p(w) = c_w / n_tokens (natural log,
+    rounded to 6), gated by a minimum pair count so rare
+    coincidences don't dominate.  The collocation miner behind
+    phrase vocabularies and tokenizer merge seeding (reference
+    parity: keyword analytics, extractor.py keyword path).
+
+    Scale shape: one partial-aggregated shuffle for the unigram
+    counts, one for the bigram counts (pairs projected AFTER the
+    positional explode — the shingle_hash_rows codegen discipline),
+    then the unigram table (vocab-sized, ≪ corpus) is broadcast
+    twice onto the pair counts and the two scalar totals arrive via
+    a broadcast single-row cross join — no shuffle after the counts.
+    The final ORDER BY + LIMIT plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort).
+    """
+    toks = tokens(text_col)
+    base = df.select(toks.alias("_toks"), F.size(toks).alias("_n"))
+    uni = (
+        base.select(F.explode("_toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_term"))
+    )
+    pairs = (
+        base.filter(F.col("_n") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 2)).alias("_i"),
+            "_toks",
+        )
+        .select(
+            F.get(F.col("_toks"), F.col("_i").cast("int")).alias("w1"),
+            F.get(F.col("_toks"), (F.col("_i") + 1).cast("int")).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= min_count)
+    )
+    tot = base.agg(
+        F.sum(F.col("_n").cast("long")).alias("n_tokens"),
+        F.sum(F.greatest(F.col("_n") - 1, F.lit(0)).cast("long")).alias(
+            "n_pairs"
+        ),
+    )
+    p_xy = F.col("c_pair") / F.col("n_pairs").cast("double")
+    p_x = F.col("c1") / F.col("n_tokens").cast("double")
+    p_y = F.col("c2") / F.col("n_tokens").cast("double")
+    return (
+        pairs.join(
+            F.broadcast(
+                uni.select(
+                    F.col("term").alias("w1"), F.col("c_term").alias("c1")
+                )
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("term").alias("w2"), F.col("c_term").alias("c2")
+                )
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
+            F.col("c_pair").alias("n"),
+            F.round(F.log(p_xy / (p_x * p_y)), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(k)
+    )

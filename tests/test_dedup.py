@@ -452,3 +452,53 @@ class TestIncrementalMinhash:
         idx2 = updated_band_index(idx, s1, bands=16)
         s2 = dedup_incremental_minhash(batch, idx2, bands=16, threshold=0.5).collect()
         assert s2 == []
+
+
+def test_editdistance_finds_small_mutations(spark):
+    from gdelt_extractor_spark.operators.dedup import dedup_editdistance
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "hazy")),          # 1 edit, same prefix
+        (3, base.replace("jumps", "vaults")),       # few edits
+        (4, "a completely different document about spark engines"),
+        (5, base + " " + base),                     # same prefix, far length band
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.edit_distance
+           for r in dedup_editdistance(df, "text", "doc_id").collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1
+    assert (1, 3) in out and 0 < out[(1, 3)] <= 16
+    assert not any(4 in p for p in out)
+    # doc 5 shares the block prefix but lands in another length band:
+    # the documented blocking recall boundary
+    assert not any(5 in p for p in out)
+
+
+def test_editdistance_matches_python_levenshtein(spark):
+    from gdelt_extractor_spark.operators.dedup import dedup_editdistance
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = {
+        10: "shared prefix block aaaa bbbb cccc dddd",
+        11: "shared prefix block aaaa bbXb cccc dddd",
+        12: "shared prefix block aaaa bbbb cccc dxdd extra",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {(r.id_a, r.id_b): r.edit_distance
+           for r in dedup_editdistance(df, "text", "doc_id").collect()}
+    for (a, b), d in out.items():
+        assert d == lev(texts[a][:64], texts[b][:64])
+    assert (10, 11) in out

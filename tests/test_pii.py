@@ -122,3 +122,56 @@ def test_k_anonymity_nulls_group_together(spark):
     )
     r = k_anonymity(df, ["age"], k=2).collect()[0]
     assert (r.n_groups, r.n_small_groups, r.n_at_risk_rows) == (2, 1, 1)
+
+
+def test_luhn_known_vectors(spark):
+    from gdelt_extractor_spark.operators.pii import luhn_scan
+
+    # published test numbers: Visa / Amex / Mastercard valid; each
+    # +1 (mod 10) on the check digit must fail
+    rows = [
+        (1, "pay 4539578763621486 now"),      # Visa, valid
+        (2, "amex 371449635398431 ok"),       # Amex 15-digit, valid
+        (3, "mc 5555555555554444 end"),       # MC, valid
+        (4, "bad 4539578763621487 x"),        # off-by-one
+        (5, "bad 371449635398432 x"),
+        (6, "short 123456789012 no"),          # 12 digits: no candidate
+        (7, "two 4539578763621486 and 1234567890123 t"),
+    ]
+    out = {
+        (r.doc_id, r.candidate): (r.luhn_ok, r.pos)
+        for r in luhn_scan(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[(1, "4539578763621486")] == (True, 0)
+    assert out[(2, "371449635398431")] == (True, 0)
+    assert out[(3, "5555555555554444")] == (True, 0)
+    assert out[(4, "4539578763621487")] == (False, 0)
+    assert out[(5, "371449635398432")] == (False, 0)
+    assert not any(k[0] == 6 for k in out)
+    assert out[(7, "4539578763621486")] == (True, 0)
+    assert out[(7, "1234567890123")][1] == 1  # second candidate, pos 1
+
+
+def test_luhn_matches_python_reference(spark):
+    from gdelt_extractor_spark.operators.pii import luhn_scan
+
+    def luhn_ref(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s), start=1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    cands = [str(1000000000000 + 97 * k) for k in range(40)]  # 13-digit
+    df = spark.createDataFrame(
+        [(i, f"x {c} y") for i, c in enumerate(cands)],
+        "doc_id long, text string",
+    )
+    got = {r.candidate: r.luhn_ok for r in luhn_scan(df).collect()}
+    assert got == {c: luhn_ref(c) for c in cands}

@@ -662,3 +662,54 @@ def test_chat_audit_no_shuffle_projection(spark, sf_dir):
     plan = plan_of(spark, "chat_audit", sf_dir)
     assert not any("hashpartitioning" in e for e in exchange_args(plan))
     assert "Join" not in plan and "Window" not in plan
+
+
+def node_count(plan: str, name: str) -> int:
+    """Count physical nodes of a type in a formatted plan (detail
+    blocks only, so tree+detail double print doesn't double-count)."""
+    import re
+
+    return sum(
+        1
+        for block in re.split(r"\n\(\d+\) ", plan)
+        if block.startswith(name)
+    )
+
+
+def test_luhn_scan_pure_projection(spark, sf_dir):
+    # extract + HOF checksum is one codegen projection over the scan
+    plan = plan_of(spark, "luhn_scan", sf_dir)
+    assert not any("hashpartitioning" in e for e in exchange_args(plan))
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_editdist_equi_join(spark, sf_dir):
+    # blocking must plan as an equi hash join on the block key
+    plan = plan_of(spark, "dedup_editdist", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_unigram_joins_broadcast(spark, sf_dir):
+    # vocab-sized unigram counts broadcast onto pair counts (twice),
+    # totals arrive broadcast — no shuffle after the two count aggs
+    plan = plan_of(spark, "pmi_collocations", sf_dir)
+    assert node_count(plan, "BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_dsir_weight_table_broadcast(spark, sf_dir):
+    # the <=64-row bucket weight table must broadcast onto the token
+    # stream; scoring is one hash aggregate on the doc id
+    plan = plan_of(spark, "dsir_weights", sf_dir)
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_gap_interpolate_single_window_operator(spark, sf_dir):
+    # back + fwd frames share partitioning/ordering → ONE Window
+    # operator, no second sort/shuffle for the forward anchors
+    plan = plan_of(spark, "events_gap_interpolate", sf_dir)
+    assert node_count(plan, "Window") == 1

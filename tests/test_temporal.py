@@ -350,3 +350,47 @@ def test_asof_timestamp_tolerance_units(spark):
         left, right, on="t", by="k", value_cols=["rid"], tolerance=29.0
     ).first()
     assert miss["asof_rid"] is None
+
+
+def test_fill_gaps_linear_matches_pandas_interpolate(spark):
+    import pandas as pd
+
+    from gdelt_extractor_spark.operators.temporal import fill_gaps
+
+    from datetime import datetime
+    rows = [
+        ("k1", datetime(2024, 1, 1), 10.0),
+        ("k1", datetime(2024, 1, 4), 40.0),   # gap of 2 days
+        ("k1", datetime(2024, 1, 5), 20.0),
+        ("k2", datetime(2024, 2, 1), 5.0),
+        ("k2", datetime(2024, 2, 2), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    out = fill_gaps(df, "key", "ts", "v", fill="linear").toPandas()
+    got = {
+        (r.key, r.day.strftime("%m-%d")): (r.v, r.is_observed)
+        for r in out.itertuples()
+    }
+    # pandas reference for k1
+    s = pd.Series(
+        [10.0, None, None, 40.0, 20.0],
+        index=pd.date_range("2024-01-01", periods=5),
+    ).interpolate(method="linear")
+    for i, day in enumerate(["01-01", "01-02", "01-03", "01-04", "01-05"]):
+        assert abs(got[("k1", day)][0] - round(float(s.iloc[i]), 6)) < 1e-9
+    assert got[("k1", "01-02")][1] is False or got[("k1", "01-02")][1] == False  # noqa: E712
+    assert got[("k2", "02-01")] == (5.0, True)
+
+
+def test_fill_gaps_linear_edges_clamp(spark):
+    from datetime import datetime
+
+    from gdelt_extractor_spark.operators.temporal import fill_gaps
+
+    # single observation: span is one day, value passes through
+    df = spark.createDataFrame(
+        [("k", datetime(2024, 1, 3), 9.0)],
+        "key string, ts timestamp, v double",
+    )
+    out = fill_gaps(df, "key", "ts", "v", fill="linear").collect()
+    assert len(out) == 1 and out[0].v == 9.0 and out[0].is_observed

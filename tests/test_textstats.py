@@ -477,3 +477,42 @@ def test_strip_markup_semantics(spark):
     assert got[3] == "a &lt; b <tag> \"q\" 's'"
     assert got[4] == "text tail"
     assert got[5] == "2 < 3 stays because no tag follows a bare <"
+
+
+def test_pmi_collocations_hand_check(spark):
+    from gdelt_extractor_spark.operators.textstats import pmi_collocations
+    import math
+
+    # "new york" always collocates; "the cat"/"the dog" split "the"
+    docs = [(i, "new york " * 3 + ("the cat " if i % 2 else "the dog ")) for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.bigram: (r.n, r.pmi) for r in
+           pmi_collocations(df, "text", k=10, min_count=2).collect()}
+    # corpus: per doc tokens = [new york]*3 + [the, cat|dog] → n=8/doc
+    # n_tokens=32, n_pairs=28; c(new york)=12, c(new)=c(york)=12
+    exp = math.log((12 / 28) / ((12 / 32) * (12 / 32)))
+    assert abs(out["new york"][1] - round(exp, 6)) < 1e-9
+    assert out["new york"][0] == 12
+    # "york new" occurs twice per doc (wrap inside doc) = 8 total
+    assert "york new" in out
+    # cross-boundary bigrams below min_count are gated out
+    assert all(b.split()[0] != "cat" for b in out)
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from gdelt_extractor_spark.operators.curation import dsir_importance
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma delta " * 3, "src0"))       # target
+    for i in range(20, 40):
+        rows.append((i, "omega sigma tau rho " * 3, "srcX"))          # far
+    for i in range(40, 44):
+        rows.append((i, "alpha beta gamma delta " * 3, "srcY"))       # target-like
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r.dsir_logratio for r in dsir_importance(df).collect()}
+    target_like = sum(out[i] for i in range(40, 44)) / 4
+    far = sum(out[i] for i in range(20, 40)) / 20
+    assert target_like > far
+    # scores are per-token means: identical docs → identical scores
+    assert len({out[i] for i in range(40, 44)}) == 1
