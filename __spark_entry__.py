@@ -1778,6 +1778,46 @@ def _events_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_gaps(daily, "event_type", "ts", "mean_value", fill="linear")
 
 
+def _embedding_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based cross-corpus pair mining
+    (similarity.align_embeddings, the LASER/CCMatrix ratio-margin
+    recipe): the embeddings table split by vec_id parity plays two
+    corpora; each even vector's best odd match is kept when its
+    cosine stands out ≥5% above the two neighborhoods' top-4
+    averages."""
+    emb = _emb(spark, sf_dir, width=8)
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return S.align_embeddings(a, b, k=4, margin_threshold=1.05)
+
+
+def _quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain perplexity-band selection
+    (curation.perplexity_band_filter over textstats.lm_score): each
+    source keeps its middle [25%, 75%] LM-score band; the reject
+    side stays in the output as selected=false for auditability."""
+    docs = _docs(spark, sf_dir, width=0)
+    scored = TS.lm_score(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return C.perplexity_band_filter(
+        scored, group_col="source", score_col="lm_score"
+    )
+
+
+def _nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed Naive Bayes reference-domain classifier
+    (curation.nb_domain_classifier): trained on the md5-split train
+    fold against src0, every doc scored with posterior log-odds and
+    a hard prediction."""
+    return C.nb_domain_classifier(
+        _docs(spark, sf_dir, width=0),
+        target="src0",
+        n_buckets=64,
+        train_pct=80,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -1857,6 +1897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luhn_scan": _luhn_scan,
         "dedup_editdist": _dedup_editdist,
         "events_gap_interpolate": _events_gap_interpolate,
+        "embedding_align": _embedding_align,
+        "nb_classifier": _nb_classifier,
+        "quality_band": _quality_band,
         "lm_block_spans": _lm_block_spans,
         "chat_audit": _chat_audit,
         "interval_overlaps": _interval_overlaps,
@@ -1996,6 +2039,31 @@ _NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 
 def _toks(c: str) -> str:
     return f"string_split({_NORM.format(c=c)}, ' ')"
+
+
+def _lm_score_ctes(toks_text: str) -> str:
+    """Shared CTE block building the corpus-trained bigram LM and the
+    per-doc mean log-prob frame ``s`` (plus the tokenized base
+    ``b0``) — used by both the lm_score oracle and oracles that
+    compose on top of the score (quality_band)."""
+    return f"""WITH b0 AS (SELECT doc_id, {toks_text} AS toks FROM documents),
+            db AS (
+              SELECT doc_id, toks[i] AS w1,
+                toks[i] || chr(31) || toks[i+1] AS bigram
+              FROM b0, unnest(range(1, len(toks))) AS u(i)),
+            c2 AS (SELECT w1, bigram, COUNT(*) AS c2 FROM db GROUP BY 1, 2),
+            ug AS (SELECT unnest(toks) AS w1 FROM b0),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM ug GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w1) AS v FROM ug),
+            p AS (
+              SELECT bigram,
+                round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)), 6) AS logp
+              FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+            s AS (
+              SELECT db.doc_id, COUNT(*) AS n_bigrams,
+                CAST(SUM(CAST(logp AS DECIMAL(25,6))) AS DOUBLE)/COUNT(*)
+                  AS lm_score
+              FROM db JOIN p USING (bigram) GROUP BY 1)"""
 
 
 _NETLOC = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:\/\/)?(?:[^\/@?#]*@)?([^\/?#]+)"
@@ -2777,6 +2845,90 @@ def oracle_sql() -> dict[str, str]:
               END, 6) AS mean_value,
               v IS NOT NULL AS is_observed
             FROM anch
+        """,
+        "embedding_align": """
+            WITH v AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            n AS (
+              SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nrm
+              FROM v),
+            scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.vv, b.vv)/(a.nrm*b.nrm), 6) AS cos
+              FROM n a CROSS JOIN n b
+              WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+            ranked AS (
+              SELECT id_a, id_b, cos,
+                row_number() OVER (
+                  PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rf,
+                row_number() OVER (
+                  PARTITION BY id_b ORDER BY cos DESC, id_a ASC) AS rb
+              FROM scored),
+            fwd AS (
+              SELECT id_a,
+                CAST(SUM(CAST(cos AS DECIMAL(25,6))) AS DOUBLE)/4 AS avg_f
+              FROM ranked WHERE rf <= 4 GROUP BY id_a),
+            bwd AS (
+              SELECT id_b,
+                CAST(SUM(CAST(cos AS DECIMAL(25,6))) AS DOUBLE)/4 AS avg_b
+              FROM ranked WHERE rb <= 4 GROUP BY id_b),
+            best AS (SELECT id_a, id_b, cos FROM ranked WHERE rf = 1)
+            SELECT best.id_a, best.id_b, cos AS cosine,
+              round(cos / ((avg_f + avg_b)/2.0), 6) AS margin
+            FROM best
+            JOIN fwd USING (id_a)
+            JOIN bwd USING (id_b)
+            WHERE round(cos / ((avg_f + avg_b)/2.0), 6) >= 1.05
+        """,
+        "nb_classifier": f"""
+            WITH base AS (
+              SELECT doc_id, (source = 'src0') AS is_target,
+                CASE WHEN CAST(('0x' || substring(
+                    md5('nbclf-v1:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 100 < 80
+                  THEN 'train' ELSE 'val' END AS split,
+                {toks_text} AS toks
+              FROM documents),
+            tr AS (
+              SELECT doc_id, is_target, split,
+                CAST(('0x' || substring(md5('nbclf-v1:' || term), 1, 8))
+                  AS BIGINT) % 64 AS bucket
+              FROM (
+                SELECT doc_id, is_target, split, unnest(toks) AS term
+                FROM base)),
+            c AS (
+              SELECT bucket,
+                SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_pos,
+                SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS c_neg
+              FROM tr WHERE split = 'train' GROUP BY bucket),
+            tot AS (
+              SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+                CAST(SUM(c_neg) AS BIGINT) AS n_neg FROM c),
+            pri AS (
+              SELECT ln((SUM(CASE WHEN is_target THEN 1 ELSE 0 END) + 1)
+                / CAST(SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) + 1
+                       AS DOUBLE)) AS prior
+              FROM base WHERE split = 'train'),
+            w AS (
+              SELECT bucket,
+                ln((c_pos + 1) / CAST(n_pos + 64 AS DOUBLE)) -
+                ln((c_neg + 1) / CAST(n_neg + 64 AS DOUBLE)) AS w
+              FROM c CROSS JOIN tot),
+            sc AS (
+              SELECT doc_id, split, is_target, COUNT(*) AS n_tokens,
+                SUM(CAST(w AS DECIMAL(30,15))) AS sw
+              FROM tr JOIN w USING (bucket)
+              GROUP BY doc_id, split, is_target)
+            SELECT b.doc_id, b.split, b.is_target,
+              CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+              round(prior + CAST(COALESCE(sw, 0) AS DOUBLE), 6)
+                AS nb_logodds,
+              (prior + CAST(COALESCE(sw, 0) AS DOUBLE)) > 0 AS pred_target
+            FROM (SELECT doc_id, split, is_target FROM base) b
+            LEFT JOIN sc USING (doc_id, split, is_target)
+            CROSS JOIN pri
         """,
         "pmi_collocations": f"""
             WITH base AS (
@@ -4209,28 +4361,29 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN agg USING (doc_id)
         """,
         "lm_score": f"""
-            WITH b0 AS (SELECT doc_id, {toks_text} AS toks FROM documents),
-            db AS (
-              SELECT doc_id, toks[i] AS w1,
-                toks[i] || chr(31) || toks[i+1] AS bigram
-              FROM b0, unnest(range(1, len(toks))) AS u(i)),
-            c2 AS (SELECT w1, bigram, COUNT(*) AS c2 FROM db GROUP BY 1, 2),
-            ug AS (SELECT unnest(toks) AS w1 FROM b0),
-            c1 AS (SELECT w1, COUNT(*) AS c1 FROM ug GROUP BY 1),
-            v AS (SELECT COUNT(DISTINCT w1) AS v FROM ug),
-            p AS (
-              SELECT bigram,
-                round(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)), 6) AS logp
-              FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
-            s AS (
-              SELECT db.doc_id, COUNT(*) AS n_bigrams,
-                CAST(SUM(CAST(logp AS DECIMAL(25,6))) AS DOUBLE)/COUNT(*)
-                  AS lm_score
-              FROM db JOIN p USING (bigram) GROUP BY 1)
+            {_lm_score_ctes(toks_text)}
             SELECT b0.doc_id,
               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
               s.lm_score
             FROM b0 LEFT JOIN s USING (doc_id)
+        """,
+        "quality_band": f"""
+            {_lm_score_ctes(toks_text)},
+            j AS (
+              SELECT s.doc_id, d.source, s.lm_score
+              FROM s JOIN documents d USING (doc_id)
+              WHERE s.lm_score IS NOT NULL)
+            SELECT doc_id, source, lm_score,
+              round(percent_rank() OVER (
+                PARTITION BY source
+                ORDER BY lm_score ASC, doc_id ASC), 6) AS pct_rank,
+              (percent_rank() OVER (
+                 PARTITION BY source
+                 ORDER BY lm_score ASC, doc_id ASC) >= 0.25
+               AND percent_rank() OVER (
+                 PARTITION BY source
+                 ORDER BY lm_score ASC, doc_id ASC) <= 0.75) AS selected
+            FROM j
         """,
         "dup_spans": f"""
             WITH toks AS (

@@ -212,6 +212,9 @@ HEADLINE = [
     "luhn_scan",
     "dedup_editdist",
     "events_gap_interpolate",
+    "embedding_align",
+    "nb_classifier",
+    "quality_band",
 ]
 
 

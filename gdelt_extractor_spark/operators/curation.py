@@ -1050,3 +1050,196 @@ def dsir_importance(
             ).alias("dsir_logratio"),
         )
     )
+
+
+def nb_domain_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target: str = "src0",
+    n_buckets: int = 64,
+    train_pct: int = 80,
+    salt: str = "nbclf-v1",
+) -> DataFrame:
+    """Hashed Naive Bayes "looks like the reference domain"
+    classifier — the GPT-3 / CCNet quality-classifier recipe as one
+    distributed train+predict pass: fit a binary NB model (target
+    domain vs rest) on hashed unigram counts from a deterministic
+    train split, then score EVERY document with its posterior
+    log-odds and a hard prediction.  Downstream curation keeps docs
+    whose log-odds clear a threshold (optionally with a Pareto noisy
+    threshold, per GPT-3 appendix A).
+
+    Differs from ``dsir_importance`` (an unsupervised importance
+    WEIGHT over the raw corpus) in being a supervised classifier:
+    class-conditional likelihoods are fit on labeled train rows
+    only, a class prior enters the score, and the output carries the
+    train/val split marker plus the hard prediction so held-out
+    precision/recall roll up with one aggregate.
+
+    Per doc: (doc_id, split, is_target, n_tokens, nb_logodds,
+    pred_target) where
+
+        nb_logodds = ln((D_pos+1)/(D_neg+1)) + Σ_tokens
+            [ln((c_pos[b]+1)/(N_pos+B)) − ln((c_neg[b]+1)/(N_neg+B))]
+
+    with b = md5-hashed token bucket (engine-portable, same scheme
+    as DSIR), D_* train doc counts, N_* train token totals, B =
+    ``n_buckets`` (add-one smoothing over the bucket vocabulary).
+
+    Scale shape: the split marker is a pure projection (md5 mod
+    100); training is ONE partial-aggregated shuffle over the bucket
+    key (≤ B result rows) plus a tiny doc-count aggregate; the
+    weight table broadcasts onto the token stream and per-doc
+    scoring is one shuffle on the doc id with a decimal
+    (order-independent) sum.  Two corpus scans, two shuffles — the
+    same 100 TB shape as DSIR, with the prior folded in driver-free.
+    """
+    split_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    base = docs.select(
+        F.col(id_col),
+        (F.col(source_col) == target).alias("is_target"),
+        F.when(split_bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+        tokens(text_col).alias("_t"),
+    )
+    term_rows = base.select(
+        id_col,
+        "is_target",
+        "split",
+        F.explode("_t").alias("term"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + ":"), F.col("term"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+    train_terms = term_rows.filter(F.col("split") == "train")
+    counts = train_terms.groupBy("bucket").agg(
+        F.count_if(F.col("is_target")).alias("c_pos"),
+        F.count_if(~F.col("is_target")).alias("c_neg"),
+    )
+    totals = counts.agg(
+        F.sum("c_pos").alias("n_pos"), F.sum("c_neg").alias("n_neg")
+    )
+    priors = base.filter(F.col("split") == "train").agg(
+        F.count_if(F.col("is_target")).alias("d_pos"),
+        F.count_if(~F.col("is_target")).alias("d_neg"),
+    )
+    b = F.lit(n_buckets).cast("long")
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_pos") + 1) / (F.col("n_pos") + b).cast("double"))
+            - F.log(
+                (F.col("c_neg") + 1) / (F.col("n_neg") + b).cast("double")
+            )
+        ).alias("w"),
+    )
+    prior = priors.select(
+        F.log((F.col("d_pos") + 1) / (F.col("d_neg") + 1).cast("double")).alias(
+            "_prior"
+        )
+    )
+    # Every input doc survives the explode: split-tokenization emits
+    # at least one token (empty text → one "" token) — so no
+    # hashed_embedding-style left-join-back is needed, and per-doc
+    # scoring stays a single hash aggregate.
+    scored = (
+        term_rows.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, "split", "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("w").cast("decimal(30,15)")).alias("_sw"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(prior)).select(
+        F.col(id_col),
+        "split",
+        "is_target",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("_prior") + F.col("_sw").cast("double"), 6
+        ).alias("nb_logodds"),
+        (
+            (F.col("_prior") + F.col("_sw").cast("double")) > 0
+        ).alias("pred_target"),
+    )
+
+
+def perplexity_band_filter(
+    scored: DataFrame,
+    group_col: str = "source",
+    score_col: str = "lm_score",
+    id_col: str = "doc_id",
+    lo_pct: float = 0.25,
+    hi_pct: float = 0.75,
+) -> DataFrame:
+    """Per-domain score-band selection — the CCNet/DCLM "keep the
+    middle perplexity band" curation step: within each group, rank
+    documents by their LM score and keep those whose percent rank
+    falls in [``lo_pct``, ``hi_pct``].  The extremes are what the
+    recipe distrusts — the lowest-perplexity tail is boilerplate and
+    templated text, the highest is noise/garble — and banding
+    PER DOMAIN keeps one verbose domain from eating the global
+    budget.
+
+    Input is any (id, group, score) frame — compose with
+    ``textstats.lm_score`` (or a real external-LM scorer) upstream.
+    NULL scores (docs the scorer could not rate, e.g. <2 tokens) are
+    dropped before ranking and never selected.
+
+    Returns (id, group, score, pct_rank, selected) for every scored
+    row — callers filter on ``selected``; keeping the flag makes the
+    reject side auditable (the FineWeb practice of logging what each
+    filter removed, not just its survivors).
+
+    Scale shape: one window per group (shuffle on the group key,
+    per-group sort bounded by the domain size).  percent_rank is
+    rank-based — exact, no quantile sketch — and deterministic under
+    (score, id) tie-breaks.  A skewed giant domain bounds the sort:
+    at 100 TB swap the window for approx percentiles per group
+    (``approx_percentile`` over the group) and a threshold join;
+    the exact window is kept here because the selection boundary is
+    then reproducible to the row, which the sketch cannot promise.
+    """
+    from pyspark.sql import Window
+
+    base = scored.select(
+        F.col(id_col), F.col(group_col), F.col(score_col)
+    ).filter(F.col(score_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    pr = F.percent_rank().over(w)
+    return base.select(
+        id_col,
+        group_col,
+        score_col,
+        F.round(pr, 6).alias("pct_rank"),
+        ((pr >= lo_pct) & (pr <= hi_pct)).alias("selected"),
+    )

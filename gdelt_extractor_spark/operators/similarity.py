@@ -738,3 +738,110 @@ def ranking_metrics(
             F.round(F.col("_dcg") / F.col("_idcg"), 6).alias(f"ndcg_at_{k}"),
         )
     )
+
+
+def align_embeddings(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based cross-corpus alignment mining — the
+    LASER/CCMatrix bitext-mining recipe (Artetxe & Schwenk 2019,
+    "ratio" margin): for every vector in corpus ``a`` take its best
+    cosine match in corpus ``b``, then score the pair by how much it
+    stands out above each side's neighborhood,
+
+        margin(x, y) = cos(x, y) /
+            ((avgTopK(x→B) + avgTopK(y→A)) / 2)
+
+    and keep pairs with margin ≥ ``margin_threshold``.  The margin
+    denominator is what makes mining robust: a hub vector that is
+    "close to everything" has a high neighborhood average and is
+    penalized, while a genuinely aligned pair in a sparse region
+    scores > 1.  This is the standard operator for mining parallel
+    text / cross-modal pairs out of two embedded corpora.
+
+    Returns (id_a, id_b, cosine, margin) with margin ≥ threshold,
+    one row per ``a`` vector (its best match).
+
+    Plan shape: corpus ``b`` is broadcast (the query/smaller side —
+    same contract as ``ann_bruteforce``); each direction is one
+    scoring pass ending in a windowed top-k (WindowGroupLimit) and
+    one aggregate — the forward aggregate carries the rank-1 best
+    match via ``min_by`` so no third pass or best⋈avg self-join
+    exists, and the final fwd⋈bwd join broadcasts the b-sized
+    average table.  At 100 TB / large×large, materialize an IVF
+    cell-blocked pair frame (assign both sides with
+    ``ivf_fit_centroids`` + multiprobe, join on the cell) and feed
+    it where the broadcast join stands — the margin algebra
+    downstream is unchanged, and a staged pair frame also collapses
+    the two scoring passes into one scan.
+
+    Engine-portable numerics: neighborhood averages follow the
+    decimal-sum convention (cos rounded to 6 before the sum) so an
+    SQL oracle reproduces the doubles exactly; cos itself is a
+    sequential JVM fold identical to DuckDB's list_dot_product.
+    """
+    av = a.select(
+        F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va")
+    ).withColumn("na", _norm(F.col("va")))
+    bv = b.select(
+        F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb")
+    ).withColumn("nb", _norm(F.col("vb")))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = (
+        av.join(F.broadcast(bv))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .select("id_a", "id_b", "cos")
+    )
+    wf = Window.partitionBy("id_a").orderBy(
+        F.col("cos").desc(), F.col("id_b").asc()
+    )
+    wb = Window.partitionBy("id_b").orderBy(
+        F.col("cos").desc(), F.col("id_a").asc()
+    )
+    dsum = lambda c: F.sum(F.col(c).cast("decimal(25,6)")).cast("double")  # noqa: E731
+    # One pass per direction: each window's rank feeds a top-k filter
+    # (WindowGroupLimit pushes the limit into the sort) and ONE
+    # aggregate that carries both the neighborhood average and — on
+    # the forward side — the rank-1 best match via min_by, so no
+    # third pass or best⋈avg self-join ever materializes.  Two pair
+    # passes total; the old three-branch form recomputed the
+    # broadcast pair pass once per reference and sort-merge-joined
+    # two doc-sized frames.
+    fwd = (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .filter(F.col("rf") <= k)
+        .groupBy("id_a")
+        .agg(
+            (dsum("cos") / k).alias("avg_f"),
+            F.min_by("id_b", "rf").alias("id_b"),
+            F.min_by("cos", "rf").alias("cos"),
+        )
+    )
+    bwd = (
+        scored.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= k)
+        .groupBy("id_b")
+        .agg((dsum("cos") / k).alias("avg_b"))
+    )
+    return (
+        fwd.join(F.broadcast(bwd), "id_b")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cos") / ((F.col("avg_f") + F.col("avg_b")) / 2.0), 6
+            ),
+        )
+        .filter(F.col("margin") >= margin_threshold)
+        .select(
+            "id_a", "id_b", F.col("cos").alias("cosine"), "margin"
+        )
+    )

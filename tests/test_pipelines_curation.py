@@ -628,3 +628,39 @@ def test_corpus_diff_null_text_presence(spark):
     got = {r.doc_id: r.status for r in
            corpus_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "unchanged", 2: "changed"}
+
+
+def test_perplexity_band_filter_selection(spark):
+    from gdelt_extractor_spark.operators.curation import perplexity_band_filter
+
+    # src A: 5 docs scored 1..5; src B: 3 docs; one NULL-scored doc
+    rows = [(i, "A", float(i)) for i in range(1, 6)]
+    rows += [(10 + i, "B", float(i)) for i in range(1, 4)]
+    rows += [(99, "A", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lm_score double")
+    out = {r.doc_id: r for r in perplexity_band_filter(
+        df, group_col="source", score_col="lm_score", id_col="doc_id").collect()}
+    # NULL-scored doc dropped entirely
+    assert 99 not in out and len(out) == 8
+    # src A percent ranks: 0, .25, .5, .75, 1 → keep docs 2,3,4
+    assert [out[i].selected for i in range(1, 6)] == [False, True, True, True, False]
+    assert out[3].pct_rank == 0.5
+    # src B ranks: 0, .5, 1 → keep only the middle doc
+    assert [out[10 + i].selected for i in range(1, 4)] == [False, True, False]
+
+
+def test_perplexity_band_filter_ties_deterministic(spark):
+    from gdelt_extractor_spark.operators.curation import perplexity_band_filter
+
+    # all-equal scores: the (score, id) ORDER BY is a total order, so
+    # ranks stay distinct and the band boundary is deterministic by id
+    df = spark.createDataFrame(
+        [(i, "A", 2.0) for i in range(4)],
+        "doc_id long, source string, lm_score double",
+    )
+    out = {r.doc_id: r for r in perplexity_band_filter(
+        df, lo_pct=0.0, hi_pct=0.5, group_col="source",
+        score_col="lm_score").collect()}
+    assert [out[i].pct_rank for i in range(4)] == [
+        0.0, round(1 / 3, 6), round(2 / 3, 6), 1.0]
+    assert [out[i].selected for i in range(4)] == [True, True, False, False]

@@ -713,3 +713,22 @@ def test_gap_interpolate_single_window_operator(spark, sf_dir):
     # operator, no second sort/shuffle for the forward anchors
     plan = plan_of(spark, "events_gap_interpolate", sf_dir)
     assert node_count(plan, "Window") == 1
+
+
+def test_embedding_align_broadcast_pair_pass(spark, sf_dir):
+    # corpus b broadcasts into the nested-loop pair pass; exactly one
+    # pass per direction (fwd carries best-match via min_by, so no
+    # third recompute), no cartesian, and the final avg join is a
+    # broadcast — never a doc-sized sort-merge join
+    plan = plan_of(spark, "embedding_align", sf_dir)
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_nb_classifier_weight_table_broadcast(spark, sf_dir):
+    # the <=64-row NB weight table, the 1-row prior, and the totals
+    # all broadcast; no sort-merge join anywhere in train or score
+    plan = plan_of(spark, "nb_classifier", sf_dir)
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan

@@ -302,3 +302,88 @@ def test_pq_rejects_small_sample(spark):
     )
     with _pytest.raises(ValueError, match="ksub"):
         S.pq_fit_codebooks(emb, m=2, ksub=16, n_iter=1)
+
+
+def test_align_embeddings_margin_reference(spark):
+    """align_embeddings matches a numpy reference of the ratio-margin
+    formula (with the operator's decimal-sum averaging and round-6
+    staging) on a small random corpus."""
+    import numpy as np
+    from decimal import Decimal
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(6, 8))
+    B = rng.normal(size=(7, 8))
+    a = spark.createDataFrame(
+        [(i, [float(x) for x in A[i]]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(100 + j, [float(x) for x in B[j]]) for j in range(7)],
+        "vec_id long, embedding array<double>",
+    )
+    k = 3
+    got = {
+        (r.id_a, r.id_b): (r.cosine, r.margin)
+        for r in S.align_embeddings(a, b, k=k, margin_threshold=0.0).collect()
+    }
+
+    def seq_cos(x, y):
+        # sequential fold, like the JVM aggregate
+        dot = 0.0
+        nx = ny = 0.0
+        for xi, yi in zip(x, y):
+            dot += xi * yi
+        for xi in x:
+            nx += xi * xi
+        for yi in y:
+            ny += yi * yi
+        return round(dot / (nx ** 0.5 * ny ** 0.5), 6)
+
+    cos = {(i, 100 + j): seq_cos(A[i], B[j]) for i in range(6) for j in range(7)}
+
+    def avg_topk(vals):
+        top = sorted(vals, reverse=True)[:k]
+        s = sum(Decimal(str(v)) for v in top)
+        return float(s) / k
+
+    expect = {}
+    for i in range(6):
+        row = sorted(((cos[(i, 100 + j)], 100 + j) for j in range(7)),
+                     key=lambda t: (-t[0], t[1]))
+        best_cos, best_b = row[0]
+        avg_f = avg_topk([c for c, _ in row])
+        avg_b = avg_topk([cos[(x, best_b)] for x in range(6)])
+        expect[(i, best_b)] = (best_cos,
+                               round(best_cos / ((avg_f + avg_b) / 2.0), 6))
+    assert got == expect
+
+
+def test_align_embeddings_threshold_and_hub_penalty(spark):
+    """A hub b-vector close to every a-vector is margin-penalized
+    below a distinctive aligned pair, and the threshold filters."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    noise = rng.normal(size=(4, 8)) * 0.05
+    base = np.eye(4, 8) + noise          # 4 distinct directions
+    hub = np.ones(8) / np.sqrt(8)        # close to everything
+    a = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    rows_b = [(100 + i, [float(x) for x in (base[i] + noise[i])])
+              for i in range(3)] + [(103, [float(x) for x in hub])]
+    b = spark.createDataFrame(rows_b, "vec_id long, embedding array<double>")
+    out = {r.id_a: r for r in
+           S.align_embeddings(a, b, k=2, margin_threshold=0.0).collect()}
+    # aligned pairs 0..2 pick their twin; their margin beats the hub match
+    for i in range(3):
+        assert out[i].id_b == 100 + i
+    assert out[3].id_b == 103  # vec 3's best is the hub
+    assert min(out[i].margin for i in range(3)) > out[3].margin
+    # threshold keeps only rows at/above it
+    thr = sorted(r.margin for r in out.values())[2]
+    kept = S.align_embeddings(a, b, k=2, margin_threshold=thr).collect()
+    assert {r.id_a for r in kept} == {i for i in range(4)
+                                      if out[i].margin >= thr}

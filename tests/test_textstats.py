@@ -516,3 +516,47 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert target_like > far
     # scores are per-token means: identical docs → identical scores
     assert len({out[i] for i in range(40, 44)}) == 1
+
+
+def test_nb_classifier_separates_domains(spark):
+    from gdelt_extractor_spark.operators.curation import nb_domain_classifier
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta " * 3, "src0"))       # target
+    for i in range(30, 60):
+        rows.append((i, "omega sigma tau rho " * 3, "srcX"))          # other
+    for i in range(60, 64):
+        rows.append((i, "alpha beta gamma delta " * 3, "srcY"))       # target-like val
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in nb_domain_classifier(df, target="src0").collect()}
+    assert len(out) == 64
+    # target-vocabulary docs score positive, other-vocabulary negative —
+    # including the srcY docs the label says are NOT target (the
+    # classifier scores content, not labels)
+    for i in range(30):
+        assert out[i].nb_logodds > 0 and out[i].pred_target
+    for i in range(30, 60):
+        assert out[i].nb_logodds < 0 and not out[i].pred_target
+    for i in range(60, 64):
+        assert out[i].nb_logodds > 0 and out[i].is_target is False
+    # split marker is the md5 convention: deterministic across calls
+    out2 = {r.doc_id: r.split for r in
+            nb_domain_classifier(df, target="src0").collect()}
+    assert out2 == {i: out[i].split for i in out}
+    assert {"train", "val"} == {r.split for r in out.values()}
+
+
+def test_nb_classifier_scores_empty_docs_with_prior(spark):
+    from gdelt_extractor_spark.operators.curation import nb_domain_classifier
+
+    rows = [(0, "alpha beta", "src0"), (1, "omega tau", "srcX"),
+            (2, "   ", "srcX"), (3, "", "src0")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in nb_domain_classifier(df, target="src0").collect()}
+    assert len(out) == 4
+    # split-on-space tokenization maps whitespace-only and empty text
+    # to one empty-string token (both engines agree); no row vanishes
+    # and the two docs land in the same bucket → identical scores
+    assert out[2].n_tokens == 1 and out[3].n_tokens == 1
+    assert out[2].nb_logodds == out[3].nb_logodds
