@@ -1791,6 +1791,69 @@ def _embedding_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.align_embeddings(a, b, k=4, margin_threshold=1.05)
 
 
+def _rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 overlap (textstats.rouge_n) between each document and
+    the next document of its source — the summarization-eval metric
+    doubling as a contamination spot-check; clipped bigram multiset
+    overlap with P/R/F per pair."""
+    docs = _docs(spark, sf_dir, width=0)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.lead("text").over(w).alias("ref_text"),
+        )
+        .filter(F.col("ref_text").isNotNull())
+        .select(
+            F.col("doc_id").alias("pair_id"),
+            F.col("text").alias("cand"),
+            F.col("ref_text").alias("ref"),
+        )
+    )
+    return TS.rouge_n(pairs, n=2)
+
+
+def _rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (curation.rater_agreement): three
+    deterministic annotators label every doc (base label doc_id%4;
+    an md5 draw flips 20% of assignments to the next class), then
+    per-item pairwise agreement + corpus Fleiss' kappa.  Both sides
+    construct the identical label frame, so the kappa algebra is
+    value-hash-gated."""
+    docs = _docs(spark, sf_dir)
+    raters = docs.select("doc_id").crossJoin(
+        F.broadcast(spark.range(3).select(F.col("id").alias("rater_id")))
+    )
+    noise = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rater:"),
+                        F.col("rater_id").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    base = F.pmod(F.col("doc_id"), F.lit(4))
+    label = F.when(noise < 2, F.pmod(base + 1, F.lit(4))).otherwise(base)
+    labeled = raters.select(
+        F.col("doc_id").alias("item_id"),
+        "rater_id",
+        label.cast("long").alias("label"),
+    )
+    return C.rater_agreement(labeled, "item_id", "rater_id", "label")
+
+
 def _quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain perplexity-band selection
     (curation.perplexity_band_filter over textstats.lm_score): each
@@ -1900,6 +1963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_align": _embedding_align,
         "nb_classifier": _nb_classifier,
         "quality_band": _quality_band,
+        "rater_agreement": _rater_agreement,
+        "rouge_overlap": _rouge_overlap,
         "lm_block_spans": _lm_block_spans,
         "chat_audit": _chat_audit,
         "interval_overlaps": _interval_overlaps,
@@ -4366,6 +4431,95 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
               s.lm_score
             FROM b0 LEFT JOIN s USING (doc_id)
+        """,
+        "rouge_overlap": f"""
+            WITH pr AS (
+              SELECT doc_id AS pair, text AS cand,
+                lead(text) OVER (
+                  PARTITION BY source ORDER BY doc_id) AS ref
+              FROM documents),
+            p2 AS (SELECT pair, cand, ref FROM pr WHERE ref IS NOT NULL),
+            ct AS (
+              SELECT pair, g, COUNT(*) AS c_cand FROM (
+                SELECT pair, toks[i] || ' ' || toks[i+1] AS g
+                FROM (SELECT pair, {_toks('cand')} AS toks FROM p2),
+                     unnest(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2)
+              GROUP BY 1, 2),
+            rt AS (
+              SELECT pair, g, COUNT(*) AS c_ref FROM (
+                SELECT pair, toks[i] || ' ' || toks[i+1] AS g
+                FROM (SELECT pair, {_toks('ref')} AS toks FROM p2),
+                     unnest(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2)
+              GROUP BY 1, 2),
+            tc AS (SELECT pair, SUM(c_cand) AS n_cand FROM ct GROUP BY 1),
+            tr2 AS (SELECT pair, SUM(c_ref) AS n_ref FROM rt GROUP BY 1),
+            m AS (
+              SELECT ct.pair, SUM(least(c_cand, c_ref)) AS n_match
+              FROM ct JOIN rt ON ct.pair = rt.pair AND ct.g = rt.g
+              GROUP BY 1)
+            SELECT p2.pair AS pair_id,
+              CAST(COALESCE(n_match, 0) AS BIGINT) AS n_match,
+              CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+              CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+              round(CASE WHEN COALESCE(n_cand, 0) > 0 THEN
+                COALESCE(n_match, 0) / CAST(n_cand AS DOUBLE) END, 6)
+                AS rouge_p,
+              round(CASE WHEN COALESCE(n_ref, 0) > 0 THEN
+                COALESCE(n_match, 0) / CAST(n_ref AS DOUBLE) END, 6)
+                AS rouge_r,
+              round(CASE
+                WHEN COALESCE(n_cand, 0) > 0 AND COALESCE(n_ref, 0) > 0
+                     AND COALESCE(n_match, 0) > 0 THEN
+                  2.0 * (n_match / CAST(n_cand AS DOUBLE))
+                      * (n_match / CAST(n_ref AS DOUBLE))
+                      / (n_match / CAST(n_cand AS DOUBLE)
+                         + n_match / CAST(n_ref AS DOUBLE))
+                WHEN COALESCE(n_cand, 0) > 0 AND COALESCE(n_ref, 0) > 0
+                  THEN 0.0 END, 6) AS rouge_f
+            FROM p2
+            LEFT JOIN tc ON p2.pair = tc.pair
+            LEFT JOIN tr2 ON p2.pair = tr2.pair
+            LEFT JOIN m ON p2.pair = m.pair
+        """,
+        "rater_agreement": """
+            WITH raters AS (
+              SELECT doc_id, r AS rater_id
+              FROM documents, unnest([0, 1, 2]) AS t(r)),
+            lab AS (
+              SELECT doc_id AS item,
+                CASE WHEN CAST(('0x' || substring(md5(
+                    'rater:' || CAST(rater_id AS VARCHAR) || ':' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 2
+                  THEN (doc_id % 4 + 1) % 4
+                  ELSE doc_id % 4 END AS lab
+              FROM raters),
+            cell AS (
+              SELECT item, lab, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+            per AS (
+              SELECT item, SUM(c) AS n_raters, COUNT(*) AS n_cats,
+                SUM(c*c) AS ss
+              FROM cell GROUP BY 1),
+            items AS (
+              SELECT item, n_raters, n_cats,
+                CASE WHEN n_raters > 1 THEN (ss - n_raters)
+                  / CAST(n_raters * (n_raters - 1) AS DOUBLE) END AS p_i
+              FROM per),
+            pbar AS (
+              SELECT CAST(SUM(CAST(p_i AS DECIMAL(30,15))) AS DOUBLE)
+                / COUNT(p_i) AS p_bar FROM items),
+            cat AS (SELECT lab, SUM(c) AS cj FROM cell GROUP BY 1),
+            pe AS (
+              SELECT CAST(SUM(cj*cj) AS DOUBLE)
+                / CAST(SUM(cj) * SUM(cj) AS DOUBLE) AS p_e FROM cat)
+            SELECT item, CAST(n_raters AS BIGINT) AS n_raters,
+              CAST(n_cats AS BIGINT) AS n_cats,
+              round(p_i, 6) AS p_agree,
+              round((p_bar - p_e) / (1 - p_e), 6) AS fleiss_kappa,
+              round(p_bar, 6) AS p_bar,
+              round(p_e, 6) AS p_e
+            FROM items CROSS JOIN pbar CROSS JOIN pe
         """,
         "quality_band": f"""
             {_lm_score_ctes(toks_text)},

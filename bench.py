@@ -215,6 +215,8 @@ HEADLINE = [
     "embedding_align",
     "nb_classifier",
     "quality_band",
+    "rater_agreement",
+    "rouge_overlap",
 ]
 
 

@@ -1243,3 +1243,87 @@ def perplexity_band_filter(
         F.round(pr, 6).alias("pct_rank"),
         ((pr >= lo_pct) & (pr <= hi_pct)).alias("selected"),
     )
+
+
+def rater_agreement(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Inter-rater agreement audit for labeled datasets — the QA gate
+    run on RLHF preference labels, eval judgments, or any
+    multi-annotator corpus before training on it: per item the
+    observed pairwise agreement P_i, plus the corpus-level Fleiss'
+    kappa broadcast onto every row so one frame carries both the
+    hot-spots (low-P_i items worth re-adjudicating) and the headline
+    reliability number.
+
+        P_i   = (Σ_j n_ij² − n_i) / (n_i (n_i − 1))
+        P̄    = mean_i P_i          (items with ≥2 raters)
+        P̄_e  = Σ_j p_j²,  p_j = Σ_i n_ij / Σ_i n_i
+        κ     = (P̄ − P̄_e) / (1 − P̄_e)
+
+    n_i raters may vary per item (the Fleiss formula generalizes;
+    single-rater items report NULL P_i and are excluded from P̄).
+    Everything is exact integer arithmetic until the final
+    divisions, so the numbers are engine-portable to the row.
+
+    Scale shape: one (item, label) count shuffle, one item rollup,
+    one ≤|labels|-row category aggregate and a 1-row kappa — the
+    corpus-level scalars broadcast back; nothing driver-side, no
+    window.  Output: (item, n_raters, n_cats, p_agree, fleiss_kappa,
+    p_bar, p_e).
+    """
+    cell = labels.groupBy(
+        F.col(item_col).alias("item"), F.col(label_col).alias("lab")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_item = cell.groupBy("item").agg(
+        F.sum("c").alias("n_raters"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(F.col("c") * F.col("c")).alias("_ss"),
+    )
+    p_i = F.when(
+        F.col("n_raters") > 1,
+        (F.col("_ss") - F.col("n_raters"))
+        / (F.col("n_raters") * (F.col("n_raters") - 1)).cast("double"),
+    )
+    items = per_item.select(
+        "item",
+        F.col("n_raters").cast("long").alias("n_raters"),
+        F.col("n_cats").cast("long").alias("n_cats"),
+        p_i.alias("_p_i"),
+    )
+    # corpus scalars: P̄ over multi-rater items; P̄_e from category mass
+    pbar = items.agg(
+        (
+            F.sum(F.col("_p_i").cast("decimal(30,15)")).cast("double")
+            / F.count("_p_i")
+        ).alias("p_bar")
+    )
+    cat = cell.groupBy("lab").agg(F.sum("c").alias("cj"))
+    pe = cat.agg(
+        (
+            F.sum(F.col("cj") * F.col("cj")).cast("double")
+            / (F.sum("cj") * F.sum("cj")).cast("double")
+        ).alias("p_e")
+    )
+    kappa = (
+        pbar.crossJoin(F.broadcast(pe))
+        .select(
+            "p_bar",
+            "p_e",
+            ((F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e"))).alias(
+                "fleiss_kappa"
+            ),
+        )
+    )
+    return items.crossJoin(F.broadcast(kappa)).select(
+        "item",
+        "n_raters",
+        "n_cats",
+        F.round("_p_i", 6).alias("p_agree"),
+        F.round("fleiss_kappa", 6).alias("fleiss_kappa"),
+        F.round("p_bar", 6).alias("p_bar"),
+        F.round("p_e", 6).alias("p_e"),
+    )

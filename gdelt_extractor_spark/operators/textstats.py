@@ -1007,3 +1007,96 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
         .limit(k)
     )
+
+
+def rouge_n(
+    pairs: DataFrame,
+    pair_col: str = "pair_id",
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N overlap scoring over paired texts — the n-gram
+    recall/precision/F1 used to audit summarization/SFT outputs
+    against references, and as a cheap contamination double-check on
+    suspected (candidate, source) pairs.  Per pair:
+
+        n_match = Σ_g min(count_cand(g), count_ref(g))   (clipped)
+        rouge_p = n_match / n_cand,  rouge_r = n_match / n_ref,
+        rouge_f = 2·P·R / (P + R)
+
+    counts are CLIPPED multiset overlap (the ROUGE paper's
+    definition) — a candidate repeating one reference n-gram ten
+    times only scores it min(10, ref count) times.  Pairs where
+    either side has fewer than ``n`` tokens report zero counts on
+    that side and NULL metrics from the 0/0 divisions.
+
+    Scale shape: one n-gram count pass per side (explode + partial-
+    aggregated count on (pair, gram)), an equi-join on the same
+    (pair, gram) key — content-derived and uniform, never all-pairs
+    — then one per-pair rollup.  A full-outer gram join is avoided:
+    only matched grams contribute to n_match, so an inner join plus
+    the two per-side totals carried from the count passes suffices.
+    """
+    from ..functions.text import tokens
+
+    def gram_counts(col: str, side: str) -> DataFrame:
+        toks = tokens(col)
+        sliced = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, (i + 1).cast("int"), n)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            pairs.select(F.col(pair_col).alias("pair"), sliced.alias("_g"))
+            .select("pair", F.explode_outer("_g").alias("gram"))
+            .groupBy("pair", "gram")
+            .agg(F.count(F.when(F.col("gram").isNotNull(), 1)).alias(f"c_{side}"))
+        )
+
+    c = gram_counts(cand_col, "cand")
+    r = gram_counts(ref_col, "ref")
+    tot_c = c.groupBy("pair").agg(F.sum("c_cand").alias("n_cand"))
+    tot_r = r.groupBy("pair").agg(F.sum("c_ref").alias("n_ref"))
+    matched = (
+        c.filter(F.col("gram").isNotNull())
+        .join(r, ["pair", "gram"])
+        .groupBy("pair")
+        .agg(F.sum(F.least("c_cand", "c_ref")).alias("n_match"))
+    )
+    # ANSI-safe divisions: a side with zero n-grams yields NULL P/R;
+    # zero matches over non-empty sides is a defined 0.0 F-score.
+    p = F.when(F.col("n_cand") > 0, F.col("n_match") / F.col("n_cand"))
+    r_ = F.when(F.col("n_ref") > 0, F.col("n_match") / F.col("n_ref"))
+    f = (
+        F.when(
+            (F.col("n_cand") > 0)
+            & (F.col("n_ref") > 0)
+            & (F.col("n_match") > 0),
+            2.0
+            * (F.col("n_match") / F.col("n_cand"))
+            * (F.col("n_match") / F.col("n_ref"))
+            / (
+                F.col("n_match") / F.col("n_cand")
+                + F.col("n_match") / F.col("n_ref")
+            ),
+        )
+        .when((F.col("n_cand") > 0) & (F.col("n_ref") > 0), F.lit(0.0))
+    )
+    return (
+        tot_c.join(tot_r, "pair", "full")
+        .join(matched, "pair", "left")
+        .select(
+            F.col("pair").alias(pair_col),
+            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        )
+        .withColumn("rouge_p", F.round(p, 6))
+        .withColumn("rouge_r", F.round(r_, 6))
+        .withColumn("rouge_f", F.round(f, 6))
+    )

@@ -664,3 +664,43 @@ def test_perplexity_band_filter_ties_deterministic(spark):
     assert [out[i].pct_rank for i in range(4)] == [
         0.0, round(1 / 3, 6), round(2 / 3, 6), 1.0]
     assert [out[i].selected for i in range(4)] == [True, True, False, False]
+
+
+def test_rater_agreement_hand_computed(spark):
+    from gdelt_extractor_spark.operators.curation import rater_agreement
+
+    # item 1: unanimous (3×A) → P_i = 1
+    # item 2: 2×A 1×B       → P_i = (4+1-3)/(3·2) = 1/3
+    # item 3: A,B,C         → P_i = 0
+    # item 4: single rater  → P_i NULL, excluded from p_bar
+    rows = [(1, r, "A") for r in range(3)]
+    rows += [(2, 0, "A"), (2, 1, "A"), (2, 2, "B")]
+    rows += [(3, 0, "A"), (3, 1, "B"), (3, 2, "C")]
+    rows += [(4, 0, "B")]
+    df = spark.createDataFrame(rows, "item_id long, rater_id long, label string")
+    out = {r.item: r for r in rater_agreement(df).collect()}
+    assert out[1].p_agree == 1.0
+    assert out[2].p_agree == round(1 / 3, 6)
+    assert out[3].p_agree == 0.0
+    assert out[4].p_agree is None
+    p_bar = (1.0 + 1 / 3 + 0.0) / 3
+    # category mass: A=6, B=3, C=1 of 10 assignments
+    p_e = (36 + 9 + 1) / 100
+    kappa = (p_bar - p_e) / (1 - p_e)
+    for r in out.values():
+        assert r.p_bar == round(p_bar, 6)
+        assert r.p_e == round(p_e, 6)
+        assert r.fleiss_kappa == round(kappa, 6)
+    assert (out[1].n_raters, out[1].n_cats) == (3, 1)
+    assert (out[3].n_raters, out[3].n_cats) == (3, 3)
+
+
+def test_rater_agreement_perfect_and_random(spark):
+    from gdelt_extractor_spark.operators.curation import rater_agreement
+
+    # all items unanimous over two balanced classes → kappa = 1
+    rows = [(i, r, "A" if i % 2 == 0 else "B")
+            for i in range(10) for r in range(3)]
+    df = spark.createDataFrame(rows, "item_id long, rater_id long, label string")
+    out = rater_agreement(df).first()
+    assert out.fleiss_kappa == 1.0 and out.p_bar == 1.0

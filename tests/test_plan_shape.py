@@ -732,3 +732,20 @@ def test_nb_classifier_weight_table_broadcast(spark, sf_dir):
     plan = plan_of(spark, "nb_classifier", sf_dir)
     assert node_count(plan, "BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_rater_agreement_broadcast_scalars(spark, sf_dir):
+    # corpus-level kappa/p_bar/p_e are 1-row broadcasts onto the item
+    # frame; no sort-merge join, no window
+    plan = plan_of(spark, "rater_agreement", sf_dir)
+    assert node_count(plan, "BroadcastNestedLoopJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert node_count(plan, "Window") == 0
+
+
+def test_rouge_overlap_gram_equijoin(spark, sf_dir):
+    # the match join is a (pair, gram) equi-join — content-keyed,
+    # never a cartesian
+    plan = plan_of(spark, "rouge_overlap", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

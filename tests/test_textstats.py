@@ -560,3 +560,44 @@ def test_nb_classifier_scores_empty_docs_with_prior(spark):
     # and the two docs land in the same bucket → identical scores
     assert out[2].n_tokens == 1 and out[3].n_tokens == 1
     assert out[2].nb_logodds == out[3].nb_logodds
+
+
+def test_rouge_n_hand_computed(spark):
+    from gdelt_extractor_spark.operators.textstats import rouge_n
+
+    pairs = spark.createDataFrame(
+        [
+            # cand bigrams: {the cat, cat sat, sat down}; ref: {the cat,
+            # cat sat, sat here} → 2 matches of 3/3
+            (1, "the cat sat down", "the cat sat here"),
+            # clipping: cand repeats "a b" 3×, ref has it once → 1 match
+            (2, "a b a b a b", "a b c"),
+            # no overlap
+            (3, "x y z", "p q r"),
+            # ref too short for bigrams → n_ref 0, NULL metrics
+            (4, "u v w", "solo"),
+        ],
+        "pair_id long, cand string, ref string",
+    )
+    out = {r.pair_id: r for r in rouge_n(pairs, n=2).collect()}
+    assert (out[1].n_match, out[1].n_cand, out[1].n_ref) == (2, 3, 3)
+    assert out[1].rouge_p == round(2 / 3, 6) == out[1].rouge_r
+    assert out[1].rouge_f == round(2 / 3, 6)
+    # cand "a b a b a b": bigrams a-b ×3, b-a ×2 = 5; ref "a b c": a-b, b-c
+    assert (out[2].n_match, out[2].n_cand, out[2].n_ref) == (1, 5, 2)
+    assert out[2].rouge_p == 0.2 and out[2].rouge_r == 0.5
+    assert (out[3].n_match, out[3].rouge_f) == (0, 0.0)
+    assert out[4].n_ref == 0 and out[4].rouge_r is None and out[4].rouge_f is None
+
+
+def test_rouge_n_identical_and_unigram(spark):
+    from gdelt_extractor_spark.operators.textstats import rouge_n
+
+    pairs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "alpha beta gamma")],
+        "pair_id long, cand string, ref string",
+    )
+    r2 = rouge_n(pairs, n=2).first()
+    assert r2.rouge_f == 1.0 and r2.n_match == 2
+    r1 = rouge_n(pairs, n=1).first()
+    assert r1.rouge_f == 1.0 and r1.n_match == 3
