@@ -1791,6 +1791,34 @@ def _embedding_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.align_embeddings(a, b, k=4, margin_threshold=1.05)
 
 
+def _kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance (keywords.kwic) for the term
+    'join' over documents: every occurrence with 4 normalized tokens
+    of context each side — the corpus-audit surface."""
+    from gdelt_extractor_spark.operators.keywords import kwic
+
+    return kwic(_docs(spark, sf_dir, width=0), "join", window=4)
+
+
+def _psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution drift (profiling.psi_drift) between orders
+    totalprice and the schema_drift-style mutated snapshot (every
+    3rd price doubled): 20 frozen equal-width bins over [0, 600000),
+    per-bin mass movement terms + the headline PSI."""
+    from gdelt_extractor_spark.operators.profiling import psi_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    mutated = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return psi_drift(
+        o, mutated, "o_totalprice", n_bins=20, lo=0.0, hi=600000.0
+    )
+
+
 def _rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-2 overlap (textstats.rouge_n) between each document and
     the next document of its source — the summarization-eval metric
@@ -1965,6 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_band": _quality_band,
         "rater_agreement": _rater_agreement,
         "rouge_overlap": _rouge_overlap,
+        "psi_drift": _psi_drift,
+        "kwic_concordance": _kwic_concordance,
         "lm_block_spans": _lm_block_spans,
         "chat_audit": _chat_audit,
         "interval_overlaps": _interval_overlaps,
@@ -4431,6 +4461,63 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
               s.lm_score
             FROM b0 LEFT JOIN s USING (doc_id)
+        """,
+        "kwic_concordance": f"""
+            WITH base AS (
+              SELECT doc_id AS id, {toks_text} AS toks FROM documents),
+            hits AS (
+              SELECT id, toks, i
+              FROM base, unnest(range(1, len(toks) + 1)) AS u(i)
+              WHERE toks[i] = 'join')
+            SELECT id, CAST(i - 1 AS BIGINT) AS pos,
+              COALESCE(array_to_string(
+                toks[greatest(i - 4, 1):i - 1], ' '), '') AS left_ctx,
+              COALESCE(array_to_string(
+                toks[i + 1:least(i + 4, len(toks))], ' '), '') AS right_ctx
+            FROM hits
+        """,
+        "psi_drift": """
+            WITH o AS (
+              SELECT o_totalprice AS v FROM orders
+              WHERE o_totalprice IS NOT NULL),
+            nw AS (
+              SELECT CASE WHEN o_orderkey % 3 = 0
+                THEN o_totalprice * 2 ELSE o_totalprice END AS v
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            bo AS (
+              SELECT least(greatest(
+                  CAST(floor(v / 30000.0) AS BIGINT), 0), 19) AS bin,
+                COUNT(*) AS c_old
+              FROM o GROUP BY 1),
+            bn AS (
+              SELECT least(greatest(
+                  CAST(floor(v / 30000.0) AS BIGINT), 0), 19) AS bin,
+                COUNT(*) AS c_new
+              FROM nw GROUP BY 1),
+            j AS (
+              SELECT COALESCE(bo.bin, bn.bin) AS bin, c_old, c_new
+              FROM bo FULL JOIN bn ON bo.bin = bn.bin),
+            tot AS (
+              SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+                CAST(SUM(c_new) AS BIGINT) AS n_new FROM j),
+            t2 AS (
+              SELECT bin,
+                bin * 30000.0 AS lo_edge, (bin + 1) * 30000.0 AS hi_edge,
+                COALESCE(c_old, 0) / CAST(n_old AS DOUBLE) AS p,
+                COALESCE(c_new, 0) / CAST(n_new AS DOUBLE) AS q
+              FROM j CROSS JOIN tot),
+            t3 AS (
+              SELECT bin, lo_edge, hi_edge, p, q,
+                (q - p) * ln((q + 1e-6) / (p + 1e-6)) AS term
+              FROM t2),
+            tt AS (
+              SELECT CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE)
+                AS psi FROM t3)
+            SELECT bin, round(lo_edge, 6) AS lo_edge,
+              round(hi_edge, 6) AS hi_edge,
+              round(p, 6) AS p_old, round(q, 6) AS q_new,
+              round(term, 6) AS psi_term, round(psi, 6) AS psi
+            FROM t3 CROSS JOIN tt
         """,
         "rouge_overlap": f"""
             WITH pr AS (

@@ -217,6 +217,8 @@ HEADLINE = [
     "quality_band",
     "rater_agreement",
     "rouge_overlap",
+    "psi_drift",
+    "kwic_concordance",
 ]
 
 

@@ -155,3 +155,93 @@ def check_expectations(
         )
         .orderBy("rule")
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the distribution-shape drift gate that complements
+    ``schema_drift``'s mean/null checks: equal-width bins over a
+    fixed range, per-bin population fractions p (old) and q (new),
+
+        psi_term_i = (q_i − p_i) · ln((q_i + ε) / (p_i + ε))
+        psi        = Σ_i psi_term_i
+
+    (ε keeps empty bins finite; the classic reading: psi < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 shifted).  Values outside
+    [lo, hi) clamp into the edge bins so both snapshots always
+    account for their full mass.
+
+    ``lo``/``hi`` default to the OLD snapshot's min/max — one
+    bounded 2-value aggregate; pass literals to skip that scan and
+    make the binning reproducible across rounds (the monitoring
+    posture: freeze the bin edges with the baseline).
+
+    Scale shape: one bin-count aggregate per side (≤ ``n_bins``
+    result rows each), a full outer join of the two tiny count
+    tables, and the 1-row total broadcast back onto the per-bin
+    frame.  Output: (bin, lo_edge, hi_edge, p_old, q_new, psi_term,
+    psi) — per-bin terms localize WHERE the mass moved, psi repeats
+    the headline number on every row.  Output is SPARSE: a bin empty
+    in BOTH snapshots contributes exactly 0 to psi and emits no row.
+    """
+    if lo is None or hi is None:
+        row = old.agg(
+            F.min(F.col(value_col).cast("double")).alias("_lo"),
+            F.max(F.col(value_col).cast("double")).alias("_hi"),
+        ).first()
+        lo = float(row["_lo"]) if lo is None else lo
+        hi = float(row["_hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"psi_drift: need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        b = F.floor((F.col(value_col).cast("double") - lo) / width)
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(b.cast("long").alias("bin"))
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    j = binned(old, "old").join(binned(new, "new"), "bin", "full")
+    tot = j.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    )
+    per = (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * width).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1) * width).alias("hi_edge"),
+            (F.coalesce("c_old", F.lit(0)) / F.col("n_old")).alias("_p"),
+            (F.coalesce("c_new", F.lit(0)) / F.col("n_new")).alias("_q"),
+        )
+        .withColumn(
+            "_term",
+            (F.col("_q") - F.col("_p"))
+            * F.log((F.col("_q") + eps) / (F.col("_p") + eps)),
+        )
+    )
+    total = per.agg(
+        F.sum(F.col("_term").cast("decimal(30,15)"))
+        .cast("double")
+        .alias("_psi")
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "bin",
+        F.round("lo_edge", 6).alias("lo_edge"),
+        F.round("hi_edge", 6).alias("hi_edge"),
+        F.round("_p", 6).alias("p_old"),
+        F.round("_q", 6).alias("q_new"),
+        F.round("_term", 6).alias("psi_term"),
+        F.round("_psi", 6).alias("psi"),
+    )

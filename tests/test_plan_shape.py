@@ -749,3 +749,21 @@ def test_rouge_overlap_gram_equijoin(spark, sf_dir):
     plan = plan_of(spark, "rouge_overlap", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kwic_no_key_shuffle(spark, sf_dir):
+    # scan → position explode → filter → context projection; the only
+    # Exchange is the deliberate round-robin scan-width repartition —
+    # no key-hashed shuffle, no join anywhere
+    plan = plan_of(spark, "kwic_concordance", sf_dir)
+    assert n_exchanges(plan) <= 1
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_psi_drift_tiny_aggregates_broadcast(spark, sf_dir):
+    # two <=20-row bin-count tables full-join; totals and headline
+    # psi broadcast back — nothing row-count-sized moves again
+    plan = plan_of(spark, "psi_drift", sf_dir)
+    assert node_count(plan, "BroadcastNestedLoopJoin") >= 1
+    assert "CartesianProduct" not in plan

@@ -57,3 +57,53 @@ def test_single_aggregate_plan(spark):
     )
     # one scan, one global aggregate pair — no join, no extra scans
     assert plan.count("Scan ") <= 1
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from gdelt_extractor_spark.operators.profiling import psi_drift
+
+    old = spark.createDataFrame(
+        [(float(i % 10),) for i in range(1000)], "v double"
+    )
+    same = psi_drift(old, old, "v", n_bins=10, lo=0.0, hi=10.0).collect()
+    # identical snapshots: every term 0, psi 0
+    assert all(r.psi_term == 0.0 and r.psi == 0.0 for r in same)
+    assert {r.bin for r in same} == set(range(10))
+    assert all(r.p_old == 0.1 for r in same)
+
+    # everything shifts up by 5: half the bins lose all mass, half gain
+    new = old.select((F.col("v") + 5.0).alias("v"))
+    out = psi_drift(old, new, "v", n_bins=10, lo=0.0, hi=10.0).collect()
+    psi = out[0].psi
+    assert psi > 0.25  # classic "shifted" territory
+    assert all(r.psi == psi for r in out)
+    # bins 0-4 lost mass (negative q-p -> positive term), 5-9 doubled
+    by_bin = {r.bin: r for r in out}
+    assert by_bin[0].q_new == 0.0 and by_bin[0].psi_term > 0
+    # clamp: bin 9 absorbs v in [9,15) -> q doubles plus clamped tail
+
+
+def test_psi_drift_clamps_out_of_range(spark):
+    from gdelt_extractor_spark.operators.profiling import psi_drift
+
+    old = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
+    new = spark.createDataFrame([(-50.0,), (99.0,)], "v double")
+    out = {r.bin: r for r in psi_drift(old, new, "v", n_bins=4,
+                                       lo=0.0, hi=4.0).collect()}
+    # nulls dropped; out-of-range mass lands in the edge bins
+    assert out[0].q_new == 0.5 and out[3].q_new == 0.5
+    assert out[1].p_old == 0.5 and out[2].p_old == 0.5
+
+
+def test_psi_drift_defaults_range_from_old(spark):
+    from gdelt_extractor_spark.operators.profiling import psi_drift
+    import pytest as _pytest
+
+    old = spark.createDataFrame([(0.0,), (10.0,)], "v double")
+    out = psi_drift(old, old, "v", n_bins=5).collect()
+    # sparse output: only occupied bins appear (0 and the clamped top)
+    assert {r.bin for r in out} == {0, 4}
+    assert all(r.psi == 0.0 for r in out)
+    flat = spark.createDataFrame([(3.0,), (3.0,)], "v double")
+    with _pytest.raises(ValueError, match="hi > lo"):
+        psi_drift(flat, flat, "v")

@@ -601,3 +601,37 @@ def test_rouge_n_identical_and_unigram(spark):
     assert r2.rouge_f == 1.0 and r2.n_match == 2
     r1 = rouge_n(pairs, n=1).first()
     assert r1.rouge_f == 1.0 and r1.n_match == 3
+
+
+def test_kwic_contexts(spark):
+    from gdelt_extractor_spark.operators.keywords import kwic
+
+    df = spark.createDataFrame(
+        [
+            (1, "JOIN at start and a join in the middle then join"),
+            (2, "no match here"),
+            (3, "join"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        ((r.id, r.pos, r.left_ctx, r.right_ctx)
+         for r in kwic(df, "join", window=2).collect())
+    )
+    # normalization lowercases, so JOIN at pos 0 matches with empty left
+    assert out == [
+        (1, 0, "", "at start"),
+        (1, 5, "and a", "in the"),
+        (1, 10, "middle then", ""),
+        (3, 0, "", ""),
+    ]
+
+
+def test_kwic_window_bounds(spark):
+    from gdelt_extractor_spark.operators.keywords import kwic
+
+    df = spark.createDataFrame(
+        [(1, "a b c join d e f")], "doc_id long, text string"
+    )
+    r = kwic(df, "join", window=10).first()
+    assert (r.left_ctx, r.right_ctx) == ("a b c", "d e f")
