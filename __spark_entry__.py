@@ -1791,6 +1791,18 @@ def _embedding_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.align_embeddings(a, b, k=4, margin_threshold=1.05)
 
 
+def _contamination_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc↔benchmark contamination link report
+    (curation.contamination_links): same corpus/benchmark split as
+    the decontaminate entry (doc_id<5 plays the benchmark), one row
+    per linked pair with the benchmark-containment fraction."""
+    docs = _docs(spark, sf_dir, width=0)
+    return C.contamination_links(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+    )
+
+
 def _kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-in-context concordance (keywords.kwic) for the term
     'join' over documents: every occurrence with 4 normalized tokens
@@ -1995,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_overlap": _rouge_overlap,
         "psi_drift": _psi_drift,
         "kwic_concordance": _kwic_concordance,
+        "contamination_links": _contamination_links,
         "lm_block_spans": _lm_block_spans,
         "chat_audit": _chat_audit,
         "interval_overlaps": _interval_overlaps,
@@ -4461,6 +4474,36 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
               s.lm_score
             FROM b0 LEFT JOIN s USING (doc_id)
+        """,
+        "contamination_links": """
+            WITH t AS (
+              SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+              FROM t, unnest(range(1, greatest(len(toks)-2, 1)+1)) AS u(i)
+              WHERE doc_id >= 5),
+            bs AS (
+              SELECT DISTINCT doc_id AS bench_id,
+                concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+              FROM t, unnest(range(1, greatest(len(toks)-2, 1)+1)) AS u(i)
+              WHERE doc_id < 5),
+            sz AS (
+              SELECT bench_id, COUNT(*) AS n_bench
+              FROM bs GROUP BY bench_id),
+            links AS (
+              SELECT sh.doc_id, bs.bench_id, COUNT(*) AS n_shared
+              FROM sh JOIN bs ON sh.shingle = bs.shingle
+              GROUP BY 1, 2)
+            SELECT doc_id, bench_id,
+              CAST(n_shared AS BIGINT) AS n_shared,
+              CAST(n_bench AS BIGINT) AS n_bench_shingles,
+              round(n_shared / CAST(n_bench AS DOUBLE), 6) AS containment
+            FROM links JOIN sz USING (bench_id)
+            WHERE n_shared >= 1
         """,
         "kwic_concordance": f"""
             WITH base AS (

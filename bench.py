@@ -219,6 +219,7 @@ HEADLINE = [
     "rouge_overlap",
     "psi_drift",
     "kwic_concordance",
+    "contamination_links",
 ]
 
 

@@ -1327,3 +1327,58 @@ def rater_agreement(
         F.round("p_bar", 6).alias("p_bar"),
         F.round("p_e", 6).alias("p_e"),
     )
+
+
+def contamination_links(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """The audit trail behind ``decontaminate``'s aggregate: WHICH
+    benchmark item leaked into WHICH document.  One row per
+    (doc, benchmark item) pair sharing ≥ ``min_shared`` distinct
+    n-gram shingles, with the containment fraction — the share of
+    the benchmark item's shingles found in the doc, the direction
+    that measures eval leakage.  ``decontaminate`` answers "is this
+    doc dirty"; this answers "dirty WITH WHAT", which is what a
+    removal review or a benchmark-vendor report needs.
+
+    Scale shape: both sides shingle once (distinct xxhash64 longs);
+    the benchmark side is small by the decontamination contract, so
+    its shingle rows and its per-item sizes broadcast — the link
+    join is broadcast-hash on the shingle key, then one partial-
+    aggregated shuffle on the (doc, bench) pair.  The doc side
+    streams; nothing all-pairs.  For a benchmark too large to
+    broadcast, drop the hint and the same plan runs as a shuffle
+    join keyed on content-derived uniform hashes.
+    """
+    d = _shingle_hash_frame(docs, id_col, text_col, n).select(
+        "doc_id", F.explode("sh").alias("h")
+    )
+    b_sh = _shingle_hash_frame(benchmark, id_col, text_col, n)
+    b = b_sh.select(
+        F.col("doc_id").alias("bench_id"), F.explode("sh").alias("h")
+    )
+    sizes = b_sh.select(
+        F.col("doc_id").alias("bench_id"),
+        F.size("sh").alias("n_bench_shingles"),
+    )
+    return (
+        d.join(F.broadcast(b), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .join(F.broadcast(sizes), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_bench_shingles").cast("long").alias("n_bench_shingles"),
+            F.round(
+                F.col("n_shared") / F.col("n_bench_shingles"), 6
+            ).alias("containment"),
+        )
+    )

@@ -704,3 +704,40 @@ def test_rater_agreement_perfect_and_random(spark):
     df = spark.createDataFrame(rows, "item_id long, rater_id long, label string")
     out = rater_agreement(df).first()
     assert out.fleiss_kappa == 1.0 and out.p_bar == 1.0
+
+
+def test_contamination_links_pairs_and_containment(spark):
+    from gdelt_extractor_spark.operators.curation import contamination_links
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"),     # shingles: abc, bcd (2)
+         (200, "one two three"),              # 1 shingle
+         (300, "nothing shared at all here")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),  # contains both bench-100 shingles
+         (2, "xx one two three yy"),             # contains bench-200's shingle
+         (3, "totally disjoint text corpus")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.bench_id): r for r in
+           contamination_links(docs, bench).collect()}
+    assert set(out) == {(1, 100), (2, 200)}
+    assert out[(1, 100)].n_shared == 2
+    assert out[(1, 100)].n_bench_shingles == 2
+    assert out[(1, 100)].containment == 1.0
+    assert out[(2, 200)].containment == 1.0
+    # min_shared gate
+    assert contamination_links(docs, bench, min_shared=2).count() == 1
+
+
+def test_contamination_links_distinct_shingles(spark):
+    from gdelt_extractor_spark.operators.curation import contamination_links
+
+    # repeated shingle in the doc counts once (distinct semantics)
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c a b c a b c")],
+                                 "doc_id long, text string")
+    r = contamination_links(docs, bench).first()
+    assert r.n_shared == 1 and r.containment == 1.0
