@@ -4572,14 +4572,14 @@ def oracle_sql() -> dict[str, str]:
             ct AS (
               SELECT pair, g, COUNT(*) AS c_cand FROM (
                 SELECT pair, toks[i] || ' ' || toks[i+1] AS g
-                FROM (SELECT pair, {_toks('cand')} AS toks FROM p2),
+                FROM (SELECT pair, list_filter({_toks('cand')}, x -> x <> '') AS toks FROM p2),
                      unnest(range(1, len(toks))) AS u(i)
                 WHERE len(toks) >= 2)
               GROUP BY 1, 2),
             rt AS (
               SELECT pair, g, COUNT(*) AS c_ref FROM (
                 SELECT pair, toks[i] || ' ' || toks[i+1] AS g
-                FROM (SELECT pair, {_toks('ref')} AS toks FROM p2),
+                FROM (SELECT pair, list_filter({_toks('ref')}, x -> x <> '') AS toks FROM p2),
                      unnest(range(1, len(toks))) AS u(i)
                 WHERE len(toks) >= 2)
               GROUP BY 1, 2),

@@ -1041,7 +1041,9 @@ def rouge_n(
     from ..functions.text import tokens
 
     def gram_counts(col: str, side: str) -> DataFrame:
-        toks = tokens(col)
+        # drop the split-tokenizer's empty-text artifact ([""]) so an
+        # empty side scores 0 n-grams, not one empty unigram
+        toks = F.filter(tokens(col), lambda x: x != "")
         sliced = F.when(
             F.size(toks) >= n,
             F.transform(

@@ -645,3 +645,79 @@ def test_bm25_matches_naive_python(spark, texts):
     for i in expected:
         assert got[i][1] == expected[i][1], (i, got[i], expected[i])
         assert abs(got[i][0] - expected[i][0]) < 2e-6, (i, got[i], expected[i])
+
+
+WORD = st.text(alphabet="abcd", min_size=1, max_size=3)
+SENT = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(st.tuples(SENT, SENT), min_size=1, max_size=8),
+       st.integers(1, 3))
+@PROP
+def test_rouge_n_matches_python_reference(spark, pairs, n):
+    """rouge_n == a naive Python clipped-multiset implementation on
+    random small-vocab pairs (small alphabet forces real overlap and
+    clipping cases)."""
+    from collections import Counter
+    from gdelt_extractor_spark.operators.textstats import rouge_n
+
+    df = spark.createDataFrame(
+        [(i, c, r) for i, (c, r) in enumerate(pairs)],
+        "pair_id long, cand string, ref string",
+    )
+    got = {r.pair_id: r for r in rouge_n(df, n=n).collect()}
+
+    def grams(s):
+        t = [w for w in s.lower().split() if w]
+        return Counter(
+            " ".join(t[i:i + n]) for i in range(len(t) - n + 1)
+        )
+
+    assert len(got) == len(pairs)
+    for i, (c, r) in enumerate(pairs):
+        gc, gr = grams(c), grams(r)
+        m = sum(min(v, gr[g]) for g, v in gc.items())
+        row = got[i]
+        assert (row.n_match, row.n_cand, row.n_ref) == (
+            m, sum(gc.values()), sum(gr.values()))
+        if sum(gc.values()) and sum(gr.values()):
+            p, rr = m / sum(gc.values()), m / sum(gr.values())
+            assert row.rouge_p == round(p, 6) and row.rouge_r == round(rr, 6)
+            expect_f = 0.0 if m == 0 else 2.0 * p * rr / (p + rr)
+            assert row.rouge_f == round(expect_f, 6)
+        else:
+            assert row.rouge_f is None
+
+
+@given(st.lists(st.floats(min_value=-5, max_value=15,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=40),
+       st.lists(st.floats(min_value=-5, max_value=15,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=40))
+@PROP
+def test_psi_drift_matches_numpy_reference(spark, old_vals, new_vals):
+    """psi_drift over frozen [0,10)×5 bins == a numpy clamped
+    histogram reference; total psi is the sum of the emitted terms."""
+    import numpy as np
+    from gdelt_extractor_spark.operators.profiling import psi_drift
+
+    old = spark.createDataFrame([(v,) for v in old_vals], "v double")
+    new = spark.createDataFrame([(v,) for v in new_vals], "v double")
+    out = psi_drift(old, new, "v", n_bins=5, lo=0.0, hi=10.0).collect()
+
+    def binned(vals):
+        b = np.clip(np.floor((np.asarray(vals) - 0.0) / 2.0), 0, 4)
+        return {i: int((b == i).sum()) for i in range(5)}
+
+    co, cn = binned(old_vals), binned(new_vals)
+    no, nn = sum(co.values()), sum(cn.values())
+    for r in out:
+        p, q = co[r.bin] / no, cn[r.bin] / nn
+        assert r.p_old == round(p, 6) and r.q_new == round(q, 6)
+        term = (q - p) * np.log((q + 1e-6) / (p + 1e-6))
+        assert abs(r.psi_term - term) < 2e-6
+    # emitted rows = occupied bins; psi consistent across rows
+    occupied = {i for i in range(5) if co[i] or cn[i]}
+    assert {r.bin for r in out} == occupied
+    assert len({r.psi for r in out}) == 1
