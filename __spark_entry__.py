@@ -1791,6 +1791,17 @@ def _embedding_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.align_embeddings(a, b, k=4, margin_threshold=1.05)
 
 
+def _decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-weighted per-user engagement
+    (temporal.decayed_engagement): every event contributes
+    value·2^(−Δdays/7) back from the frozen 2024-02-01 reference;
+    per-event weights round to 6 before the decimal sum so both
+    engines agree despite pow ulp differences."""
+    from gdelt_extractor_spark.operators.temporal import decayed_engagement
+
+    return decayed_engagement(load_table(spark, sf_dir, "events"))
+
+
 def _contamination_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc↔benchmark contamination link report
     (curation.contamination_links): same corpus/benchmark split as
@@ -2008,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _psi_drift,
         "kwic_concordance": _kwic_concordance,
         "contamination_links": _contamination_links,
+        "decayed_engagement": _decayed_engagement,
         "lm_block_spans": _lm_block_spans,
         "chat_audit": _chat_audit,
         "interval_overlaps": _interval_overlaps,
@@ -4474,6 +4486,20 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
               s.lm_score
             FROM b0 LEFT JOIN s USING (doc_id)
+        """,
+        "decayed_engagement": """
+            SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              MAX(ts) AS last_seen,
+              round(CAST(SUM(CAST(floor(value * round(pow(2.0,
+                -((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                   - epoch_us(ts)) / 86400000000.0) / 7.0), 6)
+                * 1000000.0 + 0.5) AS DECIMAL(25,0))) AS DOUBLE)
+                / 1000000.0, 6) AS decayed_score,
+              round(CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                AS DOUBLE), 6) AS raw_sum
+            FROM events
+            GROUP BY user_id
         """,
         "contamination_links": """
             WITH t AS (

@@ -220,6 +220,7 @@ HEADLINE = [
     "psi_drift",
     "kwic_concordance",
     "contamination_links",
+    "decayed_engagement",
 ]
 
 

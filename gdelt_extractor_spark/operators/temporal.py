@@ -451,3 +451,66 @@ def interval_overlap_join(
     for c in by:
         out = out.drop(rb[c])
     return out
+
+
+def decayed_engagement(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ref_ts: str = "2024-02-01 00:00:00",
+    half_life_days: float = 7.0,
+    round_weights: int = 6,
+) -> DataFrame:
+    """Recency-weighted engagement features — the exponential
+    time-decay aggregate behind "active lately" user scores and
+    freshness-weighted source budgets: every event contributes
+    ``value · 2^(−Δdays / half_life)`` toward its key, measured back
+    from a FIXED reference timestamp (frozen like psi_drift's bins —
+    a moving now() would make the feature unreproducible).
+
+    Per key: (key, n_events, last_seen, decayed_score, plus the
+    undecayed raw_sum for comparison — the decayed/raw ratio is a
+    recency profile in itself).
+
+    Engine portability: the per-event weight rounds to
+    ``round_weights`` decimals (pow ulp differences die there), and
+    the value·weight product is summed as exact integer MICRO-UNITS
+    — ``floor(x·1e6 + 0.5)`` is the identical IEEE sequence in any
+    engine, where a direct decimal cast hits its rounding mode
+    (HALF_UP vs HALF_EVEN) on the exact midpoints these
+    finite-decimal products produce (the q9_product_profit lesson —
+    and this operator DID hit one at sf0.01 before the switch).
+
+    Scale shape: one projection (timestamp diff + pow) and ONE
+    partial-aggregated shuffle on the key.  Feature extraction at
+    100 TB is a scan, exactly like corpus_stats.
+    """
+    dt_days = (
+        F.unix_micros(F.lit(ref_ts).cast("timestamp"))
+        - F.unix_micros(F.col(ts_col))
+    ) / F.lit(86400.0 * 1e6)
+    w = F.round(
+        F.pow(F.lit(2.0), -dt_days / half_life_days), round_weights
+    )
+    contrib_micro = F.floor(
+        F.col(value_col) * w * F.lit(1e6) + F.lit(0.5)
+    ).cast("decimal(25,0)")
+    return (
+        events.groupBy(F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts_col).alias("last_seen"),
+            (F.sum(contrib_micro).cast("double") / F.lit(1e6)).alias("_dec"),
+            F.sum(F.col(value_col).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("_raw"),
+        )
+        .select(
+            key_col,
+            F.col("n_events").cast("long").alias("n_events"),
+            "last_seen",
+            F.round("_dec", 6).alias("decayed_score"),
+            F.round("_raw", 6).alias("raw_sum"),
+        )
+    )

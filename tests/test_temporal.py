@@ -394,3 +394,37 @@ def test_fill_gaps_linear_edges_clamp(spark):
     )
     out = fill_gaps(df, "key", "ts", "v", fill="linear").collect()
     assert len(out) == 1 and out[0].v == 9.0 and out[0].is_observed
+
+
+def test_decayed_engagement_hand_computed(spark):
+    from gdelt_extractor_spark.operators.temporal import decayed_engagement
+    from pyspark.sql import functions as F
+
+    # events 7 and 14 days before the reference: weights 0.5, 0.25
+    rows = [(1, "2024-01-25 00:00:00", 100.0),
+            (1, "2024-01-18 00:00:00", 100.0),
+            (2, "2024-01-25 00:00:00", 10.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = {r.user_id: r for r in decayed_engagement(df).collect()}
+    assert out[1].decayed_score == 75.0        # 100·0.5 + 100·0.25
+    assert out[1].raw_sum == 200.0
+    assert out[2].decayed_score == 5.0
+    assert out[1].n_events == 2
+    assert out[1].last_seen.strftime("%Y-%m-%d") == "2024-01-25"
+
+
+def test_decayed_engagement_recency_ordering(spark):
+    from gdelt_extractor_spark.operators.temporal import decayed_engagement
+    from pyspark.sql import functions as F
+
+    # equal raw mass, different recency: fresher key scores higher
+    rows = [(1, "2024-01-30 00:00:00", 50.0),
+            (2, "2024-01-02 00:00:00", 50.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = {r.user_id: r for r in decayed_engagement(df).collect()}
+    assert out[1].raw_sum == out[2].raw_sum == 50.0
+    assert out[1].decayed_score > out[2].decayed_score > 0
