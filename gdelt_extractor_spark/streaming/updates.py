@@ -201,3 +201,70 @@ def run_trending_topk(
     run_foreach_batch(
         agg, lambda b, i: sink(rank_windows(b, k), i), checkpoint_dir
     )
+
+
+def run_cdc_upsert(
+    change_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    attr_cols: list[str],
+    op_col: str = "op",
+    ts_col: str = "ts",
+) -> None:
+    """Streaming MERGE INTO: apply a CDC change stream to a parquet
+    snapshot table, one micro-batch at a time — the live tail of the
+    batch ``apply_cdc`` operator, i.e. what a lakehouse table looks
+    like between nightly rewrites.
+
+    Each micro-batch runs ``apply_cdc(snapshot, batch)`` (latest op
+    per key wins, D > U > I on ties) and atomically swaps the result
+    in via the crash-safe ``compact``-style rename discipline: write
+    to ``<path>__merging``, rename the live dir aside, promote,
+    drop the old.  foreachBatch + the checkpoint give exactly-once
+    PER EPOCH: a replayed batch re-merges idempotently because
+    apply_cdc is a deterministic function of (snapshot, batch) and
+    upserts by key — re-applying the same change log is a no-op.
+
+    Scale note: per-batch the snapshot pays one join shuffle against
+    the (small) batch — the apply_cdc contract.  A real lakehouse
+    bounds the rewrite with partition pruning or deletion vectors;
+    here the full-snapshot rewrite IS the honest local-parquet
+    equivalent, and the swap keeps readers consistent.
+    """
+    import os
+    import shutil
+
+    from ..operators.temporal import apply_cdc
+
+    if "://" in table_path and not table_path.startswith("file://"):
+        raise NotImplementedError(
+            "run_cdc_upsert's rename swap is local-filesystem only; "
+            "object stores need a manifest/table-format commit"
+        )
+
+    def merge(batch: DataFrame, epoch: int) -> None:
+        if not batch.take(1):
+            return
+        # crash recovery (the compact_parquet discipline): a backup
+        # with no live dir means a mid-swap crash — restore it; a
+        # stale backup next to a live dir lost the race — drop it
+        backup0 = table_path + "__premerge"
+        if os.path.exists(backup0):
+            if not os.path.exists(table_path):
+                os.rename(backup0, table_path)
+            else:
+                shutil.rmtree(backup0)
+        spark = batch.sparkSession
+        snapshot = spark.read.parquet(table_path)
+        merged = apply_cdc(
+            snapshot, batch, key_col, attr_cols, op_col=op_col, ts_col=ts_col
+        )
+        staging = table_path + "__merging"
+        backup = table_path + "__premerge"
+        merged.write.mode("overwrite").parquet(staging)
+        os.rename(table_path, backup)
+        os.rename(staging, table_path)
+        shutil.rmtree(backup)
+
+    run_foreach_batch(change_stream, merge, checkpoint_dir)
