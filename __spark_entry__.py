@@ -1791,6 +1791,45 @@ def _embedding_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.align_embeddings(a, b, k=4, margin_threshold=1.05)
 
 
+def _text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-character + homoglyph hygiene audit
+    (functions.text strip_invisible/count_invisible/
+    mixed_script_token_count) over deterministically corrupted docs:
+    doc_id%2 gets a zero-width space spliced after char 3, %3 a BOM
+    prefix, %5 all 'o'→Cyrillic 'о'.  Both engines construct the
+    same corruption, so the scrub and both counters are
+    value-hash-gated."""
+    from gdelt_extractor_spark.functions import text as TX
+
+    docs = _docs(spark, sf_dir, width=0)
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.substring(t, 1, 3),
+            F.lit("\u200b"),
+            F.substring(t, 4, 1 << 30),
+        ),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("\ufeff"), t)
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 5 == 0, F.regexp_replace(t, "o", "\u043e")
+    ).otherwise(t)
+    corrupted = docs.select("doc_id", t.alias("blob"))
+    clean = TX.strip_invisible(F.col("blob"))
+    return corrupted.select(
+        "doc_id",
+        TX.count_invisible(F.col("blob")).cast("long").alias("n_invisible"),
+        TX.mixed_script_token_count(F.col("blob"))
+        .cast("long")
+        .alias("n_mixed_tokens"),
+        (clean == F.col("blob")).alias("already_clean"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
 def _decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-life-weighted per-user engagement
     (temporal.decayed_engagement): every event contributes
@@ -2020,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_concordance": _kwic_concordance,
         "contamination_links": _contamination_links,
         "decayed_engagement": _decayed_engagement,
+        "text_hygiene": _text_hygiene,
         "lm_block_spans": _lm_block_spans,
         "chat_audit": _chat_audit,
         "interval_overlaps": _interval_overlaps,
@@ -4486,6 +4526,41 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
               s.lm_score
             FROM b0 LEFT JOIN s USING (doc_id)
+        """,
+        "text_hygiene": """
+            WITH c AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0
+                  THEN regexp_replace(t1, 'o', chr(1086), 'g')
+                  ELSE t1 END AS blob
+              FROM (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN chr(65279) || t0
+                    ELSE t0 END AS t1
+                FROM (
+                  SELECT doc_id,
+                    CASE WHEN doc_id % 2 = 0
+                      THEN substring(text, 1, 3) || chr(8203)
+                           || substring(text, 4)
+                      ELSE text END AS t0
+                  FROM documents))),
+            inv AS (
+              SELECT '[' || chr(8203) || chr(8204) || chr(8205)
+                || chr(8288) || chr(65279) || chr(173) || chr(8206)
+                || chr(8207) || ']' AS cls)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(blob, cls)) AS BIGINT)
+                AS n_invisible,
+              CAST(len(list_filter(regexp_split_to_array(blob, '\\s+'),
+                t -> regexp_matches(t, '[a-zA-Z]')
+                     AND regexp_matches(t,
+                       '[' || chr(1024) || '-' || chr(1279) || ']')))
+                AS BIGINT) AS n_mixed_tokens,
+              regexp_replace(blob, cls, '', 'g') = blob
+                AS already_clean,
+              CAST(length(regexp_replace(blob, cls, '', 'g')) AS BIGINT)
+                AS n_chars_clean
+            FROM c CROSS JOIN inv
         """,
         "decayed_engagement": """
             SELECT user_id,

@@ -221,6 +221,7 @@ HEADLINE = [
     "kwic_concordance",
     "contamination_links",
     "decayed_engagement",
+    "text_hygiene",
 ]
 
 

@@ -148,3 +148,63 @@ def canonicalize_url(col: Column | str) -> Column:
     # 6. trailing slash (never the '://' root slash)
     u = F.regexp_replace(u, r"([^/])/$", r"$1")
     return u
+
+
+# Invisible / format characters that survive casual inspection but
+# poison tokenizers and dedup keys: zero-width space/joiner/non-joiner,
+# word joiner, BOM/ZWNBSP, soft hyphen, directional marks.
+_INVISIBLE_CLASS = (
+    "[\u200b\u200c\u200d\u2060\ufeff\u00ad\u200e\u200f]"
+)
+
+
+def count_invisible(col: Column | str) -> Column:
+    """Occurrences of invisible/format characters — the audit count
+    that decides whether a source needs the scrub at all."""
+    return F.regexp_count(F.col(col) if isinstance(col, str) else col,
+                          F.lit(_INVISIBLE_CLASS))
+
+
+def strip_invisible(col: Column | str) -> Column:
+    """Remove invisible/format characters (zero-width family, BOM,
+    soft hyphen, directional marks).  These characters split tokens
+    invisibly, defeat exact-hash dedup (two visually identical docs
+    hash apart), and smuggle adversarial structure through filters —
+    the standard hygiene pass runs BEFORE tokenization and hashing.
+    Pure regexp_replace: codegen, scan-speed, engine-portable class.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _INVISIBLE_CLASS, "")
+
+
+def dehyphenate_wraps(col: Column | str) -> Column:
+    """Repair hyphenated line wraps from PDF/OCR extraction:
+    ``exam-\\nple`` → ``example`` (hyphen + newline between word
+    characters), then unwrap remaining single newlines to spaces
+    while PRESERVING blank-line paragraph breaks.  Run before any
+    line-based operator — a wrapped corpus otherwise inflates line
+    dedup and splits shingles at arbitrary print-width boundaries.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    joined = F.regexp_replace(c, r"(\w)-\n(\w)", r"$1$2")
+    # Unwrap single newlines but keep paragraph breaks — WITHOUT
+    # lookarounds (RE2 oracle twins have none): park blank-line runs
+    # on a sentinel, flatten the rest, restore.
+    s = F.regexp_replace(joined, r"\n[ \t]*\n+", "\u0001")
+    s = F.regexp_replace(s, r"\n", " ")
+    return F.regexp_replace(s, "\u0001", "\n\n")
+
+
+def mixed_script_token_count(col: Column | str) -> Column:
+    """Tokens mixing Latin and Cyrillic letters — the homoglyph-
+    spoofing signal (``pаypаl`` with Cyrillic а) used to flag
+    adversarial or machine-mangled text.  Counted on whitespace
+    tokens of the RAW text (normalization would not merge scripts).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tok = F.split(c, r"\s+")
+    mixed = F.filter(
+        tok,
+        lambda t: t.rlike("[a-zA-Z]") & t.rlike("[Ѐ-ӿ]"),
+    )
+    return F.size(mixed)

@@ -72,3 +72,59 @@ def test_unicode_nfc_idempotent(spark):
     twice = once.select("id", unicode_nfc("n").alias("n2"))
     j = once.join(twice, "id")
     assert j.filter(F.col("n") != F.col("n2")).count() == 0
+
+
+def test_strip_invisible_and_count(spark):
+    from pyspark.sql import functions as F
+    from gdelt_extractor_spark.functions.text import (
+        count_invisible, strip_invisible,
+    )
+
+    rows = [
+        (1, "he​llo ﻿world"),   # ZWSP + BOM
+        (2, "soft­hyphen"),
+        (3, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        count_invisible("text").alias("n"),
+        strip_invisible("text").alias("clean"),
+    ).collect()}
+    assert out[1].n == 2 and out[1].clean == "hello world"
+    assert out[2].n == 1 and out[2].clean == "softhyphen"
+    assert out[3].n == 0 and out[3].clean == "clean text"
+    # scrub then hash: visually identical docs now collide
+    a = df.filter("doc_id = 1").select(
+        F.xxhash64(strip_invisible("text"))).first()[0]
+    b = spark.createDataFrame([("hello world",)], "text string").select(
+        F.xxhash64(strip_invisible("text"))).first()[0]
+    assert a == b
+
+
+def test_mixed_script_token_count(spark):
+    from gdelt_extractor_spark.functions.text import mixed_script_token_count
+
+    rows = [
+        (1, "pаypаl login page"),    # Cyrillic а homoglyphs
+        (2, "обычный русский текст"),           # pure Cyrillic: not mixed
+        (3, "plain english"),
+        (4, "ok слово mоneу"),        # one mixed token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r[1] for r in df.select(
+        "doc_id", mixed_script_token_count("text")).collect()}
+    assert out[1] == 1 and out[2] == 0 and out[3] == 0 and out[4] == 1
+
+
+def test_dehyphenate_wraps(spark):
+    from gdelt_extractor_spark.functions.text import dehyphenate_wraps
+
+    rows = [(1, "exam-\nple of hyphen-\nated wrap\nand a line\n\nnew para")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(dehyphenate_wraps("text")).first()[0]
+    assert got == "example of hyphenated wrap and a line\n\nnew para"
+    # a literal hyphen before a space survives (not a wrap)
+    keep = spark.createDataFrame([("well-known\nterm x -\ny",)], "text string")
+    got2 = keep.select(dehyphenate_wraps("text")).first()[0]
+    assert got2 == "well-known term x - y"
