@@ -1971,6 +1971,83 @@ def _nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting (graph.triangle_count) over
+    the nation-trade graph: nations are linked when they trade above
+    the average pair volume (distinct orders with a customer on one
+    side and a supplier on the other), so the complete 25-nation
+    clique thins to a non-trivial subgraph whose per-node triangle
+    counts and clustering coefficients actually vary.  The oracle
+    enumerates triangles by the textbook a<b<c three-way join — the
+    operator must produce identical counts from its oriented-wedge
+    plan."""
+    from gdelt_extractor_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.withColumnsRenamed({"n_nationkey": "ck", "n_name": "cn"})),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(n.withColumnsRenamed({"n_nationkey": "sk", "n_name": "sn"})),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .filter(F.col("cn") != F.col("sn"))
+        .select(
+            F.least("cn", "sn").alias("a"),
+            F.greatest("cn", "sn").alias("b"),
+            "l_orderkey",
+        )
+        .groupBy("a", "b")
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    )
+    thr = pairs.agg(F.avg("n_orders").alias("_thr"))
+    edges = pairs.crossJoin(F.broadcast(thr)).filter(F.col("n_orders") > F.col("_thr"))
+    return triangle_count(edges, "a", "b")
+
+
+def _basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules (affinity.association_rules) over
+    order baskets: parts co-purchased in at least 2 orders, with
+    support / both-direction confidence / lift.  Uncapped, so the
+    DuckDB self-join oracle applies identical semantics."""
+    from gdelt_extractor_spark.operators.affinity import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+
+
+def _mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (profiling.mutual_information) between
+    event_type and the event-value magnitude band floor(value/100) —
+    the does-this-feature-leak-the-label audit.  Per-cell PMI table
+    with MI / marginal entropies / NMI repeated on every row."""
+    from gdelt_extractor_spark.operators.profiling import mutual_information
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") / 100).cast("long").alias("value_band")
+    )
+    return mutual_information(e, "event_type", "value_band")
+
+
+def _readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + FK grade (textstats.readability) per
+    document; the vowel-group syllable heuristic is expressed with
+    the same regex classes in both engines so scores value-hash
+    match."""
+    return TS.readability(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -2080,6 +2157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_stats": _compression_stats,
         "ann_pq_topk": _ann_pq_topk,
         "lookup_rollup": _lookup_rollup,
+        "trade_triangles": _trade_triangles,
+        "basket_rules": _basket_rules,
+        "mutual_info": _mutual_info,
+        "readability_scores": _readability,
+        "channel_attribution": Q.channel_attribution,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
@@ -5235,5 +5317,171 @@ def oracle_sql() -> dict[str, str]:
               substring(nfc_normalize('Cafe' || chr(769) || ' nai'
                 || chr(776) || 've ' || text), 1, 10) AS prefix_nfc
             FROM documents
+        """,
+        "trade_triangles": """
+            WITH pair_vol AS (
+              SELECT least(cn.n_name, sn.n_name) AS a,
+                     greatest(cn.n_name, sn.n_name) AS b,
+                     COUNT(DISTINCT l.l_orderkey) AS n_orders
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              WHERE cn.n_name <> sn.n_name
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT a, b FROM pair_vol
+              WHERE n_orders > (SELECT AVG(n_orders) FROM pair_vol)),
+            deg AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM (SELECT a AS node FROM edges
+                    UNION ALL SELECT b AS node FROM edges)
+              GROUP BY 1),
+            tris AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM edges e1
+              JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+              JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b),
+            per_node AS (
+              SELECT node, COUNT(*) AS triangles
+              FROM (SELECT x AS node FROM tris
+                    UNION ALL SELECT y AS node FROM tris
+                    UNION ALL SELECT z AS node FROM tris)
+              GROUP BY 1)
+            SELECT d.node, d.degree,
+                   CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+                   CASE WHEN d.degree < 2 THEN 0.0
+                        ELSE round(2.0 * COALESCE(p.triangles, 0)
+                                   / (d.degree * (d.degree - 1)), 6)
+                   END AS clustering_coeff
+            FROM deg d LEFT JOIN per_node p USING (node)
+        """,
+        "basket_rules": """
+            WITH pres AS (
+              SELECT DISTINCT l_orderkey AS basket,
+                     CAST(l_partkey AS VARCHAR) AS item
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+            n AS (SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS nb
+                  FROM pres),
+            ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS item_baskets
+                   FROM pres GROUP BY 1),
+            pairs AS (
+              SELECT p1.item AS antecedent, p2.item AS consequent,
+                     CAST(COUNT(*) AS BIGINT) AS pair_baskets
+              FROM pres p1 JOIN pres p2
+                ON p1.basket = p2.basket AND p1.item < p2.item
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT antecedent, consequent, pair_baskets,
+                   a.item_baskets AS antecedent_baskets,
+                   c.item_baskets AS consequent_baskets,
+                   round(pair_baskets / nb, 6) AS support,
+                   round(pair_baskets / CAST(a.item_baskets AS DOUBLE), 6)
+                     AS confidence,
+                   round(pair_baskets / CAST(c.item_baskets AS DOUBLE), 6)
+                     AS reverse_confidence,
+                   round((pair_baskets * nb)
+                         / (CAST(a.item_baskets AS DOUBLE) * c.item_baskets),
+                         6) AS lift
+            FROM pairs
+            JOIN ic a ON pairs.antecedent = a.item
+            JOIN ic c ON pairs.consequent = c.item
+            CROSS JOIN n
+        """,
+        "mutual_info": """
+            WITH base AS (
+              SELECT event_type AS x,
+                     CAST(CAST(FLOOR(value / 100) AS BIGINT) AS VARCHAR) AS y
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            joint AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+                      FROM base GROUP BY 1, 2),
+            nx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x
+                   FROM joint GROUP BY 1),
+            ny AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y
+                   FROM joint GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint),
+            hx AS (SELECT CAST(SUM(CAST(-(n_x / n) * ln(n_x / n)
+                     AS DECIMAL(30,15))) AS DOUBLE) AS h_x
+                   FROM nx CROSS JOIN tot),
+            hy AS (SELECT CAST(SUM(CAST(-(n_y / n) * ln(n_y / n)
+                     AS DECIMAL(30,15))) AS DOUBLE) AS h_y
+                   FROM ny CROSS JOIN tot),
+            per AS (
+              SELECT x, y, n_xy,
+                     n_xy / n AS p_xy,
+                     ln((CAST(n_xy AS DOUBLE) * n)
+                        / (CAST(n_x AS DOUBLE) * n_y)) AS pmi_,
+                     (n_xy / n) * ln((CAST(n_xy AS DOUBLE) * n)
+                        / (CAST(n_x AS DOUBLE) * n_y)) AS term_
+              FROM joint JOIN nx USING (x) JOIN ny USING (y)
+              CROSS JOIN tot),
+            mi AS (SELECT CAST(SUM(CAST(term_ AS DECIMAL(30,15)))
+                     AS DOUBLE) AS mi_ FROM per)
+            SELECT x, y, n_xy,
+                   round(p_xy, 6) AS p_xy,
+                   round(pmi_, 6) AS pmi,
+                   round(term_, 6) AS mi_term,
+                   round(mi_, 6) AS mi,
+                   round(h_x, 6) AS h_x,
+                   round(h_y, 6) AS h_y,
+                   round(CASE WHEN h_x > 0 AND h_y > 0
+                              THEN mi_ / sqrt(h_x * h_y)
+                              ELSE 0.0 END, 6) AS nmi
+            FROM per CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+        """,
+        "readability_scores": """
+            WITH counted AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS BIGINT) AS n_words,
+                CAST(greatest(len(regexp_extract_all(lower(text),
+                  '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+              FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+              CASE WHEN n_words > 0 THEN
+                round(CAST(206.835 AS DOUBLE)
+                      - CAST(1.015 AS DOUBLE) * (n_words / n_sentences)
+                      - CAST(84.6 AS DOUBLE) * (n_syllables / n_words), 4)
+              END AS flesch_ease,
+              CASE WHEN n_words > 0 THEN
+                round(CAST(0.39 AS DOUBLE) * (n_words / n_sentences)
+                      + CAST(11.8 AS DOUBLE) * (n_syllables / n_words)
+                      - CAST(15.59 AS DOUBLE), 4)
+              END AS fk_grade
+            FROM counted
+        """,
+        "channel_attribution": """
+            WITH stamped AS (
+              SELECT user_id, event_id, event_type, ts,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS conv_ts
+              FROM events),
+            touches AS (
+              SELECT * FROM stamped
+              WHERE event_type <> 'purchase' AND conv_ts IS NOT NULL),
+            j AS (
+              SELECT event_type,
+                row_number() OVER (PARTITION BY user_id, conv_ts
+                  ORDER BY ts, event_id) AS rn_f,
+                row_number() OVER (PARTITION BY user_id, conv_ts
+                  ORDER BY ts DESC, event_id DESC) AS rn_l,
+                count(*) OVER (PARTITION BY user_id, conv_ts) AS sz
+              FROM touches)
+            SELECT event_type AS channel,
+              CAST(SUM(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS first_touch,
+              CAST(SUM(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS last_touch,
+              CAST(COUNT(*) AS BIGINT) AS touches,
+              round(CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / sz
+                AS DECIMAL(30,15))) AS DOUBLE), 6) AS linear_credit
+            FROM j GROUP BY 1 ORDER BY 1
         """,
     }

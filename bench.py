@@ -222,6 +222,11 @@ HEADLINE = [
     "contamination_links",
     "decayed_engagement",
     "text_hygiene",
+    "trade_triangles",
+    "basket_rules",
+    "mutual_info",
+    "readability_scores",
+    "channel_attribution",
 ]
 
 

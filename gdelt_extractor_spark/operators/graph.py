@@ -1,4 +1,5 @@
-"""Graph analytics over pair/edge frames: weighted PageRank.
+"""Graph analytics over pair/edge frames: weighted PageRank,
+label-propagation communities, degree-ordered triangle counting.
 
 Complements ``dedup.connected_components`` (cluster membership) with
 influence ranking — on GDELT, PageRank over the actor-dyad matrix
@@ -106,6 +107,100 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge frame (direction and duplicates ignored;
+    self-loops dropped).
+
+    Returns (node, degree, triangles, clustering_coeff) for every
+    node, where ``clustering_coeff`` = 2·T(v) / (deg(v)·(deg(v)−1))
+    (0.0 for degree < 2), rounded to 6 decimals.
+
+    Scale shape (100 TB posture): the classic degree-ordered
+    enumeration — orient every canonical edge from the endpoint with
+    the smaller (degree, node) rank to the larger, so each triangle
+    is generated exactly once from its lowest-rank vertex and the
+    out-degree of any node in the oriented DAG is O(sqrt(m)).  The
+    plan is two equi-joins: wedges by self-joining the oriented list
+    on the source key, then one semi join probing the closing edge —
+    no adjacency lists in memory, no driver-side graph, no N² pair
+    blow-up on hub nodes (a hub's edges are oriented INTO it, so it
+    never fans out wedges).
+    """
+    e_raw = edges.select(
+        F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v")
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+    # canonical undirected edge set: (lo, hi) by node id, deduplicated
+    canon = e_raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+
+    # orient from lower (degree, node) to higher; rank ties broken by
+    # node id so the orientation is a strict total order (acyclic)
+    with_deg = (
+        canon.join(deg.withColumnsRenamed({"node": "a", "degree": "da"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "degree": "db"}), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
+    ).localCheckpoint(eager=True)
+
+    # wedges from the low-rank vertex: (s→v, s→w) with rank(v) < rank(w);
+    # the triangle closes iff the oriented edge v→w exists
+    e1 = oriented.select("s", F.col("t").alias("v"), F.col("dt").alias("dv"))
+    e2 = oriented.select("s", F.col("t").alias("w"), F.col("dt").alias("dw"))
+    wedges = e1.join(e2, "s").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("s").alias("v"), F.col("t").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "left_semi").select("s", "v", "w")
+
+    per_node = (
+        tris.select(F.explode(F.array("s", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        )
+        .withColumn(
+            "clustering_coeff",
+            F.when(
+                F.col("degree") < 2, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    2.0 * F.col("triangles")
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                    6,
+                )
+            ),
+        )
+    )
+    return out
 
 
 def label_propagation(

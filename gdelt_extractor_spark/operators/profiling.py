@@ -17,7 +17,7 @@ for min/max/mean.  The mean uses the decimal-sum convention
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -244,4 +244,86 @@ def psi_drift(
         F.round("_q", 6).alias("q_new"),
         F.round("_term", 6).alias("psi_term"),
         F.round("_psi", 6).alias("psi"),
+    )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    per-cell PMI decomposition — the dependence audit behind feature
+    selection and leakage checks ("does `source` already determine
+    `label`?").  Natural-log units.
+
+    Output: one row per observed (x, y) cell —
+    (x, y, n_xy, p_xy, pmi, mi_term) — plus the headline numbers
+    repeated on every row: ``mi`` = Σ mi_term, ``h_x``/``h_y`` =
+    marginal entropies, ``nmi`` = mi / sqrt(h_x·h_y) (0 when either
+    entropy is 0).  All floats rounded to 6 decimals.
+
+    Scale shape: ONE aggregate over the scan builds the joint table
+    (≤ |X|·|Y| rows — tiny after aggregation); marginals and totals
+    derive from the joint frame, never from a rescan; the 1-row
+    totals broadcast back.  Term sums go through decimal(30,15) so
+    the result is partition-order-insensitive (same recipe as
+    ``psi_drift``).
+    """
+    joint = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).cast("string").alias("x"),
+            F.col(y_col).cast("string").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    nx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    ny = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+
+    def _entropy(marg: DataFrame, cnt: str) -> Column:
+        p = F.col(cnt) / F.col("n")
+        return (
+            F.sum((-p * F.log(p)).cast("decimal(30,15)"))
+            .cast("double")
+        )
+
+    hx = nx.crossJoin(F.broadcast(tot)).agg(_entropy(nx, "n_x").alias("h_x"))
+    hy = ny.crossJoin(F.broadcast(tot)).agg(_entropy(ny, "n_y").alias("h_y"))
+
+    per = (
+        joint.join(nx, "x")
+        .join(ny, "y")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_p_xy", F.col("n_xy") / F.col("n"))
+        .withColumn(
+            "_pmi",
+            # ratio in doubles (never long×long — overflow-safe at any N)
+            F.log(
+                (F.col("n_xy").cast("double") * F.col("n"))
+                / (F.col("n_x").cast("double") * F.col("n_y"))
+            ),
+        )
+        .withColumn("_term", F.col("_p_xy") * F.col("_pmi"))
+    )
+    mi = per.agg(
+        F.sum(F.col("_term").cast("decimal(30,15)")).cast("double").alias("_mi")
+    )
+    head = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy)).select(
+        "_mi",
+        "h_x",
+        "h_y",
+        F.when(
+            (F.col("h_x") > 0) & (F.col("h_y") > 0),
+            F.col("_mi") / F.sqrt(F.col("h_x") * F.col("h_y")),
+        ).otherwise(F.lit(0.0)).alias("_nmi"),
+    )
+    return per.crossJoin(F.broadcast(head)).select(
+        "x",
+        "y",
+        "n_xy",
+        F.round("_p_xy", 6).alias("p_xy"),
+        F.round("_pmi", 6).alias("pmi"),
+        F.round("_term", 6).alias("mi_term"),
+        F.round("_mi", 6).alias("mi"),
+        F.round("h_x", 6).alias("h_x"),
+        F.round("h_y", 6).alias("h_y"),
+        F.round("_nmi", 6).alias("nmi"),
     )

@@ -1102,3 +1102,43 @@ def rouge_n(
         .withColumn("rouge_r", F.round(r_, 6))
         .withColumn("rouge_f", F.round(f, 6))
     )
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document.
+
+    Classic readability filtering signal for training-data curation
+    (too-low ease ≈ boilerplate/code/garbled text; grade bands drive
+    curriculum ordering).  Syllables use the standard vowel-group
+    heuristic — every maximal run of [aeiouy] in a lowercased word is
+    one syllable — computed corpus-portably as
+    ``regexp_count(lower(text), '[aeiouy]+')`` so the DuckDB oracle
+    applies the IDENTICAL definition.  Words are maximal [a-z] runs
+    after lowercasing, sentences are [.!?] runs (min 1 when any word
+    exists).  Vowel-less texts score 0 syllables; wordless texts get
+    NULL scores rather than a division blow-up.
+
+    Scale shape: one codegen projection over the corpus scan — three
+    ``regexp_count`` calls and closed-form arithmetic; no shuffle, no
+    Python.  Scores round to 4 decimals.
+    """
+    lowered = F.lower(F.col(text_col))
+    words = F.regexp_count(lowered, F.lit("[a-z]+"))
+    syllables = F.regexp_count(lowered, F.lit("[aeiouy]+"))
+    sentences = F.greatest(F.regexp_count(lowered, F.lit("[.!?]+")), F.lit(1))
+    wps = words / sentences
+    spw = syllables / words
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.when(
+            words > 0,
+            F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4),
+        ).alias("flesch_ease"),
+        F.when(
+            words > 0,
+            F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4),
+        ).alias("fk_grade"),
+    )

@@ -1665,3 +1665,71 @@ def equidepth_histogram(
         )
         .orderBy(key_col, "bucket")
     )
+
+
+def channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution over the event log: every
+    purchase is a conversion; the touches credited to it are the SAME
+    user's non-purchase events at or before it (since the previous
+    conversion's boundary falls out naturally — each touch credits
+    only its NEXT purchase).  Reports, per channel (event_type), the
+    three standard attribution models side by side: first-touch and
+    last-touch conversion counts plus fractional linear credit
+    (1/journey-size per touch).
+
+    Shape: ONE shuffle on user_id — the next-purchase stamp is a
+    (ts, event_id)-ordered window min with a CURRENT ROW →
+    UNBOUNDED FOLLOWING frame, and the per-journey windows partition
+    by (user_id, conv_ts), which the user_id hash partitioning
+    already satisfies (extra local sorts, no extra exchange) — then
+    one small aggregate on channel.  Linear-credit fractions sum
+    through decimal(30,15) so the total is partition-order-
+    insensitive.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    stamped = e.withColumn(
+        "conv_ts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w_next),
+    )
+    touches = stamped.filter(
+        (F.col("event_type") != "purchase") & F.col("conv_ts").isNotNull()
+    )
+    wj = Window.partitionBy("user_id", "conv_ts")
+    t = (
+        touches.withColumn(
+            "_rn_f", F.row_number().over(wj.orderBy("ts", "event_id"))
+        )
+        .withColumn(
+            "_rn_l",
+            F.row_number().over(
+                wj.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .withColumn("_sz", F.count(F.lit(1)).over(wj))
+    )
+    return (
+        t.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(F.when(F.col("_rn_f") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("_rn_l") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("last_touch"),
+            F.count(F.lit(1)).cast("long").alias("touches"),
+            F.round(
+                F.sum((F.lit(1.0) / F.col("_sz")).cast("decimal(30,15)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("linear_credit"),
+        )
+        .orderBy("channel")
+    )

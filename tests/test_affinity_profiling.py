@@ -1,0 +1,133 @@
+"""Unit tests for association rules, mutual information, and the
+Flesch readability scores — hand-computed expectations on tiny
+frames, plus the edge cases the oracles can't reach (caps, empties).
+"""
+
+from __future__ import annotations
+
+import math
+
+from gdelt_extractor_spark.operators.affinity import association_rules
+from gdelt_extractor_spark.operators.profiling import mutual_information
+from gdelt_extractor_spark.operators.textstats import readability
+
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, "basket string, item string")
+
+
+BASKETS = [
+    ("b1", "x"), ("b1", "y"), ("b1", "z"),
+    ("b2", "x"), ("b2", "y"),
+    ("b3", "x"), ("b3", "z"),
+    ("b4", "y"),
+]
+
+
+class TestAssociationRules:
+    def test_hand_computed_metrics(self, spark):
+        out = {
+            (r.antecedent, r.consequent): r
+            for r in association_rules(
+                _baskets(spark, BASKETS), "basket", "item", min_pair_count=2
+            ).collect()
+        }
+        # N=4 baskets; x in 3, y in 3, z in 2; (x,y) in 2, (x,z) in 2
+        assert set(out) == {("x", "y"), ("x", "z")}
+        xy = out[("x", "y")]
+        assert xy.pair_baskets == 2
+        assert xy.support == 0.5
+        assert xy.confidence == round(2 / 3, 6)
+        assert xy.reverse_confidence == round(2 / 3, 6)
+        assert xy.lift == round(2 * 4 / (3 * 3), 6)
+        xz = out[("x", "z")]
+        assert xz.lift == round(2 * 4 / (3 * 2), 6)  # > 1: z rides with x
+
+    def test_basket_cap_drops_hub_baskets(self, spark):
+        out = association_rules(
+            _baskets(spark, BASKETS),
+            "basket",
+            "item",
+            min_pair_count=1,
+            max_basket_items=2,
+        ).collect()
+        # b1 (3 items) dropped entirely: pairs only from b2/b3, and the
+        # marginals/N recompute over the kept baskets (N=3, x in 2)
+        got = {(r.antecedent, r.consequent): r for r in out}
+        assert set(got) == {("x", "y"), ("x", "z")}
+        assert got[("x", "y")].pair_baskets == 1
+        assert got[("x", "y")].antecedent_baskets == 2
+
+    def test_duplicate_rows_count_once(self, spark):
+        out = association_rules(
+            _baskets(spark, [("b1", "x"), ("b1", "x"), ("b1", "y")] * 2),
+            "basket",
+            "item",
+            min_pair_count=1,
+        ).collect()
+        assert len(out) == 1 and out[0].pair_baskets == 1
+
+    def test_empty_input_keeps_schema(self, spark):
+        out = association_rules(
+            _baskets(spark, []), "basket", "item"
+        )
+        assert out.count() == 0
+        assert "lift" in out.columns
+
+
+class TestMutualInformation:
+    def test_perfect_dependence(self, spark):
+        rows = [(str(i % 4), str(i % 4)) for i in range(40)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = mutual_information(df, "x", "y").collect()
+        assert len(out) == 4
+        r = out[0]
+        ln4 = round(math.log(4), 6)
+        assert r.mi == ln4 and r.h_x == ln4 and r.h_y == ln4
+        assert r.nmi == 1.0
+
+    def test_independence_is_zero(self, spark):
+        rows = [(a, b) for a in "ab" for b in "01" for _ in range(5)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = mutual_information(df, "x", "y").collect()
+        assert all(r.mi == 0.0 and r.nmi == 0.0 for r in out)
+        # each cell is p=1/4 with independent p=1/2 marginals
+        assert all(r.p_xy == 0.25 and r.pmi == 0.0 for r in out)
+
+    def test_single_class_zero_entropy_guard(self, spark):
+        df = spark.createDataFrame(
+            [("a", str(i % 3)) for i in range(9)], "x string, y string"
+        )
+        out = mutual_information(df, "x", "y").collect()
+        assert all(r.h_x == 0.0 and r.mi == 0.0 and r.nmi == 0.0 for r in out)
+
+
+class TestReadability:
+    def _one(self, spark, text):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return readability(df, "doc_id", "text").collect()[0]
+
+    def test_known_sentence(self, spark):
+        r = self._one(spark, "The cat sat.")
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (3, 1, 3)
+        assert r.flesch_ease == round(206.835 - 1.015 * 3 - 84.6 * 1, 4)
+        assert r.fk_grade == round(0.39 * 3 + 11.8 * 1 - 15.59, 4)
+
+    def test_wordless_text_scores_null(self, spark):
+        r = self._one(spark, "1234 !!!")
+        assert r.n_words == 0
+        assert r.flesch_ease is None and r.fk_grade is None
+
+    def test_multi_sentence_counts(self, spark):
+        r = self._one(spark, "Hi there! How are you? Fine.")
+        assert r.n_sentences == 3 and r.n_words == 6
+
+    def test_longer_words_read_harder(self, spark):
+        easy = self._one(spark, "The cat sat on the mat. It was fun.")
+        hard = self._one(
+            spark,
+            "Extraordinary bureaucratic obfuscation perpetuates "
+            "unintelligible administrative terminology.",
+        )
+        assert easy.flesch_ease > hard.flesch_ease
+        assert easy.fk_grade < hard.fk_grade

@@ -104,3 +104,64 @@ def test_label_propagation_string_labels(spark):
     got = {r.node: r.community for r in label_propagation(e).collect()}
     assert got["FR"] == got["DE"]
     assert len({got["US"], got["CN"], got["RU"]} & {got["FR"]}) == 0
+
+
+class TestTriangleCount:
+    def _tc(self, spark, pairs):
+        from gdelt_extractor_spark.operators.graph import triangle_count
+
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        return {
+            r.node: (r.degree, r.triangles, r.clustering_coeff)
+            for r in triangle_count(e).collect()
+        }
+
+    def test_k4_is_fully_clustered(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        pairs = [(x, y) for x in nodes for y in nodes if x < y]
+        out = self._tc(spark, pairs)
+        # every node: degree 3, in C(3,2)=3 triangles, coefficient 1
+        assert out == {n: (3, 3, 1.0) for n in nodes}
+
+    def test_path_has_no_triangles(self, spark):
+        out = self._tc(spark, [("a", "b"), ("b", "c")])
+        assert all(t == 0 and c == 0.0 for _, t, c in out.values())
+
+    def test_triangle_with_pendant(self, spark):
+        out = self._tc(
+            spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        )
+        assert out["a"] == (2, 1, 1.0)
+        assert out["b"] == (2, 1, 1.0)
+        assert out["c"] == (3, 1, round(2 / 6, 6))
+        assert out["d"] == (1, 0, 0.0)
+
+    def test_direction_duplicates_and_self_loops_ignored(self, spark):
+        out = self._tc(
+            spark,
+            [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "a")],
+        )
+        assert {v[1] for v in out.values()} == {1}
+
+    def test_matches_naive_enumeration(self, spark):
+        # deterministic pseudo-random graph: 30 nodes, hash-chosen edges
+        import itertools
+
+        nodes = [f"n{i:02d}" for i in range(30)]
+        pairs = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if (hash((a, b)) & 7) == 0 or abs(int(a[1:]) - int(b[1:])) == 1
+        ]
+        edge_set = set(pairs)
+        tri_naive = {n: 0 for n in nodes}
+        for x, y, z in itertools.combinations(nodes, 3):
+            if (
+                (x, y) in edge_set
+                and (y, z) in edge_set
+                and (x, z) in edge_set
+            ):
+                for n in (x, y, z):
+                    tri_naive[n] += 1
+        out = self._tc(spark, pairs)
+        assert {n: v[1] for n, v in out.items()} == tri_naive

@@ -767,3 +767,33 @@ def test_psi_drift_tiny_aggregates_broadcast(spark, sf_dir):
     plan = plan_of(spark, "psi_drift", sf_dir)
     assert node_count(plan, "BroadcastNestedLoopJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_channel_attribution_single_window_exchange(spark, sf_dir):
+    """All four attribution windows (next-purchase stamp + journey
+    first/last/size) run off ONE user_id exchange — the (user_id,
+    conv_ts) partitions are a refinement of the user_id hash, so
+    Spark inserts local sorts only.  Remaining exchanges: the channel
+    aggregate and the final orderBy."""
+    plan = plan_of(spark, "channel_attribution", sf_dir)
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:2000]
+    assert n_exchanges(plan) <= 3
+    assert node_count(plan, "Window") == 4
+
+
+def test_trade_triangles_no_cartesian_pairs(spark, sf_dir):
+    """Triangle counting never forms an all-pairs join: wedges come
+    from an equi-join on the oriented source key and close via an
+    equi semi join.  The only nested-loop is the broadcast of the
+    1-row average-volume threshold."""
+    plan = plan_of(spark, "trade_triangles", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert node_count(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_basket_rules_pair_join_is_keyed(spark, sf_dir):
+    """Candidate pairs only materialize per basket (equi-join on the
+    basket key) — no item×item cartesian, no nested loop."""
+    plan = plan_of(spark, "basket_rules", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
