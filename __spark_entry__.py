@@ -14,8 +14,10 @@ approx_distinct_users, approx_quantiles (approximate/hash-seeded
 operators whose exactness is instead property-tested against their
 exact baselines in tests/), compression_stats (zlib DEFLATE is
 not SQL-expressible; bounds/ordering/determinism property-tested),
-and actor_pagerank (iterative fixed-point — last-bit partition-order
-sensitivity; mass/hub/dangling contracts property-tested).
+actor_pagerank (iterative fixed-point — last-bit partition-order
+sensitivity; mass/hub/dangling contracts property-tested),
+pca_embeddings (eigensolver floats; algebra property-tested), and
+sketch_rollup (binary DataSketches HLL; mergeability property-tested).
 """
 
 from __future__ import annotations
@@ -2048,6 +2050,38 @@ def _readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.readability(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (decomposition.pca): embeddings projected onto
+    the top-8 principal components, explained-variance ratio carried
+    per row.  Rows-only for the gate (eigensolver floats aren't
+    SQL-expressible); orthonormality / variance accounting /
+    planted-basis recovery / partition-invariance are property-tested
+    in tests/test_decomposition.py."""
+    from gdelt_extractor_spark.operators.decomposition import pca
+
+    return pca(_emb(spark, sf_dir), p=8)
+
+
+def _sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch table (sketches.hll_sketch_table →
+    hll_rollup): per-(event_type, day) DataSketches HLL sketches of
+    the user set, rolled up to per-type distinct-user estimates by
+    UNIONING sketches — the pre-aggregation pattern that answers any
+    coarser rollup without rescanning raw data.  Rows-only (binary
+    sketches are engine-specific); merge-exactness, error bound, and
+    partition invariance are property-tested."""
+    from gdelt_extractor_spark.operators.sketches import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    sk = hll_sketch_table(e, ["event_type", "day"], "user_id")
+    return hll_rollup(sk, ["event_type"]).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2).
 
@@ -2162,6 +2196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": _mutual_info,
         "readability_scores": _readability,
         "channel_attribution": Q.channel_attribution,
+        "pca_embeddings": _pca_embeddings,
+        "sketch_rollup": _sketch_rollup,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,

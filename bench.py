@@ -227,6 +227,8 @@ HEADLINE = [
     "mutual_info",
     "readability_scores",
     "channel_attribution",
+    "pca_embeddings",
+    "sketch_rollup",
 ]
 
 

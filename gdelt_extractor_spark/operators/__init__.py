@@ -39,11 +39,13 @@ from .dedup import (
 )
 from .enrich import enrich_articles, enrich_articles_fetch
 from .geo import geo_project, grid_join
-from .graph import pagerank
+from .affinity import association_rules
+from .decomposition import pca, pca_fit, pca_project
+from .graph import label_propagation, pagerank, triangle_count
 from .keywords import keyword_freq
 from .packing import chunk_documents, pack_sequences
 from .pii import redact_pii, scan_pii
-from .profiling import profile_table
+from .profiling import mutual_information, profile_table
 from .multimodal import (
     dedup_videos,
     image_phash,
@@ -68,7 +70,7 @@ from .similarity import (
     ivf_fit_centroids,
     quantize_embeddings,
 )
-from .sketches import approx_topk
+from .sketches import approx_topk, hll_rollup, hll_sketch_table
 from .skew import salted_agg, salted_join
 from .temporal import asof_join, fill_gaps, range_join, scd2_apply
 from .textstats import (

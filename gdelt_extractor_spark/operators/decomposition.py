@@ -1,0 +1,173 @@
+"""Distributed PCA over an embedding column — the dimensionality
+reducer in front of ANN indexing, SemDeDup cells, and k-means (lower
+d → cheaper distance math and better-conditioned clusters).
+
+Scale shape (100 TB posture): the textbook two-phase split used by
+every distributed PCA — the DATA never leaves the cluster, only the
+d×d second-moment matrix does:
+
+  phase 1 (distributed): mean vector and Gramian Σ x·xᵀ in ONE Arrow
+    pass — vectors quantize to 2^20 integer micro-units and each
+    batch emits its int64 numpy Gramian upper triangle + sum + count
+    (d(d+1)/2 + d + 1 longs per ~10k-row batch, never per row), then
+    a decimal(38) Spark sum reduces batches.  Integer arithmetic is
+    exact at every step, so the covariance matrix is EXACTLY
+    partition-order-independent → the whole fit is deterministic,
+    not just statistically stable (same accumulation recipe as
+    clustering.kmeans_fit).  Quantization defines the contract: this
+    is exact PCA of the 2^-20-rounded data (≈1e-6 relative), not
+    approximate PCA of the raw data.
+  phase 2 (driver, bounded): eigendecomposition of the d×d covariance
+    (d ≤ a few hundred — 64×64 here; never row-count-sized), sign
+    canonicalized so each component's largest-|loading| entry is
+    positive.
+  projection: one vectorized Arrow pass (numpy matmul per batch).
+
+Rows-only for the oracle gate (eigensolver float details are not
+SQL-expressible); the algebraic contracts — orthonormal components,
+descending explained variance, total-variance conservation, exact
+recovery of a known planted basis — are property-tested in
+tests/test_decomposition.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _as_double
+
+
+class PCAModel(NamedTuple):
+    mean: np.ndarray          # (d,)
+    components: np.ndarray    # (p, d) orthonormal rows
+    explained_var: np.ndarray  # (p,) descending
+    total_var: float
+    n_rows: int
+
+
+_PCA_SCALE = float(1 << 20)  # micro-unit quantization (≈1e-6 relative)
+
+
+def pca_fit(
+    vectors: DataFrame,
+    p: int = 8,
+    vec_col: str = "embedding",
+) -> PCAModel:
+    """Fit PCA; returns the bounded driver-side model (see module
+    docstring for the two-phase shape)."""
+    v = vectors.select(_as_double(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["v"].to_numpy())
+            q = np.floor(x * _PCA_SCALE + 0.5).astype(np.int64)
+            iu = np.triu_indices(q.shape[1])
+            # one row per Arrow batch: [count, sums..., triu(gram)...]
+            # int64 throughout — products ≤ 2^40, ≤ ~10k batch rows,
+            # so every within-batch sum stays far under 2^63
+            acc = np.concatenate(
+                [[len(q)], q.sum(axis=0), (q.T @ q)[iu]]
+            )
+            yield pd.DataFrame({"d": [q.shape[1]], "acc": [acc.tolist()]})
+
+    reduced = (
+        v.mapInPandas(partials, schema="d int, acc array<long>")
+        .select("d", F.posexplode("acc").alias("pos", "val"))
+        .groupBy("d", "pos")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    widths = {r.d for r in reduced}
+    if len(widths) > 1:
+        raise ValueError(f"pca_fit: mixed embedding widths {sorted(widths)}")
+    if not reduced:
+        raise ValueError("pca_fit: need at least 2 rows")
+    d = next(iter(widths))
+    if not 1 <= p <= d:
+        raise ValueError(f"pca_fit: need 1 <= p <= dim, got p={p}, dim={d}")
+
+    flat = np.zeros(1 + d + d * (d + 1) // 2)
+    for r in reduced:
+        flat[r.pos] = float(r.s)
+    n = int(flat[0])
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 rows")
+    mean = flat[1 : 1 + d] / (_PCA_SCALE * n)
+    gram = np.zeros((d, d))
+    iu = np.triu_indices(d)
+    gram[iu] = flat[1 + d :]
+    gram.T[iu] = gram[iu]
+    cov = gram / (_PCA_SCALE * _PCA_SCALE * n) - np.outer(mean, mean)
+
+    eigval, eigvec = np.linalg.eigh(cov)           # ascending
+    order = np.argsort(eigval)[::-1][:p]
+    comps = eigvec[:, order].T                      # (p, d)
+    # sign convention: largest-|loading| entry positive
+    for k in range(p):
+        j = int(np.argmax(np.abs(comps[k])))
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    return PCAModel(
+        mean=mean,
+        components=comps,
+        explained_var=np.maximum(eigval[order], 0.0),
+        total_var=float(np.trace(cov)),
+        n_rows=int(n),
+    )
+
+
+def pca_project(
+    vectors: DataFrame,
+    model: PCAModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project rows onto the fitted components: (id, out_col) with
+    out_col an array<double> of length p.  One Arrow pass, numpy
+    matmul per batch; the (p×d + d) model broadcasts inside the UDF
+    closure."""
+    comps = model.components
+    mean = model.mean
+
+    @F.pandas_udf("array<double>")
+    def _proj(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        x = np.vstack(col.to_numpy()) - mean
+        return pd.Series(list(x @ comps.T))
+
+    return vectors.select(
+        F.col(id_col), _proj(_as_double(vec_col)).alias(out_col)
+    )
+
+
+def pca(
+    vectors: DataFrame,
+    p: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit + project in one call; appends the per-component explained
+    variance RATIO as a literal array column so downstream consumers
+    (and the registry entry) carry the fit quality with the data."""
+    model = pca_fit(vectors, p=p, vec_col=vec_col)
+    ratio = (
+        model.explained_var / model.total_var
+        if model.total_var > 0
+        else np.zeros_like(model.explained_var)
+    )
+    out = pca_project(vectors, model, id_col=id_col, vec_col=vec_col)
+    return out.withColumn(
+        "explained_ratio",
+        F.array(*[F.lit(round(float(x), 6)) for x in ratio]),
+    )

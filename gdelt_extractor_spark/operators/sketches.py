@@ -77,3 +77,45 @@ def approx_topk(
         .orderBy(F.col("est_count").desc(), F.col("key").asc())
         .limit(k)
     )
+
+
+def hll_sketch_table(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Materialize a MERGEABLE distinct-count sketch table: one
+    Apache DataSketches HLL sketch (binary) per key group.
+
+    This is the pre-aggregation pattern that makes 100 TB distinct
+    counting cheap: build (key, sketch) once per ingest partition
+    (e.g. per day), persist the ≤ 2^lg_k-byte sketches, and answer
+    any coarser rollup later by UNIONING sketches instead of
+    re-scanning raw data — ``approx_count_distinct`` alone can't do
+    that because its result is a scalar, not a reusable summary.
+    Register-wise max-merge makes the sketch deterministic for a
+    given value set: independent of partitioning, input order, and
+    pre-aggregation grouping (property-tested).
+    """
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll_sketch")
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Roll a sketch table up to coarser keys: union the HLL sketches
+    per group and estimate.  Returns (group_cols..., n_sketches,
+    approx_distinct).  Never touches raw data — the whole rollup
+    moves only ≤ 2^lg_k-byte summaries through the shuffle.
+    """
+    return sketches.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(
+            "approx_distinct"
+        ),
+    )
