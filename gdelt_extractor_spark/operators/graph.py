@@ -146,7 +146,9 @@ def triangle_count(
         .unionByName(canon.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=True)
+        # lazy: materializes inside the orientation checkpoint's job,
+        # so the upstream edge build runs ONCE, not once per use
+        .localCheckpoint(eager=False)
     )
 
     # orient from lower (degree, node) to higher; rank ties broken by
@@ -162,7 +164,7 @@ def triangle_count(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # wedges from the low-rank vertex: (s→v, s→w) with rank(v) < rank(w);
     # the triangle closes iff the oriented edge v→w exists
