@@ -2050,6 +2050,34 @@ def _readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.readability(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _auc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC by rank-sum with exact ties (profiling.auc_score):
+    does document length predict membership in src0?  Integer
+    arithmetic end-to-end (two-phase global running sum, no
+    single-partition window) so the oracle's window formulation
+    hash-matches."""
+    from gdelt_extractor_spark.operators.profiling import auc_score
+
+    docs = _docs(spark, sf_dir).select(
+        "n_chars", (F.col("source") == "src0").alias("is_src0")
+    )
+    return auc_score(docs, "n_chars", "is_src0")
+
+
+def _l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit (pii.l_diversity): per (user_id, event_type)
+    quasi group, how many distinct value bands appear — the
+    homogeneity-attack check k-anonymity misses."""
+    from gdelt_extractor_spark.operators.pii import l_diversity
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") / 100).cast("long").alias("value_band"),
+    )
+    return l_diversity(e, ["user_id", "event_type"], "value_band", l=3)
+
+
 def _pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (decomposition.pca): embeddings projected onto
     the top-8 principal components, explained-variance ratio carried
@@ -2198,6 +2226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "channel_attribution": Q.channel_attribution,
         "pca_embeddings": _pca_embeddings,
         "sketch_rollup": _sketch_rollup,
+        "auc_ranking": _auc_ranking,
+        "l_diversity": _l_diversity,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
@@ -5490,6 +5520,56 @@ def oracle_sql() -> dict[str, str]:
                       - CAST(15.59 AS DOUBLE), 4)
               END AS fk_grade
             FROM counted
+        """,
+        "auc_ranking": """
+            WITH g AS (
+              SELECT CAST(n_chars AS DOUBLE) AS s,
+                     CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_pos,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1),
+            r AS (
+              SELECT s, n_pos, n - n_pos AS n_neg,
+                     CAST(COALESCE(SUM(n - n_pos) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS neg_below
+              FROM g),
+            t AS (
+              SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+                     CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+                     CAST(COUNT(*) AS BIGINT) AS n_scores,
+                     CAST(SUM(CAST(n_pos * neg_below AS DECIMAL(38,0)))
+                       AS DOUBLE) AS wins,
+                     CAST(SUM(CAST(n_pos * n_neg AS DECIMAL(38,0)))
+                       AS DOUBLE) AS ties
+              FROM r)
+            SELECT n_pos, n_neg, n_scores,
+              CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                round((wins + CAST(0.5 AS DOUBLE) * ties)
+                      / (CAST(n_pos AS DOUBLE) * n_neg), 6)
+              END AS auc
+            FROM t
+        """,
+        "l_diversity": """
+            WITH g AS (
+              SELECT user_id, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS grp_n,
+                     CAST(COUNT(DISTINCT CAST(FLOOR(value / 100) AS BIGINT))
+                       AS BIGINT) AS grp_l
+              FROM events GROUP BY 1, 2)
+            SELECT CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(MIN(grp_l) AS BIGINT) AS min_diversity,
+                   CAST(SUM(CASE WHEN grp_l < 3 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_low_groups,
+                   CAST(SUM(CASE WHEN grp_l < 3 THEN grp_n ELSE 0 END)
+                     AS BIGINT) AS n_at_risk_rows,
+                   round(CAST(SUM(CASE WHEN grp_l < 3 THEN grp_n ELSE 0 END)
+                           AS BIGINT)
+                         / CAST(SUM(grp_n) AS BIGINT), 6) AS at_risk_frac
+            FROM g
         """,
         "channel_attribution": """
             WITH stamped AS (

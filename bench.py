@@ -229,6 +229,8 @@ HEADLINE = [
     "channel_attribution",
     "pca_embeddings",
     "sketch_rollup",
+    "auc_ranking",
+    "l_diversity",
 ]
 
 

@@ -44,8 +44,9 @@ from .decomposition import pca, pca_fit, pca_project
 from .graph import label_propagation, pagerank, triangle_count
 from .keywords import keyword_freq
 from .packing import chunk_documents, pack_sequences
-from .pii import redact_pii, scan_pii
-from .profiling import mutual_information, profile_table
+from .pii import k_anonymity, l_diversity, luhn_valid, redact_pii, scan_pii
+from .profiling import auc_score, mutual_information, profile_table
+from .ranking import global_ntile, global_row_number, global_running_sum
 from .multimodal import (
     dedup_videos,
     image_phash,

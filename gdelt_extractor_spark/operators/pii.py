@@ -171,3 +171,53 @@ def luhn_scan(
             luhn_valid(F.col("candidate")).alias("luhn_ok"),
         )
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """L-diversity audit — the companion to ``k_anonymity``: a
+    quasi-identifier group is l-diverse when it contains at least
+    ``l`` DISTINCT sensitive values, so group membership alone cannot
+    reveal the sensitive attribute even when k-anonymity holds (the
+    classic homogeneity attack: a k=50 group whose 50 rows all share
+    one diagnosis).
+
+    Output: ONE summary row — rows/groups, the minimum per-group
+    distinct-sensitive count, groups (and rows) below ``l``, and the
+    at-risk row fraction.
+
+    Plan: one groupBy shuffle on the quasi tuple with a per-group
+    count + count_distinct (partial-aggregated), then a single-row
+    aggregate over group stats.  NULL sensitive values are excluded
+    from the diversity count (they are absence, not a value an
+    attacker learns); NULL quasi values group together, as in
+    ``k_anonymity``.
+    """
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.col(sensitive_col)).alias("_l"),
+    )
+    return groups.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("_l").cast("long").alias("min_diversity"),
+        F.sum(F.when(F.col("_l") < l, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_groups"),
+        F.sum(F.when(F.col("_l") < l, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_at_risk_rows"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_diversity",
+        "n_low_groups",
+        "n_at_risk_rows",
+        F.round(F.col("n_at_risk_rows") / F.col("n_rows"), 6).alias(
+            "at_risk_frac"
+        ),
+    )

@@ -327,3 +327,70 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.round("h_y", 6).alias("h_y"),
         F.round("_nmi", 6).alias("nmi"),
     )
+
+
+def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """ROC-AUC of a numeric score against a boolean label by the
+    rank-sum (Mann-Whitney U) identity, with exact tie handling —
+    the standard eval for any scorer this engine trains or applies
+    (NB domain classifier, quality/LM scores, dedup thresholds):
+
+        AUC = [ Σ_s n_pos(s)·n_neg_below(s) + ½ Σ_s n_pos(s)·n_neg(s) ]
+              / (P·N)
+
+    summed over DISTINCT score values s.  Exactly the probability a
+    random positive outranks a random negative (ties count ½) — no
+    curve interpolation, no binning.
+
+    Scale shape: one groupBy shuffle reduces the data to per-distinct-
+    score counts; the cumulative negatives-below count uses
+    ``ranking.global_running_sum`` (range partition + bounded offset
+    collect — never a single-partition window); a 1-row aggregate
+    finishes.  All arithmetic is integer (decimal-38 sums) until the
+    final division, so the result is partition-order-exact.
+
+    Output: one row (n_pos, n_neg, n_scores, auc) — auc NULL when
+    either class is empty, rounded to 6 decimals.
+    """
+    from .ranking import global_running_sum
+
+    lab = F.col(label_col).cast("boolean")
+    g = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).cast("double").alias("s"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).alias("n_pos"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("n_neg", F.col("n") - F.col("n_pos"))
+    )
+    r = global_running_sum(
+        g, ["s"], "n_neg", out_col="neg_below", exclusive=True
+    )
+    tot = r.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.sum(
+            (F.col("n_pos") * F.col("neg_below")).cast("decimal(38,0)")
+        ).alias("_wins"),
+        F.sum((F.col("n_pos") * F.col("n_neg")).cast("decimal(38,0)")).alias(
+            "_ties"
+        ),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (
+                    F.col("_wins").cast("double")
+                    + F.lit(0.5) * F.col("_ties").cast("double")
+                )
+                / (F.col("n_pos").cast("double") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    )

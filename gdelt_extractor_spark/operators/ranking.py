@@ -133,3 +133,67 @@ def global_ntile(
     return ranked.withColumn(
         bucket_col, ntile_from_rank(F.col(tmp), n_rows, n_buckets)
     ).drop(tmp)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[str | Column],
+    weight_col: str,
+    out_col: str = "running_sum",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Weighted generalization of ``global_row_number``: add
+    ``out_col`` = cumulative sum of ``weight_col`` under the global
+    ``order_by``, with no single-partition window.
+
+    Same two-phase shape: range-partition on the order columns, one
+    bounded driver collect of per-PARTITION weight totals (one row
+    per partition) → broadcast offsets, then a per-partition window
+    sum plus the offset.  ``exclusive=True`` sums strictly-preceding
+    rows only (0 for the global first row).  ``order_by`` must be a
+    TOTAL order for per-row determinism.
+    """
+    cols = _order_cols(order_by)
+    if num_partitions is not None:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+
+    totals = sorted(
+        tagged.groupBy(_PID)
+        .agg(F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("t"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for row in totals:
+        offsets.append((row[_PID], int(running)))
+        running += int(row["t"])
+
+    spark = df.sparkSession
+    # offsets are exact Python ints; int64 bounds them in practice
+    # (cumulative WEIGHT totals — counts in every engine use)
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], schema=f"{_PID} int, {_OFF} long"
+    )
+    hi = -1 if exclusive else Window.currentRow
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    return (
+        tagged.join(F.broadcast(off_df), _PID)
+        .withColumn(
+            out_col,
+            (
+                F.coalesce(
+                    F.sum(F.col(weight_col).cast("decimal(38,0)")).over(w),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+                + F.col(_OFF)
+            ).cast("long"),
+        )
+        .drop(_PID, _OFF)
+    )

@@ -131,3 +131,72 @@ class TestReadability:
         )
         assert easy.flesch_ease > hard.flesch_ease
         assert easy.fk_grade < hard.fk_grade
+
+
+class TestAucScore:
+    def _auc(self, spark, rows):
+        from gdelt_extractor_spark.operators.profiling import auc_score
+
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        return auc_score(df, "score", "label").collect()[0]
+
+    def test_hand_computed(self, spark):
+        r = self._auc(
+            spark,
+            [(0.9, True), (0.8, False), (0.7, True), (0.6, False)],
+        )
+        # pos-beats-neg pairs: (0.9>0.8, 0.9>0.6, 0.7>0.6) = 3 of 4
+        assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 0.75)
+
+    def test_perfect_and_inverted(self, spark):
+        perfect = [(float(s), s >= 5) for s in range(10)]
+        assert self._auc(spark, perfect).auc == 1.0
+        inverted = [(float(s), s < 5) for s in range(10)]
+        assert self._auc(spark, inverted).auc == 0.0
+
+    def test_all_ties_is_half(self, spark):
+        r = self._auc(spark, [(1.0, True)] * 3 + [(1.0, False)] * 5)
+        assert r.auc == 0.5 and r.n_scores == 1
+
+    def test_single_class_is_null(self, spark):
+        assert self._auc(spark, [(1.0, True), (2.0, True)]).auc is None
+
+    def test_matches_naive_reference(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (float(rng.randint(0, 20)) / 4, rng.random() < 0.4)
+            for _ in range(300)
+        ]
+        pos = [s for s, l in rows if l]
+        neg = [s for s, l in rows if not l]
+        wins = sum(1 for p in pos for q in neg if p > q)
+        ties = sum(1 for p in pos for q in neg if p == q)
+        want = round((wins + 0.5 * ties) / (len(pos) * len(neg)), 6)
+        assert self._auc(spark, rows).auc == want
+
+
+class TestLDiversity:
+    def test_homogeneous_group_flagged(self, spark):
+        from gdelt_extractor_spark.operators.pii import l_diversity
+
+        rows = (
+            [("g1", "a")] * 4                       # 1 distinct → at risk
+            + [("g2", "a"), ("g2", "b"), ("g2", "c")]  # 3 distinct → safe
+            + [("g3", "a"), ("g3", "b")]            # 2 distinct → at risk
+        )
+        df = spark.createDataFrame(rows, "quasi string, sens string")
+        r = l_diversity(df, ["quasi"], "sens", l=3).collect()[0]
+        assert (r.n_rows, r.n_groups, r.min_diversity) == (9, 3, 1)
+        assert (r.n_low_groups, r.n_at_risk_rows) == (2, 6)
+        assert r.at_risk_frac == round(6 / 9, 6)
+
+    def test_null_sensitive_not_a_value(self, spark):
+        from gdelt_extractor_spark.operators.pii import l_diversity
+
+        df = spark.createDataFrame(
+            [("g", "a"), ("g", None), ("g", None)], "quasi string, sens string"
+        )
+        r = l_diversity(df, ["quasi"], "sens", l=2).collect()[0]
+        assert r.min_diversity == 1 and r.n_low_groups == 1

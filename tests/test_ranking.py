@@ -88,3 +88,40 @@ def test_empty_input(spark):
     df = spark.createDataFrame([], "id long, v long")
     assert global_row_number(df, ["v", "id"]).count() == 0
     assert global_ntile(df, 4, ["v", "id"]).count() == 0
+
+
+class TestGlobalRunningSum:
+    def _df(self, spark, weights):
+        rows = [(i, int(w)) for i, w in enumerate(weights)]
+        return spark.createDataFrame(rows, "k long, w long")
+
+    def test_inclusive_and_exclusive(self, spark):
+        from gdelt_extractor_spark.operators.ranking import global_running_sum
+
+        ws = [3, 1, 4, 1, 5, 9, 2, 6]
+        df = self._df(spark, ws).repartition(5)
+        inc = {
+            r.k: r.running_sum
+            for r in global_running_sum(df, ["k"], "w").collect()
+        }
+        exc = {
+            r.k: r.running_sum
+            for r in global_running_sum(df, ["k"], "w", exclusive=True).collect()
+        }
+        run = 0
+        for i, w in enumerate(ws):
+            assert exc[i] == run
+            run += w
+            assert inc[i] == run
+
+    def test_partitioning_invariance(self, spark):
+        from gdelt_extractor_spark.operators.ranking import global_running_sum
+
+        df = self._df(spark, range(100))
+        a = sorted(
+            map(tuple, global_running_sum(df.repartition(1), ["k"], "w").collect())
+        )
+        b = sorted(
+            map(tuple, global_running_sum(df.repartition(16), ["k"], "w").collect())
+        )
+        assert a == b
