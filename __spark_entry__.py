@@ -17,7 +17,9 @@ not SQL-expressible; bounds/ordering/determinism property-tested),
 actor_pagerank (iterative fixed-point — last-bit partition-order
 sensitivity; mass/hub/dangling contracts property-tested),
 pca_embeddings (eigensolver floats; algebra property-tested), and
-sketch_rollup (binary DataSketches HLL; mergeability property-tested).
+sketch_rollup (binary DataSketches HLL; mergeability property-tested),
+and actor_cores (iterative H-index peeling; pinned to exact naive
+Matula-Beck peeling in tests).
 """
 
 from __future__ import annotations
@@ -2078,6 +2080,64 @@ def _l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity(e, ["user_id", "event_type"], "value_band", l=3)
 
 
+def _chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square + Cramér's V (profiling.chi_square) on the
+    same event_type × value-band contingency the mutual_info entry
+    audits — test-statistic and information views of one table, both
+    value-hash-gated."""
+    from gdelt_extractor_spark.operators.profiling import chi_square
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") / 100).cast("long").alias("value_band")
+    )
+    return chi_square(e, "event_type", "value_band")
+
+
+def _actor_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core decomposition (graph.k_core) of the country-dyad
+    interaction graph: which actors sit in the densest interaction
+    shells.  Synchronous H-index iteration → rows-only; exact
+    equality with naive min-degree peeling is property-tested in
+    tests/test_graph.py."""
+    from gdelt_extractor_spark.operators.graph import k_core
+    from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
+
+    dyads = actor_dyad_rollup(read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv"))
+    return k_core(dyads, src="actor1_cc", dst="actor2_cc").orderBy("node")
+
+
+def _quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (features.quantile_
+    normalize): every source's length distribution mapped onto the
+    shared 20-bucket reference, so per-source scores become
+    comparable.  ntile semantics match DuckDB exactly (doc_id
+    tiebreak makes the order total), so the whole calibration is
+    value-hash-gated."""
+    from gdelt_extractor_spark.operators.features import quantile_normalize
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return quantile_normalize(docs, "source", "n_chars", "doc_id", n_q=20)
+
+
+def _target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (features.target_encode) of
+    source against document length with 10 pseudo-count smoothing —
+    the leakage-safe categorical feature."""
+    from gdelt_extractor_spark.operators.features import target_encode
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return target_encode(docs, "source", "n_chars", smoothing=10.0)
+
+
+def _benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity audit (profiling.benford_audit)
+    over event values — per-digit observed vs log10(1+1/d) expected
+    with the corpus MAD score."""
+    from gdelt_extractor_spark.operators.profiling import benford_audit
+
+    return benford_audit(load_table(spark, sf_dir, "events"), "value")
+
+
 def _pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (decomposition.pca): embeddings projected onto
     the top-8 principal components, explained-variance ratio carried
@@ -2228,6 +2288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": _sketch_rollup,
         "auc_ranking": _auc_ranking,
         "l_diversity": _l_diversity,
+        "chi_square": _chi_square,
+        "actor_cores": _actor_cores,
+        "quantile_norm": _quantile_norm,
+        "target_encoding": _target_encoding,
+        "benford_values": _benford_values,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
@@ -5520,6 +5585,113 @@ def oracle_sql() -> dict[str, str]:
                       - CAST(15.59 AS DOUBLE), 4)
               END AS fk_grade
             FROM counted
+        """,
+        "quantile_norm": """
+            WITH b AS (
+              SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS n_chars,
+                     CAST(ntile(20) OVER (PARTITION BY source
+                       ORDER BY CAST(n_chars AS DOUBLE) ASC, doc_id ASC)
+                       AS BIGINT) AS bucket
+              FROM documents),
+            gm AS (
+              SELECT source, bucket,
+                     CAST(SUM(CAST(n_chars AS DECIMAL(30,15))) AS DOUBLE)
+                       / COUNT(*) AS gm
+              FROM b GROUP BY 1, 2),
+            ref AS (
+              SELECT bucket,
+                     CAST(SUM(CAST(gm AS DECIMAL(30,15))) AS DOUBLE)
+                       / COUNT(*) AS ref
+              FROM gm GROUP BY 1)
+            SELECT doc_id, source, n_chars, bucket,
+                   round(ref, 6) AS normalized
+            FROM b JOIN ref USING (bucket)
+        """,
+        "target_encoding": """
+            WITH base AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(n_chars AS DOUBLE) AS y
+              FROM documents),
+            stats AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(y AS DECIMAL(30,15))) AS s
+              FROM base GROUP BY 1),
+            prior AS (
+              SELECT CAST(SUM(CAST(y AS DECIMAL(30,15))) AS DOUBLE)
+                       / COUNT(*) AS p
+              FROM base)
+            SELECT doc_id, source, n_chars,
+                   round((CAST(s AS DOUBLE) - y + CAST(10.0 AS DOUBLE) * p)
+                         / (n - 1 + CAST(10.0 AS DOUBLE)), 6) AS encoded
+            FROM base JOIN stats USING (source) CROSS JOIN prior
+        """,
+        "benford_values": """
+            WITH vals AS (
+              SELECT ABS(CAST(value AS DOUBLE)) AS v FROM events
+              WHERE value IS NOT NULL AND ABS(CAST(value AS DOUBLE)) > 0),
+            counts AS (
+              SELECT CAST(FLOOR(v / POWER(CAST(10.0 AS DOUBLE),
+                       FLOOR(LOG10(v)))) AS BIGINT) AS digit,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM vals GROUP BY 1),
+            digits AS (SELECT CAST(range AS BIGINT) AS digit
+                       FROM range(1, 10)),
+            filled AS (
+              SELECT d.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+              FROM digits d LEFT JOIN counts c USING (digit)),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM filled),
+            per AS (
+              SELECT digit, n,
+                     n / CAST(t AS DOUBLE) AS obs_frac,
+                     LOG10(CAST(1.0 AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE) / digit) AS expected_frac
+              FROM filled CROSS JOIN tot),
+            m AS (
+              SELECT CAST(SUM(CAST(ABS(obs_frac - expected_frac)
+                       AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mad
+              FROM per)
+            SELECT digit, n,
+                   round(obs_frac, 6) AS obs_frac,
+                   round(expected_frac, 6) AS expected_frac,
+                   round(obs_frac - expected_frac, 6) AS diff,
+                   round(mad, 6) AS mad
+            FROM per CROSS JOIN m
+        """,
+        "chi_square": """
+            WITH base AS (
+              SELECT event_type AS x,
+                     CAST(CAST(FLOOR(value / 100) AS BIGINT) AS VARCHAR) AS y
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            joint AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+                      FROM base GROUP BY 1, 2),
+            nx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x
+                   FROM joint GROUP BY 1),
+            ny AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y
+                   FROM joint GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n,
+                           CAST(COUNT(DISTINCT x) AS BIGINT) AS card_x,
+                           CAST(COUNT(DISTINCT y) AS BIGINT) AS card_y
+                    FROM joint),
+            per AS (
+              SELECT n_xy,
+                     (CAST(n_x AS DOUBLE) * n_y) / n AS e
+              FROM joint JOIN nx USING (x) JOIN ny USING (y)
+              CROSS JOIN tot),
+            s AS (SELECT
+                    CAST(SUM(CAST((n_xy - e) * (n_xy - e) / e
+                      AS DECIMAL(30,15))) AS DOUBLE) AS t,
+                    CAST(SUM(CAST(e AS DECIMAL(30,15))) AS DOUBLE) AS e_sum
+                  FROM per)
+            SELECT n, card_x AS n_x, card_y AS n_y,
+                   CAST((card_x - 1) * (card_y - 1) AS BIGINT) AS dof,
+                   round(t + (n - e_sum), 6) AS chi2,
+                   CASE WHEN (card_x - 1) * (card_y - 1) > 0
+                             AND t + (n - e_sum) >= 0
+                        THEN round(sqrt((t + (n - e_sum))
+                               / (n * (least(card_x, card_y) - 1))), 6)
+                        ELSE 0.0 END AS cramers_v
+            FROM s CROSS JOIN tot
         """,
         "auc_ranking": """
             WITH g AS (

@@ -231,6 +231,11 @@ HEADLINE = [
     "sketch_rollup",
     "auc_ranking",
     "l_diversity",
+    "chi_square",
+    "actor_cores",
+    "quantile_norm",
+    "target_encoding",
+    "benford_values",
 ]
 
 

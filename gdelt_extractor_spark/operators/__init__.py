@@ -41,11 +41,12 @@ from .enrich import enrich_articles, enrich_articles_fetch
 from .geo import geo_project, grid_join
 from .affinity import association_rules
 from .decomposition import pca, pca_fit, pca_project
-from .graph import label_propagation, pagerank, triangle_count
+from .graph import k_core, label_propagation, pagerank, triangle_count
 from .keywords import keyword_freq
 from .packing import chunk_documents, pack_sequences
 from .pii import k_anonymity, l_diversity, luhn_valid, redact_pii, scan_pii
-from .profiling import auc_score, mutual_information, profile_table
+from .features import quantile_normalize, target_encode
+from .profiling import auc_score, benford_audit, chi_square, mutual_information, profile_table
 from .ranking import global_ntile, global_row_number, global_running_sum
 from .multimodal import (
     dedup_videos,

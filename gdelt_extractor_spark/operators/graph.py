@@ -284,3 +284,79 @@ def label_propagation(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Core decomposition: (node, coreness), where coreness(v) is the
+    largest k such that v belongs to a subgraph in which every node
+    has degree ≥ k — the standard density peeling behind spam-cluster
+    detection and influence-zone analysis, complementing
+    ``triangle_count`` (local density) and ``label_propagation``
+    (community membership).
+
+    Algorithm: synchronous H-index iteration (Lü et al. 2016, "The
+    H-index of a network node"): start every node at its degree and
+    repeatedly replace c(v) with the H-index of its neighbors'
+    current values (the largest h with ≥ h neighbors valued ≥ h).
+    The sequence is monotone non-increasing and converges EXACTLY to
+    the coreness — and, being synchronous integer arithmetic, is
+    deterministic regardless of partitioning (property-tested against
+    naive min-degree peeling).
+
+    Scale shape: per round ONE equi-join of the symmetrized edge list
+    with the (node, value) frame and ONE per-node window + aggregate
+    (both reuse the node hash partitioning), per-round
+    localCheckpoint lineage cuts, a single changed-count scalar to
+    the driver — the same round shape as ``label_propagation``.
+    Rounds needed in practice ≲ graph diameter; loud error if
+    ``max_iter`` is hit without convergence.
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v")
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+    canon = e.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    sym = (
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("_cv").desc())
+    for _ in range(max_iter):
+        nb = sym.join(
+            labels.select(F.col("node").alias("v"), F.col("c").alias("_cv")), "v"
+        ).select(F.col("u").alias("node"), "_cv")
+        h = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_cv") >= F.col("_rn"))
+            .groupBy("node")
+            .agg(F.max("_rn").alias("c"))
+        )
+        nxt = h.localCheckpoint(eager=True)
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.c") != F.col("o.c"))
+            .count()
+        )
+        old = labels
+        labels = nxt
+        old.unpersist()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"k_core: no convergence after {max_iter} rounds — raise max_iter"
+        )
+    return labels.select("node", F.col("c").alias("coreness"))

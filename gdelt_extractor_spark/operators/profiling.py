@@ -394,3 +394,143 @@ def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             ),
         ).alias("auc"),
     )
+
+
+def chi_square(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Pearson chi-square independence test between two categorical
+    columns, plus Cramér's V — the frequentist companion to
+    ``mutual_information`` (same contingency table, test-statistic
+    view): V = sqrt(chi2 / (n · min(|X|−1, |Y|−1))) ∈ [0, 1].
+
+    Output: ONE row (n, n_x, n_y, dof, chi2, cramers_v), floats
+    rounded to 6 decimals.  The p-value needs the chi-square CDF
+    (not SQL-expressible); downstream callers threshold the statistic
+    against their critical value.
+
+    Scale shape: identical to ``mutual_information`` — one aggregate
+    builds the joint table, marginals derive from it, terms sum
+    through decimal(30,15) for partition-order exactness.  Cells with
+    zero observed count still contribute e = nx·ny/n to chi2 — the
+    missing-cell mass is added in closed form (Σ over missing cells
+    of e = n − Σ over present cells of e), never by materializing the
+    |X|·|Y| cross join.
+    """
+    joint = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).cast("string").alias("x"),
+            F.col(y_col).cast("string").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    nx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    ny = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(
+        F.sum("n_xy").alias("n"),
+        F.count_distinct("x").alias("card_x"),
+        F.count_distinct("y").alias("card_y"),
+    )
+    per = (
+        joint.join(nx, "x")
+        .join(ny, "y")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_e",
+            (F.col("n_x").cast("double") * F.col("n_y")) / F.col("n"),
+        )
+        .withColumn(
+            "_term",
+            (F.col("n_xy") - F.col("_e")) * (F.col("n_xy") - F.col("_e"))
+            / F.col("_e"),
+        )
+    )
+    # observed cells: Σ (o−e)²/e; absent cells (o=0): Σ e, computed
+    # as n − Σ_present e  (both sums decimal-exact)
+    agg = per.agg(
+        F.sum(F.col("_term").cast("decimal(30,15)")).cast("double").alias("_t"),
+        F.sum(F.col("_e").cast("decimal(30,15)")).cast("double").alias("_e_sum"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("card_x").cast("long").alias("n_x"),
+            F.col("card_y").cast("long").alias("n_y"),
+            ((F.col("card_x") - 1) * (F.col("card_y") - 1))
+            .cast("long")
+            .alias("dof"),
+            (F.col("_t") + (F.col("n") - F.col("_e_sum"))).alias("_chi2"),
+            F.least(F.col("card_x"), F.col("card_y")).alias("_mincard"),
+        )
+        .select(
+            "n",
+            "n_x",
+            "n_y",
+            "dof",
+            F.round("_chi2", 6).alias("chi2"),
+            F.when(
+                (F.col("dof") > 0) & (F.col("_chi2") >= 0),
+                F.round(
+                    F.sqrt(
+                        F.col("_chi2")
+                        / (F.col("n") * (F.col("_mincard") - 1))
+                    ),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("cramers_v"),
+        )
+    )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford first-digit conformity audit — the data-forensics
+    check for fabricated or truncated numeric columns: naturally
+    occurring multi-scale magnitudes follow P(d) = log10(1 + 1/d);
+    invoice fraud, unit mix-ups, and synthetic fills don't.
+
+    First significant digit of |v| is floor(|v| / 10^floor(log10|v|))
+    (zeros and NULLs excluded; both engines' log10 is exact at powers
+    of ten, and the entry's oracle applies the identical expression).
+    Output: one row per digit 1-9 — (digit, n, obs_frac,
+    expected_frac, diff) — with the corpus-level MAD (mean absolute
+    deviation, the standard Benford conformity score: < 0.006 close,
+    > 0.015 nonconformity) repeated on every row.
+
+    One aggregate over the scan (≤ 9 groups), 1-row totals broadcast
+    back; decimal-exact fraction sums.
+    """
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("long")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (v > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    digits = df.sparkSession.range(1, 10).select(F.col("id").alias("digit"))
+    full = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    tot = full.agg(F.sum("n").alias("_t"))
+    per = (
+        full.crossJoin(F.broadcast(tot))
+        .withColumn("obs_frac", F.col("n") / F.col("_t"))
+        .withColumn(
+            "expected_frac",
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")),
+        )
+        .withColumn("_ad", F.abs(F.col("obs_frac") - F.col("expected_frac")))
+    )
+    mad = per.agg(
+        (
+            F.sum(F.col("_ad").cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_mad")
+    )
+    return per.crossJoin(F.broadcast(mad)).select(
+        "digit",
+        "n",
+        F.round("obs_frac", 6).alias("obs_frac"),
+        F.round("expected_frac", 6).alias("expected_frac"),
+        F.round(F.col("obs_frac") - F.col("expected_frac"), 6).alias("diff"),
+        F.round("_mad", 6).alias("mad"),
+    )

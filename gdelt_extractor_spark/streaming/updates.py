@@ -268,3 +268,71 @@ def run_cdc_upsert(
         shutil.rmtree(backup)
 
     run_foreach_batch(change_stream, merge, checkpoint_dir)
+
+
+def run_sketch_maintenance(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> None:
+    """Streaming maintenance of a mergeable HLL sketch table: each
+    micro-batch's (key, value) rows become per-key sketches
+    (``sketches.hll_sketch_table``) and union into the persisted
+    (key, hll_sketch) parquet table — live distinct-count monitoring
+    whose state is the sketch table itself, never the raw values.
+
+    Replay-convergent BY ALGEBRA, stronger than the CDC sink's
+    by-construction idempotency: HLL union is a register-wise max, so
+    re-unioning a replayed batch (or any subset of already-absorbed
+    values) is a mathematical no-op — crash/retry can only converge
+    the table, never double-count.  The atomic swap keeps readers
+    consistent mid-merge (same stage→backup→promote discipline and
+    recovery as ``run_cdc_upsert``).
+
+    Scale note: per batch the stored table pays one groupBy shuffle
+    over (stored ∪ batch) SKETCH rows — bounded by key cardinality ×
+    2^lg_k bytes, independent of the batch's raw row count.
+    """
+    import os
+    import shutil
+
+    from ..operators.sketches import hll_sketch_table
+
+    if "://" in table_path and not table_path.startswith("file://"):
+        raise NotImplementedError(
+            "run_sketch_maintenance's rename swap is local-filesystem only; "
+            "object stores need a manifest/table-format commit"
+        )
+
+    def merge(batch: DataFrame, epoch: int) -> None:
+        if not batch.take(1):
+            return
+        backup = table_path + "__premerge"
+        if os.path.exists(backup):
+            if not os.path.exists(table_path):
+                os.rename(backup, table_path)
+            else:
+                shutil.rmtree(backup)
+        spark = batch.sparkSession
+        batch_sk = hll_sketch_table(batch, key_cols, value_col, lg_k=lg_k)
+        if os.path.exists(table_path):
+            stored = spark.read.parquet(table_path)
+            merged = (
+                stored.unionByName(batch_sk)
+                .groupBy(*key_cols)
+                .agg(F.hll_union_agg("hll_sketch").alias("hll_sketch"))
+            )
+        else:
+            merged = batch_sk
+        staging = table_path + "__merging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(table_path):
+            os.rename(table_path, backup)
+        os.rename(staging, table_path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+
+    run_foreach_batch(stream, merge, checkpoint_dir)

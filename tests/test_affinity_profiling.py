@@ -200,3 +200,157 @@ class TestLDiversity:
         )
         r = l_diversity(df, ["quasi"], "sens", l=2).collect()[0]
         assert r.min_diversity == 1 and r.n_low_groups == 1
+
+
+class TestChiSquare:
+    def _chi(self, spark, rows):
+        from gdelt_extractor_spark.operators.profiling import chi_square
+
+        df = spark.createDataFrame(rows, "x string, y string")
+        return chi_square(df, "x", "y").collect()[0]
+
+    def test_hand_computed_2x2(self, spark):
+        rows = (
+            [("a", "0")] * 10 + [("a", "1")] * 20
+            + [("b", "0")] * 30 + [("b", "1")] * 40
+        )
+        obs = {("a", "0"): 10, ("a", "1"): 20, ("b", "0"): 30, ("b", "1"): 40}
+        nx = {"a": 30, "b": 70}
+        ny = {"0": 40, "1": 60}
+        want = sum(
+            (o - nx[x] * ny[y] / 100) ** 2 / (nx[x] * ny[y] / 100)
+            for (x, y), o in obs.items()
+        )
+        r = self._chi(spark, rows)
+        assert (r.n, r.dof) == (100, 1)
+        assert r.chi2 == round(want, 6)
+        assert r.cramers_v == round((want / 100) ** 0.5, 6)
+
+    def test_independence_is_zero(self, spark):
+        rows = [(a, b) for a in "ab" for b in "01" for _ in range(5)]
+        r = self._chi(spark, rows)
+        assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+    def test_missing_cells_counted_in_closed_form(self, spark):
+        # ("b","1") never observed: its expected mass must still enter
+        rows = [("a", "0")] * 5 + [("a", "1")] * 5 + [("b", "0")] * 10
+        obs = {("a", "0"): 5, ("a", "1"): 5, ("b", "0"): 10, ("b", "1"): 0}
+        nx = {"a": 10, "b": 10}
+        ny = {"0": 15, "1": 5}
+        want = sum(
+            (o - nx[x] * ny[y] / 20) ** 2 / (nx[x] * ny[y] / 20)
+            for (x, y), o in obs.items()
+        )
+        r = self._chi(spark, rows)
+        assert r.chi2 == round(want, 6)
+
+    def test_perfect_association_v_is_one(self, spark):
+        rows = [("a", "0")] * 7 + [("b", "1")] * 13
+        assert self._chi(spark, rows).cramers_v == 1.0
+
+
+class TestQuantileNormalize:
+    def test_groups_share_distribution_after(self, spark):
+        from gdelt_extractor_spark.operators.features import quantile_normalize
+
+        # group g2 = g1 shifted by +100: same shape, different location
+        rows = [(i, "g1", float(i)) for i in range(40)] + [
+            (100 + i, "g2", float(i) + 100.0) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "rid long, grp string, v double")
+        out = quantile_normalize(df, "grp", "v", "rid", n_q=8).collect()
+        by_grp = {}
+        for r in out:
+            by_grp.setdefault(r.grp, {})[r.bucket] = r.normalized
+        # identical normalized value per bucket in both groups
+        assert by_grp["g1"] == by_grp["g2"]
+        # reference = mean of the two group means per bucket
+        assert by_grp["g1"][1] == round((2.0 + 102.0) / 2, 6)
+
+    def test_deterministic_under_ties(self, spark):
+        from gdelt_extractor_spark.operators.features import quantile_normalize
+
+        rows = [(i, "g", 1.0) for i in range(10)]  # all values tie
+        df = spark.createDataFrame(rows, "rid long, grp string, v double")
+        a = sorted(map(tuple, quantile_normalize(df, "grp", "v", "rid", 4).collect()))
+        b = sorted(
+            map(
+                tuple,
+                quantile_normalize(
+                    df.repartition(7), "grp", "v", "rid", 4
+                ).collect(),
+            )
+        )
+        assert a == b
+
+
+class TestTargetEncode:
+    def test_loo_hand_case(self, spark):
+        from gdelt_extractor_spark.operators.features import target_encode
+
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)]
+        df = spark.createDataFrame(rows, "cat string, y double")
+        out = {
+            (r.cat, r.y): r.encoded
+            for r in target_encode(df, "cat", "y").collect()
+        }
+        assert out[("a", 1.0)] == round((2 + 3) / 2, 6)
+        assert out[("a", 3.0)] == round((1 + 2) / 2, 6)
+        # singleton with no smoothing: falls back to the global prior
+        assert out[("b", 10.0)] == round((1 + 2 + 3 + 10) / 4, 6)
+
+    def test_smoothing_shrinks_toward_prior(self, spark):
+        from gdelt_extractor_spark.operators.features import target_encode
+
+        rows = [("a", 0.0)] * 3 + [("b", 100.0)] * 3
+        df = spark.createDataFrame(rows, "cat string, y double")
+        prior = 50.0
+        out = {
+            r.cat: r.encoded
+            for r in target_encode(df, "cat", "y", smoothing=4.0).collect()
+        }
+        # enc(a) = (0 - 0 + 4*50) / (3 - 1 + 4) = 200/6
+        assert out["a"] == round(4 * prior / 6, 6)
+        assert out["b"] == round((200.0 + 4 * prior) / 6, 6)
+
+    def test_non_loo_is_plain_smoothed_mean(self, spark):
+        from gdelt_extractor_spark.operators.features import target_encode
+
+        rows = [("a", 1.0), ("a", 3.0)]
+        df = spark.createDataFrame(rows, "cat string, y double")
+        out = target_encode(df, "cat", "y", loo=False).collect()
+        assert all(r.encoded == 2.0 for r in out)
+
+
+class TestBenfordAudit:
+    def test_conformant_data_low_mad(self, spark):
+        from gdelt_extractor_spark.operators.profiling import benford_audit
+
+        # 10^u for uniform u is exactly Benford-distributed
+        rows = [(10 ** (i / 9973.0),) for i in range(9973)]
+        df = spark.createDataFrame(rows, "v double")
+        out = benford_audit(df, "v").collect()
+        assert len(out) == 9
+        assert {r.digit for r in out} == set(range(1, 10))
+        assert out[0].mad < 0.002
+        # obs_frac rounds to 6 decimals per digit → ≤ 4.5e-6 total slack
+        assert abs(sum(r.obs_frac for r in out) - 1.0) < 5e-6
+
+    def test_uniform_data_flagged(self, spark):
+        from gdelt_extractor_spark.operators.profiling import benford_audit
+
+        # first digits uniform: MAD far above the 0.015 threshold
+        rows = [(float(d) + 0.5, ) for d in range(1, 10) for _ in range(50)]
+        df = spark.createDataFrame(rows, "v double")
+        out = benford_audit(df, "v").collect()
+        assert out[0].mad > 0.015
+        assert all(abs(r.obs_frac - round(1 / 9, 6)) < 1e-3 for r in out)
+
+    def test_zero_and_null_excluded(self, spark):
+        from gdelt_extractor_spark.operators.profiling import benford_audit
+
+        df = spark.createDataFrame(
+            [(0.0,), (None,), (123.0,), (-20.5,)], "v double"
+        )
+        out = {r.digit: r.n for r in benford_audit(df, "v").collect()}
+        assert out[1] == 1 and out[2] == 1 and sum(out.values()) == 2

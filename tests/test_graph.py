@@ -165,3 +165,56 @@ class TestTriangleCount:
                     tri_naive[n] += 1
         out = self._tc(spark, pairs)
         assert {n: v[1] for n, v in out.items()} == tri_naive
+
+
+class TestKCore:
+    def _kc(self, spark, pairs):
+        from gdelt_extractor_spark.operators.graph import k_core
+
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        return {r.node: r.coreness for r in k_core(e).collect()}
+
+    def test_clique_with_pendant(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        pairs = [(x, y) for x in nodes for y in nodes if x < y] + [("d", "e")]
+        out = self._kc(spark, pairs)
+        assert out == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1}
+
+    def test_path_is_one_core(self, spark):
+        out = self._kc(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert set(out.values()) == {1}
+
+    def test_two_triangles_with_bridge(self, spark):
+        out = self._kc(
+            spark,
+            [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"),
+             ("c", "x")],
+        )
+        assert all(out[n] == 2 for n in "abcxyz")
+
+    def test_matches_naive_peeling(self, spark):
+        import itertools
+
+        nodes = [f"n{i:02d}" for i in range(24)]
+        pairs = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if (hash((b, a)) & 5) == 0 or abs(int(a[1:]) - int(b[1:])) == 1
+        ]
+        # Matula-Beck min-degree peeling (the exact definition)
+        adj = {n: set() for n in nodes}
+        for a, b in pairs:
+            adj[a].add(b); adj[b].add(a)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        live = set(nodes)
+        want, k = {}, 0
+        while live:
+            v = min(live, key=lambda x: (deg[x], x))
+            k = max(k, deg[v])
+            want[v] = k
+            live.remove(v)
+            for u in adj[v]:
+                if u in live:
+                    deg[u] -= 1
+        assert self._kc(spark, pairs) == want

@@ -301,3 +301,79 @@ def test_run_cdc_upsert_recovers_mid_swap_crash(spark, tmp_path):
     got = {r.id for r in spark.read.parquet(table).collect()}
     assert got == {1, 2}  # recovered row 1 + merged insert
     assert not os.path.exists(table + "__premerge")
+
+
+def test_run_sketch_maintenance_converges(spark, tmp_path):
+    """Micro-batched user events maintain a per-type HLL sketch table:
+    estimates equal the batch-computed sketch over all data, replay
+    from a fresh checkpoint cannot double-count (union is register
+    max), and the table path stays swap-consistent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gdelt_extractor_spark.operators.sketches import (
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    landing = tmp_path / "events"
+    landing.mkdir()
+    (landing / "b1.csv").write_text(
+        "".join(f"click,u{i}\n" for i in range(60))
+        + "".join(f"view,u{i}\n" for i in range(20))
+    )
+    (landing / "b2.csv").write_text(
+        # 30 users overlap with b1 — a counter-based sink would
+        # double-count them; the sketch union must not
+        "".join(f"click,u{i}\n" for i in range(30, 90))
+    )
+    schema = "etype string, user_id string"
+    table = str(tmp_path / "sketches")
+
+    def run(ck):
+        stream = (
+            spark.readStream.format("csv").schema(schema).load(str(landing))
+        )
+        U.run_sketch_maintenance(
+            stream, table, str(tmp_path / ck), ["etype"], "user_id"
+        )
+
+    run("ck1")
+    got = {
+        r.etype: r.approx_distinct
+        for r in hll_rollup(
+            spark.read.parquet(table), ["etype"], "hll_sketch"
+        ).collect()
+    }
+    batch = spark.createDataFrame(
+        [("click", f"u{i}") for i in range(90)]
+        + [("view", f"u{i}") for i in range(20)],
+        schema,
+    )
+    want = {
+        r.etype: r.est
+        for r in hll_sketch_table(batch, ["etype"], "user_id")
+        .select("etype", F.hll_sketch_estimate("hll_sketch").alias("est"))
+        .collect()
+    }
+    assert got == want  # register-exact, not just approximately close
+
+    # replay everything from a fresh checkpoint: no double counting
+    run("ck2")
+    again = {
+        r.etype: r.approx_distinct
+        for r in hll_rollup(
+            spark.read.parquet(table), ["etype"], "hll_sketch"
+        ).collect()
+    }
+    assert again == got
+    assert not os.path.exists(table + "__merging")
+    assert not os.path.exists(table + "__premerge")
+
+    import pytest as _pytest
+    stream = spark.readStream.format("csv").schema(schema).load(str(landing))
+    with _pytest.raises(NotImplementedError):
+        U.run_sketch_maintenance(
+            stream, "s3://b/t", str(tmp_path / "c3"), ["etype"], "user_id"
+        )
