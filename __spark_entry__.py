@@ -2138,6 +2138,46 @@ def _benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(load_table(spark, sf_dir, "events"), "value")
 
 
+def _user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve (temporal.kaplan_meier): per-user
+    lifetime = days between first and last event; a user whose last
+    event precedes the dataset horizon by > 7 days is an observed
+    churn, anyone still active is right-CENSORED — the distinction
+    naive retention curves miss.  Product runs as exp(Σ ln) with
+    decimal term sums, so the DuckDB window twin hash-matches."""
+    from gdelt_extractor_spark.operators.temporal import kaplan_meier
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    horizon = per_user.agg(F.max("last_d").alias("maxd"))
+    subj = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").alias("duration"),
+        (F.datediff("maxd", "last_d") > 0).alias("observed"),
+    )
+    return kaplan_meier(subj, "duration", "observed")
+
+
+def _engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration (profiling.gini) of total event value
+    across users — how unequal is engagement mass.  Two-phase global
+    rank, decimal sums, one summary row."""
+    from gdelt_extractor_spark.operators.profiling import gini
+
+    wealth = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("wealth")
+        )
+    )
+    return gini(wealth, "wealth", "user_id")
+
+
 def _pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (decomposition.pca): embeddings projected onto
     the top-8 principal components, explained-variance ratio carried
@@ -2293,6 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_norm": _quantile_norm,
         "target_encoding": _target_encoding,
         "benford_values": _benford_values,
+        "user_survival": _user_survival,
+        "engagement_gini": _engagement_gini,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
@@ -5585,6 +5627,72 @@ def oracle_sql() -> dict[str, str]:
                       - CAST(15.59 AS DOUBLE), 4)
               END AS fk_grade
             FROM counted
+        """,
+        "user_survival": """
+            WITH per_user AS (
+              SELECT user_id, CAST(MIN(ts) AS DATE) AS first_d,
+                     CAST(MAX(ts) AS DATE) AS last_d
+              FROM events GROUP BY 1),
+            cutoff AS (SELECT MAX(last_d) AS maxd FROM per_user),
+            subj AS (
+              SELECT date_diff('day', first_d, last_d) AS dur,
+                     (date_diff('day', last_d, maxd) > 0) AS observed
+              FROM per_user CROSS JOIN cutoff),
+            g AS (
+              SELECT CAST(dur AS DOUBLE) AS duration,
+                     CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_events,
+                     CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END)
+                       AS BIGINT) AS n_censored,
+                     CAST(COUNT(*) AS BIGINT) AS nn
+              FROM subj GROUP BY 1),
+            ar AS (
+              SELECT *,
+                CAST((SELECT SUM(nn) FROM g)
+                  - COALESCE(SUM(nn) OVER (ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS n_at_risk
+              FROM g),
+            st AS (
+              SELECT *,
+                CASE WHEN n_events > 0 AND n_events < n_at_risk
+                     THEN ln(CAST(1.0 AS DOUBLE)
+                             - n_events / CAST(n_at_risk AS DOUBLE))
+                     ELSE CAST(0.0 AS DOUBLE) END AS lnf,
+                MAX(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS dead
+              FROM ar)
+            SELECT duration, n_at_risk, n_events, n_censored,
+              CASE WHEN dead = 1 THEN 0.0
+                   ELSE round(exp(CAST(SUM(CAST(lnf AS DECIMAL(30,15)))
+                     OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+              END AS survival
+            FROM st
+        """,
+        "engagement_gini": """
+            WITH wealth AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS w
+              FROM events GROUP BY 1),
+            r AS (SELECT w, user_id,
+                         row_number() OVER (ORDER BY w ASC, user_id ASC)
+                           AS i
+                  FROM wealth),
+            a AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(w AS DECIMAL(30,15))) AS DOUBLE)
+                       AS total,
+                     CAST(SUM(CAST(i * w AS DECIMAL(30,15))) AS DOUBLE)
+                       AS ws
+              FROM r)
+            SELECT n, round(total, 6) AS total,
+                   CASE WHEN n > 0 AND total > 0 THEN
+                     round(CAST(2.0 AS DOUBLE) * ws / (n * total)
+                           - (n + CAST(1.0 AS DOUBLE)) / n, 6)
+                   END AS gini
+            FROM a
         """,
         "quantile_norm": """
             WITH b AS (

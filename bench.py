@@ -236,6 +236,8 @@ HEADLINE = [
     "quantile_norm",
     "target_encoding",
     "benford_values",
+    "user_survival",
+    "engagement_gini",
 ]
 
 

@@ -46,7 +46,7 @@ from .keywords import keyword_freq
 from .packing import chunk_documents, pack_sequences
 from .pii import k_anonymity, l_diversity, luhn_valid, redact_pii, scan_pii
 from .features import quantile_normalize, target_encode
-from .profiling import auc_score, benford_audit, chi_square, mutual_information, profile_table
+from .profiling import auc_score, benford_audit, chi_square, gini, mutual_information, profile_table
 from .ranking import global_ntile, global_row_number, global_running_sum
 from .multimodal import (
     dedup_videos,
@@ -74,7 +74,7 @@ from .similarity import (
 )
 from .sketches import approx_topk, hll_rollup, hll_sketch_table
 from .skew import salted_agg, salted_join
-from .temporal import asof_join, fill_gaps, range_join, scd2_apply
+from .temporal import asof_join, fill_gaps, kaplan_meier, range_join, scd2_apply
 from .textstats import (
     bpe_pair_counts,
     fingerprint,

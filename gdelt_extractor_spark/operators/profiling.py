@@ -534,3 +534,58 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         F.round(F.col("obs_frac") - F.col("expected_frac"), 6).alias("diff"),
         F.round("_mad", 6).alias("mad"),
     )
+
+
+def gini(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient of a nonnegative value column —
+    the corpus-concentration headline ("how skewed is token mass
+    across sources / engagement across users"): 0 = perfectly even,
+    → 1 = one entity holds everything.  Rank-sum identity over the
+    ascending sort (x₁ ≤ … ≤ x_n):
+
+        G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n + 1)/n
+
+    ``tiebreak_col`` (unique) totalizes the order so ranks — and the
+    result — are deterministic and engine-portable.  (Equal values
+    permuted among tied ranks leave Σ i·xᵢ unchanged, so the tiebreak
+    affects nothing but determinism of intermediate frames.)
+
+    Scale shape: ranks come from ``ranking.global_row_number`` (range
+    partition + bounded offset collect — no single-partition sort);
+    one decimal-summed aggregate finishes.  Callers pass PRE-
+    AGGREGATED per-entity values (e.g. one row per user), so n is
+    entity count.  Output: one row (n, total, gini).
+    """
+    from .ranking import global_row_number
+
+    v = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).cast("double").alias("x"),
+            F.col(tiebreak_col).alias("_tb"),
+        )
+    )
+    ranked = global_row_number(v, ["x", "_tb"], rank_col="_i")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,15)")).cast("double").alias("total"),
+        F.sum((F.col("_i") * F.col("x")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("_ws"),
+    )
+    return agg.select(
+        "n",
+        F.round("total", 6).alias("total"),
+        F.when(
+            (F.col("n") > 0) & (F.col("total") > 0),
+            F.round(
+                F.lit(2.0) * F.col("_ws") / (F.col("n") * F.col("total"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n"),
+                6,
+            ),
+        ).alias("gini"),
+    )

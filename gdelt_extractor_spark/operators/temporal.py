@@ -514,3 +514,93 @@ def decayed_engagement(
             F.round("_raw", 6).alias("raw_sum"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over (duration, event-observed)
+    subjects — the standard churn/retention estimator with correct
+    right-censoring (a user still active at the observation cutoff is
+    CENSORED, not a churn event; naive retention curves conflate the
+    two):
+
+        S(t) = Π_{t' ≤ t, d_{t'} > 0} (1 − d_{t'} / n_{t'})
+
+    with d_t = observed events at duration t and n_t = subjects still
+    at risk (duration ≥ t).  Censored subjects leave the risk set but
+    never count as events.
+
+    Scale shape: ONE groupBy shuffle reduces subjects to per-distinct-
+    duration counts; every cumulative quantity (at-risk, log-survival)
+    is a window over that AGGREGATED frame — bounded by distinct
+    durations (days/buckets), never subject count.  The product runs
+    as exp(Σ ln) with decimal(30,15) term sums (the engine's order-
+    insensitive recipe), zero survival handled explicitly (ln(0) is
+    NULL in Spark, a domain error in DuckDB — neither reaches it).
+
+    Output: one row per distinct duration with an observed event or
+    censoring — (duration, n_at_risk, n_events, n_censored,
+    survival rounded to 6).
+    """
+    obs = F.col(observed_col).cast("boolean")
+    g = (
+        df.filter(F.col(duration_col).isNotNull() & obs.isNotNull())
+        .groupBy(F.col(duration_col).cast("double").alias("duration"))
+        .agg(
+            F.sum(F.when(obs, 1).otherwise(0)).alias("n_events"),
+            F.sum(F.when(obs, 0).otherwise(1)).alias("n_censored"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    # cumulative windows over the per-duration aggregate: the frame
+    # is |distinct durations| rows, so a plain ordered window is
+    # bounded — this is NOT a window over the subject rows
+    w_prev = (
+        Window.orderBy("duration")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = (
+        g.crossJoin(F.broadcast(g.agg(F.sum("_n").alias("_total"))))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("_total")
+                - F.coalesce(F.sum("_n").over(w_prev), F.lit(0))
+            ).cast("long"),
+        )
+    )
+    factor = F.lit(1.0) - F.col("n_events") / F.col("n_at_risk")
+    stepped = at_risk.withColumn(
+        "_ln",
+        # guard BOTH endpoints so ln(0) is never evaluated (NULL in
+        # Spark, domain error in DuckDB) and both engines sum the
+        # same finite terms; the _dead flag carries the S=0 step
+        F.when(
+            (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_at_risk")),
+            F.log(F.lit(1.0) - F.col("n_events") / F.col("n_at_risk")),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn("_dead", F.max((factor <= 0).cast("int")).over(w_cum))
+    return stepped.select(
+        "duration",
+        "n_at_risk",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.when(F.col("_dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(F.col("_ln").cast("decimal(30,15)"))
+                    .over(w_cum)
+                    .cast("double")
+                ),
+                6,
+            )
+        )
+        .alias("survival"),
+    )

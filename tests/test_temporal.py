@@ -428,3 +428,79 @@ def test_decayed_engagement_recency_ordering(spark):
     out = {r.user_id: r for r in decayed_engagement(df).collect()}
     assert out[1].raw_sum == out[2].raw_sum == 50.0
     assert out[1].decayed_score > out[2].decayed_score > 0
+
+
+class TestKaplanMeier:
+    def _km(self, spark, rows):
+        from gdelt_extractor_spark.operators.temporal import kaplan_meier
+
+        df = spark.createDataFrame(rows, "dur double, obs boolean")
+        return {
+            r.duration: (r.n_at_risk, r.n_events, r.n_censored, r.survival)
+            for r in kaplan_meier(df, "dur", "obs").collect()
+        }
+
+    def test_textbook_curve(self, spark):
+        out = self._km(
+            spark,
+            [(1.0, True), (2.0, False), (3.0, True), (4.0, True), (5.0, False)],
+        )
+        assert out[1.0] == (5, 1, 0, 0.8)
+        assert out[2.0] == (4, 0, 1, 0.8)           # censoring: no drop
+        assert out[3.0] == (3, 1, 0, round(0.8 * 2 / 3, 6))
+        assert out[4.0] == (2, 1, 0, round(0.8 * 2 / 3 * 0.5, 6))
+        assert out[5.0][3] == out[4.0][3]
+
+    def test_everyone_dies_hits_zero(self, spark):
+        out = self._km(spark, [(1.0, True), (1.0, True)])
+        assert out[1.0] == (2, 2, 0, 0.0)
+
+    def test_all_censored_stays_one(self, spark):
+        out = self._km(spark, [(1.0, False), (2.0, False)])
+        assert all(v[3] == 1.0 for v in out.values())
+
+    def test_matches_naive_reference(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [
+            (float(rng.randint(1, 12)), rng.random() < 0.6) for _ in range(200)
+        ]
+        # naive product-limit over sorted distinct durations
+        from collections import Counter
+
+        d_events = Counter(d for d, o in rows if o)
+        d_all = Counter(d for d, _ in rows)
+        n_at_risk, s, want = len(rows), 1.0, {}
+        for t in sorted(d_all):
+            d = d_events.get(t, 0)
+            if d:
+                s *= 1 - d / n_at_risk
+            want[t] = round(s, 6)
+            n_at_risk -= d_all[t]
+        got = self._km(spark, rows)
+        assert {t: v[3] for t, v in got.items()} == want
+
+
+class TestGini:
+    def _g(self, spark, vals):
+        from gdelt_extractor_spark.operators.profiling import gini
+
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "rid long, x double"
+        )
+        return gini(df, "x", "rid").collect()[0]
+
+    def test_equal_values_zero(self, spark):
+        assert self._g(spark, [5, 5, 5, 5]).gini == 0.0
+
+    def test_single_holder_max(self, spark):
+        r = self._g(spark, [0, 0, 0, 10])
+        assert r.gini == 0.75  # (n-1)/n for n=4
+
+    def test_known_arithmetic_case(self, spark):
+        # sorted 1,2,3,4: G = 2*30/(4*10) - 5/4 = 0.25
+        assert self._g(spark, [3, 1, 4, 2]).gini == 0.25
+
+    def test_null_gini_on_zero_mass(self, spark):
+        assert self._g(spark, [0.0, 0.0]).gini is None
