@@ -2178,6 +2178,34 @@ def _engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini(wealth, "wealth", "user_id")
 
 
+def _daily_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (temporal.cusum_changepoint) over
+    the daily event-count series — WHEN did traffic shift, exactly
+    one flagged row (earliest max-|S| bucket)."""
+    from gdelt_extractor_spark.operators.temporal import cusum_changepoint
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cusum_changepoint(daily, "day", "n")
+
+
+def _daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (temporal.autocorrelation) of the daily
+    event counts at lags 1..7 — the weekly-rhythm / white-noise
+    diagnostic."""
+    from gdelt_extractor_spark.operators.temporal import autocorrelation
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return autocorrelation(daily, "day", "n", max_lag=7)
+
+
 def _pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (decomposition.pca): embeddings projected onto
     the top-8 principal components, explained-variance ratio carried
@@ -2335,6 +2363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_values": _benford_values,
         "user_survival": _user_survival,
         "engagement_gini": _engagement_gini,
+        "daily_cusum": _daily_cusum,
+        "daily_acf": _daily_acf,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
@@ -5627,6 +5657,59 @@ def oracle_sql() -> dict[str, str]:
                       - CAST(15.59 AS DOUBLE), 4)
               END AS fk_grade
             FROM counted
+        """,
+        "daily_cusum": """
+            WITH series AS (
+              SELECT date_trunc('day', ts) AS bucket,
+                     CAST(COUNT(*) AS DOUBLE) AS value
+              FROM events GROUP BY 1),
+            m AS (SELECT CAST(SUM(CAST(value AS DECIMAL(30,15)))
+                    AS DOUBLE) / COUNT(*) AS mean FROM series),
+            c AS (
+              SELECT bucket, value,
+                     CAST(SUM(CAST(value - mean AS DECIMAL(30,15)))
+                       OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       AS cusum
+              FROM series CROSS JOIN m),
+            mx AS (SELECT MAX(ABS(cusum)) AS mxv FROM c),
+            pk AS (SELECT MIN(bucket) AS pkb FROM c CROSS JOIN mx
+                   WHERE ABS(cusum) = mxv)
+            SELECT bucket, value, round(cusum, 6) AS cusum,
+                   (bucket = pkb) AS is_changepoint
+            FROM c CROSS JOIN pk
+        """,
+        "daily_acf": """
+            WITH series AS (
+              SELECT date_trunc('day', ts) AS d,
+                     CAST(COUNT(*) AS DOUBLE) AS x
+              FROM events GROUP BY 1),
+            pos AS (SELECT x, row_number() OVER (ORDER BY d) AS p
+                    FROM series),
+            m AS (SELECT CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE)
+                    / COUNT(*) AS mean FROM pos),
+            c AS (SELECT p, x - mean AS dd FROM pos CROSS JOIN m),
+            den AS (
+              SELECT CAST(SUM(CAST(dd * dd AS DECIMAL(30,15)))
+                AS DOUBLE) AS dn FROM c),
+            lags AS (SELECT CAST(range AS BIGINT) AS lag
+                     FROM range(1, 8)),
+            num AS (
+              SELECT lag,
+                     CAST(SUM(CAST(a.dd * b.dd AS DECIMAL(30,15)))
+                       AS DOUBLE) AS nm,
+                     CAST(COUNT(*) AS BIGINT) AS n_pairs
+              FROM lags
+              JOIN c a ON true
+              JOIN c b ON b.p = a.p + lag
+              GROUP BY lag)
+            SELECT l.lag,
+                   CAST(COALESCE(num.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CASE WHEN dn > 0 THEN
+                     round(COALESCE(num.nm, CAST(0.0 AS DOUBLE)) / dn, 6)
+                   END AS acf
+            FROM lags l LEFT JOIN num ON l.lag = num.lag CROSS JOIN den
+            ORDER BY l.lag
         """,
         "user_survival": """
             WITH per_user AS (

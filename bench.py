@@ -238,6 +238,8 @@ HEADLINE = [
     "benford_values",
     "user_survival",
     "engagement_gini",
+    "daily_cusum",
+    "daily_acf",
 ]
 
 

@@ -74,7 +74,15 @@ from .similarity import (
 )
 from .sketches import approx_topk, hll_rollup, hll_sketch_table
 from .skew import salted_agg, salted_join
-from .temporal import asof_join, fill_gaps, kaplan_meier, range_join, scd2_apply
+from .temporal import (
+    asof_join,
+    autocorrelation,
+    cusum_changepoint,
+    fill_gaps,
+    kaplan_meier,
+    range_join,
+    scd2_apply,
+)
 from .textstats import (
     bpe_pair_counts,
     fingerprint,

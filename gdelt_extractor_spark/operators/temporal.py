@@ -604,3 +604,153 @@ def kaplan_meier(
         )
         .alias("survival"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM mean-shift detection over an ordered series (one row per
+    time bucket): cumulative sum of deviations from the series mean,
+
+        S_t = Σ_{t' ≤ t} (x_{t'} − x̄),
+
+    whose extremum marks the most likely change point (S drifts up
+    while the level sits above the overall mean and turns where the
+    regime flips).  The monitoring question behind it: WHEN did the
+    corpus/traffic change, not just whether (event_spikes) or by how
+    much (psi_drift).
+
+    Output: one row per bucket — (bucket, value, cusum, is_changepoint)
+    with exactly one row flagged true (max |S_t|; earliest bucket on
+    ties).  Cumulative and mean sums run through decimal(30,15);
+    windows order the AGGREGATED series frame (one row per bucket —
+    bounded, never the raw rows; callers pre-aggregate, as with
+    ``kaplan_meier``).
+    """
+    mean = df.agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_mean")
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = (
+        df.select(
+            F.col(bucket_col).alias("bucket"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .crossJoin(F.broadcast(mean))
+        .withColumn(
+            "cusum",
+            F.sum(
+                (F.col("value") - F.col("_mean")).cast("decimal(30,15)")
+            )
+            .over(w_cum)
+            .cast("double"),
+        )
+    )
+    # deterministic change point: min bucket among the max-|S| rows
+    mx = cusum.agg(F.max(F.abs(F.col("cusum"))).alias("_mx"))
+    pk = (
+        cusum.crossJoin(F.broadcast(mx))
+        .filter(F.abs(F.col("cusum")) == F.col("_mx"))
+        .agg(F.min("bucket").alias("_pk"))
+    )
+    return (
+        cusum.crossJoin(F.broadcast(pk))
+        .select(
+            "bucket",
+            "value",
+            F.round("cusum", 6).alias("cusum"),
+            (F.col("bucket") == F.col("_pk")).alias("is_changepoint"),
+        )
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of an ordered series at lags 1..max_lag
+    — the is-there-weekly-rhythm / is-it-white-noise diagnostic next
+    to ``cusum_changepoint`` (level shifts) and the per-key OLS trend
+    (drift):
+
+        r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    (the standard biased estimator — denominator over the FULL
+    series, so r_k is a proper correlation matrix coefficient).
+    Lag alignment is by consecutive ROW position of the bucket-sorted
+    series, not bucket arithmetic, so gaps behave like lifelines'
+    treatment: callers wanting calendar lags fill gaps first
+    (``fill_gaps``).
+
+    Output: one row per lag — (lag, n_pairs, acf rounded 6).  Series
+    frame is one row per bucket (bounded, pre-aggregated by the
+    caller); the lag joins are |series| × max_lag row-position
+    equi-joins.
+    """
+    if max_lag < 1:
+        raise ValueError("autocorrelation: max_lag must be >= 1")
+    w = Window.orderBy("bucket")
+    base = (
+        df.select(
+            F.col(bucket_col).alias("bucket"),
+            F.col(value_col).cast("double").alias("x"),
+        )
+        .withColumn("_pos", F.row_number().over(w))
+    )
+    mean = base.agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_mean")
+    )
+    centered = base.crossJoin(F.broadcast(mean)).select(
+        "_pos", (F.col("x") - F.col("_mean")).alias("d")
+    )
+    denom = centered.agg(
+        F.sum((F.col("d") * F.col("d")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("_den"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    lags = df.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    pairs = (
+        centered.crossJoin(F.broadcast(lags))
+        .withColumn("_tpos", F.col("_pos") + F.col("lag"))
+        .alias("a")
+        .join(
+            centered.select(
+                F.col("_pos").alias("_tpos"), F.col("d").alias("d2")
+            ).alias("b"),
+            "_tpos",
+        )
+    )
+    num = pairs.groupBy("lag").agg(
+        F.sum((F.col("d") * F.col("d2")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("_num"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return (
+        lags.join(num, "lag", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.when(
+                F.col("_den") > 0,
+                F.round(F.coalesce(F.col("_num"), F.lit(0.0)) / F.col("_den"), 6),
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

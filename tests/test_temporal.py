@@ -504,3 +504,70 @@ class TestGini:
 
     def test_null_gini_on_zero_mass(self, spark):
         assert self._g(spark, [0.0, 0.0]).gini is None
+
+
+class TestCusumChangepoint:
+    def _run(self, spark, vals):
+        from gdelt_extractor_spark.operators.temporal import cusum_changepoint
+
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "b long, v double"
+        )
+        return sorted(
+            cusum_changepoint(df, "b", "v").collect(), key=lambda r: r.bucket
+        )
+
+    def test_level_shift_found_at_boundary(self, spark):
+        out = self._run(spark, [1, 1, 1, 1, 5, 5, 5, 5])
+        # mean 3: cusum walks to -8 at the last low bucket, back to 0
+        assert [r.cusum for r in out] == [-2, -4, -6, -8, -6, -4, -2, 0]
+        flagged = [r.bucket for r in out if r.is_changepoint]
+        assert flagged == [3]
+
+    def test_exactly_one_flag_even_on_ties(self, spark):
+        out = self._run(spark, [2, 2, 2, 2])
+        assert [r.cusum for r in out] == [0, 0, 0, 0]
+        assert sum(r.is_changepoint for r in out) == 1
+        assert out[0].is_changepoint  # earliest bucket wins ties
+
+
+class TestAutocorrelation:
+    def _acf(self, spark, vals, max_lag):
+        from gdelt_extractor_spark.operators.temporal import autocorrelation
+
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "b long, v double"
+        )
+        return {
+            r.lag: (r.n_pairs, r.acf)
+            for r in autocorrelation(df, "b", "v", max_lag=max_lag).collect()
+        }
+
+    def test_alternating_series(self, spark):
+        n = 10
+        out = self._acf(spark, [1, -1] * (n // 2), 2)
+        assert out[1] == (n - 1, round(-(n - 1) / n, 6))
+        assert out[2] == (n - 2, round((n - 2) / n, 6))
+
+    def test_lags_beyond_series_are_zero(self, spark):
+        out = self._acf(spark, [1.0, 5.0, 2.0], 5)
+        assert out[4] == (0, 0.0) and out[5] == (0, 0.0)
+
+    def test_constant_series_null_acf(self, spark):
+        out = self._acf(spark, [3.0, 3.0, 3.0], 2)
+        assert all(v[1] is None for v in out.values())
+
+    def test_matches_naive_reference(self, spark):
+        import random
+
+        rng = random.Random(3)
+        vals = [rng.uniform(0, 10) for _ in range(40)]
+        mean = sum(vals) / len(vals)
+        d = [v - mean for v in vals]
+        den = sum(x * x for x in d)
+        got = self._acf(spark, vals, 3)
+        for k in (1, 2, 3):
+            want = round(
+                sum(d[i] * d[i + k] for i in range(len(d) - k)) / den, 6
+            )
+            assert abs(got[k][1] - want) < 2e-6, (k, got[k], want)
