@@ -49,6 +49,10 @@ def quantile_normalize(
     w = Window.partitionBy(group_col).orderBy(
         F.col(value_col).asc(), F.col(tiebreak_col).asc()
     )
+    # NULL values are dropped explicitly: Spark sorts NULLS FIRST
+    # ascending while DuckDB sorts NULLS LAST, so leaving them in
+    # would silently shift every bucket boundary between engines
+    df = df.filter(F.col(value_col).isNotNull())
     bucketed = df.select(
         F.col(tiebreak_col),
         F.col(group_col),
@@ -101,7 +105,9 @@ def target_encode(
     ``encoded`` (round 6).
     """
     t = F.col(target_col).cast("double")
-    base = df.withColumn("__y", t)
+    # rows with NULL target carry no signal and would skew the
+    # count-based denominators — excluded from stats AND output
+    base = df.filter(t.isNotNull()).withColumn("__y", t)
     stats = base.groupBy(cat_col).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col("__y").cast("decimal(30,15)")).alias("_s"),
