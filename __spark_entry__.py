@@ -2206,6 +2206,42 @@ def _daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorrelation(daily, "day", "n", max_lag=7)
 
 
+def _nearest_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial 1-NN join (geo.nearest_join): every customer (md5-
+    derived deterministic coordinates) assigned its nearest nation
+    anchor by haversine distance via the grid-cell candidate join.
+    cell_deg=120 makes the 3×3 neighborhood cover the globe, so the
+    grid path must reproduce the oracle's brute-force cross-join
+    answer exactly; finer-grid pruning equivalence is unit-tested."""
+    from gdelt_extractor_spark.operators.geo import nearest_join
+
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("aid"),
+        ((F.col("n_nationkey") * 7 % 150).cast("double") - 75 + 0.5).alias("lat"),
+        ((F.col("n_nationkey") * 37 % 360).cast("double") - 180 + 0.5).alias(
+            "lon"
+        ),
+    )
+
+    def _h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        ((_h("lat:") % 16000) / F.lit(100.0) - 80).alias("lat"),
+        ((_h("lon:") % 36000) / F.lit(100.0) - 180).alias("lon"),
+    )
+    return nearest_join(c, n, "pid", "aid", k=1, cell_deg=120.0)
+
+
 def _pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (decomposition.pca): embeddings projected onto
     the top-8 principal components, explained-variance ratio carried
@@ -2365,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engagement_gini": _engagement_gini,
         "daily_cusum": _daily_cusum,
         "daily_acf": _daily_acf,
+        "nearest_capital": _nearest_capital,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
@@ -5657,6 +5694,41 @@ def oracle_sql() -> dict[str, str]:
                       - CAST(15.59 AS DOUBLE), 4)
               END AS fk_grade
             FROM counted
+        """,
+        "nearest_capital": """
+            WITH anchors AS (
+              SELECT n_nationkey AS aid,
+                     CAST((n_nationkey * 7) % 150 AS DOUBLE) - 75 + 0.5
+                       AS alat,
+                     CAST((n_nationkey * 37) % 360 AS DOUBLE) - 180 + 0.5
+                       AS alon
+              FROM nation),
+            pts AS (
+              SELECT c_custkey AS pid,
+                     (CAST(('0x' || substring(md5('lat:' ||
+                        CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 16000) / CAST(100.0 AS DOUBLE) - 80 AS plat,
+                     (CAST(('0x' || substring(md5('lon:' ||
+                        CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 36000) / CAST(100.0 AS DOUBLE) - 180 AS plon
+              FROM customer),
+            cand AS (
+              SELECT pid, aid,
+                     2 * CAST(6371.0088 AS DOUBLE) * asin(sqrt(
+                       sin(radians(alat - plat) / 2)
+                         * sin(radians(alat - plat) / 2)
+                       + cos(radians(plat)) * cos(radians(alat))
+                         * sin(radians(alon - plon) / 2)
+                         * sin(radians(alon - plon) / 2))) AS dist
+              FROM pts CROSS JOIN anchors),
+            ranked AS (
+              SELECT pid, aid, dist,
+                     row_number() OVER (PARTITION BY pid
+                       ORDER BY dist ASC, aid ASC) AS rn
+              FROM cand)
+            SELECT pid, aid, CAST(rn AS BIGINT) AS rank,
+                   round(dist, 3) AS dist_km
+            FROM ranked WHERE rn <= 1
         """,
         "daily_cusum": """
             WITH series AS (

@@ -240,6 +240,7 @@ HEADLINE = [
     "engagement_gini",
     "daily_cusum",
     "daily_acf",
+    "nearest_capital",
 ]
 
 

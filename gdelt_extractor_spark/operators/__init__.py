@@ -38,7 +38,7 @@ from .dedup import (
     updated_index,
 )
 from .enrich import enrich_articles, enrich_articles_fetch
-from .geo import geo_project, grid_join
+from .geo import geo_project, grid_join, haversine_km, nearest_join
 from .affinity import association_rules
 from .decomposition import pca, pca_fit, pca_project
 from .graph import k_core, label_propagation, pagerank, triangle_count

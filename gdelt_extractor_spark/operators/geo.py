@@ -13,7 +13,7 @@ parquet scan, and WKT construction is codegen'd string concat.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -120,4 +120,127 @@ def grid_join(
             & (lon < F.col("lon_max"))
         )
         .drop("cell", "lat_min", "lat_max", "lon_min", "lon_max")
+    )
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (haversine, mean Earth radius
+    6371.0088 km) — pure codegen trig, no geometry lib."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(a))
+
+
+def nearest_join(
+    points: DataFrame,
+    anchors: DataFrame,
+    point_id: str,
+    anchor_id: str,
+    k: int = 1,
+    cell_deg: float = 5.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Spatial k-nearest-neighbor join: for every point, the ``k``
+    closest anchors by great-circle distance — store-assignment /
+    nearest-capital / sensor-attribution, the spatial sibling of
+    ``asof_join`` (nearest in time) and ``ann_bruteforce`` (nearest
+    in embedding space).
+
+    Scale shape: the grid-cell candidate trick (same family as
+    ``grid_join`` and the range-join bin trick) — anchors replicate
+    into their ``cell_deg``-sized cell plus the 8 surrounding cells
+    (longitude wraps at ±180°, latitude clamps at the poles), points
+    land in exactly one cell, candidates form by plain equi-join on
+    the cell key, haversine reranks, and a per-point window keeps the
+    top k (anchor id tie-break).  Never an all-pairs cross join.
+
+    EXACTNESS CONTRACT: a point only sees anchors within its 3×3 cell
+    neighborhood, so results equal the brute-force answer whenever
+    every point's true k-th neighbor lies within ``cell_deg`` degrees
+    — size ``cell_deg`` to anchor density (unit-tested equal to brute
+    force under that condition); points with NO anchor in the
+    neighborhood drop out rather than silently matching far anchors.
+    """
+    n_lon = max(1, int(360.0 / cell_deg))
+    n_lat = max(1, int(180.0 / cell_deg))
+
+    def cell_ix(lon: Column) -> Column:
+        return F.pmod(
+            F.floor((lon + 180.0) / cell_deg).cast("long"), F.lit(n_lon)
+        )
+
+    def cell_iy(lat: Column) -> Column:
+        return F.least(
+            F.greatest(
+                F.floor((lat + 90.0) / cell_deg).cast("long"), F.lit(0)
+            ),
+            F.lit(n_lat - 1),
+        )
+
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    a = anchors.select(
+        F.col(anchor_id).alias("_aid"),
+        F.col(lat_col).cast("double").alias("_alat"),
+        F.col(lon_col).cast("double").alias("_alon"),
+    )
+    a_cells = a.withColumn(
+        "_cell",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.least(
+                                F.greatest(
+                                    cell_iy(F.col("_alat")) + dy, F.lit(0)
+                                ),
+                                F.lit(n_lat - 1),
+                            ),
+                            F.pmod(
+                                cell_ix(F.col("_alon")) + dx, F.lit(n_lon)
+                            ),
+                        )
+                        for dy, dx in offs
+                    ]
+                )
+            )
+        ),
+    )
+    p = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col(lat_col).cast("double").alias("_plat"),
+        F.col(lon_col).cast("double").alias("_plon"),
+    ).withColumn(
+        "_cell",
+        F.concat_ws(
+            ":", cell_iy(F.col("_plat")), cell_ix(F.col("_plon"))
+        ),
+    )
+    cand = p.join(a_cells, "_cell").withColumn(
+        "_dist",
+        haversine_km(
+            F.col("_plat"), F.col("_plon"), F.col("_alat"), F.col("_alon")
+        ),
+    )
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("_dist").asc(), F.col("_aid").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_pid").alias(point_id),
+            F.col("_aid").alias(anchor_id),
+            F.col("_rn").cast("long").alias("rank"),
+            F.round("_dist", 3).alias("dist_km"),
+        )
     )

@@ -81,3 +81,89 @@ def test_no_python_eval_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan  # probe is pure JVM arithmetic
+
+
+class TestNearestJoin:
+    def _nj(self, spark, pts, anc, **kw):
+        from gdelt_extractor_spark.operators.geo import nearest_join
+
+        p = spark.createDataFrame(pts, "pid long, lat double, lon double")
+        a = spark.createDataFrame(anc, "aid string, lat double, lon double")
+        return nearest_join(p, a, "pid", "aid", **kw).collect()
+
+    def test_picks_closer_anchor_with_correct_distance(self, spark):
+        import math
+
+        out = self._nj(
+            spark,
+            [(1, 1.0, 1.0)],
+            [("near", 0.0, 0.0), ("far", 10.0, 10.0)],
+            cell_deg=90.0,
+        )
+        assert len(out) == 1 and out[0].aid == "near"
+        # manual haversine
+        r1, r2 = math.radians(1.0), math.radians(0.0)
+        a = (
+            math.sin(math.radians(-1.0) / 2) ** 2
+            + math.cos(r1) * math.cos(r2) * math.sin(math.radians(-1.0) / 2) ** 2
+        )
+        want = round(2 * 6371.0088 * math.asin(math.sqrt(a)), 3)
+        assert out[0].dist_km == want
+
+    def test_longitude_wraparound(self, spark):
+        out = self._nj(
+            spark,
+            [(1, 0.0, 179.5)],
+            [("wrapped", 0.0, -179.5), ("same_side", 0.0, 150.0)],
+            cell_deg=10.0,
+        )
+        assert out[0].aid == "wrapped"
+        assert out[0].dist_km < 120  # ~111 km across the antimeridian
+
+    def test_k2_ranks(self, spark):
+        out = self._nj(
+            spark,
+            [(1, 0.0, 0.0)],
+            [("a", 0.0, 1.0), ("b", 0.0, 2.0), ("c", 0.0, 50.0)],
+            k=2,
+            cell_deg=90.0,
+        )
+        got = {r.rank: r.aid for r in out}
+        assert got == {1: "a", 2: "b"}
+
+    def test_pruned_grid_matches_brute_force(self, spark):
+        import hashlib
+        import math
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        # anchor lattice every 10 degrees: true nearest is always
+        # within one 10-degree cell ring
+        anchors = [
+            (f"a{la}_{lo}", float(la), float(lo))
+            for la in range(-80, 90, 10)
+            for lo in range(-180, 180, 10)
+        ]
+        points = [
+            (i, h(f"la{i}") % 16000 / 100.0 - 80, h(f"lo{i}") % 36000 / 100.0 - 180)
+            for i in range(60)
+        ]
+
+        def hav(p, a):
+            dla = math.radians(a[1] - p[1]) / 2
+            dlo = math.radians(a[2] - p[2]) / 2
+            x = (
+                math.sin(dla) ** 2
+                + math.cos(math.radians(p[1]))
+                * math.cos(math.radians(a[1]))
+                * math.sin(dlo) ** 2
+            )
+            return 2 * 6371.0088 * math.asin(math.sqrt(x))
+
+        want = {
+            p[0]: min(anchors, key=lambda a: (hav(p, a), a[0]))[0]
+            for p in points
+        }
+        out = self._nj(spark, points, anchors, cell_deg=10.0)
+        assert {r.pid: r.aid for r in out} == want
