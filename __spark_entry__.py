@@ -2242,6 +2242,43 @@ def _nearest_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_join(c, n, "pid", "aid", k=1, cell_deg=120.0)
 
 
+def _release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-release gate as ONE oracle-gated unit: the
+    privacy audits (k-anonymity, l-diversity), data-forensics
+    (Benford MAD), concentration (Gini), and dependence (Cramér's V)
+    checks a release review actually reads, normalized into one
+    (check_name, metric, value) frame.  Every row reuses the exact
+    standalone entry — the oracle embeds those entries' SQL twins
+    verbatim as subqueries, so the composition can't drift from its
+    parts."""
+    def rows(df: DataFrame, name: str, metrics: list[str]) -> list[DataFrame]:
+        return [
+            df.select(
+                F.lit(name).alias("check_name"),
+                F.lit(m).alias("metric"),
+                F.col(m).cast("double").alias("value"),
+            )
+            for m in metrics
+        ]
+
+    parts = (
+        rows(_k_anonymity(spark, sf_dir), "k_anonymity",
+             ["min_group_size", "at_risk_frac"])
+        + rows(_l_diversity(spark, sf_dir), "l_diversity",
+               ["min_diversity", "at_risk_frac"])
+        + rows(
+            _benford_values(spark, sf_dir).filter(F.col("digit") == 1),
+            "benford", ["mad"],
+        )
+        + rows(_engagement_gini(spark, sf_dir), "gini", ["gini"])
+        + rows(_chi_square(spark, sf_dir), "chi_square", ["cramers_v"])
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (decomposition.pca): embeddings projected onto
     the top-8 principal components, explained-variance ratio carried
@@ -2402,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_cusum": _daily_cusum,
         "daily_acf": _daily_acf,
         "nearest_capital": _nearest_capital,
+        "release_audit": _release_audit,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
@@ -2754,7 +2792,7 @@ def oracle_sql() -> dict[str, str]:
             " || ' ' || CAST(CAST(round(" + lat + ", 6) AS DECIMAL(10,6)) AS VARCHAR) || ')'"
         )
 
-    return {
+    out = {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
               {_dsum('l_quantity')} AS sum_qty,
@@ -6036,3 +6074,33 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY 1 ORDER BY 1
         """,
     }
+
+    def _sub(name: str) -> str:
+        return "(" + out[name] + ")"
+
+    # composed release gate: embed the standalone twins verbatim so
+    # the composition cannot drift from its parts
+    out["release_audit"] = f"""
+        SELECT 'k_anonymity' AS check_name, 'min_group_size' AS metric,
+               CAST(min_group_size AS DOUBLE) AS value
+        FROM {_sub("k_anonymity")}
+        UNION ALL
+        SELECT 'k_anonymity', 'at_risk_frac', at_risk_frac
+        FROM {_sub("k_anonymity")}
+        UNION ALL
+        SELECT 'l_diversity', 'min_diversity',
+               CAST(min_diversity AS DOUBLE)
+        FROM {_sub("l_diversity")}
+        UNION ALL
+        SELECT 'l_diversity', 'at_risk_frac', at_risk_frac
+        FROM {_sub("l_diversity")}
+        UNION ALL
+        SELECT 'benford', 'mad', mad FROM {_sub("benford_values")}
+        WHERE digit = 1
+        UNION ALL
+        SELECT 'gini', 'gini', gini FROM {_sub("engagement_gini")}
+        UNION ALL
+        SELECT 'chi_square', 'cramers_v', cramers_v
+        FROM {_sub("chi_square")}
+    """
+    return out

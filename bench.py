@@ -241,6 +241,7 @@ HEADLINE = [
     "daily_cusum",
     "daily_acf",
     "nearest_capital",
+    "release_audit",
 ]
 
 

@@ -352,3 +352,55 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+_EXPORT_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def export_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Uniform export across the columnar/row formats Spark ships
+    natively — parquet and ORC (columnar, splittable, predicate-
+    pushdown targets) plus json-lines and csv (interchange with
+    non-Spark consumers).  One writer path so every format gets the
+    same partitioning and compression handling; downstream engines
+    read the ORC/parquet output with pushdown intact.
+
+    csv exports get headers and explicit escaping defaults (quote-
+    in-field data round-trips); json is JSON Lines (one object per
+    line — the ingest-friendly shape).  Complex columns (arrays,
+    structs) are rejected for csv loudly instead of Spark's opaque
+    AnalysisException path.
+    """
+    if fmt not in _EXPORT_FORMATS:
+        raise ValueError(
+            f"export_table: fmt must be one of {_EXPORT_FORMATS}, got {fmt!r}"
+        )
+    if fmt == "csv":
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            raise ValueError(
+                "export_table: csv cannot represent complex columns "
+                f"{complex_cols}; export as parquet/orc/json or flatten first"
+            )
+    w = df.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    if fmt == "csv":
+        w = w.option("header", "true").option("escape", '"')
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save(path)

@@ -187,3 +187,58 @@ def test_incremental_dedup_against_bucketed_index(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS seen_idx_b")
+
+
+class TestExportTable:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "a,b \"q\"", 1.5, "p1"), (2, "plain", 2.5, "p2")],
+            "id long, s string, v double, part string",
+        )
+
+    def test_roundtrip_all_formats(self, spark, tmp_path):
+        from gdelt_extractor_spark.sinks.files import export_table
+
+        df = self._df(spark)
+        want = sorted(map(tuple, df.collect()))
+        for fmt in ("parquet", "orc", "json", "csv"):
+            p = str(tmp_path / fmt)
+            export_table(df, p, fmt=fmt)
+            back = spark.read.format(fmt)
+            if fmt == "csv":
+                back = back.option("header", "true").option("escape", '"') \
+                    .schema(df.schema)
+            elif fmt == "json":
+                back = back.schema(df.schema)
+            got = sorted(map(tuple, back.load(p).collect()))
+            assert got == want, fmt
+
+    def test_partitioned_orc_prunes(self, spark, tmp_path):
+        from gdelt_extractor_spark.sinks.files import export_table
+
+        p = str(tmp_path / "part_orc")
+        export_table(self._df(spark), p, fmt="orc", partition_by=["part"])
+        import os
+
+        assert sorted(
+            d for d in os.listdir(p) if d.startswith("part=")
+        ) == ["part=p1", "part=p2"]
+        got = spark.read.orc(p).filter("part = 'p1'").collect()
+        assert len(got) == 1 and got[0].id == 1
+
+    def test_csv_rejects_complex_columns(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from gdelt_extractor_spark.sinks.files import export_table
+
+        df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>")
+        with _pytest.raises(ValueError, match="complex columns"):
+            export_table(df, str(tmp_path / "x"), fmt="csv")
+
+    def test_unknown_format_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from gdelt_extractor_spark.sinks.files import export_table
+
+        with _pytest.raises(ValueError, match="fmt must be"):
+            export_table(self._df(spark), str(tmp_path / "x"), fmt="avro")

@@ -721,3 +721,91 @@ def test_psi_drift_matches_numpy_reference(spark, old_vals, new_vals):
     occupied = {i for i in range(5) if co[i] or cn[i]}
     assert {r.bin for r in out} == occupied
     assert len({r.psi for r in out}) == 1
+
+
+GRAPH_EDGES = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(GRAPH_EDGES)
+@PROP
+def test_triangle_count_matches_naive(spark, pairs):
+    import itertools
+
+    from gdelt_extractor_spark.operators.graph import triangle_count
+
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs if a != b]
+    if not edges:
+        return
+    canon = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in canon for n in e})
+    tri = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (
+            tuple(sorted((x, y))) in canon
+            and tuple(sorted((y, z))) in canon
+            and tuple(sorted((x, z))) in canon
+        ):
+            for n in (x, y, z):
+                tri[n] += 1
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == tri
+
+
+SCORED = st.lists(
+    st.tuples(st.integers(0, 8), st.booleans()), min_size=2, max_size=60
+)
+
+
+@given(SCORED)
+@PROP
+def test_auc_matches_naive_pair_counting(spark, rows):
+    from gdelt_extractor_spark.operators.profiling import auc_score
+
+    data = [(float(s), l) for s, l in rows]
+    pos = [s for s, l in data if l]
+    neg = [s for s, l in data if not l]
+    df = spark.createDataFrame(data, "score double, label boolean")
+    got = auc_score(df, "score", "label").collect()[0]
+    if not pos or not neg:
+        assert got.auc is None
+        return
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    assert got.auc == round((wins + 0.5 * ties) / (len(pos) * len(neg)), 6)
+
+
+DURATIONS = st.lists(
+    st.tuples(st.integers(1, 9), st.booleans()), min_size=1, max_size=50
+)
+
+
+@given(DURATIONS)
+@PROP
+def test_kaplan_meier_matches_naive_product_limit(spark, rows):
+    from collections import Counter
+
+    from gdelt_extractor_spark.operators.temporal import kaplan_meier
+
+    data = [(float(d), o) for d, o in rows]
+    df = spark.createDataFrame(data, "dur double, obs boolean")
+    got = {
+        r.duration: r.survival for r in kaplan_meier(df, "dur", "obs").collect()
+    }
+    d_events = Counter(d for d, o in data if o)
+    d_all = Counter(d for d, _ in data)
+    n, s, want = len(data), 1.0, {}
+    dead = False
+    for t in sorted(d_all):
+        d = d_events.get(t, 0)
+        if d >= n and d > 0:
+            dead = True
+        elif d:
+            s *= 1 - d / n
+        want[t] = 0.0 if dead else round(s, 6)
+        n -= d_all[t]
+    assert got == want
