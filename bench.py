@@ -449,7 +449,11 @@ def main() -> None:
     # the most expensive per-query medians that fit the budget.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        # subset / ad-hoc runs must not clobber the committed full
+        # record (r6 accidentally committed an sf0.01 overwrite and
+        # later sf0.1 numbers read as phantom 2-8x regressions)
+        name = "BENCH_SUBSET.json" if subset else "BENCH_FULL.json"
+        with open(os.path.join(here, name), "w") as fh:
             json.dump(full, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the stdout line still carries the summary
