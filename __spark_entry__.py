@@ -1992,26 +1992,32 @@ def _trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(
-            F.broadcast(n.withColumnsRenamed({"n_nationkey": "ck", "n_name": "cn"})),
-            F.col("c_nationkey") == F.col("ck"),
-        )
+    # reduce BEFORE the fact-fact join: an order's customer nation is
+    # functional, so distinct (order, supplier-nation) rows joined to
+    # the per-order customer nation make the pair count a plain
+    # count(*) — no expand-based count_distinct over the raw join
+    li_sn = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(
             F.broadcast(n.withColumnsRenamed({"n_nationkey": "sk", "n_name": "sn"})),
             F.col("s_nationkey") == F.col("sk"),
         )
+        .select("l_orderkey", "sn")
+        .distinct()
+    )
+    ord_cn = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n.withColumnsRenamed({"n_nationkey": "ck", "n_name": "cn"})),
+        F.col("c_nationkey") == F.col("ck"),
+    ).select("o_orderkey", "cn")
+    pairs = (
+        li_sn.join(ord_cn, li_sn.l_orderkey == ord_cn.o_orderkey)
         .filter(F.col("cn") != F.col("sn"))
         .select(
             F.least("cn", "sn").alias("a"),
             F.greatest("cn", "sn").alias("b"),
-            "l_orderkey",
         )
         .groupBy("a", "b")
-        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     thr = pairs.agg(F.avg("n_orders").alias("_thr"))
     edges = pairs.crossJoin(F.broadcast(thr)).filter(F.col("n_orders") > F.col("_thr"))
