@@ -336,3 +336,37 @@ def run_sketch_maintenance(
             shutil.rmtree(backup)
 
     run_foreach_batch(stream, merge, checkpoint_dir)
+
+
+def session_window_counts(
+    df: DataFrame,
+    key_col: str,
+    time_col: str = "event_time",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key session aggregation via Spark's NATIVE
+    ``session_window`` (dynamic gap-closed windows) — the engine-
+    managed counterpart to the custom ``applyInPandasWithState``
+    sessionizer in streaming/sessions.py: state store, gap merging,
+    and watermark eviction all handled by the built-in operator, at
+    the cost of fixed semantics (gap timeout only, no custom
+    per-session logic).  Prefer this whenever plain
+    start/end/count-per-session is enough; reach for the custom
+    stateful operator only when the session carries bespoke state.
+
+    Output per closed session: (key, session_start, session_end,
+    n_events).  Watermark bounds state exactly as the windowed
+    rollups do.
+    """
+    return (
+        df.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

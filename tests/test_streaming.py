@@ -377,3 +377,39 @@ def test_run_sketch_maintenance_converges(spark, tmp_path):
         U.run_sketch_maintenance(
             stream, "s3://b/t", str(tmp_path / "c3"), ["etype"], "user_id"
         )
+
+
+def test_native_session_window_counts(spark, tmp_path):
+    """Spark's built-in session_window: events within the gap merge
+    into one session per key; a gap larger than the timeout splits
+    sessions; counts and bounds are exact."""
+    landing = tmp_path / "sess"
+    landing.mkdir()
+    (landing / "b1.csv").write_text(
+        # u1: 3 events inside one 30-min-gap session, then a 2h gap
+        # opens a second session; u2: one lone event
+        "u1,2024-01-01 10:00:00\n"
+        "u1,2024-01-01 10:10:00\n"
+        "u1,2024-01-01 10:25:00\n"
+        "u1,2024-01-01 13:00:00\n"
+        "u2,2024-01-01 09:00:00\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("user_id string, event_time timestamp")
+        .load(str(landing))
+    )
+    U.run_to_memory_sink(
+        U.session_window_counts(stream, "user_id", gap="30 minutes"),
+        "native_sessions",
+        output_mode="complete",
+    )
+    got = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in spark.sql("SELECT * FROM native_sessions").collect()
+    }
+    assert got == {
+        ("u1", "2024-01-01 10:00:00"): 3,
+        ("u1", "2024-01-01 13:00:00"): 1,
+        ("u2", "2024-01-01 09:00:00"): 1,
+    }
