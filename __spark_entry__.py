@@ -2147,10 +2147,13 @@ def _benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier churn curve (temporal.kaplan_meier): per-user
     lifetime = days between first and last event; a user whose last
-    event precedes the dataset horizon by > 7 days is an observed
-    churn, anyone still active is right-CENSORED — the distinction
-    naive retention curves miss.  Product runs as exp(Σ ln) with
-    decimal term sums, so the DuckDB window twin hash-matches."""
+    event precedes the dataset horizon by at least a day is an
+    observed churn, anyone active on the horizon day is
+    right-CENSORED — the distinction naive retention curves miss.
+    (The synthetic log is dense, so this cutoff keeps BOTH the event
+    and censoring paths exercised at every SF.)  Product runs as
+    exp(Σ ln) with decimal term sums, so the DuckDB window twin
+    hash-matches."""
     from gdelt_extractor_spark.operators.temporal import kaplan_meier
 
     e = load_table(spark, sf_dir, "events")
@@ -5899,7 +5902,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(ntile(20) OVER (PARTITION BY source
                        ORDER BY CAST(n_chars AS DOUBLE) ASC, doc_id ASC)
                        AS BIGINT) AS bucket
-              FROM documents),
+              FROM documents WHERE n_chars IS NOT NULL),
             gm AS (
               SELECT source, bucket,
                      CAST(SUM(CAST(n_chars AS DECIMAL(30,15))) AS DOUBLE)

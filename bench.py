@@ -449,10 +449,13 @@ def main() -> None:
     # the most expensive per-query medians that fit the budget.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        # subset / ad-hoc runs must not clobber the committed full
-        # record (r6 accidentally committed an sf0.01 overwrite and
-        # later sf0.1 numbers read as phantom 2-8x regressions)
-        name = "BENCH_SUBSET.json" if subset else "BENCH_FULL.json"
+        # subset / ad-hoc / non-record-SF runs must not clobber the
+        # committed full record (r6 accidentally committed an sf0.01
+        # overwrite and later sf0.1 numbers read as phantom 2-8x
+        # regressions): only the full suite at the driver's sf0.1
+        # writes BENCH_FULL.json
+        is_record_run = not subset and sf_dir.rstrip("/").endswith("sf0.1")
+        name = "BENCH_FULL.json" if is_record_run else "BENCH_SUBSET.json"
         with open(os.path.join(here, name), "w") as fh:
             json.dump(full, fh, indent=1)
     except OSError:

@@ -68,6 +68,20 @@ def _emit(df, args) -> None:
         df.show(args.limit, truncate=False)
 
 
+def _load_registry():
+    """Import the repo-root ``__spark_entry__`` module regardless of
+    the process cwd (``python -m`` from elsewhere would otherwise
+    miss it): the repo root is this package's parent directory."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import __spark_entry__ as entry_mod
+
+    return entry_mod
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     args = _parser().parse_args(argv)
     if spark is None:
@@ -76,7 +90,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         spark = get_spark("gdelt-extractor-cli")
 
     if args.cmd == "list":
-        import __spark_entry__ as entry_mod
+        entry_mod = _load_registry()
 
         oracles = set(entry_mod.oracle_sql())
         for name in entry_mod.queries():
@@ -84,7 +98,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return 0
 
     if args.cmd == "query":
-        import __spark_entry__ as entry_mod
+        entry_mod = _load_registry()
 
         registry = entry_mod.queries()
         if args.name not in registry:

@@ -58,15 +58,11 @@ def association_rules(
             pres.join(sizes.filter(F.col("_n") <= max_basket_items), "basket", "left_semi")
         )
 
-    n_baskets = pres.select("basket").distinct().count()
-    if n_baskets == 0:
-        return pres.sparkSession.createDataFrame(
-            [],
-            "antecedent string, consequent string, pair_baskets bigint, "
-            "antecedent_baskets bigint, consequent_baskets bigint, "
-            "support double, confidence double, reverse_confidence double, "
-            "lift double",
-        )
+    # basket total stays IN-PLAN (1-row broadcast) — no eager
+    # driver count, no extra scan of the distinct build
+    n_b = pres.agg(
+        F.count_distinct("basket").cast("double").alias("_nb")
+    )
 
     item_counts = pres.groupBy("item").agg(F.count(F.lit(1)).alias("item_baskets"))
 
@@ -86,17 +82,17 @@ def association_rules(
     c_counts = item_counts.withColumnsRenamed(
         {"item": "consequent", "item_baskets": "consequent_baskets"}
     )
-    n = float(n_baskets)
     return (
         pairs.join(a_counts, "antecedent")
         .join(c_counts, "consequent")
+        .crossJoin(F.broadcast(n_b))
         .select(
             "antecedent",
             "consequent",
             "pair_baskets",
             "antecedent_baskets",
             "consequent_baskets",
-            F.round(F.col("pair_baskets") / n, 6).alias("support"),
+            F.round(F.col("pair_baskets") / F.col("_nb"), 6).alias("support"),
             F.round(F.col("pair_baskets") / F.col("antecedent_baskets"), 6).alias(
                 "confidence"
             ),
@@ -104,7 +100,7 @@ def association_rules(
                 "reverse_confidence"
             ),
             F.round(
-                (F.col("pair_baskets") * n)
+                (F.col("pair_baskets") * F.col("_nb"))
                 / (
                     F.col("antecedent_baskets").cast("double")
                     * F.col("consequent_baskets")

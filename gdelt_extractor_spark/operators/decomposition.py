@@ -135,7 +135,8 @@ def pca_project(
     """Project rows onto the fitted components: (id, out_col) with
     out_col an array<double> of length p.  One Arrow pass, numpy
     matmul per batch; the (p×d + d) model broadcasts inside the UDF
-    closure."""
+    closure.  Rows with a NULL embedding are DROPPED (the fit never
+    saw them either) rather than crashing the Arrow batch."""
     comps = model.components
     mean = model.mean
 
@@ -146,7 +147,7 @@ def pca_project(
         x = np.vstack(col.to_numpy()) - mean
         return pd.Series(list(x @ comps.T))
 
-    return vectors.select(
+    return vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _proj(_as_double(vec_col)).alias(out_col)
     )
 

@@ -135,7 +135,10 @@ def haversine_km(
         F.sin(dlat) * F.sin(dlat)
         + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
     )
-    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(a))
+    # float rounding can push a to 1 + ~1e-16 for near-antipodal
+    # pairs; asin(sqrt(>1)) would be NaN — and NaN sorts LAST, so a
+    # true-but-antipodal nearest match would silently lose
+    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 def nearest_join(

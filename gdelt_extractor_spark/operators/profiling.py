@@ -278,15 +278,15 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     ny = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
     tot = joint.agg(F.sum("n_xy").alias("n"))
 
-    def _entropy(marg: DataFrame, cnt: str) -> Column:
+    def _entropy(cnt: str) -> Column:
         p = F.col(cnt) / F.col("n")
         return (
             F.sum((-p * F.log(p)).cast("decimal(30,15)"))
             .cast("double")
         )
 
-    hx = nx.crossJoin(F.broadcast(tot)).agg(_entropy(nx, "n_x").alias("h_x"))
-    hy = ny.crossJoin(F.broadcast(tot)).agg(_entropy(ny, "n_y").alias("h_y"))
+    hx = nx.crossJoin(F.broadcast(tot)).agg(_entropy("n_x").alias("h_x"))
+    hy = ny.crossJoin(F.broadcast(tot)).agg(_entropy("n_y").alias("h_y"))
 
     per = (
         joint.join(nx, "x")

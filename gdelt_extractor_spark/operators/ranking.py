@@ -153,7 +153,19 @@ def global_running_sum(
     sum plus the offset.  ``exclusive=True`` sums strictly-preceding
     rows only (0 for the global first row).  ``order_by`` must be a
     TOTAL order for per-row determinism.
+
+    ``weight_col`` must be an INTEGER column (counts/weights in every
+    engine use) — sums stay exact through decimal(38,0) and the
+    output is long; fractional weights are rejected loudly instead of
+    silently rounding through the decimal cast.  NULL weights count
+    as 0.
     """
+    wt = df.schema[weight_col].dataType.typeName()
+    if wt not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"global_running_sum: weight_col must be integral, got {wt} — "
+            "scale fractional weights to integer units first"
+        )
     cols = _order_cols(order_by)
     if num_partitions is not None:
         ranged = df.repartitionByRange(num_partitions, *cols)
@@ -163,13 +175,17 @@ def global_running_sum(
 
     totals = sorted(
         tagged.groupBy(_PID)
-        .agg(F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("t"))
+        .agg(
+            F.sum(
+                F.coalesce(F.col(weight_col), F.lit(0)).cast("decimal(38,0)")
+            ).alias("t")
+        )
         .collect()
     )
     offsets, running = [], 0
     for row in totals:
         offsets.append((row[_PID], int(running)))
-        running += int(row["t"])
+        running += int(row["t"] or 0)
 
     spark = df.sparkSession
     # offsets are exact Python ints; int64 bounds them in practice
@@ -189,7 +205,11 @@ def global_running_sum(
             out_col,
             (
                 F.coalesce(
-                    F.sum(F.col(weight_col).cast("decimal(38,0)")).over(w),
+                    F.sum(
+                        F.coalesce(F.col(weight_col), F.lit(0)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).over(w),
                     F.lit(0).cast("decimal(38,0)"),
                 )
                 + F.col(_OFF)

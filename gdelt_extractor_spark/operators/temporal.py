@@ -629,6 +629,9 @@ def cusum_changepoint(
     bounded, never the raw rows; callers pre-aggregate, as with
     ``kaplan_meier``).
     """
+    df = df.filter(
+        F.col(value_col).isNotNull() & F.col(bucket_col).isNotNull()
+    )
     mean = df.agg(
         (
             F.sum(F.col(value_col).cast("decimal(30,15)")).cast("double")
@@ -698,6 +701,9 @@ def autocorrelation(
     """
     if max_lag < 1:
         raise ValueError("autocorrelation: max_lag must be >= 1")
+    df = df.filter(
+        F.col(value_col).isNotNull() & F.col(bucket_col).isNotNull()
+    )
     w = Window.orderBy("bucket")
     base = (
         df.select(

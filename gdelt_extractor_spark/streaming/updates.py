@@ -242,6 +242,9 @@ def run_cdc_upsert(
             "run_cdc_upsert's rename swap is local-filesystem only; "
             "object stores need a manifest/table-format commit"
         )
+    if table_path.startswith("file://"):
+        # os.path/os.rename below never understand URIs
+        table_path = table_path[len("file://"):]
 
     def merge(batch: DataFrame, epoch: int) -> None:
         if not batch.take(1):
@@ -306,6 +309,9 @@ def run_sketch_maintenance(
             "run_sketch_maintenance's rename swap is local-filesystem only; "
             "object stores need a manifest/table-format commit"
         )
+    if table_path.startswith("file://"):
+        # os.path/os.rename below never understand URIs
+        table_path = table_path[len("file://"):]
 
     def merge(batch: DataFrame, epoch: int) -> None:
         if not batch.take(1):
