@@ -2288,6 +2288,19 @@ def _release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _pr_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve (profiling.pr_curve) for the same
+    length-predicts-src0 scorer auc_ranking grades — one PR point per
+    distinct threshold, integer-exact counts, descending-order
+    two-phase running sums."""
+    from gdelt_extractor_spark.operators.profiling import pr_curve
+
+    docs = _docs(spark, sf_dir).select(
+        "n_chars", (F.col("source") == "src0").alias("is_src0")
+    )
+    return pr_curve(docs, "n_chars", "is_src0")
+
+
 def _pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (decomposition.pca): embeddings projected onto
     the top-8 principal components, explained-variance ratio carried
@@ -2449,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_acf": _daily_acf,
         "nearest_capital": _nearest_capital,
         "release_audit": _release_audit,
+        "pr_points": _pr_points,
         # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
         "lookup_country_rollup": _lookup_country_rollup,
         "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
@@ -6002,6 +6016,42 @@ def oracle_sql() -> dict[str, str]:
                                / (n * (least(card_x, card_y) - 1))), 6)
                         ELSE 0.0 END AS cramers_v
             FROM s CROSS JOIN tot
+        """,
+        "pr_points": """
+            WITH g AS (
+              SELECT CAST(n_chars AS DOUBLE) AS score,
+                     CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_pos,
+                     CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
+                       AS BIGINT) AS n_neg
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1),
+            r AS (
+              SELECT score,
+                CAST(SUM(n_pos) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+                CAST(SUM(n_neg) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS fp
+              FROM g),
+            t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p FROM g),
+            u AS (
+              SELECT score, tp, fp, CAST(p - tp AS BIGINT) AS fn,
+                CASE WHEN tp + fp > 0
+                     THEN tp / CAST(tp + fp AS DOUBLE) END AS prec_,
+                CASE WHEN p > 0 THEN tp / CAST(p AS DOUBLE) END AS rec_,
+                p
+              FROM r CROSS JOIN t)
+            SELECT score, tp, fp, fn,
+                   round(prec_, 6) AS "precision",
+                   round(rec_, 6) AS recall,
+                   round(CASE WHEN tp > 0
+                              THEN 2.0 * prec_ * rec_ / (prec_ + rec_)
+                              WHEN p > 0 AND tp + fp > 0 THEN 0.0
+                         END, 6) AS f1
+            FROM u
         """,
         "auc_ranking": """
             WITH g AS (

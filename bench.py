@@ -242,6 +242,7 @@ HEADLINE = [
     "daily_acf",
     "nearest_capital",
     "release_audit",
+    "pr_points",
 ]
 
 

@@ -46,7 +46,15 @@ from .keywords import keyword_freq
 from .packing import chunk_documents, pack_sequences
 from .pii import k_anonymity, l_diversity, luhn_valid, redact_pii, scan_pii
 from .features import quantile_normalize, target_encode
-from .profiling import auc_score, benford_audit, chi_square, gini, mutual_information, profile_table
+from .profiling import (
+    auc_score,
+    benford_audit,
+    chi_square,
+    gini,
+    mutual_information,
+    pr_curve,
+    profile_table,
+)
 from .ranking import global_ntile, global_row_number, global_running_sum
 from .multimodal import (
     dedup_videos,

@@ -589,3 +589,66 @@ def gini(
             ),
         ).alias("gini"),
     )
+
+
+def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Precision-recall curve points — the threshold-picking companion
+    to ``auc_score`` (one number says WHETHER the scorer ranks well;
+    the curve says WHERE to cut): one row per DISTINCT score s,
+    scoring the classifier "predict positive iff score ≥ s":
+
+        tp(s) = positives with score ≥ s     fp(s) = negatives ≥ s
+        precision = tp/(tp+fp)   recall = tp/P   f1 = 2PR/(P+R)
+
+    Scale shape: the same reduction as auc_score — one groupBy to
+    per-distinct-score counts, then INCLUSIVE running sums under the
+    DESCENDING score order via ``ranking.global_running_sum`` (the
+    range partitioner handles descending order columns; still no
+    single-partition window).  All counts integer-exact; ratios
+    round to 6.
+
+    Output: (score, tp, fp, fn, precision, recall, f1) ordered by
+    descending score — recall is non-decreasing down the frame.
+    """
+    from .ranking import global_running_sum
+
+    lab = F.col(label_col).cast("boolean")
+    g = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).cast("double").alias("score"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("n_neg"),
+        )
+    )
+    with_fp = global_running_sum(
+        g,
+        [F.col("score").desc()],
+        ["n_pos", "n_neg"],
+        out_col=["tp", "fp"],
+    )
+    totals = g.agg(F.sum("n_pos").cast("long").alias("_p"))
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    )
+    rec = F.when(F.col("_p") > 0, F.col("tp") / F.col("_p"))
+    return (
+        with_fp.crossJoin(F.broadcast(totals))
+        .select(
+            "score",
+            "tp",
+            "fp",
+            (F.col("_p") - F.col("tp")).cast("long").alias("fn"),
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(
+                F.when(
+                    (F.col("tp") > 0),
+                    2.0 * prec * rec / (prec + rec),
+                ).when((F.col("_p") > 0) & ((F.col("tp") + F.col("fp")) > 0), F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy(F.col("score").desc())
+    )

@@ -138,8 +138,8 @@ def global_ntile(
 def global_running_sum(
     df: DataFrame,
     order_by: list[str | Column],
-    weight_col: str,
-    out_col: str = "running_sum",
+    weight_col: str | list[str],
+    out_col: str | list[str] = "running_sum",
     exclusive: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -154,18 +154,25 @@ def global_running_sum(
     rows only (0 for the global first row).  ``order_by`` must be a
     TOTAL order for per-row determinism.
 
-    ``weight_col`` must be an INTEGER column (counts/weights in every
+    ``weight_col`` must be INTEGER column(s) (counts/weights in every
     engine use) — sums stay exact through decimal(38,0) and the
     output is long; fractional weights are rejected loudly instead of
     silently rounding through the decimal cast.  NULL weights count
-    as 0.
+    as 0.  Pass LISTS of weight/out columns to compute several
+    cumulative sums in the SAME range shuffle + offset collect
+    (pr_curve needs tp and fp together — one pass, not two).
     """
-    wt = df.schema[weight_col].dataType.typeName()
-    if wt not in ("byte", "short", "integer", "long"):
-        raise ValueError(
-            f"global_running_sum: weight_col must be integral, got {wt} — "
-            "scale fractional weights to integer units first"
-        )
+    weights = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(weights) != len(outs):
+        raise ValueError("global_running_sum: len(weight_col) != len(out_col)")
+    for wc in weights:
+        wt = df.schema[wc].dataType.typeName()
+        if wt not in ("byte", "short", "integer", "long"):
+            raise ValueError(
+                f"global_running_sum: weight_col must be integral, got {wt} "
+                f"for {wc!r} — scale fractional weights to integer units first"
+            )
     cols = _order_cols(order_by)
     if num_partitions is not None:
         ranged = df.repartitionByRange(num_partitions, *cols)
@@ -176,22 +183,28 @@ def global_running_sum(
     totals = sorted(
         tagged.groupBy(_PID)
         .agg(
-            F.sum(
-                F.coalesce(F.col(weight_col), F.lit(0)).cast("decimal(38,0)")
-            ).alias("t")
+            *[
+                F.sum(
+                    F.coalesce(F.col(wc), F.lit(0)).cast("decimal(38,0)")
+                ).alias(f"t{i}")
+                for i, wc in enumerate(weights)
+            ]
         )
         .collect()
     )
-    offsets, running = [], 0
+    offsets, running = [], [0] * len(weights)
     for row in totals:
-        offsets.append((row[_PID], int(running)))
-        running += int(row["t"] or 0)
+        offsets.append((row[_PID], *[int(r) for r in running]))
+        for i in range(len(weights)):
+            running[i] += int(row[f"t{i}"] or 0)
 
     spark = df.sparkSession
     # offsets are exact Python ints; int64 bounds them in practice
     # (cumulative WEIGHT totals — counts in every engine use)
+    off_cols = ", ".join(f"{_OFF}{i} long" for i in range(len(weights)))
     off_df = spark.createDataFrame(
-        offsets or [(0, 0)], schema=f"{_PID} int, {_OFF} long"
+        offsets or [tuple([0] + [0] * len(weights))],
+        schema=f"{_PID} int, {off_cols}",
     )
     hi = -1 if exclusive else Window.currentRow
     w = (
@@ -199,21 +212,18 @@ def global_running_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, hi)
     )
-    return (
-        tagged.join(F.broadcast(off_df), _PID)
-        .withColumn(
-            out_col,
+    out = tagged.join(F.broadcast(off_df), _PID)
+    for i, (wc, oc) in enumerate(zip(weights, outs)):
+        out = out.withColumn(
+            oc,
             (
                 F.coalesce(
                     F.sum(
-                        F.coalesce(F.col(weight_col), F.lit(0)).cast(
-                            "decimal(38,0)"
-                        )
+                        F.coalesce(F.col(wc), F.lit(0)).cast("decimal(38,0)")
                     ).over(w),
                     F.lit(0).cast("decimal(38,0)"),
                 )
-                + F.col(_OFF)
+                + F.col(f"{_OFF}{i}")
             ).cast("long"),
         )
-        .drop(_PID, _OFF)
-    )
+    return out.drop(_PID, *[f"{_OFF}{i}" for i in range(len(weights))])

@@ -354,3 +354,37 @@ class TestBenfordAudit:
         )
         out = {r.digit: r.n for r in benford_audit(df, "v").collect()}
         assert out[1] == 1 and out[2] == 1 and sum(out.values()) == 2
+
+
+class TestPrCurve:
+    def _pr(self, spark, rows):
+        from gdelt_extractor_spark.operators.profiling import pr_curve
+
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        return {
+            r.score: (r.tp, r.fp, r.fn, r.precision, r.recall, r.f1)
+            for r in pr_curve(df, "score", "label").collect()
+        }
+
+    def test_hand_computed_points(self, spark):
+        out = self._pr(
+            spark,
+            [(0.9, True), (0.8, False), (0.7, True), (0.6, False)],
+        )
+        # threshold 0.9: tp=1 fp=0 → P=1, R=0.5
+        assert out[0.9] == (1, 0, 1, 1.0, 0.5, round(2 / 3, 6))
+        # threshold 0.7: tp=2 fp=1 → P=2/3, R=1
+        assert out[0.7] == (2, 1, 0, round(2 / 3, 6), 1.0, 0.8)
+        # threshold 0.6: everything positive
+        assert out[0.6] == (2, 2, 0, 0.5, 1.0, round(2 * 0.5 / 1.5, 6))
+
+    def test_recall_monotone_and_ties_merge(self, spark):
+        rows = [(1.0, True), (1.0, False), (0.5, True)]
+        out = self._pr(spark, rows)
+        assert set(out) == {1.0, 0.5}  # one point per DISTINCT score
+        assert out[1.0][0] == 1 and out[0.5][0] == 2
+        assert out[1.0][4] <= out[0.5][4]  # recall non-decreasing
+
+    def test_no_positives_gives_null_recall_f1(self, spark):
+        out = self._pr(spark, [(1.0, False), (0.5, False)])
+        assert all(v[4] is None and v[5] is None for v in out.values())
