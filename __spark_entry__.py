@@ -2348,64 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     committed output (CORRECTNESS_FULL_LOCAL.json) covers the full
     registry every round."""
     return {
-        # --- never driver-verified before round 6 (rotation head) ---
-        "mention_stats": _mention_stats,
-        "gkg_theme_daily": _gkg_theme_daily,
-        "actor_dyads": _actor_dyads,
-        "jsonl_corpus_stats": _jsonl_corpus_stats,
-        "gdelt_v1_daily": _gdelt_v1_daily,
-        "gdelt_clean": _gdelt_clean,
-        "geo_grid_join": _geo_grid_join,
-        "scd2_customers": _scd2_customers,
-        "profile_orders": _profile_orders,
-        "event_transitions": Q.event_transitions,
-        "event_trends": Q.event_trends,
-        "session_paths": Q.session_paths,
-        "bpe_pairs": _bpe_pairs,
-        "corpus_report": _corpus_report,
-        "dedup_pipeline": _dedup_pipeline,
-        "curation_pipeline": _curation_pipeline,
-        "dedup_containment": _dedup_containment,
-        "cluster_stats": _cluster_stats,
-        "dup_spans": _dup_spans,
-        "span_dup_stats": _span_dup_stats,
-        "cut_spans": _cut_spans,
-        "heavy_hitters": _heavy_hitters,
-        "weighted_sample": _weighted_sample,
-        "doc_chunks": _doc_chunks,
-        "url_filter": _url_filter,
-        "quantize_embeddings": _quantize_embeddings,
-        "source_quality_filter": _source_quality_filter,
-        # (rows-only dedup_incremental_minhash swapped to the backlog
-        # so every windowed slot is oracle-gated this round)
-        "strip_markup": _strip_markup,
-        "ngram_repetition": _ngram_repetition,
-        "source_overlap": _source_overlap,
-        "vocab_divergence": _vocab_divergence,
-        "dedup_incremental": _dedup_incremental,
-        "fuzzy_join": _fuzzy_join,
-        "shard_manifest": _shard_manifest,
-        "lm_score": _lm_score,
-        "dedup_lines": _dedup_lines,
-        # --- new in round 6 (oracle-gated) ---
-        "cdc_apply": _cdc_apply,
-        "bm25_search": _bm25_search,
-        "corpus_diff": _corpus_diff,
-        "k_anonymity": _k_anonymity,
-        "length_buckets": _length_buckets,
-        "mixture_weights": _mixture_weights,
-        "vocab_coverage": _vocab_coverage,
-        "semantic_decontam": _semantic_decontam,
-        "schema_drift": _schema_drift,
-        "retrieval_eval": _retrieval_eval,
-        "incremental_stats": _incremental_stats,
-        "equidepth_histogram": _equidepth_histogram,
-        "cluster_split": _cluster_split,
-        "curriculum_mixture": _curriculum_mixture,
-        # --- beyond the 50-slot window: rotation backlog (graded in
-        # a later round; rows-only ops displaced from the window
-        # record only "no_oracle" driver-side and are property-tested
-        # locally) ---
+        # --- never driver-verified: rotation head for round 7 ---
         "bloom_filter_join": _bloom_filter_join,
         "pmi_collocations": _pmi_collocations,
         "dsir_weights": _dsir_weights,
@@ -2431,28 +2374,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_audit": _expectations_audit,
         "zipf_fit": _zipf_fit,
         "unicode_normalize": _unicode_normalize,
-        "dedup_incremental_minhash": _dedup_incremental_minhash,
-        "cluster_embeddings": _cluster_embeddings,
-        "cluster_prune": _cluster_prune,
-        "actor_communities": _actor_communities,
-        "bpe_subwords": _bpe_subwords,
-        "actor_pagerank": _actor_pagerank,
-        "hashed_embeddings": _hashed_embeddings,
-        "contrastive_triplets": _contrastive_triplets,
-        "compression_stats": _compression_stats,
-        "ann_pq_topk": _ann_pq_topk,
-        "lookup_rollup": _lookup_rollup,
         "trade_triangles": _trade_triangles,
         "basket_rules": _basket_rules,
         "mutual_info": _mutual_info,
         "readability_scores": _readability,
         "channel_attribution": Q.channel_attribution,
-        "pca_embeddings": _pca_embeddings,
-        "sketch_rollup": _sketch_rollup,
         "auc_ranking": _auc_ranking,
         "l_diversity": _l_diversity,
         "chi_square": _chi_square,
-        "actor_cores": _actor_cores,
         "quantile_norm": _quantile_norm,
         "target_encoding": _target_encoding,
         "benford_values": _benford_values,
@@ -2463,90 +2392,159 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_capital": _nearest_capital,
         "release_audit": _release_audit,
         "pr_points": _pr_points,
-        # --- driver-verified r4/r5 (on record; re-graded on rotation) ---
-        "lookup_country_rollup": _lookup_country_rollup,
-        "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,
-        "quad_class_rollup": _quad_class_rollup,
-        "goldstein_daily": _goldstein_daily,
-        "geo_project": _geo_project,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "q1_pricing_summary": Q.q1_pricing_summary,
-        "q3_top_unshipped": Q.q3_top_unshipped,
-        "q5_region_volume": Q.q5_region_volume,
-        "topk_per_group": Q.topk_per_group,
-        "events_hourly": Q.events_hourly,
-        "sessionize": Q.sessionize,
-        "pivot_event_values": Q.pivot_event_values,
-        "anti_join_inactive": Q.anti_join_inactive,
-        "rollup_daily": Q.rollup_daily,
-        "value_quantiles": Q.value_quantiles,
-        "clip_outliers": Q.clip_outliers,
-        "robust_scale": Q.robust_scale,
-        "biggest_moves": Q.biggest_moves,
-        "value_histogram": Q.value_histogram,
+        # --- new in round 7 (oracle-gated; fills the 50-slot window) ---
+        # (inserted below as built this round)
+        # --- oracle-gated, driver-verified r3-r6; oldest verification
+        # first so re-grading keeps the cumulative record fresh ---
+        "decontaminate": _decontaminate,  # r3
+        "sample_split": _sample_split,  # r3
+        "corpus_stats": _corpus_stats,  # r3
+        "stratified_sample": _stratified_sample,  # r3
+        "repetition_stats": _repetition_stats,  # r3
+        "remove_boilerplate": _remove_boilerplate,  # r3
+        "tfidf_top_terms": _tfidf_top_terms,  # r3
+        "top_bigrams": _top_bigrams,  # r3
+        "lookup_rollup": _lookup_rollup,  # r4
+        "lookup_country_rollup": _lookup_country_rollup,  # r4
+        "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,  # r4
+        "quad_class_rollup": _quad_class_rollup,  # r4
+        "goldstein_daily": _goldstein_daily,  # r4
+        "geo_project": _geo_project,  # r4
+        "dedup_exact": _dedup_exact,  # r4
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,  # r4
+        "dedup_apply": _dedup_apply,  # r4
+        "dedup_embedding": _dedup_embedding,  # r4
+        "dup_clusters": _dup_clusters,  # r4
+        "pii_scan": _pii_scan,  # r4
+        "pack_sequences": _pack_sequences,  # r4
+        "mix_sources": _mix_sources,  # r4
+        "ann_topk": _ann_topk,  # r4
+        "lang_id": _lang_id,  # r4
+        "lang_confusion": _lang_confusion,  # r4
+        "quality_score": _quality_score,  # r4
+        "gopher_rules": _gopher_rules,  # r4
+        "token_stats": _token_stats,  # r4
+        "fingerprint": _fingerprint,  # r4
+        "q1_pricing_summary": Q.q1_pricing_summary,  # r5
+        "q3_top_unshipped": Q.q3_top_unshipped,  # r5
+        "q5_region_volume": Q.q5_region_volume,  # r5
+        "topk_per_group": Q.topk_per_group,  # r5
+        "events_hourly": Q.events_hourly,  # r5
+        "sessionize": Q.sessionize,  # r5
+        "pivot_event_values": Q.pivot_event_values,  # r5
+        "anti_join_inactive": Q.anti_join_inactive,  # r5
+        "rollup_daily": Q.rollup_daily,  # r5
+        "value_quantiles": Q.value_quantiles,  # r5
+        "clip_outliers": Q.clip_outliers,  # r5
+        "robust_scale": Q.robust_scale,  # r5
+        "biggest_moves": Q.biggest_moves,  # r5
+        "value_histogram": Q.value_histogram,  # r5
+        "asof_last_click": Q.asof_last_click,  # r5
+        "q17_small_qty_revenue": Q.q17_small_qty_revenue,  # r5
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,  # r5
+        "q7_nation_trade": Q.q7_nation_trade,  # r5
+        "q10_returned_items": Q.q10_returned_items,  # r5
+        "q13_order_counts": Q.q13_order_count_distribution,  # r5
+        "q18_large_orders": Q.q18_large_orders,  # r5
+        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,  # r5
+        "q21_last_shipper": Q.q21_last_shipper,  # r5
+        "q22_idle_balance": Q.q22_idle_balance,  # r5
+        "q6_forecast_revenue": Q.q6_forecast_revenue,  # r5
+        "q9_product_profit": Q.q9_product_profit,  # r5
+        "q11_important_stock": Q.q11_important_stock,  # r5
+        "q12_priority_by_class": Q.q12_priority_by_class,  # r5
+        "q14_promo_revenue": Q.q14_promo_revenue,  # r5
+        "q15_top_supplier": Q.q15_top_supplier,  # r5
+        "q16_supplier_count": Q.q16_supplier_count,  # r5
+        "q20_excess_stock": Q.q20_excess_stock,  # r5
+        "event_spikes": Q.event_spikes,  # r5
+        "events_gap_fill": Q.events_gap_fill,  # r5
+        "event_funnel": Q.event_funnel,  # r5
+        "user_retention": Q.user_retention,  # r5
+        "q8_market_share": Q.q8_market_share,  # r5
+        "window_running": Q.window_running,  # r5
+        "range_count_clicks_after_error": Q.range_count_clicks_after_error,  # r5
+        "user_set_ops": Q.user_set_ops,  # r5
+        "props_json_extract": Q.props_json_extract,  # r5
+        "user_top_event": Q.user_top_event,  # r5
+        "cube_volume": Q.cube_volume,  # r5
+        "q4_priority_exists": Q.q4_priority_exists,  # r5
+        "order_price_ranks": Q.order_price_ranks,  # r5
+        "dedup_first_by_key": _dedup_first_by_key,  # r5
+        "enrich_articles": _enrich_articles,  # r5
+        "keyword_freq": _keyword_freq,  # r5
+        "mention_stats": _mention_stats,  # r6
+        "gkg_theme_daily": _gkg_theme_daily,  # r6
+        "actor_dyads": _actor_dyads,  # r6
+        "jsonl_corpus_stats": _jsonl_corpus_stats,  # r6
+        "gdelt_v1_daily": _gdelt_v1_daily,  # r6
+        "gdelt_clean": _gdelt_clean,  # r6
+        "geo_grid_join": _geo_grid_join,  # r6
+        "scd2_customers": _scd2_customers,  # r6
+        "profile_orders": _profile_orders,  # r6
+        "event_transitions": Q.event_transitions,  # r6
+        "event_trends": Q.event_trends,  # r6
+        "session_paths": Q.session_paths,  # r6
+        "bpe_pairs": _bpe_pairs,  # r6
+        "corpus_report": _corpus_report,  # r6
+        "dedup_pipeline": _dedup_pipeline,  # r6
+        "curation_pipeline": _curation_pipeline,  # r6
+        "dedup_containment": _dedup_containment,  # r6
+        "cluster_stats": _cluster_stats,  # r6
+        "dup_spans": _dup_spans,  # r6
+        "span_dup_stats": _span_dup_stats,  # r6
+        "cut_spans": _cut_spans,  # r6
+        "heavy_hitters": _heavy_hitters,  # r6
+        "weighted_sample": _weighted_sample,  # r6
+        "doc_chunks": _doc_chunks,  # r6
+        "url_filter": _url_filter,  # r6
+        "quantize_embeddings": _quantize_embeddings,  # r6
+        "source_quality_filter": _source_quality_filter,  # r6
+        "strip_markup": _strip_markup,  # r6
+        "ngram_repetition": _ngram_repetition,  # r6
+        "source_overlap": _source_overlap,  # r6
+        "vocab_divergence": _vocab_divergence,  # r6
+        "dedup_incremental": _dedup_incremental,  # r6
+        "fuzzy_join": _fuzzy_join,  # r6
+        "shard_manifest": _shard_manifest,  # r6
+        "lm_score": _lm_score,  # r6
+        "dedup_lines": _dedup_lines,  # r6
+        "cdc_apply": _cdc_apply,  # r6
+        "bm25_search": _bm25_search,  # r6
+        "corpus_diff": _corpus_diff,  # r6
+        "k_anonymity": _k_anonymity,  # r6
+        "length_buckets": _length_buckets,  # r6
+        "mixture_weights": _mixture_weights,  # r6
+        "vocab_coverage": _vocab_coverage,  # r6
+        "semantic_decontam": _semantic_decontam,  # r6
+        "schema_drift": _schema_drift,  # r6
+        "retrieval_eval": _retrieval_eval,  # r6
+        "incremental_stats": _incremental_stats,  # r6
+        "equidepth_histogram": _equidepth_histogram,  # r6
+        "cluster_split": _cluster_split,  # r6
+        "curriculum_mixture": _curriculum_mixture,  # r6
+        # --- rows-only (driver records no_oracle; property-tested
+        # against exact baselines locally) ---
+        "dedup_incremental_minhash": _dedup_incremental_minhash,
+        "cluster_embeddings": _cluster_embeddings,
+        "cluster_prune": _cluster_prune,
+        "actor_communities": _actor_communities,
+        "bpe_subwords": _bpe_subwords,
+        "actor_pagerank": _actor_pagerank,
+        "hashed_embeddings": _hashed_embeddings,
+        "contrastive_triplets": _contrastive_triplets,
+        "compression_stats": _compression_stats,
+        "ann_pq_topk": _ann_pq_topk,
+        "pca_embeddings": _pca_embeddings,
+        "sketch_rollup": _sketch_rollup,
+        "actor_cores": _actor_cores,
         "approx_quantiles": Q.approx_value_quantiles,
-        "asof_last_click": Q.asof_last_click,
-        "q17_small_qty_revenue": Q.q17_small_qty_revenue,
-        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
-        "q7_nation_trade": Q.q7_nation_trade,
-        "q10_returned_items": Q.q10_returned_items,
-        "q13_order_counts": Q.q13_order_count_distribution,
-        "q18_large_orders": Q.q18_large_orders,
-        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
-        "q21_last_shipper": Q.q21_last_shipper,
-        "q22_idle_balance": Q.q22_idle_balance,
-        "q6_forecast_revenue": Q.q6_forecast_revenue,
-        "q9_product_profit": Q.q9_product_profit,
-        "q11_important_stock": Q.q11_important_stock,
-        "q12_priority_by_class": Q.q12_priority_by_class,
-        "q14_promo_revenue": Q.q14_promo_revenue,
-        "q15_top_supplier": Q.q15_top_supplier,
-        "q16_supplier_count": Q.q16_supplier_count,
-        "q20_excess_stock": Q.q20_excess_stock,
-        "event_spikes": Q.event_spikes,
-        "events_gap_fill": Q.events_gap_fill,
-        "event_funnel": Q.event_funnel,
-        "user_retention": Q.user_retention,
-        "q8_market_share": Q.q8_market_share,
-        "window_running": Q.window_running,
-        "range_count_clicks_after_error": Q.range_count_clicks_after_error,
-        "user_set_ops": Q.user_set_ops,
         "approx_distinct_users": Q.approx_distinct_users,
-        "props_json_extract": Q.props_json_extract,
-        "user_top_event": Q.user_top_event,
-        "cube_volume": Q.cube_volume,
-        "q4_priority_exists": Q.q4_priority_exists,
-        "order_price_ranks": Q.order_price_ranks,
-        "dedup_first_by_key": _dedup_first_by_key,
-        "enrich_articles": _enrich_articles,
-        "keyword_freq": _keyword_freq,
-        "dedup_apply": _dedup_apply,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
-        "dedup_embedding": _dedup_embedding,
         "dedup_semantic": _dedup_semantic,
-        "dup_clusters": _dup_clusters,
-        "pii_scan": _pii_scan,
-        "pack_sequences": _pack_sequences,
-        "mix_sources": _mix_sources,
-        "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
-        "lang_id": _lang_id,
-        "lang_confusion": _lang_confusion,
-        "quality_score": _quality_score,
-        "gopher_rules": _gopher_rules,
-        "token_stats": _token_stats,
-        "fingerprint": _fingerprint,
-        "decontaminate": _decontaminate,
-        "sample_split": _sample_split,
-        "corpus_stats": _corpus_stats,
-        "stratified_sample": _stratified_sample,
-        "repetition_stats": _repetition_stats,
-        "remove_boilerplate": _remove_boilerplate,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "top_bigrams": _top_bigrams,
     }
 
 
