@@ -13,9 +13,11 @@ Scale posture (100 TB):
   shuffle.
 - ``dedup_ngram_jaccard`` is the exact baseline: its shuffle key is
   the shingle, and the pair-join is restricted to docs sharing a
-  shingle — never a cartesian product.  Still O(pairs-sharing-a-
-  shingle); at 100 TB use ``dedup_minhash_lsh`` whose candidate set
-  is bounded by LSH bands.
+  shingle — never a cartesian product.  The hot-shingle DF cap is ON
+  by default (uncapped is O(k²) per shingle shared by k docs — opt
+  in via ``max_shingle_df=None`` only on bounded corpora); at 100 TB
+  use ``dedup_minhash_lsh`` whose candidate set is bounded by LSH
+  bands.
 - ``dedup_minhash_lsh``: signatures computed per-row JVM-side (no
   shuffle), candidates from a (band_id, band_hash) equi-join, then
   exact-Jaccard verification only on candidates.
@@ -188,7 +190,7 @@ def dedup_ngram_jaccard(
     id_col: str,
     n: int = 3,
     threshold: float = 0.6,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Pairs (id_a < id_b) whose n-gram shingle-set Jaccard ≥ threshold.
 
@@ -205,8 +207,11 @@ def dedup_ngram_jaccard(
     only if ALL of its shared shingles are hot — at threshold ≥ 0.5 a
     near-dup pair shares most of its shingles, so any cap ≫ the
     near-dup cluster size preserves the result (property-tested in
-    tests/test_properties.py).  Default None = the uncapped exact
-    baseline (the CORRECTNESS oracle twin).
+    tests/test_properties.py).  The cap is the DEFAULT (a hot
+    shingle on an uncapped web corpus makes the self-join quadratic
+    — a scale-killer an API default must not hand out);
+    ``max_shingle_df=None`` opts into the uncapped exact baseline
+    for oracle/audit work on bounded corpora.
     """
     if max_shingle_df is None:
         rows = _shingle_rows(df, text_col, id_col, n).persist()
@@ -912,24 +917,54 @@ def dedup_embedding(
     )
 
 
-def _span_window_rows(base: DataFrame, k: int, with_pos: bool = False) -> DataFrame:
-    """(doc_id, [pos,] span) — one row per k-token window, built by
-    exploding the window positions and projecting the span AFTER the
-    explode (the shingle_hash_rows discipline: transform lambdas run
-    on the interpreted expression walker, post-explode slice/concat
-    projections stay in whole-stage codegen).  ``base`` carries
-    (doc_id, _t); docs with fewer than ``k`` tokens emit no rows —
-    identical to the former empty-array explode."""
+def _span_window_rows(
+    base: DataFrame,
+    k: int,
+    with_pos: bool = False,
+    hashed: bool = False,
+    with_text: bool = False,
+) -> DataFrame:
+    """(doc_id, [pos,] span[, span_text]) — one row per k-token
+    window, built by exploding the window positions and projecting
+    the span AFTER the explode (the shingle_hash_rows discipline:
+    transform lambdas run on the interpreted expression walker,
+    post-explode slice/concat projections stay in whole-stage
+    codegen).  ``base`` carries (doc_id, _t); docs with fewer than
+    ``k`` tokens emit no rows — identical to the former empty-array
+    explode.
+
+    ``hashed=True`` emits ``span`` as the multi-arg xxhash64 of the
+    k window tokens (one 8-byte long instead of a ~k·avg-token-width
+    string) — the scale key: downstream groupBy/join shuffles sort
+    fixed-width longs, ~9× smaller sort keys on 12-token English
+    spans, and no concat string is ever built.  Windows are always
+    FULL here (the ``_n >= k`` filter), so the NULL-skip tail
+    semantics of multi-arg xxhash64 never engage and distinct token
+    windows map to distinct hash inputs (argument boundaries are
+    seed-chained, so ("ab","c") and ("a","bc") differ).
+    ``with_text`` additionally carries the concat string as
+    ``span_text`` for callers that must REPORT the span (hash
+    grouping with a min(span_text) carry — the string rides as an
+    aggregation buffer, partial-aggregated map-side, never a sort
+    key)."""
     staged = base.withColumn("_n", F.size("_t")).filter(F.col("_n") >= k)
-    span = F.concat_ws(" ", F.slice("_t", (F.col("pos") + 1).cast("int"), k))
     rows = staged.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), (F.col("_n") - k).cast("int"))).alias("pos"),
         "_t",
     )
-    if with_pos:
-        return rows.select("doc_id", "pos", span.alias("span"))
-    return rows.select("doc_id", span.alias("span"))
+    span_str = F.concat_ws(" ", F.slice("_t", (F.col("pos") + 1).cast("int"), k))
+    cols: list = ["doc_id"] + (["pos"] if with_pos else [])
+    if hashed:
+        span_h = F.xxhash64(
+            *[F.get("_t", (F.col("pos") + j).cast("int")) for j in range(k)]
+        )
+        cols.append(span_h.alias("span"))
+        if with_text:
+            cols.append(span_str.alias("span_text"))
+    else:
+        cols.append(span_str.alias("span"))
+    return rows.select(*cols)
 
 
 def duplicate_spans(
@@ -938,6 +973,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 12,
     min_count: int = 2,
+    exact_strings: bool = False,
 ) -> DataFrame:
     """Exact repeated k-token span detection — the corpus-level
     exact-substring-dedup signal of Lee et al. 2022 ("Deduplicating
@@ -962,17 +998,37 @@ def duplicate_spans(
     on (span, doc) for per-doc counts, then on span for the corpus
     rollup — both keyed on content-derived uniform keys, never an
     all-pairs join.  A COUNT(DISTINCT) in a single agg would Expand
-    every window row instead.  At 100 TB, group on
-    ``xxhash64(span)`` and carry ``min(span)`` only into the final
-    report to shrink the shuffle sort keys ~9×; the string key is
-    kept here so the DuckDB oracle can share the exact grouping.
+    every window row instead.
+
+    The DEFAULT groups on ``xxhash64`` of the k window tokens and
+    carries ``min(span_text)`` only as an aggregation buffer into
+    the report — ~9× smaller shuffle sort keys at 100 TB, identical
+    output absent a 2^-64 hash collision (the DuckDB oracle twin
+    groups on the string and hash-matches this path).
+    ``exact_strings=True`` groups on the raw span string — the
+    collision-proof mode, at string-sort shuffle cost.
     """
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    if exact_strings:
+        per_doc = (
+            _span_window_rows(base, k)
+            .groupBy("span", "doc_id")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        return (
+            per_doc.groupBy("span")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_c").alias("n_total"),
+                F.min("doc_id").alias("first_doc"),
+            )
+            .filter(F.col("n_total") >= min_count)
+        )
     per_doc = (
-        _span_window_rows(base, k)
+        _span_window_rows(base, k, hashed=True, with_text=True)
         .groupBy("span", "doc_id")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_c"), F.min("span_text").alias("_s"))
     )
     return (
         per_doc.groupBy("span")
@@ -980,8 +1036,12 @@ def duplicate_spans(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_c").alias("n_total"),
             F.min("doc_id").alias("first_doc"),
+            F.min("_s").alias("_span_text"),
         )
         .filter(F.col("n_total") >= min_count)
+        .select(
+            F.col("_span_text").alias("span"), "n_docs", "n_total", "first_doc"
+        )
     )
 
 
@@ -991,6 +1051,7 @@ def span_dup_fraction(
     text_col: str = "text",
     k: int = 12,
     min_count: int = 2,
+    exact_strings: bool = False,
 ) -> DataFrame:
     """Score side of the Lee et al. exact-substring recipe: for each
     document, the fraction of its k-token windows that are duplicated
@@ -1014,10 +1075,15 @@ def span_dup_fraction(
     its size is data-dependent and unbounded, so the equi-join stays
     a shuffle join and AQE promotes it to broadcast at runtime when
     it fits.
+
+    The span never needs to be REPORTED here, so the DEFAULT keys
+    every shuffle/join on the xxhash64 window hash and no span
+    string is ever built (identical scores absent a 2^-64
+    collision); ``exact_strings=True`` keys on the raw string.
     """
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
-    win = _span_window_rows(base, k)
+    win = _span_window_rows(base, k, hashed=not exact_strings)
     per_doc = win.groupBy("span", "doc_id").agg(F.count(F.lit(1)).alias("_c"))
     dup = (
         per_doc.groupBy("span")
@@ -1056,7 +1122,7 @@ def dedup_containment(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Pairs (id_a < id_b) whose n-gram shingle CONTAINMENT
     |A∩B| / min(|A|,|B|) ≥ threshold — the asymmetric companion to
@@ -1067,10 +1133,11 @@ def dedup_containment(
     inclusion / page-wrapping duplication.
 
     Same join discipline and the same two modes as the Jaccard
-    operator: ``max_shingle_df=None`` is the uncapped exact baseline
-    (candidates from every shared shingle — measured 14 s at sf0.1,
-    the all-shared-pairs aggregate the prune exists to avoid); with
-    the cap, hot shingles never enter the self-join and candidates
+    operator: the cap is the DEFAULT (same quadratic-hot-shingle
+    rationale); ``max_shingle_df=None`` opts into the uncapped exact
+    baseline (candidates from every shared shingle — measured 14 s
+    at sf0.1, the all-shared-pairs aggregate the prune exists to
+    avoid).  With the cap, hot shingles never enter the self-join and candidates
     are pruned by the lossless upper bound
     ub = (nc + min(h_a, h_b)) / min(sz_a, sz_b) ≥ true containment
     (containment is increasing in the full intersection) before the
@@ -1160,6 +1227,7 @@ def cut_duplicate_spans(
     text_col: str = "text",
     k: int = 12,
     min_count: int = 2,
+    exact_strings: bool = False,
 ) -> DataFrame:
     """The APPLY step of the Lee et al. exact-substring recipe: cut
     every corpus-duplicated k-token span out of the documents
@@ -1180,11 +1248,16 @@ def cut_duplicate_spans(
     final rebuild is a per-row nested higher-order filter
     (token j survives iff no dup position p has p ≤ j ≤ p+k−1),
     O(tokens × dup-windows) per row, no UDF.
+
+    Like ``span_dup_fraction``, no span is ever reported, so the
+    DEFAULT keys all shuffles/joins on the xxhash64 window hash and
+    builds no span strings; ``exact_strings=True`` keys on the raw
+    string.
     """
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
     n = F.size("_t")
-    win = _span_window_rows(base, k, with_pos=True)
+    win = _span_window_rows(base, k, with_pos=True, hashed=not exact_strings)
     dup = (
         win.groupBy("span", "doc_id")
         .agg(F.count(F.lit(1)).alias("_c"))

@@ -502,3 +502,22 @@ def test_editdistance_matches_python_levenshtein(spark):
     for (a, b), d in out.items():
         assert d == lev(texts[a][:64], texts[b][:64])
     assert (10, 11) in out
+
+
+def test_span_ops_hashed_default_matches_exact_strings(spark):
+    """The default xxhash64-keyed grouping must report byte-identical
+    results to the collision-proof string grouping."""
+    df = spark.createDataFrame(
+        [
+            (10, "one two three four filler one two three four"),
+            (11, "zz one two three four yy"),
+            (12, "clean words only in here nothing shared"),
+            (13, "one two three four one two three four tail"),
+            (14, None),
+        ],
+        "doc_id long, text string",
+    )
+    for fn in (D.duplicate_spans, D.span_dup_fraction, D.cut_duplicate_spans):
+        hashed = sorted(map(tuple, fn(df, k=4).collect()))
+        strings = sorted(map(tuple, fn(df, k=4, exact_strings=True).collect()))
+        assert hashed == strings, fn.__name__

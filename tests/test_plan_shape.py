@@ -798,3 +798,50 @@ def test_basket_rules_pair_join_is_keyed(spark, sf_dir):
     plan = plan_of(spark, "basket_rules", sf_dir)
     assert "CartesianProduct" not in plan
     assert node_count(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_span_ops_default_hashed_shuffle_keys(spark):
+    """Scale-safe default: the exact-substring family keys every
+    shuffle/join on xxhash64 of the window tokens (8-byte sort keys)
+    unless exact_strings=True opts back into raw-string grouping."""
+    from gdelt_extractor_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d x y z")],
+        "doc_id long, text string",
+    )
+
+    def plan(q):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        return buf.getvalue()
+
+    for fn in (D.duplicate_spans, D.span_dup_fraction, D.cut_duplicate_spans):
+        assert "xxhash64" in plan(fn(df, k=3)), fn.__name__
+    # string mode never hashes (span_dup_fraction has no other hash use)
+    assert "xxhash64" not in plan(D.span_dup_fraction(df, k=3, exact_strings=True))
+
+
+def test_pair_generator_default_is_capped(spark):
+    """The API default must never build the uncapped all-shared-pairs
+    self-join: a shingle hotter than the default cap contributes no
+    candidate pairs (uncapped mode would return all-pairs here)."""
+    import inspect
+
+    from gdelt_extractor_spark.operators import dedup as D
+
+    for fn in (D.dedup_ngram_jaccard, D.dedup_containment):
+        assert (
+            inspect.signature(fn).parameters["max_shingle_df"].default == 100
+        ), fn.__name__
+    texts = [(i, "alpha beta gamma") for i in range(102)]  # 1 shingle, df=102
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    assert D.dedup_ngram_jaccard(df, "text", "doc_id", threshold=0.5).count() == 0
+    assert D.dedup_containment(df, "text", "doc_id", threshold=0.5).count() == 0
+    assert (
+        D.dedup_ngram_jaccard(
+            df.limit(5), "text", "doc_id", threshold=0.5, max_shingle_df=None
+        ).count()
+        == 10
+    )

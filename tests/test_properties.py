@@ -122,7 +122,9 @@ def test_ngram_jaccard_cap_preserves_pairs(spark, parts):
     df = _df(spark, texts)
     exact = {
         (r.id_a, r.id_b): r.jaccard
-        for r in dedup_ngram_jaccard(df, "text", "doc_id", threshold=0.6).collect()
+        for r in dedup_ngram_jaccard(
+            df, "text", "doc_id", threshold=0.6, max_shingle_df=None
+        ).collect()
     }
     capped_big = {
         (r.id_a, r.id_b): r.jaccard
