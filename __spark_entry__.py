@@ -272,6 +272,83 @@ def _gkg_theme_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gkg_theme_daily(read_gdelt_gkg(spark, f"{GDELT_FIXTURES}/v2_gkg.tsv"))
 
 
+def _gkg_fixture(spark: SparkSession) -> DataFrame:
+    from gdelt_extractor_spark.sources.gdelt import read_gdelt_gkg
+
+    return read_gdelt_gkg(spark, f"{GDELT_FIXTURES}/v2_gkg.tsv")
+
+
+def _gkg_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2Persons deep parse (V2.1 codebook 'Name,offset;' blocks)
+    rolled up per person with record-level tone: two partial-agg
+    shuffles ((name, record) then name), tone joined at record grain
+    so a person mentioned twice in one record counts the record once.
+    sf-invariant (the fixture is the dataset)."""
+    from gdelt_extractor_spark.sources.gdelt import gkg_v2_names
+
+    gkg = _gkg_fixture(spark)
+    tone = gkg.select(
+        "GKGRECORDID",
+        F.get(F.split("V2Tone", ","), 0).cast("double").alias("_tone"),
+    )
+    per_rec = (
+        gkg_v2_names(gkg, "V2Persons")
+        .groupBy("name", "GKGRECORDID")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .join(tone, "GKGRECORDID")
+    )
+    return per_rec.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("_m").alias("n_mentions"),
+        (Q.dsum(F.col("_tone")) / F.count(F.lit(1))).alias("mean_tone"),
+    )
+
+
+def _gkg_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2Locations deep parse (8 '#'-fields, typed) rolled up per
+    country: block and record counts plus block-weighted centroid —
+    per-(country, record) partial agg first, then the country rollup,
+    so COUNT(DISTINCT record) never Expands the block rows."""
+    from gdelt_extractor_spark.sources.gdelt import gkg_v2_locations
+
+    loc = gkg_v2_locations(_gkg_fixture(spark))
+    per_rec = loc.groupBy("country_code", "GKGRECORDID").agg(
+        F.count(F.lit(1)).alias("_b"),
+        Q.dsum(F.col("lat")).alias("_lat"),
+        Q.dsum(F.col("lon")).alias("_lon"),
+    )
+    return per_rec.groupBy("country_code").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("_b").alias("n_blocks"),
+        (Q.dsum(F.col("_lat")) / F.sum("_b")).alias("mean_lat"),
+        (Q.dsum(F.col("_lon")) / F.sum("_b")).alias("mean_lon"),
+    )
+
+
+def _gkg_gcam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2GCAM deep parse ('dim:value' comma blocks) → per-dimension
+    record count, total and mean — the GCAM codebook rollup shape
+    (one partial-agg shuffle on the dimension key)."""
+    from gdelt_extractor_spark.sources.gdelt import gkg_gcam
+
+    g = gkg_gcam(_gkg_fixture(spark))
+    return g.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        Q.dsum(F.col("value")).alias("total"),
+        (Q.dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_value"),
+    )
+
+
+def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Person co-mention network off V2Persons: per-record pair
+    expansion (never an exploded self-join), edges with ≥3 supporting
+    records — the entity-level edge list the graph analytics
+    (pagerank / label_propagation / triangle_count) consume."""
+    from gdelt_extractor_spark.sources.gdelt import gkg_comentions
+
+    return gkg_comentions(_gkg_fixture(spark), min_records=3)
+
+
 def _actor_dyads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Country-dyad interaction matrix over the fixture events TSV
     through the real v2 reader (sources/gdelt.py actor_dyad_rollup)."""
@@ -2393,7 +2470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "release_audit": _release_audit,
         "pr_points": _pr_points,
         # --- new in round 7 (oracle-gated; fills the 50-slot window) ---
-        # (inserted below as built this round)
+        "gkg_persons": _gkg_persons,
+        "gkg_locations": _gkg_locations,
+        "gkg_gcam_stats": _gkg_gcam_stats,
+        "person_comentions": _person_comentions,
         # --- oracle-gated, driver-verified r3-r6; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -4375,6 +4455,72 @@ def oracle_sql() -> dict[str, str]:
               COUNT(DISTINCT SourceCommonName) AS n_sources,
               {_dsum('tone')}/COUNT(*) AS avg_tone
             FROM t GROUP BY theme, day
+        """,
+        "gkg_persons": f"""
+            WITH g AS (
+              SELECT GKGRECORDID, V2Persons,
+                CAST(string_split(V2Tone, ',')[1] AS DOUBLE) AS tone
+              FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)}),
+            b AS (
+              SELECT GKGRECORDID, tone,
+                unnest(string_split(V2Persons, ';')) AS blk
+              FROM g),
+            m AS (
+              SELECT GKGRECORDID, tone, string_split(blk, ',')[1] AS name
+              FROM b WHERE blk <> '' AND blk <> '-'),
+            pr AS (
+              SELECT name, GKGRECORDID, any_value(tone) AS tone,
+                COUNT(*) AS m
+              FROM m GROUP BY 1, 2)
+            SELECT name, COUNT(*) AS n_records,
+              CAST(SUM(m) AS BIGINT) AS n_mentions,
+              {_dsum('tone')}/COUNT(*) AS mean_tone
+            FROM pr GROUP BY name
+        """,
+        "gkg_locations": f"""
+            WITH b AS (
+              SELECT GKGRECORDID, unnest(string_split(V2Locations, ';')) AS blk
+              FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)}),
+            l AS (
+              SELECT GKGRECORDID,
+                string_split(blk, '#')[3] AS country_code,
+                CAST(string_split(blk, '#')[5] AS DOUBLE) AS lat,
+                CAST(string_split(blk, '#')[6] AS DOUBLE) AS lon
+              FROM b WHERE blk <> '' AND blk <> '-'),
+            pr AS (
+              SELECT country_code, GKGRECORDID, COUNT(*) AS nb,
+                {_dsum('lat')} AS slat, {_dsum('lon')} AS slon
+              FROM l GROUP BY 1, 2)
+            SELECT country_code, COUNT(*) AS n_records,
+              CAST(SUM(nb) AS BIGINT) AS n_blocks,
+              {_dsum('slat')}/SUM(nb) AS mean_lat,
+              {_dsum('slon')}/SUM(nb) AS mean_lon
+            FROM pr GROUP BY country_code
+        """,
+        "gkg_gcam_stats": f"""
+            WITH b AS (
+              SELECT GKGRECORDID, unnest(string_split(GCAM, ',')) AS blk
+              FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)}),
+            m AS (
+              SELECT string_split(blk, ':')[1] AS dim,
+                CAST(string_split(blk, ':')[2] AS DOUBLE) AS value
+              FROM b WHERE blk <> '' AND blk <> '-')
+            SELECT dim, COUNT(*) AS n_records, {_dsum('value')} AS total,
+              {_dsum('value')}/COUNT(*) AS mean_value
+            FROM m GROUP BY dim
+        """,
+        "person_comentions": f"""
+            WITH b AS (
+              SELECT GKGRECORDID, unnest(string_split(V2Persons, ';')) AS blk
+              FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)}),
+            n AS (
+              SELECT DISTINCT GKGRECORDID, string_split(blk, ',')[1] AS name
+              FROM b WHERE blk <> '' AND blk <> '-')
+            SELECT a.name AS person_a, b2.name AS person_b,
+              COUNT(*) AS n_records
+            FROM n a JOIN n b2
+              ON a.GKGRECORDID = b2.GKGRECORDID AND a.name < b2.name
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
         """,
         "dedup_embedding": """
             WITH v AS (

@@ -89,6 +89,10 @@ HEADLINE = [
     "goldstein_daily",
     "mention_stats",
     "gkg_theme_daily",
+    "gkg_persons",
+    "gkg_locations",
+    "gkg_gcam_stats",
+    "person_comentions",
     "actor_dyads",
     "actor_pagerank",
     "gdelt_v1_daily",

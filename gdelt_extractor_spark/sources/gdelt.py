@@ -249,6 +249,107 @@ def gkg_theme_cooccurrence(gkg: DataFrame, min_count: int = 1) -> DataFrame:
     )
 
 
+def _gkg_blocks(col: str, delim: str = ";"):
+    """A delimited GKG block field as a cleaned array expression:
+    NULL-safe split, empty segments and the codebook's '-'
+    empty-field marker dropped.  Shared by every V2 block parser."""
+    return F.filter(
+        F.split(F.coalesce(F.col(col), F.lit("")), delim),
+        lambda s: (s != "") & (s != "-"),
+    )
+
+
+def gkg_v2_names(gkg: DataFrame, col: str = "V2Persons") -> DataFrame:
+    """(GKGRECORDID, name, char_offset) rows from a V2.1 'Name,offset;'
+    block list — V2Persons and V2Organizations share the format (public
+    V2.1 GKG codebook; the reference downloads the gkg feed at
+    reference/extractor/extractor.py:288-312 but never parses it).
+
+    Pure codegen projections: split + substring_index per block, no
+    UDF; names never contain commas in the feed (GDELT strips them),
+    so first-comma/last-comma splitting is exact."""
+    staged = gkg.select("GKGRECORDID", F.explode(_gkg_blocks(col)).alias("blk"))
+    return staged.select(
+        "GKGRECORDID",
+        F.substring_index("blk", ",", 1).alias("name"),
+        F.substring_index("blk", ",", -1).cast("int").alias("char_offset"),
+    )
+
+
+def gkg_v2_locations(gkg: DataFrame) -> DataFrame:
+    """Typed (GKGRECORDID, loc_type, full_name, country_code,
+    adm1_code, lat, lon, feature_id, char_offset) rows from the
+    8-'#'-field V2Locations blocks (V2.1 codebook: type 1=country,
+    2=US state, 3=US city, 4=world city, 5=world state).  One explode
+    + one codegen split projection; malformed short blocks yield NULL
+    fields via F.get past-end semantics rather than errors."""
+    staged = gkg.select(
+        "GKGRECORDID", F.explode(_gkg_blocks("V2Locations")).alias("blk")
+    )
+    p = F.split("blk", "#")
+    return staged.select(
+        "GKGRECORDID",
+        F.get(p, 0).cast("int").alias("loc_type"),
+        F.get(p, 1).alias("full_name"),
+        F.get(p, 2).alias("country_code"),
+        F.get(p, 3).alias("adm1_code"),
+        F.get(p, 4).cast("double").alias("lat"),
+        F.get(p, 5).cast("double").alias("lon"),
+        F.get(p, 6).alias("feature_id"),
+        F.get(p, 7).cast("int").alias("char_offset"),
+    )
+
+
+def gkg_gcam(gkg: DataFrame) -> DataFrame:
+    """(GKGRECORDID, dim, value) rows from the comma-delimited GCAM
+    'dim:value' blocks (V2.1 codebook: wc = word count, c* = lexicon
+    hit counts, v* = scored means — all representable as double)."""
+    staged = gkg.select(
+        "GKGRECORDID", F.explode(_gkg_blocks("GCAM", ",")).alias("blk")
+    )
+    return staged.select(
+        "GKGRECORDID",
+        F.substring_index("blk", ":", 1).alias("dim"),
+        F.substring_index("blk", ":", -1).cast("double").alias("value"),
+    )
+
+
+def gkg_comentions(
+    gkg: DataFrame, min_records: int = 1, col: str = "V2Persons"
+) -> DataFrame:
+    """Entity co-mention network: (name_a < name_b, n_records) edges
+    counting records where both entities appear in ``col`` (V2Persons
+    or V2Organizations).  Feeds the graph analytics (pagerank /
+    label_propagation / triangle_count take exactly this edge shape).
+
+    Same pair discipline as gkg_theme_cooccurrence: pairs expand
+    PER RECORD from the distinct in-record name array (nested
+    transform + flatten, bounded by names-per-record), then ONE
+    partial-aggregated shuffle on the pair — never a self-join of the
+    exploded mention table, which would shuffle |records|·|names|
+    rows twice and explode on celebrity names."""
+    names = F.array_distinct(
+        F.transform(_gkg_blocks(col), lambda b: F.substring_index(b, ",", 1))
+    )
+    staged = gkg.select(names.alias("_n"))
+    t = F.col("_n")
+    pairs = F.flatten(
+        F.transform(
+            t,
+            lambda a: F.filter(
+                F.transform(t, lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                lambda p: p["a"] < p["b"],
+            ),
+        )
+    )
+    return (
+        staged.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("person_a"), F.col("p.b").alias("person_b"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") >= min_records)
+    )
+
+
 def parse_lastupdate(text: str) -> dict[str, str]:
     """Parse lastupdate.txt → {label: url} (export/mentions/gkg).
 

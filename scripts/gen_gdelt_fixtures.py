@@ -138,6 +138,52 @@ def gen_mentions(
     return rows
 
 
+# (fips_code, full_name, lat, lon) pool for V2Locations blocks —
+# country-level centroids, FIPS 2-char codes per the GKG codebook
+GKG_LOCS = [
+    ("US", "United States", 39.0, -98.0),
+    ("CH", "China", 35.0, 105.0),
+    ("RS", "Russia", 60.0, 100.0),
+    ("FR", "France", 46.0, 2.0),
+    ("UK", "United Kingdom", 54.0, -2.0),
+    ("GM", "Germany", 51.0, 9.0),
+    ("IN", "India", 20.0, 77.0),
+    ("BR", "Brazil", -10.0, -55.0),
+]
+
+
+def gkg_v2_fields(i: int) -> tuple[str, str, str, str]:
+    """V2Locations / V2Persons / V2Organizations / GCAM blocks for row
+    ``i`` — derived from ``i`` alone (no rng draws) so adding them
+    left every other fixture byte unchanged.  Formats follow the
+    public V2.1 GKG codebook: locations are 8 '#'-fields
+    (type#name#cc#adm1#lat#lon#featureid#offset), persons/orgs are
+    'Name,offset;' lists, GCAM is a ','-list of 'dim:value'."""
+    c0 = GKG_LOCS[i % 8]
+    loc = [
+        f"1#{c0[1]}#{c0[0]}#{c0[0]}00#{c0[2]:.1f}#{c0[3]:.1f}#{c0[0]}"
+        f"#{100 + (i % 9) * 40}"
+    ]
+    if i % 3 == 0:
+        c1 = GKG_LOCS[(i // 3) % 8]
+        loc.append(
+            f"4#{c1[1]} City#{c1[0]}#{c1[0]}01#{c1[2] + 0.5:.1f}"
+            f"#{c1[3] + 0.5:.1f}#F{i % 50}#{500 + (i % 5) * 20}"
+        )
+    persons = (
+        f"Person {i % 60},{100 + (i % 9) * 10};"
+        f"Person {(i * 7) % 60},{300 + (i % 4) * 10}"
+    )
+    orgs = f"Org {i % 30},{150 + (i % 6) * 10}"
+    if i % 4 == 0:
+        orgs += f";Org {(i * 11) % 30},400"
+    gcam = (
+        f"wc:{100 + i % 900},c2.1:{i % 7},c12.10:{(i * 3) % 11},"
+        f"v10.1:{(i % 100) / 10:.2f}"
+    )
+    return ";".join(loc), persons, orgs, gcam
+
+
 def gen_gkg(rng: random.Random) -> list[list[str]]:
     rows = []
     for i in range(N_GKG):
@@ -154,6 +200,7 @@ def gen_gkg(rng: random.Random) -> list[list[str]]:
             f"{rng.randint(0, 20)},{100 + i % 900}"
         )
         src = f"site{i % 25}.example.com"
+        v2loc, v2pers, v2orgs, gcam = gkg_v2_fields(i)
         rows.append(
             [
                 rid,
@@ -166,14 +213,14 @@ def gen_gkg(rng: random.Random) -> list[list[str]]:
                 ";".join(themes) + ";",
                 ";".join(f"{th},{j * 100}" for j, th in enumerate(themes)) + ";",
                 "1#Country#CO#CO01#10.5#-74.2#F1",
-                "-",
+                v2loc,
                 f"person {i % 60};person {(i * 7) % 60}",
-                "-",
+                v2pers,
                 f"org {i % 30}",
-                "-",
+                v2orgs,
                 v2tone,
                 "-",
-                f"wc:{100 + i % 900}",
+                gcam,
                 f"http://{src}/img/{i}.jpg",
                 "-",
                 "-",

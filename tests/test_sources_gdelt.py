@@ -409,3 +409,87 @@ def test_mention_stats_latency_is_timezone_independent(spark):
         assert results["America/New_York"] == results["UTC"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def _gkg_v2_row(rid: str, **fields: str) -> str:
+    """27-col GKG row with named V2 fields (codebook indices:
+    V2Locations=10, V2Persons=12, V2Organizations=14, GCAM=17)."""
+    idx = {"V2Locations": 10, "V2Persons": 12, "V2Organizations": 14,
+           "V2Tone": 15, "GCAM": 17}
+    cols = [""] * 27
+    cols[0] = rid
+    cols[1] = "20240101083000"
+    for k, v in fields.items():
+        cols[idx[k]] = v
+    return "\t".join(cols)
+
+
+def test_gkg_v2_names_parse(spark, tmp_path):
+    p = tmp_path / "g.gkg.csv"
+    p.write_text(
+        _gkg_v2_row("r1", V2Persons="Jane Doe,120;John Smith,300",
+                    V2Organizations="Acme Corp,10")
+        + "\n"
+        + _gkg_v2_row("r2", V2Persons="-")   # codebook empty marker
+        + "\n"
+        + _gkg_v2_row("r3")                  # NULL field
+        + "\n"
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    got = {(r.GKGRECORDID, r.name, r.char_offset)
+           for r in G.gkg_v2_names(gkg, "V2Persons").collect()}
+    assert got == {("r1", "Jane Doe", 120), ("r1", "John Smith", 300)}
+    orgs = {(r.GKGRECORDID, r.name, r.char_offset)
+            for r in G.gkg_v2_names(gkg, "V2Organizations").collect()}
+    assert orgs == {("r1", "Acme Corp", 10)}
+
+
+def test_gkg_v2_locations_parse(spark, tmp_path):
+    p = tmp_path / "g.gkg.csv"
+    p.write_text(
+        _gkg_v2_row(
+            "r1",
+            V2Locations="1#France#FR#FR00#46.0#2.0#FR#150;"
+                        "4#Paris#FR#FR01#48.9#2.4#F123#600",
+        )
+        + "\n"
+        + _gkg_v2_row("r2", V2Locations="-")
+        + "\n"
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    rows = {(r.GKGRECORDID, r.loc_type, r.full_name, r.country_code,
+             r.adm1_code, r.lat, r.lon, r.feature_id, r.char_offset)
+            for r in G.gkg_v2_locations(gkg).collect()}
+    assert rows == {
+        ("r1", 1, "France", "FR", "FR00", 46.0, 2.0, "FR", 150),
+        ("r1", 4, "Paris", "FR", "FR01", 48.9, 2.4, "F123", 600),
+    }
+
+
+def test_gkg_gcam_parse(spark, tmp_path):
+    p = tmp_path / "g.gkg.csv"
+    p.write_text(
+        _gkg_v2_row("r1", GCAM="wc:120,c2.1:3,v10.1:0.75") + "\n"
+        + _gkg_v2_row("r2", GCAM="-") + "\n"
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    got = {(r.GKGRECORDID, r.dim, r.value) for r in G.gkg_gcam(gkg).collect()}
+    assert got == {("r1", "wc", 120.0), ("r1", "c2.1", 3.0),
+                   ("r1", "v10.1", 0.75)}
+
+
+def test_gkg_comentions_per_record_pairs(spark, tmp_path):
+    p = tmp_path / "g.gkg.csv"
+    p.write_text(
+        _gkg_v2_row("r1", V2Persons="B,1;A,2;C,3") + "\n"
+        + _gkg_v2_row("r2", V2Persons="A,1;B,9;A,20") + "\n"   # dup mention
+        + _gkg_v2_row("r3", V2Persons="C,5") + "\n"            # no pair
+        + _gkg_v2_row("r4", V2Persons="-") + "\n"
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    got = {(r.person_a, r.person_b): r.n_records
+           for r in G.gkg_comentions(gkg).collect()}
+    # (A,B) in r1+r2 (dup mention counts the record once); others r1 only
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+    assert {(r.person_a, r.person_b)
+            for r in G.gkg_comentions(gkg, min_records=2).collect()} == {("A", "B")}
