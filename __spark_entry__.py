@@ -349,6 +349,26 @@ def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gkg_comentions(_gkg_fixture(spark), min_records=3)
 
 
+def _byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) byte/char/token accounting — shard-sizing
+    and multilingual-balance table (operators/textstats.py
+    byte_stats): one projection + one partial-agg shuffle."""
+    return TS.byte_stats(_docs(spark, sf_dir, width=0))
+
+
+def _hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena vocabulary concentration
+    (operators/textstats.py hapax_stats): explode → (source, token)
+    partial agg → source rollup, never a COUNT(DISTINCT) Expand."""
+    return TS.hapax_stats(_docs(spark, sf_dir, width=0))
+
+
+def _prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-opening boilerplate clusters (operators/curation.py
+    prefix_clusters): first-8-token prefix groups with ≥2 docs."""
+    return C.prefix_clusters(_docs(spark, sf_dir, width=0), k=8, min_docs=2)
+
+
 def _actor_dyads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Country-dyad interaction matrix over the fixture events TSV
     through the real v2 reader (sources/gdelt.py actor_dyad_rollup)."""
@@ -2474,6 +2494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gkg_locations": _gkg_locations,
         "gkg_gcam_stats": _gkg_gcam_stats,
         "person_comentions": _person_comentions,
+        "byte_stats": _byte_stats,
+        "hapax_stats": _hapax_stats,
+        "prefix_clusters": _prefix_clusters,
         # --- oracle-gated, driver-verified r3-r6; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -4508,6 +4531,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, COUNT(*) AS n_records, {_dsum('value')} AS total,
               {_dsum('value')}/COUNT(*) AS mean_value
             FROM m GROUP BY dim
+        """,
+        "byte_stats": f"""
+            WITH b AS (
+              SELECT source, lang,
+                strlen(coalesce(text, '')) AS nb,
+                length(coalesce(text, '')) AS nc,
+                len({_toks("coalesce(text, '')")}) AS nt
+              FROM documents)
+            SELECT source, lang, COUNT(*) AS n_docs,
+              CAST(SUM(nb) AS BIGINT) AS total_bytes,
+              CAST(SUM(nc) AS BIGINT) AS total_chars,
+              CAST(SUM(nt) AS BIGINT) AS total_tokens,
+              CAST(SUM(nb) AS DOUBLE)/SUM(nt) AS bytes_per_token
+            FROM b GROUP BY source, lang
+        """,
+        "hapax_stats": f"""
+            WITH t AS (
+              SELECT source,
+                unnest({_toks("coalesce(text, '')")}) AS tok
+              FROM documents),
+            pt AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+            SELECT source,
+              CAST(SUM(c) AS BIGINT) AS n_tokens,
+              COUNT(*) AS n_types,
+              CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hapax,
+              CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) AS hapax_frac
+            FROM pt GROUP BY source
+        """,
+        "prefix_clusters": f"""
+            WITH p AS (
+              SELECT doc_id, source,
+                array_to_string(
+                  list_slice({_toks("coalesce(text, '')")}, 1, 8), ' ')
+                  AS prefix
+              FROM documents),
+            ps AS (
+              SELECT prefix, source, COUNT(*) AS n, MIN(doc_id) AS ex
+              FROM p GROUP BY 1, 2)
+            SELECT prefix, CAST(SUM(n) AS BIGINT) AS n_docs,
+              COUNT(*) AS n_sources, MIN(ex) AS example_doc
+            FROM ps GROUP BY prefix HAVING SUM(n) >= 2
         """,
         "person_comentions": f"""
             WITH b AS (

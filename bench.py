@@ -93,6 +93,9 @@ HEADLINE = [
     "gkg_locations",
     "gkg_gcam_stats",
     "person_comentions",
+    "byte_stats",
+    "hapax_stats",
+    "prefix_clusters",
     "actor_dyads",
     "actor_pagerank",
     "gdelt_v1_daily",

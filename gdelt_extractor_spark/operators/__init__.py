@@ -9,6 +9,7 @@ from .curation import (
     dedup_lines_global,
     mix_sources,
     normalize_url,
+    prefix_clusters,
     sample_split,
     source_overlap,
     stratified_sample,
@@ -93,7 +94,9 @@ from .temporal import (
 )
 from .textstats import (
     bpe_pair_counts,
+    byte_stats,
     fingerprint,
+    hapax_stats,
     hashed_embedding,
     lang_id,
     ngram_repetition,
@@ -105,7 +108,8 @@ from .textstats import (
 __all__ = [
     "ann_bruteforce", "ann_ivf", "ann_lsh", "approx_topk", "asof_join",
     "bpe_pair_counts",
-    "attach_fake_media", "audio_features", "corpus_stats",
+    "attach_fake_media", "audio_features", "byte_stats", "corpus_stats",
+    "hapax_stats", "prefix_clusters",
     "decontaminate", "dedup_containment", "dedup_embedding", "dedup_exact",
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",

@@ -1386,3 +1386,49 @@ def contamination_links(
             ).alias("containment"),
         )
     )
+
+def prefix_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Shared-opening boilerplate detector: cluster documents by
+    their first ``k`` normalized tokens and report every prefix that
+    opens ``min_docs``+ documents — the standard catch for template
+    headers, scraper banners, and licence preambles that survive
+    line-level dedup because the REST of each page differs.
+
+    Returns (prefix, n_docs, n_sources, example_doc) — n_sources > 1
+    distinguishes ecosystem-wide boilerplate from one site's
+    template; example_doc (min id) is the deterministic sample to
+    eyeball.
+
+    Scale shape: one codegen tokenize+slice projection, then TWO
+    partial-aggregated shuffles ((prefix, source), then prefix) so
+    the distinct-source count never Expands the doc rows.  Docs
+    shorter than ``k`` tokens cluster by their full token list —
+    short boilerplate ("404 not found") is exactly what this exists
+    to catch.
+    """
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    per_src = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(source_col).alias("_src"),
+            F.concat_ws(" ", F.slice(toks, 1, k)).alias("prefix"),
+        )
+        .groupBy("prefix", "_src")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_ex"))
+    )
+    return (
+        per_src.groupBy("prefix")
+        .agg(
+            F.sum("_n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.min("_ex").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

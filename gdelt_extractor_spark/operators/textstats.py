@@ -1153,3 +1153,79 @@ def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4),
         ).alias("fk_grade"),
     )
+
+def byte_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Per-group byte/char/token accounting — the shard-sizing and
+    multilingual-balance table a 100 TB pipeline plans exports with:
+    UTF-8 bytes (what disk and network bill), characters (what
+    context windows bill), whitespace tokens, and bytes-per-token
+    (the multibyte-script cost multiplier; CJK corpora run ~3× the
+    bytes of English at equal token budgets).
+
+    One codegen projection + one partial-aggregated shuffle on the
+    (low-cardinality) group key; no UDF, no second pass.
+    """
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        *group_cols,
+        F.octet_length(safe).alias("_b"),
+        F.length(safe).alias("_c"),
+        F.size(tokens(safe)).alias("_t"),
+    )
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_b").cast("long").alias("total_bytes"),
+        F.sum("_c").cast("long").alias("total_chars"),
+        F.sum("_t").cast("long").alias("total_tokens"),
+        # exact-integer ratio: the double division is bit-identical in
+        # any IEEE engine, so no rounding (which would only add
+        # half-even-vs-half-up midpoint risk)
+        (F.sum("_b").cast("double") / F.sum("_t")).alias("bytes_per_token"),
+    )
+
+
+def hapax_stats(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-source vocabulary concentration: token occurrences, type
+    count, hapax legomena (types seen exactly once) and hapax
+    fraction.  A high hapax fraction flags OCR noise, garbled
+    encodings, or ID-heavy boilerplate inside one source — a
+    corpus-level complement to the per-document quality scores.
+
+    Scale shape: explode → TWO partial-aggregated shuffles, first on
+    (group, token) for per-type counts, then on the group for the
+    rollup — the same two-stage discipline as duplicate_spans; a
+    COUNT(DISTINCT) in one agg would Expand every token row instead.
+    """
+    per_type = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+        )
+        .select("grp", F.explode("_t").alias("tok"))
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_type.groupBy("grp")
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("_c") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            # exact-integer ratio — bit-identical across engines unrounded
+            (F.col("n_hapax").cast("double") / F.col("n_types")).alias(
+                "hapax_frac"
+            ),
+        )
+    )

@@ -635,3 +635,65 @@ def test_kwic_window_bounds(spark):
     )
     r = kwic(df, "join", window=10).first()
     assert (r.left_ctx, r.right_ctx) == ("a b c", "d e f")
+
+
+def test_byte_stats_accounting(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "héllo wörld", "web", "de"),   # multibyte: 13 bytes, 11 chars
+            (2, "plain ascii text", "web", "de"),
+            (3, "one", "book", "en"),
+            (4, None, "book", "en"),           # NULL text → 0/0/1('')
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = {(r.source, r.lang): r for r in TS.byte_stats(df).collect()}
+    web = out[("web", "de")]
+    assert web.n_docs == 2
+    assert web.total_bytes == 13 + 16 and web.total_chars == 11 + 16
+    assert web.total_tokens == 2 + 3
+    assert web.bytes_per_token == (13 + 16) / 5
+    book = out[("book", "en")]
+    # empty-string convention: split('') → [''] → 1 token (matches
+    # the _toks oracle helper), so NULL text counts 1 empty token
+    assert book.total_tokens == 2 and book.total_bytes == 3
+
+
+def test_hapax_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a c", "s1"),
+            (2, "a d", "s1"),
+            (3, "x x x", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in TS.hapax_stats(df).collect()}
+    s1 = out["s1"]
+    # s1 tokens: a×3 b c d → 6 occurrences, 4 types, hapax {b,c,d}
+    assert (s1.n_tokens, s1.n_types, s1.n_hapax) == (6, 4, 3)
+    assert s1.hapax_frac == 3 / 4
+    s2 = out["s2"]
+    assert (s2.n_tokens, s2.n_types, s2.n_hapax) == (3, 1, 0)
+
+
+def test_prefix_clusters_boilerplate(spark):
+    from gdelt_extractor_spark.operators import curation as C
+
+    df = spark.createDataFrame(
+        [
+            (1, "all rights reserved by the acme corp news page one", "a"),
+            (2, "all rights reserved by the acme corp news different tail", "b"),
+            (3, "all rights reserved by the acme corp news page one copy", "a"),
+            (4, "totally unrelated document text here", "a"),
+            (5, "short doc", "a"),
+            (6, "short doc", "a"),  # shorter than k: full-text cluster
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.prefix: r for r in C.prefix_clusters(df, k=8, min_docs=2).collect()}
+    boiler = out["all rights reserved by the acme corp news"]
+    assert boiler.n_docs == 3 and boiler.n_sources == 2
+    assert boiler.example_doc == 1
+    assert out["short doc"].n_docs == 2 and out["short doc"].n_sources == 1
+    assert len(out) == 2
