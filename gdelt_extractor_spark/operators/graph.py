@@ -13,8 +13,10 @@ on the source key plus ONE partial-aggregated shuffle on the
 destination key — no adjacency lists in memory, no driver-side graph.
 Out-degree normalization is computed once before the loop.  Per-round
 ``localCheckpoint`` truncates lineage exactly as in
-connected_components; the per-round driver traffic is two scalars
-(dangling mass, L1 delta).  Iterative fixed-point arithmetic is
+connected_components; the per-round driver traffic is ONE scalar (the
+L1 convergence delta, read off the already-checkpointed result) — the
+dangling mass folds into the update job as a broadcast 1-row
+aggregate.  Iterative fixed-point arithmetic is
 partition-order-sensitive in the last float bits, so the operator is
 declared rows-only for the oracle gate and property-tested instead
 (mass conservation, known-graph ranks, dangling handling).
@@ -67,42 +69,59 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("_out")).alias("p"))
         .localCheckpoint(eager=True)
     )
+    # dangling flag rides ON the rank frame (joined once, carried
+    # through every checkpoint) so the per-round dangling mass is a
+    # conditional sum over ranks — no per-round flag join
     has_out = out_w.select(F.col("src").alias("node"), F.lit(1).alias("_has_out"))
+    nodes_f = (
+        nodes.join(F.broadcast(has_out), "node", "left")
+        .select("node", F.coalesce("_has_out", F.lit(0)).alias("_has_out"))
+        .localCheckpoint(eager=True)
+    )
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = nodes_f.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     base = (1.0 - damping) / n
     for _ in range(max_iter):
-        dangling = (
-            ranks.join(F.broadcast(has_out), "node", "left")
-            .filter(F.col("_has_out").isNull())
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+        # ONE heavy job per round: the dangling mass is a 1-row
+        # aggregate cross-joined (broadcast) into the update
+        # projection, and the previous rank rides along as _old — so
+        # the eager checkpoint below runs contrib agg + dangling agg
+        # + rank update together, and the convergence check is a
+        # trivial scan of the checkpointed result (formerly: separate
+        # dangling-mass job, update job, and old⋈new delta join = 3
+        # full jobs per round)
+        dang = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_has_out") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("_dang")
         )
         contrib = (
-            trans.join(ranks, trans.src == ranks.node)
+            trans.join(ranks.select("node", "rank"), trans.src == F.col("node"))
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("_in"))
         )
         new_ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            ranks.withColumnRenamed("rank", "_old")
+            .join(contrib, F.col("node") == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "_has_out",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
+                "_old",
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "_old"), "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
-            .first()[0]
-        )
+        delta = new_ranks.agg(F.sum(F.abs(F.col("rank") - F.col("_old")))).first()[0]
         old = ranks
-        ranks = new_ranks
+        ranks = new_ranks.drop("_old")
         old.unpersist()
         if delta is not None and delta < tol:
             break
