@@ -46,15 +46,46 @@ def _seen_hashes(
     return corpus.filter(F.col("batch_id") < before_batch).select("content_hash")
 
 
+def _record_metrics(
+    spark: SparkSession,
+    metrics_dir: str,
+    corpus_dir: str,
+    batch_id: int,
+    n_seen: int,
+) -> None:
+    """Per-epoch dedup-rate audit row: (batch_id, n_seen, n_survived,
+    n_dropped), derived from the LANDED partition (not the in-flight
+    frame) so the metric can never disagree with the corpus, and
+    landed via the same idempotent batch_id partition overwrite — a
+    replayed epoch overwrites its own metrics row, so the audit
+    stream inherits the pipeline's exactly-once story instead of
+    needing its own."""
+    n_survived = (
+        spark.read.parquet(corpus_dir)
+        .filter(F.col("batch_id") == int(batch_id))
+        .count()
+    )
+    row = spark.createDataFrame(
+        [(int(batch_id), int(n_seen), int(n_survived), int(n_seen) - n_survived)],
+        "batch_id long, n_seen long, n_survived long, n_dropped long",
+    )
+    upsert_partitions(row, metrics_dir, ["batch_id"])
+
+
 def ingest_batch(
     batch: DataFrame,
     batch_id: int,
     corpus_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    metrics_dir: str | None = None,
 ) -> None:
     """One epoch: batch-internal keep-first + anti join against the
-    committed hash index, then an idempotent partition overwrite."""
+    committed hash index, then an idempotent partition overwrite.
+    With ``metrics_dir`` set, a (batch_id, n_seen, n_survived,
+    n_dropped) audit row lands after the corpus write (one extra
+    source scan for the count — the file-source batch is replayable,
+    so no cache is needed)."""
     spark = batch.sparkSession
     survivors = dedup_incremental(
         batch, _seen_hashes(spark, corpus_dir, batch_id), text_col, id_col
@@ -64,6 +95,8 @@ def ingest_batch(
         corpus_dir,
         ["batch_id"],
     )
+    if metrics_dir is not None:
+        _record_metrics(spark, metrics_dir, corpus_dir, batch_id, batch.count())
 
 
 def run_incremental_dedup_stream(
@@ -73,6 +106,7 @@ def run_incremental_dedup_stream(
     checkpoint_dir: str,
     schema: str = "doc_id LONG, text STRING, source STRING",
     max_files_per_trigger: int = 8,
+    metrics_dir: str | None = None,
 ) -> None:
     """Drive the stream until the landing dir is drained (test mode;
     production drops ``processAllAvailable`` for a continuous
@@ -85,7 +119,7 @@ def run_incremental_dedup_stream(
     )
     run_foreach_batch(
         stream,
-        lambda b, i: ingest_batch(b, i, corpus_dir),
+        lambda b, i: ingest_batch(b, i, corpus_dir, metrics_dir=metrics_dir),
         checkpoint_dir,
     )
 
@@ -129,6 +163,7 @@ def ingest_batch_near_dup(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    metrics_dir: str | None = None,
 ) -> None:
     """One epoch of NEAR-dup incremental ingestion: the exact
     pipeline's shape with ``dedup_incremental_minhash`` in place of
@@ -160,6 +195,8 @@ def ingest_batch_near_dup(
         corpus_dir,
         ["batch_id"],
     )
+    if metrics_dir is not None:
+        _record_metrics(spark, metrics_dir, corpus_dir, batch_id, batch.count())
 
 
 def run_incremental_near_dedup_stream(
@@ -169,6 +206,7 @@ def run_incremental_near_dedup_stream(
     checkpoint_dir: str,
     schema: str = "doc_id LONG, text STRING, source STRING",
     max_files_per_trigger: int = 8,
+    metrics_dir: str | None = None,
 ) -> None:
     """Near-dup twin of ``run_incremental_dedup_stream``: JSONL
     drops → per-epoch ``ingest_batch_near_dup``."""
@@ -180,6 +218,6 @@ def run_incremental_near_dedup_stream(
     )
     run_foreach_batch(
         stream,
-        lambda b, i: ingest_batch_near_dup(b, i, corpus_dir),
+        lambda b, i: ingest_batch_near_dup(b, i, corpus_dir, metrics_dir=metrics_dir),
         checkpoint_dir,
     )

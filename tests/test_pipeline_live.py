@@ -353,3 +353,68 @@ def test_incremental_near_dedup_stream_two_ticks_and_replay(spark, tmp_path):
         for r in spark.read.parquet(corpus_dir).collect()
     )
     assert after == before
+
+
+def test_incremental_stream_metrics_survive_restart(spark, tmp_path):
+    """The per-epoch dedup-rate audit stream: each tick lands a
+    (batch_id, n_seen, n_survived, n_dropped) row via the same
+    idempotent partition overwrite; the counts reconcile with the
+    landed corpus; a restarted/replayed epoch overwrites its own
+    metrics row instead of double-counting."""
+    import json as _json
+
+    from gdelt_extractor_spark.pipelines.incremental import (
+        ingest_batch,
+        run_incremental_dedup_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    metrics_dir = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        (landing / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    drop("t1.jsonl", [
+        {"doc_id": 1, "text": "alpha beta", "source": "s1"},
+        {"doc_id": 2, "text": "Alpha  Beta", "source": "s1"},   # internal dup
+        {"doc_id": 3, "text": "gamma delta", "source": "s2"},
+    ])
+    run_incremental_dedup_stream(spark, str(landing), corpus_dir, ckpt,
+                                 max_files_per_trigger=1,
+                                 metrics_dir=metrics_dir)
+    drop("t2.jsonl", [
+        {"doc_id": 10, "text": "alpha beta", "source": "s3"},   # cross-tick dup
+        {"doc_id": 11, "text": "epsilon zeta", "source": "s3"},
+    ])
+    # SECOND invocation = restart from the same checkpoint: epoch 0's
+    # metrics row must survive untouched, epoch 1 adds its own
+    run_incremental_dedup_stream(spark, str(landing), corpus_dir, ckpt,
+                                 max_files_per_trigger=1,
+                                 metrics_dir=metrics_dir)
+
+    m = {r.batch_id: r for r in spark.read.parquet(metrics_dir).collect()}
+    assert set(m) == {0, 1}
+    assert (m[0].n_seen, m[0].n_survived, m[0].n_dropped) == (3, 2, 1)
+    assert (m[1].n_seen, m[1].n_survived, m[1].n_dropped) == (2, 1, 1)
+    # metrics reconcile with the landed corpus, epoch by epoch
+    corpus = spark.read.parquet(corpus_dir)
+    for b, row in m.items():
+        assert corpus.filter(corpus.batch_id == b).count() == row.n_survived
+    assert sum(r.n_survived for r in m.values()) == corpus.count()
+
+    # replay epoch 0 (same frame, same id): metrics row overwritten,
+    # not duplicated — identical table afterwards
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta", "s1"), (2, "Alpha  Beta", "s1"),
+         (3, "gamma delta", "s2")],
+        "doc_id long, text string, source string",
+    )
+    before = sorted(map(tuple, spark.read.parquet(metrics_dir).collect()))
+    ingest_batch(batch1, 0, corpus_dir, metrics_dir=metrics_dir)
+    after = sorted(map(tuple, spark.read.parquet(metrics_dir).collect()))
+    assert after == before
