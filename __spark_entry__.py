@@ -620,12 +620,15 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over embeddings: IVF-quantize the space, exact cosine
-    pairs within (multi-probed) clusters.  Rows-only gate: the k-means
-    quantizer is not SQL-expressible; soundness (every pair really
-    ≥ τ) and recall vs the exact blocked baseline are property-tested
-    in tests/test_dedup.py."""
+    pairs (per-cluster numpy GEMM) within multi-probed clusters.
+    Rows-only gate: the k-means quantizer is not SQL-expressible;
+    soundness (every pair really ≥ τ) and recall vs the exact blocked
+    baseline are property-tested in tests/test_dedup.py.  nprobe=4
+    after the r7 GEMM rewrite made probes ~free: recall vs exact
+    0.69 → 0.998 at sf0.1 with the median unchanged (~0.9s, from
+    6.6s in the r6 driver record)."""
     emb = _emb(spark, sf_dir, width=0)
-    return D.dedup_semantic(emb, threshold=0.3, m=8, nprobe=2)
+    return D.dedup_semantic(emb, threshold=0.3, m=8, nprobe=4)
 
 
 def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

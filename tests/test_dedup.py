@@ -180,6 +180,14 @@ def test_semantic_dedup_sound_and_recall(spark):
     assert all(c >= 0.3 for c in sem.values())
     recall = len(sem) / max(1, len(exact))
     assert recall >= 0.5, f"recall {recall:.2f} below floor"
+    # the registry configuration (nprobe=4, ~free after the GEMM
+    # rewrite) must hold a much tighter floor
+    sem4 = {
+        (r.id_a, r.id_b)
+        for r in D.dedup_semantic(emb, threshold=0.3, m=8, nprobe=4).collect()
+    }
+    assert sem4 <= exact
+    assert len(sem4) / max(1, len(exact)) >= 0.9
 
 
 def test_semantic_dedup_deterministic(spark):
