@@ -430,6 +430,31 @@ def main() -> None:
         if ts and n not in errors
     }
 
+    # Isolation pass (VERDICT r6 #3): the top-10 most expensive
+    # queries re-run OUTSIDE the suite — full GC + storage/broadcast
+    # cleanup first, then back-to-back reps of that query alone — so
+    # a driver-record spike on identical code (dedup_semantic 4.35s
+    # committed vs 6.60s driver, r6) is attributable in-file: a plan
+    # regression moves BOTH numbers, long-lived-JVM/suite contention
+    # moves only the interleaved one.  ~60-90s at sf0.1; skipped for
+    # subset runs (they ARE isolation experiments already).
+    isolated: dict[str, float] = {}
+    if not subset and timings:
+        top10 = sorted(timings, key=timings.get, reverse=True)[:10]
+        for name in top10:
+            reset_gc_cycle(spark)
+            iso_ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                try:
+                    materialize(queries[name](spark, sf_dir))
+                    iso_ts.append(round(time.perf_counter() - t0, 3))
+                except Exception:  # noqa: BLE001 — already timed in-suite
+                    break
+                release(spark, gc_every)
+            if iso_ts:
+                isolated[name] = round(statistics.median(iso_ts), 3)
+
     # r4-comparable subtotal: the 58-query set BENCH_r04 timed, so the
     # headline "value" growing with the suite doesn't read as a
     # regression round-over-round.
@@ -442,6 +467,7 @@ def main() -> None:
         "subtotal_r4set": round(sum(timings[n] for n in r4set), 3),
         "n_r4set": len(r4set),
         "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
+        "isolated": isolated,  # top-10 by cost: fresh-state medians
         "runs": {n: ts for n, ts in reps.items() if ts},
         "n_errors": len(errors),
         "reps_run": reps_run,
@@ -468,7 +494,7 @@ def main() -> None:
             json.dump(full, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the stdout line still carries the summary
-    compact = {k: v for k, v in full.items() if k != "runs"}
+    compact = {k: v for k, v in full.items() if k not in ("runs", "isolated")}
     budget = 1800  # chars; driver tail observed ~2048
     # error strings are capped hard in the compact line (full text
     # lives in BENCH_FULL.json): uncapped they alone could overflow

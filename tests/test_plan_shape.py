@@ -845,3 +845,14 @@ def test_pair_generator_default_is_capped(spark):
         ).count()
         == 10
     )
+
+
+def test_dedup_semantic_gemm_plan(spark, sf_dir):
+    """dedup_semantic's within-cluster pairs come from ONE
+    applyInPandas over the cluster key (per-task numpy GEMM) — no
+    pair self-join, no cartesian, and no eager-checkpoint scan (the
+    clustered frame has exactly one consumer)."""
+    plan = plan_of(spark, "dedup_semantic", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
