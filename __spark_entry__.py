@@ -349,6 +349,25 @@ def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gkg_comentions(_gkg_fixture(spark), min_records=3)
 
 
+def _person_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-influence composition the GKG V2.1 parse feeds: weighted
+    PageRank over the person co-mention network (edge weight =
+    supporting-record count).  Rows-only gate like actor_pagerank
+    (iterative fixed-point); determinism and mass conservation are
+    pinned by the pagerank property tests."""
+    from gdelt_extractor_spark.operators.graph import pagerank
+    from gdelt_extractor_spark.sources.gdelt import gkg_comentions
+
+    edges = gkg_comentions(_gkg_fixture(spark), min_records=1)
+    # max_iter=8: influence ORDERING on a co-mention graph stabilizes
+    # in a handful of power iterations; each extra iteration is a
+    # full job round at any scale
+    return pagerank(
+        edges, src="person_a", dst="person_b", weight="n_records",
+        max_iter=8, tol=1e-3,
+    )
+
+
 def _byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) byte/char/token accounting — shard-sizing
     and multilingual-balance table (operators/textstats.py
@@ -2631,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_mixture": _curriculum_mixture,  # r6
         # --- rows-only (driver records no_oracle; property-tested
         # against exact baselines locally) ---
+        "person_influence": _person_influence,
         "dedup_incremental_minhash": _dedup_incremental_minhash,
         "cluster_embeddings": _cluster_embeddings,
         "cluster_prune": _cluster_prune,

@@ -93,6 +93,7 @@ HEADLINE = [
     "gkg_locations",
     "gkg_gcam_stats",
     "person_comentions",
+    "person_influence",
     "byte_stats",
     "hapax_stats",
     "prefix_clusters",
