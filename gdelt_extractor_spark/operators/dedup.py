@@ -1427,7 +1427,17 @@ def minhash_band_index(
 
 
 def _est_jaccard(a, b, num_hashes: int):
-    """MinHash Jaccard estimate: fraction of equal signature slots."""
+    """MinHash Jaccard estimate: fraction of equal signature slots.
+
+    Deliberately the ``zip_with``/``aggregate`` fold even though it
+    runs interpreted: it only ever evaluates on band-join CANDIDATES
+    (a bounded set), and the unrolled 32-term codegen sum was A/B'd
+    SLOWER at sf0.1 (dedup_incremental_minhash 3.7s → 5.0s — the
+    32-comparison expression tree inflates codegen compilation in
+    every stage that carries the filter, which costs more than the
+    interpreter on a small candidate set).  The interpreted-walker
+    rewrites pay off on per-CORPUS-row expressions (shingles,
+    signatures), not per-candidate ones."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
         F.lit(0),
