@@ -359,11 +359,22 @@ def _person_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdelt_extractor_spark.sources.gdelt import gkg_comentions
 
     edges = gkg_comentions(_gkg_fixture(spark), min_records=1)
+    # co-mention edges are UNDIRECTED but canonicalized a<b; pagerank
+    # treats edges as directed, so symmetrize first or rank mass
+    # would flow down the alphabet (review finding: a symmetric star
+    # hub's leaves ranked 2.2x apart purely by name order)
+    sym = edges.unionByName(
+        edges.select(
+            F.col("person_b").alias("person_a"),
+            F.col("person_a").alias("person_b"),
+            "n_records",
+        )
+    )
     # max_iter=8: influence ORDERING on a co-mention graph stabilizes
     # in a handful of power iterations; each extra iteration is a
     # full job round at any scale
     return pagerank(
-        edges, src="person_a", dst="person_b", weight="n_records",
+        sym, src="person_a", dst="person_b", weight="n_records",
         max_iter=8, tol=1e-3,
     )
 

@@ -439,10 +439,16 @@ def main() -> None:
     # regression moves BOTH numbers, long-lived-JVM/suite contention
     # moves only the interleaved one.  ~60-90s at sf0.1; skipped for
     # subset runs (they ARE isolation experiments already).
+    # The isolation reps share the interleaved passes' wall budget
+    # (plus a 20% allowance): if a regressed query already ate the
+    # budget, shipping the interleaved record beats losing the whole
+    # BENCH file to a driver-harness timeout.
     isolated: dict[str, float] = {}
     if not subset and timings:
         top10 = sorted(timings, key=timings.get, reverse=True)[:10]
         for name in top10:
+            if time.perf_counter() - t_meas0 > budget_s * 1.2:
+                break
             reset_gc_cycle(spark)
             iso_ts = []
             for _ in range(3):

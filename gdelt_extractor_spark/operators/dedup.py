@@ -355,17 +355,27 @@ def minhash_signatures(
     so at 100 TB the exchange is output-sized, not corpus-sized.
     NULL/empty texts emit the one partial-window shingle both forms
     always produced (multi-arg xxhash64 NULL-skip), so every input
-    row keeps a signature.
+    row keeps a signature — a transient per-row tag rides through
+    the aggregation so duplicate-id inputs do NOT merge into one
+    chimera signature (the per-row contract of the old form), and is
+    dropped from the output.
     """
     rows = shingle_hash_rows(
-        df.select(F.col(id_col).alias("id"), text_col), text_col, n, ["id"]
+        df.select(
+            F.col(id_col).alias("id"),
+            F.monotonically_increasing_id().alias("_row"),
+            text_col,
+        ),
+        text_col,
+        n,
+        ["id", "_row"],
     )
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_s{i}")
         for i in range(num_hashes)
     ]
     return (
-        rows.groupBy("id")
+        rows.groupBy("id", "_row")
         .agg(*aggs)
         .select(
             "id",
@@ -716,27 +726,35 @@ def dedup_semantic(
     def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["_id"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=pdf["_id"].dtype),
+                    "id_b": pd.Series(dtype=pdf["_id"].dtype),
+                    "cosine": pd.Series(dtype="float64"),
+                }
             )
         V = np.array(pdf["_v"].tolist(), dtype=np.float64)
         nrm = np.linalg.norm(V, axis=1)
         nrm[nrm == 0.0] = 1.0  # zero vectors never clear a positive threshold
         S = (V / nrm[:, None]) @ (V / nrm[:, None]).T
         iu = np.triu_indices(len(ids), 1)
-        cos = np.round(S[iu], 6)
+        raw = S[iu]
+        # HALF_UP to 6 decimals — Spark F.round semantics, NOT
+        # np.round's half-even: a cosine landing on an exact midpoint
+        # must round the same way as the dedup_embedding exact
+        # baseline or subset/soundness comparisons flip at the
+        # threshold boundary (the r5 decimal-midpoint gotcha)
+        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         keep = cos >= threshold
         a, b = ids[iu[0][keep]], ids[iu[1][keep]]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "cosine": cos[keep],
-            }
-        )
+        swap = b < a  # works for numeric and string ids alike
+        lo, hi = a.copy(), b.copy()
+        lo[swap], hi[swap] = b[swap], a[swap]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[keep]})
 
+    id_dt = emb.schema[id_col].dataType.simpleString()
     pairs = clustered.groupBy("_sem_cluster").applyInPandas(
-        _cluster_pairs, "id_a long, id_b long, cosine double"
+        _cluster_pairs, f"id_a {id_dt}, id_b {id_dt}, cosine double"
     )
     if nprobe > 1:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])

@@ -529,3 +529,35 @@ def test_span_ops_hashed_default_matches_exact_strings(spark):
         hashed = sorted(map(tuple, fn(df, k=4).collect()))
         strings = sorted(map(tuple, fn(df, k=4, exact_strings=True).collect()))
         assert hashed == strings, fn.__name__
+
+
+def test_minhash_signatures_per_row_contract(spark):
+    """Duplicate-id input rows keep one signature EACH (no merged
+    chimera signature), and each equals the signature the same text
+    gets under a unique id."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (1, "epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    out = D.minhash_signatures(df, "text", "doc_id").collect()
+    assert len(out) == 3
+    sigs_1 = sorted(tuple(r.sig) for r in out if r.id == 1)
+    sig_2 = [tuple(r.sig) for r in out if r.id == 2]
+    # id=2 shares text with one of id=1's rows → signature matches it
+    assert sig_2[0] in sigs_1
+    assert sigs_1[0] != sigs_1[1]
+
+
+def test_dedup_semantic_string_ids(spark):
+    """The GEMM rewrite must stay id-type generic: string ids pass
+    through the applyInPandas schema and pair canonicalization."""
+    rows = [
+        ("docB", [1.0, 0.0, 0.0]),
+        ("docA", [0.999, 0.01, 0.0]),
+        ("docC", [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = {(r.id_a, r.id_b): r.cosine
+           for r in D.dedup_semantic(emb, threshold=0.95, m=1).collect()}
+    assert set(out) == {("docA", "docB")}
