@@ -856,3 +856,20 @@ def test_dedup_semantic_gemm_plan(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_new_accounting_ops_prune_scans(spark, sf_dir):
+    """byte_stats/hapax_stats/prefix_clusters read only the columns
+    they touch; the GKG entity parse scans only its two fields of the
+    27-column feed."""
+    p = plan_of(spark, "byte_stats", sf_dir)
+    (rs,) = read_schemas(p)
+    assert "text" in rs and "lang" in rs and "n_chars" not in rs
+    p = plan_of(spark, "hapax_stats", sf_dir)
+    (rs,) = read_schemas(p)
+    assert "doc_id" not in rs and "lang" not in rs
+    p = plan_of(spark, "gkg_persons", sf_dir)
+    assert any(
+        "V2Persons" in rs and "V2Locations" not in rs and "GCAM" not in rs
+        for rs in read_schemas(p)
+    )
