@@ -64,6 +64,7 @@ def canon(df) -> list[tuple]:
 
 
 ROWS_ONLY = (
+    "person_influence",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_semantic",
