@@ -135,6 +135,7 @@ HEADLINE = [
     "pack_sequences",
     "doc_chunks",
     "url_filter",
+    "c4_line_filter",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

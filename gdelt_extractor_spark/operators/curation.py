@@ -1432,3 +1432,75 @@ def prefix_clusters(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020, §2.2 heuristics):
+    keep only lines that END in a terminal punctuation mark
+    (. ! ? ") and contain at least ``min_words`` words; drop any
+    line containing the word "javascript" (case-insensitive); flag
+    whole documents containing "lorem ipsum" or a "{" (code) — the
+    published recipe's page-level kill rules — and documents left
+    with fewer than ``min_kept_lines`` lines.
+
+    Returns every input doc: (doc_id, clean_text, n_lines, n_kept,
+    doc_dropped) where ``doc_dropped`` marks page-level kills (their
+    clean_text is still reported for audit).  Downstream keeps
+    ``~doc_dropped`` rows.
+
+    Plan shape: the line rules are pure per-line predicates, so this
+    is ONE posexplode → codegen filter → one groupBy(doc) reassembly
+    (sort_array over (pos, line) structs — no window sort), plus the
+    page-level flags computed on the raw text in the same base scan.
+    No corpus-wide line table is ever joined (unlike
+    ``remove_boilerplate_lines``, which needs the cross-doc line
+    frequency shuffle — compose the two: C4 rules first shrink the
+    line table that the boilerplate pass must shuffle).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    lines = base.select(
+        "doc_id",
+        F.posexplode(F.split("_t", "\n")).alias("pos", "line"),
+    ).withColumn("_trim", F.trim("line"))
+    word_count = F.size(F.split(F.col("_trim"), "\\s+"))
+    kept = lines.filter(
+        (F.col("_trim").rlike('[.!?"]$'))
+        & (word_count >= min_words)
+        & (~F.lower(F.col("_trim")).contains("javascript"))
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "_trim"))),
+                lambda s: s["_trim"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    flags = base.select(
+        "doc_id",
+        F.size(F.split("_t", "\n")).cast("long").alias("n_lines"),
+        (
+            F.lower(F.col("_t")).contains("lorem ipsum")
+            | F.col("_t").contains("{")
+        ).alias("_page_kill"),
+    )
+    return flags.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (
+            F.col("_page_kill")
+            | (F.coalesce("n_kept", F.lit(0)) < min_kept_lines)
+        ).alias("doc_dropped"),
+    )

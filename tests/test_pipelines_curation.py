@@ -741,3 +741,37 @@ def test_contamination_links_distinct_shingles(spark):
                                  "doc_id long, text string")
     r = contamination_links(docs, bench).first()
     assert r.n_shared == 1 and r.containment == 1.0
+
+
+def test_c4_line_filter_rules(spark):
+    from gdelt_extractor_spark.operators.curation import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This line survives the filter.\nno terminal punct\n"
+                "Too short.\nAnother good sentence stays here!\n"
+                "Enable javascript to view this page.\nIs this kept?"),
+            (2, "lorem ipsum dolor sit amet okay.\nA real line here."),
+            (3, "function f() { return 1; }\nValid prose sentence here."),
+            (4, "nothing qualifies here"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1: terminal-punct + >=3 words + no 'javascript' lines kept,
+    # in order ("Too short." has < 3 words; "Is this kept?" passes)
+    assert out[1].clean_text == (
+        "This line survives the filter.\n"
+        "Another good sentence stays here!\nIs this kept?"
+    )
+    assert out[1].n_lines == 6 and out[1].n_kept == 3
+    assert not out[1].doc_dropped
+    # page-level kills: lorem ipsum / '{' flag the whole doc but the
+    # cleaned text is still reported for audit
+    assert out[2].doc_dropped and out[2].n_kept == 2
+    assert out[3].doc_dropped and out[3].n_kept == 1
+    # nothing kept → dropped; NULL text → 1 empty line, dropped
+    assert out[4].doc_dropped and out[4].n_kept == 0
+    assert out[5].doc_dropped and out[5].clean_text == ""
