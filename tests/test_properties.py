@@ -811,3 +811,57 @@ def test_kaplan_meier_matches_naive_product_limit(spark, rows):
         want[t] = 0.0 if dead else round(s, 6)
         n -= d_all[t]
     assert got == want
+
+
+# multi-line docs with terminal punctuation and the C4 kill markers
+# appearing at realistic rates
+_C4_LINE = st.lists(
+    st.sampled_from(["good", "words", "here", "now", "javascript",
+                     "lorem", "ipsum", "{", "x"]),
+    min_size=0, max_size=6,
+).map(" ".join)
+_C4_DOC = st.lists(
+    st.tuples(_C4_LINE, st.sampled_from([".", "!", "?", '"', "", " "])),
+    min_size=0, max_size=8,
+).map(lambda ls: "\n".join(a + b for a, b in ls))
+C4_DOCS = st.lists(_C4_DOC, min_size=1, max_size=10)
+
+
+def _c4_reference(text: str, min_words: int = 3, min_kept: int = 1):
+    """Pure-Python rendition of the published C4 line rules — the
+    independent twin the Spark operator must match exactly."""
+    lines = text.split("\n")
+    kept = []
+    for ln in lines:
+        t = ln.strip()
+        if (
+            t
+            and t[-1] in '.!?"'
+            and len([w for w in __import__("re").split(r"\s+", t) if True])
+            >= min_words
+            and "javascript" not in t.lower()
+        ):
+            kept.append(t)
+    page_kill = "lorem ipsum" in text.lower() or "{" in text
+    return (
+        "\n".join(kept),
+        len(lines),
+        len(kept),
+        page_kill or len(kept) < min_kept,
+    )
+
+
+@given(C4_DOCS)
+@PROP
+def test_c4_line_filter_matches_reference(spark, texts):
+    from gdelt_extractor_spark.operators.curation import c4_line_filter
+
+    df = _df(spark, texts)
+    got = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        clean, n_lines, n_kept, dropped = _c4_reference(t)
+        r = got[i]
+        assert (r.clean_text, r.n_lines, r.n_kept, r.doc_dropped) == (
+            clean, n_lines, n_kept, dropped
+        ), f"doc {i}: {t!r}"
