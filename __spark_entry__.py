@@ -651,10 +651,12 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # width=0 (full): the blocked pair join is broadcast-shaped, so
-    # parallelism == scan splits; a single-file embeddings scan would
-    # otherwise evaluate every pair on one core (measured 6.7s -> 1.1s
-    # at sf0.1)
+    # r8: default engine is the per-block numpy GEMM shared with
+    # dedup_semantic (parallelism = block-key cardinality, one Arrow
+    # batch + matmul per block).  A/B vs the former zip_with blocked
+    # self-join at sf0.1: 0.41s vs 2.59s warm, identical 1449 pairs
+    # (also identical at sf0.001/sf0.01) — the interpreted per-pair
+    # dot product was the suite's only >2x mover vs the r4 baseline.
     emb = _emb(spark, sf_dir, width=0)
     return D.dedup_embedding(emb, threshold=0.3)
 

@@ -2,6 +2,7 @@
 function; import from here for the public API."""
 
 from .curation import (
+    c4_line_filter,
     corpus_report,
     source_quality_filter,
     corpus_stats,
@@ -109,7 +110,7 @@ __all__ = [
     "ann_bruteforce", "ann_ivf", "ann_lsh", "approx_topk", "asof_join",
     "bpe_pair_counts",
     "attach_fake_media", "audio_features", "byte_stats", "corpus_stats",
-    "hapax_stats", "prefix_clusters",
+    "c4_line_filter", "hapax_stats", "prefix_clusters",
     "decontaminate", "dedup_containment", "dedup_embedding", "dedup_exact",
     "dedup_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "enrich_articles", "enrich_articles_fetch",

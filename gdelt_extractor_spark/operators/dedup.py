@@ -668,6 +668,88 @@ def keep_canonical(
     return df.join(drop, id_col, "left_anti")
 
 
+def _gemm_block_pairs(
+    blocked: DataFrame, id_dt: str, threshold: float
+) -> DataFrame:
+    """Within-block exact cosine pairs via one numpy GEMM per block.
+
+    ``blocked`` carries (``_id``, ``_v``, ``_blk``); returns every
+    within-``_blk`` pair (id_a < id_b) whose cosine ≥ ``threshold``.
+    Shared by ``dedup_semantic`` (block = IVF cluster) and
+    ``dedup_embedding`` (block = caller's blocking key) — the r7
+    measurement that motivated it: the per-pair ``zip_with``/
+    ``aggregate`` dot product runs on Spark's interpreted expression
+    walker, and moving the all-pairs math of a BOUNDED block into an
+    Arrow-batched matrix multiply was 7-15× (12.3s → 1.6s on
+    dedup_semantic at sf0.1).
+
+    Numerics match the SQL/oracle formula exactly where it matters:
+    cosine = dot / (norm_a · norm_b) computed in float64, then rounded
+    HALF_UP to 6 decimals (``sign(x)·floor(|x|·1e6+0.5)/1e6`` — Spark
+    ``F.round`` semantics, NOT numpy's half-even).  The GEMM and a
+    left-to-right fold can differ in the last float bits, but the
+    6-decimal round absorbs that except on adversarial midpoints.
+
+    Robustness (ADVICE r7): NULL vectors are filtered out before the
+    ``applyInPandas`` (they can't pair — the legacy ``zip_with`` path
+    yielded NULL cosine and dropped them), and within a block vectors
+    are grouped BY LENGTH so a ragged corpus can't turn the stacked
+    matrix into a numpy object array: mixed-length pairs emit nothing,
+    which again matches the legacy NULL-cosine drop.  Zero-norm
+    vectors get cosine 0 and therefore never pair — callers must use
+    ``threshold > 0`` (asserted) since the exact-SQL baseline's
+    0/0 = NaN would compare GREATER than any threshold under Spark's
+    NaN ordering.
+    """
+    import numpy as np
+
+    if not threshold > 0:
+        raise ValueError(
+            "block-GEMM cosine dedup requires threshold > 0 "
+            "(zero-norm vectors are defined to cosine 0, not NaN)"
+        )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=pdf["_id"].dtype),
+                "id_b": pd.Series(dtype=pdf["_id"].dtype),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        frames = []
+        # group by vector length: ragged inputs never reach the GEMM
+        for _, grp in pdf.groupby(pdf["_v"].map(len).to_numpy()):
+            if len(grp) < 2:
+                continue
+            ids = grp["_id"].to_numpy()
+            V = np.array(grp["_v"].tolist(), dtype=np.float64)
+            nrm = np.sqrt((V * V).sum(axis=1))
+            nrm[nrm == 0.0] = 1.0  # zero vectors never clear threshold > 0
+            S = V @ V.T
+            C = S / (nrm[:, None] * nrm[None, :])
+            iu = np.triu_indices(len(ids), 1)
+            raw = C[iu]
+            # HALF_UP to 6 decimals — Spark F.round semantics, NOT
+            # np.round's half-even (the r5 decimal-midpoint gotcha)
+            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            keep = cos >= threshold
+            a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+            swap = b < a  # works for numeric and string ids alike
+            lo, hi = a.copy(), b.copy()
+            lo[swap], hi[swap] = b[swap], a[swap]
+            frames.append(pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[keep]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return (
+        blocked.filter(F.col("_v").isNotNull())
+        .groupBy("_blk")
+        .applyInPandas(_pairs, f"id_a {id_dt}, id_b {id_dt}, cosine double")
+    )
+
+
 def dedup_semantic(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -702,9 +784,6 @@ def dedup_semantic(
     ``m`` grows with corpus size to hold the per-cluster matrix (and
     pair volume) constant — the assignment stays one pass either way.
     """
-    import numpy as np
-    import pandas as pd
-
     from .similarity import _ivf_assign_udf, _ivf_probe_udf, ivf_fit_centroids
 
     cents = ivf_fit_centroids(emb, m=m, id_col=id_col, vec_col=vec_col)
@@ -712,50 +791,19 @@ def dedup_semantic(
         clustered = emb.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
-            _ivf_assign_udf(cents)(F.col(vec_col)).alias("_sem_cluster"),
+            _ivf_assign_udf(cents)(F.col(vec_col)).alias("_blk"),
         )
     else:
         clustered = emb.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
             F.explode(_ivf_probe_udf(cents, nprobe)(F.col(vec_col))).alias(
-                "_sem_cluster"
+                "_blk"
             ),
         )
 
-    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series(dtype=pdf["_id"].dtype),
-                    "id_b": pd.Series(dtype=pdf["_id"].dtype),
-                    "cosine": pd.Series(dtype="float64"),
-                }
-            )
-        V = np.array(pdf["_v"].tolist(), dtype=np.float64)
-        nrm = np.linalg.norm(V, axis=1)
-        nrm[nrm == 0.0] = 1.0  # zero vectors never clear a positive threshold
-        S = (V / nrm[:, None]) @ (V / nrm[:, None]).T
-        iu = np.triu_indices(len(ids), 1)
-        raw = S[iu]
-        # HALF_UP to 6 decimals — Spark F.round semantics, NOT
-        # np.round's half-even: a cosine landing on an exact midpoint
-        # must round the same way as the dedup_embedding exact
-        # baseline or subset/soundness comparisons flip at the
-        # threshold boundary (the r5 decimal-midpoint gotcha)
-        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
-        keep = cos >= threshold
-        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
-        swap = b < a  # works for numeric and string ids alike
-        lo, hi = a.copy(), b.copy()
-        lo[swap], hi[swap] = b[swap], a[swap]
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[keep]})
-
     id_dt = emb.schema[id_col].dataType.simpleString()
-    pairs = clustered.groupBy("_sem_cluster").applyInPandas(
-        _cluster_pairs, f"id_a {id_dt}, id_b {id_dt}, cosine double"
-    )
+    pairs = _gemm_block_pairs(clustered, id_dt, threshold)
     if nprobe > 1:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs
@@ -941,20 +989,46 @@ def dedup_embedding(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.95,
+    engine: str = "gemm",
 ) -> DataFrame:
     """Embedding near-dup: pairs within a blocking key whose cosine
     similarity ≥ threshold.
 
     Blocking (here on ``label``; in production a coarse cluster id)
-    keeps the pair join per-block instead of all-pairs.  The dot
-    product is a JVM ``aggregate`` over ``zip_with`` — no Python, and
-    codegen'd in Spark 4 (measured FASTER than an unrolled 64-term
-    add chain, which overflows whole-stage codegen and falls back to
-    interpretation).  NOTE the join against a broadcast side keeps
-    the INPUT partitioning, so callers must feed a scan wide enough
-    for the pair-evaluation CPU (see ``tables.parallelized``) — a
-    single-split scan serializes the whole pair loop on one core.
+    keeps the pair work per-block instead of all-pairs.  The default
+    ``engine="gemm"`` routes each block through ONE Arrow batch and a
+    numpy matrix multiply (``_gemm_block_pairs`` — shared with
+    ``dedup_semantic``): the r7 A/B on dedup_semantic measured the
+    per-pair ``zip_with``/``aggregate`` dot product (interpreted
+    expression walker, NOT codegen — higher-order array lambdas never
+    compile) at 12.3s vs 0.82s for the GEMM at sf0.1, and this
+    operator was the last one still on the interpreted pattern (the
+    suite's only >2× mover vs the r4 baseline).  Parallelism is the
+    block-key cardinality — at production scale blocks come from a
+    quantizer sized so blocks are many and bounded (see
+    ``dedup_semantic``'s ``m``); the GEMM cost per task is
+    O(block² · dim) on a bounded block.
+
+    ``engine="sql"`` keeps the former blocked self-join whose dot
+    product is a JVM ``aggregate`` over ``zip_with``, retained for
+    A/B measurement and for engines where Python workers are
+    unavailable.  Both engines produce identical pairs: cosine =
+    dot/(norm_a·norm_b) rounded HALF_UP to 6 decimals (numpy
+    ``sign·floor(|x|·1e6+0.5)`` ≡ Spark ``F.round``).  Divergences
+    only on degenerate inputs, where the GEMM path is the saner one:
+    zero-norm vectors are cosine 0 (never pair; the SQL path's
+    0/0 = NaN compares greater than ANY threshold under Spark NaN
+    ordering and would emit the pair), NULL/ragged vectors are
+    dropped rather than task-crashing (ADVICE r7).
     """
+    if engine == "gemm":
+        blocked = emb.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+            F.col(block_col).alias("_blk"),
+        )
+        id_dt = emb.schema[id_col].dataType.simpleString()
+        return _gemm_block_pairs(blocked, id_dt, threshold)
     v = emb.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
