@@ -254,8 +254,10 @@ def label_propagation(
     with the (node, label) frame on the source key and ONE
     (node, label) count aggregate + per-node argmax — the same
     join-then-aggregate round as ``pagerank``, with per-round
-    localCheckpoint lineage cuts and a single changed-count scalar to
-    the driver.
+    localCheckpoint lineage cuts.  The convergence check folds into
+    the update job (previous label carried as ``_old`` through the
+    checkpoint; the changed count is a trivial scan) — one heavy job
+    plus one scan per round, the same fold pagerank got in r7.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
@@ -292,14 +294,19 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", "label")
         )
-        nxt = best.localCheckpoint(eager=True)
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = nxt
+        # fold the convergence check into the update job (the r7
+        # pagerank fold, propagated): the previous label rides along
+        # as _old so the eager checkpoint runs votes + argmax +
+        # old-label join as ONE job, and the changed count is a
+        # trivial scan of the checkpointed result — formerly a
+        # separate old⋈new join job per round
+        nxt = best.join(
+            labels.withColumnRenamed("label", "_old"), "node"
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("label") != F.col("_old")).count()
+        old = labels
+        labels = nxt.drop("_old")
+        old.unpersist()
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("community"))
@@ -330,8 +337,10 @@ def k_core(
     Scale shape: per round ONE equi-join of the symmetrized edge list
     with the (node, value) frame and ONE per-node window + aggregate
     (both reuse the node hash partitioning), per-round
-    localCheckpoint lineage cuts, a single changed-count scalar to
-    the driver — the same round shape as ``label_propagation``.
+    localCheckpoint lineage cuts, and the convergence check folded
+    into the update job (previous value carried as ``_old``; the
+    changed count is a scan) — the same round shape as
+    ``label_propagation``.
     Rounds needed in practice ≲ graph diameter; loud error if
     ``max_iter`` is hit without convergence.
     """
@@ -362,15 +371,14 @@ def k_core(
             .groupBy("node")
             .agg(F.max("_rn").alias("c"))
         )
-        nxt = h.localCheckpoint(eager=True)
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.c") != F.col("o.c"))
-            .count()
-        )
+        # same fold as label_propagation: previous value rides as
+        # _old inside the checkpoint job; changed-count is a scan
+        nxt = h.join(
+            labels.withColumnRenamed("c", "_old"), "node"
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("c") != F.col("_old")).count()
         old = labels
-        labels = nxt
+        labels = nxt.drop("_old")
         old.unpersist()
         if changed == 0:
             break

@@ -218,3 +218,55 @@ class TestKCore:
                 if u in live:
                     deg[u] -= 1
         assert self._kc(spark, pairs) == want
+
+
+class TestScalarFoldJobCounts:
+    """Pin the r8 fold: each iterative round is ONE heavy job (update
+    + old-value join inside the eager checkpoint) plus ONE trivial
+    changed-count scan — no separate old⋈new join job (the pagerank
+    r7 fold, propagated to label_propagation and k_core)."""
+
+    def _jobs_during(self, spark, fn):
+        # AQE splits one query into a job per query stage, making
+        # absolute counts meaningless (36 observed for the 9-job LPA
+        # run below); disable it for the measurement window so
+        # 1 action = 1 job (+1 per eager broadcast)
+        tracker = spark.sparkContext.statusTracker()
+        saved = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            before = set(tracker.getJobIdsForGroup(None) or [])
+            fn()
+            after = set(tracker.getJobIdsForGroup(None) or [])
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", saved)
+        return len(after - before)
+
+    def test_label_propagation_jobs_per_round(self, spark):
+        from gdelt_extractor_spark.operators.graph import label_propagation
+
+        # path graph a-b-c-d-e: labels still moving at round 3
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+            "src string, dst string",
+        )
+        n = self._jobs_during(
+            spark, lambda: label_propagation(e, max_iter=3).collect()
+        )
+        # setup (sym + labels checkpoints) = 2, 3 rounds × (1 update
+        # checkpoint + 1 changed-count scan) = 6, final collect = 1.
+        # The pre-fold shape ran 3 rounds × 3 = 12 + 3 (the old⋈new
+        # join job per round).
+        assert n <= 9, f"label_propagation ran {n} jobs (fold shape = 9)"
+
+    def test_k_core_jobs_per_round(self, spark):
+        from gdelt_extractor_spark.operators.graph import k_core
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+            "src string, dst string",
+        )
+        n = self._jobs_during(spark, lambda: k_core(e, max_iter=50).collect())
+        # setup 2 + 2 rounds × 2 + collect 1 = 7 (triangle+pendant
+        # H-index converges on round 2's no-change scan)
+        assert n <= 7, f"k_core ran {n} jobs (fold shape = 7)"
