@@ -339,6 +339,53 @@ def _gkg_gcam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gkg_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2.1 Quotations deep parse: ';'-separated
+    'offset#length#verb#quote' blocks → typed rows, emitted directly
+    (the parse IS the contract — offsets/lengths typed, empty verbs
+    preserved, quotes with commas intact).  sf-invariant (fixture)."""
+    from gdelt_extractor_spark.sources.gdelt import gkg_quotations
+
+    return gkg_quotations(_gkg_fixture(spark))
+
+
+def _gkg_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2.1 Amounts deep parse ('amount,object,offset' blocks) rolled
+    up per object: block/record counts and total amount (decimal-sum
+    convention) — per-(object, record) partial agg first so the
+    record count never re-expands block rows."""
+    from gdelt_extractor_spark.sources.gdelt import gkg_amounts
+
+    a = gkg_amounts(_gkg_fixture(spark))
+    per_rec = a.groupBy("object", "GKGRECORDID").agg(
+        F.count(F.lit(1)).alias("_b"), Q.dsum(F.col("amount")).alias("_amt")
+    )
+    return per_rec.groupBy("object").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("_b").alias("n_blocks"),
+        Q.dsum(F.col("_amt")).alias("total_amount"),
+    )
+
+
+def _gkg_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SharingImage + RelatedImages URL table → cross-record duplicate
+    image report: URLs referenced by more than one GKG record, with
+    reference and record counts — the multimodal-from-a-real-source
+    entry (the byte-level aHash/pHash chain on these URLs is
+    unit-tested in tests/test_sources_gdelt.py)."""
+    from gdelt_extractor_spark.sources.gdelt import gkg_images
+
+    img = gkg_images(_gkg_fixture(spark))
+    return (
+        img.groupBy("image_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.countDistinct("GKGRECORDID").alias("n_records"),
+        )
+        .filter(F.col("n_records") >= 2)
+    )
+
+
 def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Person co-mention network off V2Persons: per-record pair
     expansion (never an exploded self-join), edges with ≥3 supporting
@@ -2491,61 +2538,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     committed output (CORRECTNESS_FULL_LOCAL.json) covers the full
     registry every round."""
     return {
-        # --- never driver-verified: rotation head for round 7 ---
-        "bloom_filter_join": _bloom_filter_join,
-        "pmi_collocations": _pmi_collocations,
-        "dsir_weights": _dsir_weights,
-        "luhn_scan": _luhn_scan,
-        "dedup_editdist": _dedup_editdist,
-        "events_gap_interpolate": _events_gap_interpolate,
-        "embedding_align": _embedding_align,
-        "nb_classifier": _nb_classifier,
-        "quality_band": _quality_band,
-        "rater_agreement": _rater_agreement,
-        "rouge_overlap": _rouge_overlap,
-        "psi_drift": _psi_drift,
-        "kwic_concordance": _kwic_concordance,
-        "contamination_links": _contamination_links,
-        "decayed_engagement": _decayed_engagement,
-        "text_hygiene": _text_hygiene,
-        "lm_block_spans": _lm_block_spans,
-        "chat_audit": _chat_audit,
-        "interval_overlaps": _interval_overlaps,
-        "asof_next_click": _asof_next_click,
-        "preference_pairs": _preference_pairs,
-        "canonical_urls": _canonical_urls,
-        "expectations_audit": _expectations_audit,
-        "zipf_fit": _zipf_fit,
-        "unicode_normalize": _unicode_normalize,
-        "trade_triangles": _trade_triangles,
-        "basket_rules": _basket_rules,
-        "mutual_info": _mutual_info,
-        "readability_scores": _readability,
-        "channel_attribution": Q.channel_attribution,
-        "auc_ranking": _auc_ranking,
-        "l_diversity": _l_diversity,
-        "chi_square": _chi_square,
-        "quantile_norm": _quantile_norm,
-        "target_encoding": _target_encoding,
-        "benford_values": _benford_values,
-        "user_survival": _user_survival,
-        "engagement_gini": _engagement_gini,
-        "daily_cusum": _daily_cusum,
-        "daily_acf": _daily_acf,
-        "nearest_capital": _nearest_capital,
-        "release_audit": _release_audit,
-        "pr_points": _pr_points,
-        # --- new in round 7 (oracle-gated; fills the 50-slot window) ---
-        "gkg_persons": _gkg_persons,
-        "gkg_locations": _gkg_locations,
-        "gkg_gcam_stats": _gkg_gcam_stats,
-        "person_comentions": _person_comentions,
-        "byte_stats": _byte_stats,
-        "hapax_stats": _hapax_stats,
-        "prefix_clusters": _prefix_clusters,
-        # --- new in round 7, beyond the window (graded on r8 rotation) ---
+        # --- rotation head for round 8: the one never-driver-verified
+        # entry (c4_line_filter landed after the r7 window) + new r8
+        # oracle-gated entries + entries whose BEHAVIOR changed this
+        # round (lang_id family: NB classifier upgrade) ---
         "c4_line_filter": _c4_line_filter,
-        # --- oracle-gated, driver-verified r3-r6; oldest verification
+        "gkg_quotes": _gkg_quotes,
+        "gkg_amounts": _gkg_amounts,
+        "gkg_image_dups": _gkg_image_dups,
+        "lang_id": _lang_id,
+        "lang_confusion": _lang_confusion,
+        # --- oracle-gated, driver-verified r3-r7; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
         "sample_split": _sample_split,  # r3
@@ -2570,8 +2573,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,  # r4
         "mix_sources": _mix_sources,  # r4
         "ann_topk": _ann_topk,  # r4
-        "lang_id": _lang_id,  # r4
-        "lang_confusion": _lang_confusion,  # r4
         "quality_score": _quality_score,  # r4
         "gopher_rules": _gopher_rules,  # r4
         "token_stats": _token_stats,  # r4
@@ -2674,6 +2675,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram": _equidepth_histogram,  # r6
         "cluster_split": _cluster_split,  # r6
         "curriculum_mixture": _curriculum_mixture,  # r6
+        "bloom_filter_join": _bloom_filter_join,  # r7
+        "pmi_collocations": _pmi_collocations,  # r7
+        "dsir_weights": _dsir_weights,  # r7
+        "luhn_scan": _luhn_scan,  # r7
+        "dedup_editdist": _dedup_editdist,  # r7
+        "events_gap_interpolate": _events_gap_interpolate,  # r7
+        "embedding_align": _embedding_align,  # r7
+        "nb_classifier": _nb_classifier,  # r7
+        "quality_band": _quality_band,  # r7
+        "rater_agreement": _rater_agreement,  # r7
+        "rouge_overlap": _rouge_overlap,  # r7
+        "psi_drift": _psi_drift,  # r7
+        "kwic_concordance": _kwic_concordance,  # r7
+        "contamination_links": _contamination_links,  # r7
+        "decayed_engagement": _decayed_engagement,  # r7
+        "text_hygiene": _text_hygiene,  # r7
+        "lm_block_spans": _lm_block_spans,  # r7
+        "chat_audit": _chat_audit,  # r7
+        "interval_overlaps": _interval_overlaps,  # r7
+        "asof_next_click": _asof_next_click,  # r7
+        "preference_pairs": _preference_pairs,  # r7
+        "canonical_urls": _canonical_urls,  # r7
+        "expectations_audit": _expectations_audit,  # r7
+        "zipf_fit": _zipf_fit,  # r7
+        "unicode_normalize": _unicode_normalize,  # r7
+        "trade_triangles": _trade_triangles,  # r7
+        "basket_rules": _basket_rules,  # r7
+        "mutual_info": _mutual_info,  # r7
+        "readability_scores": _readability,  # r7
+        "channel_attribution": Q.channel_attribution,  # r7
+        "auc_ranking": _auc_ranking,  # r7
+        "l_diversity": _l_diversity,  # r7
+        "chi_square": _chi_square,  # r7
+        "quantile_norm": _quantile_norm,  # r7
+        "target_encoding": _target_encoding,  # r7
+        "benford_values": _benford_values,  # r7
+        "user_survival": _user_survival,  # r7
+        "engagement_gini": _engagement_gini,  # r7
+        "daily_cusum": _daily_cusum,  # r7
+        "daily_acf": _daily_acf,  # r7
+        "nearest_capital": _nearest_capital,  # r7
+        "release_audit": _release_audit,  # r7
+        "pr_points": _pr_points,  # r7
+        "gkg_persons": _gkg_persons,  # r7
+        "gkg_locations": _gkg_locations,  # r7
+        "gkg_gcam_stats": _gkg_gcam_stats,  # r7
+        "person_comentions": _person_comentions,  # r7
+        "byte_stats": _byte_stats,  # r7
+        "hapax_stats": _hapax_stats,  # r7
+        "prefix_clusters": _prefix_clusters,  # r7
         # --- rows-only (driver records no_oracle; property-tested
         # against exact baselines locally) ---
         "person_influence": _person_influence,
@@ -4580,6 +4631,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, COUNT(*) AS n_records, {_dsum('value')} AS total,
               {_dsum('value')}/COUNT(*) AS mean_value
             FROM m GROUP BY dim
+        """,
+        "gkg_quotes": f"""
+            WITH b AS (
+              SELECT GKGRECORDID, unnest(string_split(Quotations, ';')) AS blk
+              FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)})
+            SELECT GKGRECORDID,
+              CAST(string_split(blk, '#')[1] AS INTEGER) AS char_offset,
+              CAST(string_split(blk, '#')[2] AS INTEGER) AS length,
+              string_split(blk, '#')[3] AS verb,
+              regexp_extract(blk, '^[^#]*#[^#]*#[^#]*#(.*)$', 1) AS quote
+            FROM b WHERE blk <> '' AND blk <> '-'
+        """,
+        "gkg_amounts": f"""
+            WITH b AS (
+              SELECT GKGRECORDID, unnest(string_split(Amounts, ';')) AS blk
+              FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)}),
+            m AS (
+              SELECT GKGRECORDID,
+                CAST(string_split(blk, ',')[1] AS DOUBLE) AS amount,
+                regexp_extract(blk, '^[^,]*,(.*),[^,]*$', 1) AS object
+              FROM b WHERE blk <> '' AND blk <> '-'),
+            pr AS (
+              SELECT object, GKGRECORDID, COUNT(*) AS nb,
+                {_dsum('amount')} AS amt
+              FROM m GROUP BY 1, 2)
+            SELECT object, COUNT(*) AS n_records,
+              CAST(SUM(nb) AS BIGINT) AS n_blocks,
+              {_dsum('amt')} AS total_amount
+            FROM pr GROUP BY object
+        """,
+        "gkg_image_dups": f"""
+            WITH s AS (
+              SELECT GKGRECORDID, SharingImage AS image_url
+              FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)}
+              WHERE SharingImage IS NOT NULL AND SharingImage <> ''
+                AND SharingImage <> '-'
+              UNION ALL
+              SELECT GKGRECORDID, blk AS image_url
+              FROM (
+                SELECT GKGRECORDID,
+                  unnest(string_split(RelatedImages, ';')) AS blk
+                FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)})
+              WHERE blk <> '' AND blk <> '-')
+            SELECT image_url, COUNT(*) AS n_refs,
+              COUNT(DISTINCT GKGRECORDID) AS n_records
+            FROM s GROUP BY image_url HAVING COUNT(DISTINCT GKGRECORDID) >= 2
         """,
         "c4_line_filter": """
             WITH b AS (

@@ -136,6 +136,9 @@ HEADLINE = [
     "doc_chunks",
     "url_filter",
     "c4_line_filter",
+    "gkg_quotes",
+    "gkg_amounts",
+    "gkg_image_dups",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

@@ -314,6 +314,68 @@ def gkg_gcam(gkg: DataFrame) -> DataFrame:
     )
 
 
+def gkg_quotations(gkg: DataFrame) -> DataFrame:
+    """(GKGRECORDID, char_offset, length, verb, quote) rows from the
+    V2.1 Quotations blocks — ';'-separated 'offset#length#verb#quote'
+    (public V2.1 codebook; the reference downloads the gkg feed at
+    reference/extractor/extractor.py:288-312 but never parses it).
+    The verb may be empty; the quote is everything after the third
+    '#' (regexp capture, so a '#' inside the quote text cannot
+    truncate it).  One explode + codegen projections, no UDF."""
+    staged = gkg.select(
+        "GKGRECORDID", F.explode(_gkg_blocks("Quotations")).alias("blk")
+    )
+    p = F.split("blk", "#")
+    return staged.select(
+        "GKGRECORDID",
+        F.get(p, 0).cast("int").alias("char_offset"),
+        F.get(p, 1).cast("int").alias("length"),
+        F.get(p, 2).alias("verb"),
+        F.regexp_extract("blk", r"^[^#]*#[^#]*#[^#]*#(.*)$", 1).alias("quote"),
+    )
+
+
+def gkg_amounts(gkg: DataFrame) -> DataFrame:
+    """(GKGRECORDID, amount, object, char_offset) rows from the V2.1
+    Amounts blocks — ';'-separated 'amount,object,offset' (V2.1
+    codebook).  amount is first-comma, offset last-comma, object the
+    (possibly comma-containing) middle via regexp capture."""
+    staged = gkg.select(
+        "GKGRECORDID", F.explode(_gkg_blocks("Amounts")).alias("blk")
+    )
+    return staged.select(
+        "GKGRECORDID",
+        F.substring_index("blk", ",", 1).cast("double").alias("amount"),
+        F.regexp_extract("blk", r"^[^,]*,(.*),[^,]*$", 1).alias("object"),
+        F.substring_index("blk", ",", -1).cast("int").alias("char_offset"),
+    )
+
+
+def gkg_images(gkg: DataFrame) -> DataFrame:
+    """(GKGRECORDID, image_url, rel) — the record's representative
+    SharingImage plus the ';'-list RelatedImages (V2.1 codebook).
+    This is the bridge from a real GDELT column into the multimodal
+    image path: join the URL table to fetched bytes and feed
+    ``operators.multimodal.dedup_images`` (aHash/pHash) — records
+    sharing a URL are trivially near-dup candidates, and distinct
+    URLs of the same image are caught by the perceptual hash."""
+    share = gkg.select(
+        "GKGRECORDID",
+        F.col("SharingImage").alias("image_url"),
+        F.lit("sharing").alias("rel"),
+    ).filter(
+        F.col("image_url").isNotNull()
+        & (F.col("image_url") != "")
+        & (F.col("image_url") != "-")
+    )
+    related = gkg.select(
+        "GKGRECORDID",
+        F.explode(_gkg_blocks("RelatedImages")).alias("image_url"),
+        F.lit("related").alias("rel"),
+    )
+    return share.unionByName(related)
+
+
 def gkg_comentions(
     gkg: DataFrame, min_records: int = 1, col: str = "V2Persons"
 ) -> DataFrame:

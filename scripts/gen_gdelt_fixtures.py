@@ -184,6 +184,42 @@ def gkg_v2_fields(i: int) -> tuple[str, str, str, str]:
     return ";".join(loc), persons, orgs, gcam
 
 
+def gkg_v21_tail_fields(i: int) -> tuple[str, str, str, str]:
+    """Quotations / RelatedImages / Amounts / TranslationInfo blocks
+    for row ``i`` — again derived from ``i`` alone so adding them
+    left every other fixture byte unchanged.  Formats follow the
+    public V2.1 codebook: Quotations are ';'-separated
+    'offset#length#verb#quote' (quote may contain commas; verb may be
+    empty), RelatedImages is a ';'-URL list, Amounts is
+    'amount,object,offset;', TranslationInfo is 'srclc:xxx;eng:...'.
+    RelatedImages deliberately reuses ANOTHER record's SharingImage
+    URL (record (i*3) % N_GKG) so cross-record duplicate image URLs
+    exist for the multimodal dedup chain."""
+    if i % 2 == 0:
+        quotes = [
+            f"{120 + (i % 9) * 15}#{30 + (i % 6) * 5}#said"
+            f"#We will act on issue {i % 40}, very soon"
+        ]
+        if i % 10 == 0:
+            quotes.append(f"{600 + (i % 4) * 10}#25##This cannot stand {i % 13}")
+        quotations = ";".join(quotes)
+    else:
+        quotations = "-"
+    if i % 3 == 0:
+        j = (i * 3) % N_GKG
+        related = (
+            f"http://site{j % 25}.example.com/img/{j}.jpg;"
+            f"http://site{i % 25}.example.com/img/r{i}.jpg"
+        )
+    else:
+        related = "-"
+    amounts = f"{2 + i % 9},protesters,{100 + (i % 7) * 10}"
+    if i % 4 == 0:
+        amounts += f";{1000 + (i * 13) % 5000},dollars,{400 + (i % 3) * 25}"
+    translation = "srclc:fra;eng:Moses 2.1.1" if i % 6 == 0 else "-"
+    return quotations, related, amounts, translation
+
+
 def gen_gkg(rng: random.Random) -> list[list[str]]:
     rows = []
     for i in range(N_GKG):
@@ -201,6 +237,7 @@ def gen_gkg(rng: random.Random) -> list[list[str]]:
         )
         src = f"site{i % 25}.example.com"
         v2loc, v2pers, v2orgs, gcam = gkg_v2_fields(i)
+        quotations, related, amounts, translation = gkg_v21_tail_fields(i)
         rows.append(
             [
                 rid,
@@ -222,13 +259,13 @@ def gen_gkg(rng: random.Random) -> list[list[str]]:
                 "-",
                 gcam,
                 f"http://{src}/img/{i}.jpg",
+                related,
                 "-",
                 "-",
-                "-",
-                "-",
+                quotations,
                 f"Name {i % 80},123;Name {(i * 3) % 80},456",
-                f"{i % 50},amount,{i % 7}",
-                "-",
+                amounts,
+                translation,
                 "-",
             ]
         )

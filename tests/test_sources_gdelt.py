@@ -415,7 +415,8 @@ def _gkg_v2_row(rid: str, **fields: str) -> str:
     """27-col GKG row with named V2 fields (codebook indices:
     V2Locations=10, V2Persons=12, V2Organizations=14, GCAM=17)."""
     idx = {"V2Locations": 10, "V2Persons": 12, "V2Organizations": 14,
-           "V2Tone": 15, "GCAM": 17}
+           "V2Tone": 15, "GCAM": 17, "SharingImage": 18,
+           "RelatedImages": 19, "Quotations": 22, "Amounts": 24}
     cols = [""] * 27
     cols[0] = rid
     cols[1] = "20240101083000"
@@ -493,3 +494,123 @@ def test_gkg_comentions_per_record_pairs(spark, tmp_path):
     assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
     assert {(r.person_a, r.person_b)
             for r in G.gkg_comentions(gkg, min_records=2).collect()} == {("A", "B")}
+
+
+def test_gkg_quotations_parse(spark, tmp_path):
+    p = tmp_path / "g.gkg.csv"
+    p.write_text(
+        _gkg_v2_row(
+            "r1",
+            Quotations="120#45#said#We will act, very soon;"
+                       "600#25##No verb here",
+        )
+        + "\n"
+        + _gkg_v2_row("r2", Quotations="-")
+        + "\n"
+        # a '#' inside the quote must not truncate it (regexp capture)
+        + _gkg_v2_row("r3", Quotations="10#5#says#tag #1 rated")
+        + "\n"
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    got = {(r.GKGRECORDID, r.char_offset, r.length, r.verb, r.quote)
+           for r in G.gkg_quotations(gkg).collect()}
+    assert got == {
+        ("r1", 120, 45, "said", "We will act, very soon"),
+        ("r1", 600, 25, "", "No verb here"),
+        ("r3", 10, 5, "says", "tag #1 rated"),
+    }
+
+
+def test_gkg_amounts_parse(spark, tmp_path):
+    p = tmp_path / "g.gkg.csv"
+    p.write_text(
+        _gkg_v2_row("r1", Amounts="1200,protesters,103;3,billion dollars,222")
+        + "\n"
+        + _gkg_v2_row("r2", Amounts="-")
+        + "\n"
+        # comma inside the object: amount=first, offset=last, object=middle
+        + _gkg_v2_row("r3", Amounts="7,cars, trucks and buses,55")
+        + "\n"
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    got = {(r.GKGRECORDID, r.amount, r.object, r.char_offset)
+           for r in G.gkg_amounts(gkg).collect()}
+    assert got == {
+        ("r1", 1200.0, "protesters", 103),
+        ("r1", 3.0, "billion dollars", 222),
+        ("r3", 7.0, "cars, trucks and buses", 55),
+    }
+
+
+def test_gkg_images_urls(spark, tmp_path):
+    p = tmp_path / "g.gkg.csv"
+    p.write_text(
+        _gkg_v2_row("r1", SharingImage="http://a/1.jpg",
+                    RelatedImages="http://a/2.jpg;http://b/1.jpg")
+        + "\n"
+        + _gkg_v2_row("r2", SharingImage="-")
+        + "\n"
+        + _gkg_v2_row("r3", SharingImage="http://a/2.jpg", RelatedImages="-")
+        + "\n"
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    got = {(r.GKGRECORDID, r.image_url, r.rel)
+           for r in G.gkg_images(gkg).collect()}
+    assert got == {
+        ("r1", "http://a/1.jpg", "sharing"),
+        ("r1", "http://a/2.jpg", "related"),
+        ("r1", "http://b/1.jpg", "related"),
+        ("r3", "http://a/2.jpg", "sharing"),
+    }
+
+
+def test_gkg_sharing_image_to_dedup_images_chain(spark):
+    """End-to-end multimodal bridge: GKG fixture → image-URL table →
+    (stubbed) byte fetch keyed on the underlying image number →
+    aHash perceptual dedup.  The fixture's RelatedImages deliberately
+    include 'img/r{i}.jpg' next to record i's SharingImage
+    'img/{i}.jpg' (same underlying image, different URL), so the
+    perceptual pass must pair exactly those URL pairs — the dup the
+    URL-level report (gkg_image_dups) cannot see."""
+    from pyspark.sql import functions as F
+
+    from gdelt_extractor_spark.operators.multimodal import dedup_images
+
+    here = os.path.join(os.path.dirname(__file__), "fixtures", "gdelt")
+    gkg = G.read_gdelt_gkg(spark, os.path.join(here, "v2_gkg.tsv"))
+    # keep it small: the first 60 records by the trailing row index
+    urls = (
+        G.gkg_images(gkg)
+        .withColumn(
+            "img_no",
+            F.regexp_extract("image_url", r"/img/r?(\d+)\.jpg$", 1).cast("long"),
+        )
+        .filter(F.col("img_no") < 60)
+        .select("image_url", "img_no")
+        .distinct()
+    )
+    # stub fetch: bytes derive from the image NUMBER, so r{i}.jpg and
+    # {i}.jpg have identical content while different numbers differ
+    media = urls.select(
+        F.xxhash64("image_url").alias("media_id"),
+        F.sha2(F.concat(F.lit("img:"), F.col("img_no").cast("string")), 256)
+        .cast("binary")
+        .alias("content"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+        ).alias("meta"),
+        "image_url",
+        "img_no",
+    )
+    pairs = dedup_images(media.select("media_id", "content", "meta"), max_hamming=0)
+    id2no = {r.media_id: r.img_no for r in media.collect()}
+    got = {
+        tuple(sorted((id2no[r.id_a], id2no[r.id_b])))
+        for r in pairs.collect()
+    }
+    # r{i}.jpg exists for i % 3 == 0 (fixture generator); every such i
+    # < 60 must pair with its SharingImage twin, and nothing else
+    want = {(i, i) for i in range(0, 60, 3)}
+    assert got == want
