@@ -100,6 +100,7 @@ from .textstats import (
     hapax_stats,
     hashed_embedding,
     lang_id,
+    lang_id_ngram,
     ngram_repetition,
     quality_score,
     token_stats,
@@ -122,7 +123,7 @@ __all__ = [
     "duplicate_spans", "keep_canonical", "span_dup_fraction",
     "cluster_prune", "ivf_fit_centroids", "keyword_freq", "kmeans_cluster",
     "kmeans_fit",
-    "lang_id",
+    "lang_id", "lang_id_ngram",
     "minhash_signatures", "mix_sources", "pack_sequences",
     "chunk_documents", "dedup_lines_global", "normalize_url", "pagerank",
     "profile_table",
