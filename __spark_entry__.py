@@ -60,6 +60,10 @@ SF0001 = "/root/testdata/sf0.001"
 GDELT_FIXTURES = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "gdelt"
 )
+LANG_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "lang",
+    "lang_docs.tsv",
+)
 JSONL_FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "tests", "fixtures", "jsonl", "documents.jsonl",
@@ -384,6 +388,33 @@ def _gkg_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_records") >= 2)
     )
+
+
+def _gkg_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2Counts deep parse (11 '#'-fields, typed) rolled up per
+    (count_type, country): block/record counts + total magnitude —
+    the KILL/ARREST/PROTEST event-magnitude rollup the GKG codebook
+    is built for.  Per-(type, country, record) partial agg first so
+    the record count never re-expands block rows."""
+    from gdelt_extractor_spark.sources.gdelt import gkg_counts
+
+    c = gkg_counts(_gkg_fixture(spark), "V2Counts")
+    per_rec = c.groupBy("count_type", "country_code", "GKGRECORDID").agg(
+        F.count(F.lit(1)).alias("_b"), F.sum("count").alias("_n")
+    )
+    return per_rec.groupBy("count_type", "country_code").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("_b").alias("n_blocks"),
+        F.sum("_n").alias("total_count"),
+    )
+
+
+def _gkg_translations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TranslationInfo parse emitted directly (typed src_lang/engine
+    rows) — completes the 27-column GKG parse surface."""
+    from gdelt_extractor_spark.sources.gdelt import gkg_translation
+
+    return gkg_translation(_gkg_fixture(spark))
 
 
 def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,6 +1313,34 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.lang_id(_docs(spark, sf_dir, width=0), "doc_id", "text")
+
+
+def _lang_docs(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return spark.read.option("sep", "\t").schema(sch).csv(LANG_FIXTURE)
+
+
+def _lang_nb_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multiclass language ID (hashed char-trigram NB,
+    train+predict in one pass) over the committed multilingual
+    fixture — the upgrade of the stopword heuristic for corpora where
+    function words are absent (30% of the fixture's Latin-script docs
+    are marker-free; measured val accuracy 1.00 vs the heuristic's
+    0.87 on the same rows, pinned by
+    tests/test_textstats.py::test_lang_ngram_beats_heuristic).
+    sf-invariant (the fixture is the dataset); the full model —
+    md5-bucket hashing, add-one smoothing, priors, unseen-gram
+    arithmetic, argmax tie-break — is replicated in the DuckDB
+    oracle, so this is a value-level gate on the whole classifier."""
+    return TS.lang_id_ngram(_lang_docs(spark))
 
 
 def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2540,14 +2599,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- rotation head for round 8: the one never-driver-verified
         # entry (c4_line_filter landed after the r7 window) + new r8
-        # oracle-gated entries + entries whose BEHAVIOR changed this
-        # round (lang_id family: NB classifier upgrade) ---
+        # oracle-gated entries ---
         "c4_line_filter": _c4_line_filter,
         "gkg_quotes": _gkg_quotes,
         "gkg_amounts": _gkg_amounts,
         "gkg_image_dups": _gkg_image_dups,
-        "lang_id": _lang_id,
-        "lang_confusion": _lang_confusion,
+        "gkg_count_events": _gkg_count_events,
+        "gkg_translations": _gkg_translations,
+        "lang_nb_id": _lang_nb_id,
         # --- oracle-gated, driver-verified r3-r7; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -2573,6 +2632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,  # r4
         "mix_sources": _mix_sources,  # r4
         "ann_topk": _ann_topk,  # r4
+        "lang_id": _lang_id,  # r4
+        "lang_confusion": _lang_confusion,  # r4
         "quality_score": _quality_score,  # r4
         "gopher_rules": _gopher_rules,  # r4
         "token_stats": _token_stats,  # r4
@@ -4678,6 +4739,33 @@ def oracle_sql() -> dict[str, str]:
               COUNT(DISTINCT GKGRECORDID) AS n_records
             FROM s GROUP BY image_url HAVING COUNT(DISTINCT GKGRECORDID) >= 2
         """,
+        "gkg_count_events": f"""
+            WITH b AS (
+              SELECT GKGRECORDID, unnest(string_split(V2Counts, ';')) AS blk
+              FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)}),
+            m AS (
+              SELECT GKGRECORDID,
+                string_split(blk, '#')[1] AS count_type,
+                CAST(string_split(blk, '#')[2] AS BIGINT) AS count,
+                string_split(blk, '#')[6] AS country_code
+              FROM b WHERE blk <> '' AND blk <> '-'),
+            pr AS (
+              SELECT count_type, country_code, GKGRECORDID,
+                COUNT(*) AS nb, CAST(SUM(count) AS BIGINT) AS nc
+              FROM m GROUP BY 1, 2, 3)
+            SELECT count_type, country_code, COUNT(*) AS n_records,
+              CAST(SUM(nb) AS BIGINT) AS n_blocks,
+              CAST(SUM(nc) AS BIGINT) AS total_count
+            FROM pr GROUP BY 1, 2
+        """,
+        "gkg_translations": f"""
+            SELECT GKGRECORDID,
+              regexp_extract(TranslationInfo, 'srclc:([^;]*)', 1) AS src_lang,
+              regexp_extract(TranslationInfo, 'eng:(.*)$', 1) AS engine
+            FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)}
+            WHERE TranslationInfo IS NOT NULL AND TranslationInfo <> ''
+              AND TranslationInfo <> '-'
+        """,
         "c4_line_filter": """
             WITH b AS (
               SELECT doc_id, coalesce(text, '') AS t FROM documents),
@@ -5094,6 +5182,67 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM p GROUP BY lang, lang_pred
+        """,
+        "lang_nb_id": f"""
+            WITH docs0 AS (
+              SELECT * FROM read_csv('{LANG_FIXTURE}', delim='\t',
+                header=false, columns={{'doc_id': 'BIGINT',
+                'lang': 'VARCHAR', 'text': 'VARCHAR'}})),
+            base AS (
+              SELECT doc_id, lang AS lang_true,
+                CASE WHEN CAST(('0x' || substring(
+                    md5('langnb-v1:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 100 < 80
+                  THEN 'train' ELSE 'val' END AS split,
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+              FROM docs0),
+            base2 AS (
+              SELECT doc_id, lang_true, split, norm,
+                greatest(length(norm) - 2, 1) AS t
+              FROM base),
+            g AS (
+              SELECT doc_id, lang_true, split,
+                CAST(('0x' || substring(
+                  md5('langnb-v1:' || substr(norm, i, 3)), 1, 8))
+                  AS BIGINT) % 4096 AS bucket
+              FROM base2, unnest(range(1, t + 1)) AS u(i)),
+            c AS (
+              SELECT bucket, lang_true AS lang, COUNT(*) AS c
+              FROM g WHERE split = 'train' GROUP BY 1, 2),
+            lt AS (
+              SELECT lang, CAST(SUM(c) AS BIGINT) AS n_lang
+              FROM c GROUP BY lang),
+            w AS (
+              SELECT bucket, lang,
+                ln((c + 1) / CAST(n_lang + 4096 AS DOUBLE)) AS w
+              FROM c JOIN lt USING (lang)),
+            dt AS (
+              SELECT COUNT(*) AS d, COUNT(DISTINCT lang_true) AS k
+              FROM base WHERE split = 'train'),
+            lm AS (
+              SELECT p.lang,
+                ln((p.d_lang + 1) / CAST(dt.d + dt.k AS DOUBLE)) AS prior,
+                ln(1.0 / CAST(lt.n_lang + 4096 AS DOUBLE)) AS dflt
+              FROM (SELECT lang_true AS lang, COUNT(*) AS d_lang
+                    FROM base WHERE split = 'train' GROUP BY 1) p
+              JOIN lt USING (lang) CROSS JOIN dt),
+            m AS (
+              SELECT doc_id, lang,
+                SUM(CAST(w AS DECIMAL(30,15))) AS sw, COUNT(*) AS m
+              FROM g JOIN w USING (bucket) GROUP BY 1, 2),
+            sc AS (
+              SELECT b.doc_id, b.lang_true, b.split, lm.lang,
+                round(lm.prior + CAST(COALESCE(m.sw, 0) AS DOUBLE)
+                  + (b.t - COALESCE(m.m, 0)) * lm.dflt, 6) AS score
+              FROM base2 b CROSS JOIN lm
+              LEFT JOIN m ON m.doc_id = b.doc_id AND m.lang = lm.lang),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+              FROM sc)
+            SELECT doc_id, split, lang_true, lang AS lang_pred,
+              score AS nb_score
+            FROM r WHERE rn = 1
         """,
         "gopher_rules": f"""
             WITH {gopher_ctes}

@@ -139,6 +139,9 @@ HEADLINE = [
     "gkg_quotes",
     "gkg_amounts",
     "gkg_image_dups",
+    "lang_nb_id",
+    "gkg_count_events",
+    "gkg_translations",
     "mix_sources",
     "shard_manifest",
     "ann_topk",
@@ -450,7 +453,24 @@ def main() -> None:
     isolated: dict[str, float] = {}
     if not subset and timings:
         top10 = sorted(timings, key=timings.get, reverse=True)[:10]
-        for name in top10:
+        # VERDICT r7 #3: ALSO isolate any mid-pack query whose
+        # interleaved median exceeds 2x its own best rep — the
+        # bimodal contention signature (dedup_embedding reps
+        # [0.47..1.94], embedding_align 10.7s interleaved vs 1.9s
+        # isolated in-round).  A query whose own reps disagree 2x is
+        # exactly the one whose interleaved median misleads
+        # cross-round comparisons; everything stable stays on the
+        # cheap path.  Floor of 0.3s: sub-noise queries flap across
+        # the 2x ratio without carrying information.
+        bimodal = [
+            n
+            for n, ts in reps.items()
+            if n not in errors
+            and ts
+            and timings.get(n, 0.0) >= 0.3
+            and timings[n] > 2.0 * min(ts)
+        ]
+        for name in top10 + [n for n in bimodal if n not in top10]:
             if time.perf_counter() - t_meas0 > budget_s * 1.2:
                 break
             reset_gc_cycle(spark)
@@ -478,7 +498,9 @@ def main() -> None:
         "subtotal_r4set": round(sum(timings[n] for n in r4set), 3),
         "n_r4set": len(r4set),
         "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
-        "isolated": isolated,  # top-10 by cost: fresh-state medians
+        "isolated": isolated,  # top-10 by cost + bimodal (median >
+        # 2x own min rep): fresh-state medians — read THESE for
+        # cross-round regression calls on any query they cover
         "runs": {n: ts for n, ts in reps.items() if ts},
         "n_errors": len(errors),
         "reps_run": reps_run,

@@ -376,6 +376,47 @@ def gkg_images(gkg: DataFrame) -> DataFrame:
     return share.unionByName(related)
 
 
+def gkg_counts(gkg: DataFrame, col: str = "V2Counts") -> DataFrame:
+    """Typed rows from the GKG Counts / V2Counts blocks (V2.1
+    codebook: ';'-separated
+    'Type#Count#ObjectType#LocType#FullName#CC#ADM1#Lat#Long#FeatureID',
+    V2Counts appending '#offset') — the numeric event-magnitude
+    signal (KILL/ARREST/PROTEST counts with a geocode) the reference
+    downloads but never parses (reference/extractor/extractor.py:
+    288-312).  One explode + codegen split projection; short/malformed
+    blocks yield NULL fields via F.get past-end semantics."""
+    staged = gkg.select("GKGRECORDID", F.explode(_gkg_blocks(col)).alias("blk"))
+    p = F.split("blk", "#")
+    cols = [
+        F.col("GKGRECORDID"),
+        F.get(p, 0).alias("count_type"),
+        F.get(p, 1).cast("long").alias("count"),
+        F.get(p, 2).alias("object_type"),
+        F.get(p, 3).cast("int").alias("loc_type"),
+        F.get(p, 4).alias("loc_name"),
+        F.get(p, 5).alias("country_code"),
+        F.get(p, 6).alias("adm1_code"),
+        F.get(p, 7).cast("double").alias("lat"),
+        F.get(p, 8).cast("double").alias("lon"),
+        F.get(p, 9).alias("feature_id"),
+    ]
+    if col == "V2Counts":
+        cols.append(F.get(p, 10).cast("int").alias("char_offset"))
+    return staged.select(*cols)
+
+
+def gkg_translation(gkg: DataFrame) -> DataFrame:
+    """(GKGRECORDID, src_lang, engine) from the V2.1 TranslationInfo
+    field ('srclc:xxx;eng:provider'; present only on machine-translated
+    records).  Completes the 27-column GKG parse surface."""
+    t = F.col("TranslationInfo")
+    return gkg.filter(t.isNotNull() & (t != "") & (t != "-")).select(
+        "GKGRECORDID",
+        F.regexp_extract(t, r"srclc:([^;]*)", 1).alias("src_lang"),
+        F.regexp_extract(t, r"eng:(.*)$", 1).alias("engine"),
+    )
+
+
 def gkg_comentions(
     gkg: DataFrame, min_records: int = 1, col: str = "V2Persons"
 ) -> DataFrame:

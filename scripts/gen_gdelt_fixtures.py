@@ -220,6 +220,33 @@ def gkg_v21_tail_fields(i: int) -> tuple[str, str, str, str]:
     return quotations, related, amounts, translation
 
 
+COUNT_TYPES = ["KILL", "ARREST", "PROTEST", "WOUND", "EVACUATE"]
+
+
+def gkg_count_fields(i: int) -> tuple[str, str]:
+    """Counts / V2Counts blocks for row ``i`` (V2.1 codebook:
+    'Type#Count#ObjectType#LocType#FullName#CC#ADM1#Lat#Long#FeatureID'
+    — 10 '#'-fields; V2Counts appends '#offset').  Derived from ``i``
+    alone; '-' for odd rows so NULL/empty-marker paths stay covered."""
+    if i % 2 != 0:
+        return "-", "-"
+    c = GKG_LOCS[i % 8]
+    blocks = []
+    for j in range(1 + (i % 10 == 0)):  # second block every 10th row
+        ctype = COUNT_TYPES[(i // 2 + j) % len(COUNT_TYPES)]
+        cnt = 1 + (i + 7 * j) % 40
+        obj = "people" if (i + j) % 3 else "civilians"
+        blocks.append(
+            f"{ctype}#{cnt}#{obj}#1#{c[1]}#{c[0]}#{c[0]}00"
+            f"#{c[2]:.1f}#{c[3]:.1f}#{c[0]}"
+        )
+    counts = ";".join(blocks)
+    v2counts = ";".join(
+        f"{b}#{200 + (i % 9) * 10 + 5 * j}" for j, b in enumerate(blocks)
+    )
+    return counts, v2counts
+
+
 def gen_gkg(rng: random.Random) -> list[list[str]]:
     rows = []
     for i in range(N_GKG):
@@ -238,6 +265,7 @@ def gen_gkg(rng: random.Random) -> list[list[str]]:
         src = f"site{i % 25}.example.com"
         v2loc, v2pers, v2orgs, gcam = gkg_v2_fields(i)
         quotations, related, amounts, translation = gkg_v21_tail_fields(i)
+        counts, v2counts = gkg_count_fields(i)
         rows.append(
             [
                 rid,
@@ -245,8 +273,8 @@ def gen_gkg(rng: random.Random) -> list[list[str]]:
                 "1",
                 src,
                 f"http://{src}/gkg/{i}",
-                "KILL#2#loc;" if i % 11 == 0 else "-",
-                "-",
+                counts,
+                v2counts,
                 ";".join(themes) + ";",
                 ";".join(f"{th},{j * 100}" for j, th in enumerate(themes)) + ";",
                 "1#Country#CO#CO01#10.5#-74.2#F1",

@@ -416,7 +416,8 @@ def _gkg_v2_row(rid: str, **fields: str) -> str:
     V2Locations=10, V2Persons=12, V2Organizations=14, GCAM=17)."""
     idx = {"V2Locations": 10, "V2Persons": 12, "V2Organizations": 14,
            "V2Tone": 15, "GCAM": 17, "SharingImage": 18,
-           "RelatedImages": 19, "Quotations": 22, "Amounts": 24}
+           "RelatedImages": 19, "Quotations": 22, "Amounts": 24,
+           "Counts": 5, "V2Counts": 6, "TranslationInfo": 25}
     cols = [""] * 27
     cols[0] = rid
     cols[1] = "20240101083000"
@@ -614,3 +615,57 @@ def test_gkg_sharing_image_to_dedup_images_chain(spark):
     # < 60 must pair with its SharingImage twin, and nothing else
     want = {(i, i) for i in range(0, 60, 3)}
     assert got == want
+
+
+def test_gkg_counts_parse(spark, tmp_path):
+    p = tmp_path / "g.gkg.csv"
+    p.write_text(
+        _gkg_v2_row(
+            "r1",
+            V2Counts="KILL#12#people#1#France#FR#FR00#46.0#2.0#FR#210;"
+                     "ARREST#3#protesters#4#Paris#FR#FR01#48.9#2.4#F1#300",
+        )
+        + "\n"
+        + _gkg_v2_row("r2", V2Counts="-")
+        + "\n"
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    rows = {
+        # r["count"]: Row.count is tuple.count, attribute access
+        # returns the method
+        (r.GKGRECORDID, r.count_type, r["count"], r.object_type, r.loc_type,
+         r.loc_name, r.country_code, r.adm1_code, r.lat, r.lon,
+         r.feature_id, r.char_offset)
+        for r in G.gkg_counts(gkg, "V2Counts").collect()
+    }
+    assert rows == {
+        ("r1", "KILL", 12, "people", 1, "France", "FR", "FR00",
+         46.0, 2.0, "FR", 210),
+        ("r1", "ARREST", 3, "protesters", 4, "Paris", "FR", "FR01",
+         48.9, 2.4, "F1", 300),
+    }
+    # v1 Counts: same blocks without the trailing offset
+    p2 = tmp_path / "g2.gkg.csv"
+    p2.write_text(
+        _gkg_v2_row("r3", Counts="PROTEST#500#people#1#Chile#CI#CI00#-30.0#-71.0#CI")
+        + "\n"
+    )
+    got = G.gkg_counts(G.read_gdelt_gkg(spark, str(p2)), "Counts").collect()
+    assert len(got) == 1 and got[0]["count"] == 500
+    assert "char_offset" not in got[0].asDict()
+
+
+def test_gkg_translation_parse(spark, tmp_path):
+    p = tmp_path / "g.gkg.csv"
+    p.write_text(
+        _gkg_v2_row("r1", TranslationInfo="srclc:fra;eng:Moses 2.1.1")
+        + "\n"
+        + _gkg_v2_row("r2", TranslationInfo="-")
+        + "\n"
+        + _gkg_v2_row("r3")
+        + "\n"
+    )
+    gkg = G.read_gdelt_gkg(spark, str(p))
+    got = {(r.GKGRECORDID, r.src_lang, r.engine)
+           for r in G.gkg_translation(gkg).collect()}
+    assert got == {("r1", "fra", "Moses 2.1.1")}
