@@ -417,6 +417,37 @@ def _gkg_translations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gkg_translation(_gkg_fixture(spark))
 
 
+def _key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit over the events fact (user_id vs
+    event_type): the pre-flight measurement that decides plain
+    shuffle vs salted_join vs AQE skew handling."""
+    from gdelt_extractor_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(
+        load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
+    )
+
+
+def _source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level MinHash triage: estimated shingle-set Jaccard for
+    every source pair from m=32-slot md5 signatures — which feeds are
+    near-copies, answered before any doc-level dedup runs.  Fully
+    oracle-gated: md5-derived hashes make the whole estimator
+    engine-portable (unlike the xxhash64 doc-level signatures)."""
+    from gdelt_extractor_spark.operators.similarity import source_similarity
+
+    return source_similarity(_docs(spark, sf_dir, width=0), k=5, m=32)
+
+
+def _embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sparse ±1 projection of the embeddings to k=16 dims
+    (Achlioptas 2003), matrix derived from md5 parity so the oracle
+    regenerates it exactly; exploded (vec_id, dim, value) rows."""
+    from gdelt_extractor_spark.operators.decomposition import random_projection
+
+    return random_projection(_emb(spark, sf_dir, width=8), k=16)
+
+
 def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Person co-mention network off V2Persons: per-record pair
     expansion (never an exploded self-join), edges with ≥3 supporting
@@ -2607,6 +2638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gkg_count_events": _gkg_count_events,
         "gkg_translations": _gkg_translations,
         "lang_nb_id": _lang_nb_id,
+        "key_skew": _key_skew,
+        "source_similarity": _source_similarity,
+        "embedding_projection": _embedding_projection,
         # --- oracle-gated, driver-verified r3-r7; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -4738,6 +4772,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_url, COUNT(*) AS n_refs,
               COUNT(DISTINCT GKGRECORDID) AS n_records
             FROM s GROUP BY image_url HAVING COUNT(DISTINCT GKGRECORDID) >= 2
+        """,
+        "key_skew": """
+            WITH ks AS (
+              SELECT 'user_id' AS key_col,
+                CAST(user_id AS VARCHAR) AS k FROM events
+              UNION ALL
+              SELECT 'event_type', CAST(event_type AS VARCHAR) FROM events),
+            tot AS (
+              SELECT key_col, COUNT(*) AS n_rows,
+                SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_nulls
+              FROM ks GROUP BY key_col),
+            c AS (
+              SELECT key_col, k, COUNT(*) AS c
+              FROM ks WHERE k IS NOT NULL GROUP BY key_col, k),
+            st AS (
+              SELECT key_col, COUNT(*) AS n_keys,
+                CAST(SUM(c) AS BIGINT) AS nn,
+                CAST(MAX(c) AS BIGINT) AS max_c
+              FROM c GROUP BY key_col),
+            t10 AS (
+              SELECT key_col, CAST(SUM(c) AS BIGINT) AS top10 FROM (
+                SELECT key_col, c, row_number() OVER (
+                  PARTITION BY key_col ORDER BY c DESC, k ASC) AS rn
+                FROM c) WHERE rn <= 10 GROUP BY key_col),
+            r AS (
+              SELECT key_col, CAST(c AS DOUBLE) AS x,
+                row_number() OVER (
+                  PARTITION BY key_col ORDER BY c ASC, k ASC) AS i
+              FROM c),
+            g AS (
+              SELECT key_col, COUNT(*) AS gn,
+                CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS gtot,
+                CAST(SUM(CAST(i * x AS DECIMAL(30,15))) AS DOUBLE) AS ws
+              FROM r GROUP BY key_col)
+            SELECT tot.key_col, CAST(tot.n_rows AS BIGINT) AS n_rows,
+              CAST(tot.n_nulls AS BIGINT) AS n_nulls,
+              CAST(st.n_keys AS BIGINT) AS n_keys,
+              round(CAST(st.max_c AS DOUBLE) / st.nn, 6) AS top1_share,
+              round(CAST(t10.top10 AS DOUBLE) / st.nn, 6) AS top10_share,
+              CASE WHEN g.gn > 0 AND g.gtot > 0 THEN
+                round(2.0 * g.ws / (g.gn * g.gtot) - (g.gn + 1.0) / g.gn, 6)
+              END AS gini
+            FROM tot JOIN st USING (key_col) JOIN t10 USING (key_col)
+            JOIN g USING (key_col)
+        """,
+        "source_similarity": f"""
+            WITH b AS (
+              SELECT source, {_toks("coalesce(text, '')")} AS toks,
+                len({_toks("coalesce(text, '')")}) AS n
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT source,
+                array_to_string(toks[i:i+4], ' ') AS shingle
+              FROM b, unnest(range(1, n - 3)) AS u(i)
+              WHERE n >= 5),
+            h AS (
+              SELECT source, s.slot,
+                CAST(('0x' || substring(md5('srcsim-v1:'
+                  || CAST(s.slot AS VARCHAR) || ':' || shingle), 1, 12))
+                  AS BIGINT) AS hv
+              FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS slot) s),
+            sig AS (
+              SELECT source, slot, MIN(hv) AS mh FROM h GROUP BY 1, 2)
+            SELECT a.source AS source_a, b2.source AS source_b,
+              round(AVG(CASE WHEN a.mh = b2.mh THEN 1.0 ELSE 0.0 END), 6)
+                AS est_jaccard,
+              COUNT(*) AS n_slots
+            FROM sig a JOIN sig b2
+              ON a.slot = b2.slot AND a.source < b2.source
+            GROUP BY 1, 2
+        """,
+        "embedding_projection": """
+            WITH v AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
+                len(embedding) AS d
+              FROM embeddings),
+            e AS (
+              SELECT vec_id, i - 1 AS i, vv[i] AS x
+              FROM v, unnest(range(1, d + 1)) AS u(i)),
+            s AS (
+              SELECT e.vec_id, j.dim, e.x,
+                CASE WHEN CAST(('0x' || substring(md5('rproj-v1:'
+                    || CAST(e.i AS VARCHAR) || ':'
+                    || CAST(j.dim AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+              FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) j)
+            SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+              round(SUM(x * sgn) / sqrt(16.0), 6) AS value
+            FROM s GROUP BY vec_id, dim
         """,
         "gkg_count_events": f"""
             WITH b AS (

@@ -142,6 +142,9 @@ HEADLINE = [
     "lang_nb_id",
     "gkg_count_events",
     "gkg_translations",
+    "key_skew",
+    "source_similarity",
+    "embedding_projection",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

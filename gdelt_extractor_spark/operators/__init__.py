@@ -42,13 +42,14 @@ from .dedup import (
 from .enrich import enrich_articles, enrich_articles_fetch
 from .geo import geo_project, grid_join, haversine_km, nearest_join
 from .affinity import association_rules
-from .decomposition import pca, pca_fit, pca_project
+from .decomposition import pca, pca_fit, pca_project, random_projection
 from .graph import k_core, label_propagation, pagerank, triangle_count
 from .keywords import keyword_freq
 from .packing import chunk_documents, pack_sequences
 from .pii import k_anonymity, l_diversity, luhn_valid, redact_pii, scan_pii
 from .features import quantile_normalize, target_encode
 from .profiling import (
+    key_skew_profile,
     auc_score,
     benford_audit,
     chi_square,
@@ -75,6 +76,7 @@ from .clustering import (
     kmeans_fit,
 )
 from .similarity import (
+    source_similarity,
     ann_bruteforce,
     ann_ivf,
     ann_lsh,
@@ -129,6 +131,7 @@ __all__ = [
     "profile_table",
     "url_filter",
     "quality_score", "quantize_embeddings", "range_join", "redact_pii",
+    "source_similarity", "key_skew_profile", "random_projection",
     "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "dedup_videos", "video_fingerprint",

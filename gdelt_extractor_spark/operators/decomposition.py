@@ -172,3 +172,75 @@ def pca(
         "explained_ratio",
         F.array(*[F.lit(round(float(x), 6)) for x in ratio]),
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "rproj-v1",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sparse sign projection: reduce a d-dim
+    embedding to k dims with a FIXED ±1 matrix, out_j = Σ_i v_i·s_ij /
+    √k (Achlioptas 2003, "Database-friendly random projections" — the
+    ±1 variant preserves pairwise distances in expectation like the
+    Gaussian one at a fraction of the cost).  The model-free, no-fit
+    companion to ``pca_fit``: the projection matrix derives from
+    md5(salt:i:j) parity, so it is identical on every engine, every
+    run, and every executor — no broadcast of fitted state, nothing to
+    persist, and the whole operator is value-level oracle-checkable
+    (DuckDB regenerates the same matrix from the same md5s).
+
+    Output is EXPLODED (vec_id, dim, value) rows — the shape ANN
+    re-indexing and the driver's value-level comparison both want.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass; each Python
+    worker materializes the (d × k) sign matrix once per batch stream
+    (d·k md5s, thousands — amortized to nothing) and projects the
+    whole batch as one numpy GEMM.  No shuffle at all: the operator
+    is a pure per-row map, so it composes under whatever partitioning
+    the downstream ANN/cluster step needs.  Values are rounded
+    HALF_UP to 6 decimals (Spark ``F.round`` semantics) so the
+    float64 GEMM and the oracle's per-term double sum agree."""
+    import hashlib
+
+    from typing import Iterator
+
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    src = emb.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        smat: dict[int, np.ndarray] = {}  # d -> (d, k) sign matrix
+
+        def signs(d: int) -> np.ndarray:
+            if d not in smat:
+                s = np.empty((d, k), dtype=np.float64)
+                for i in range(d):
+                    for j in range(k):
+                        h = hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()
+                        s[i, j] = 1.0 if int(h[:1], 16) % 2 == 0 else -1.0
+                smat[d] = s
+            return smat[d]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ok = pdf[pdf["_v"].map(lambda v: v is not None and len(v) > 0)]
+            if not len(ok):
+                continue
+            for d, grp in ok.groupby(ok["_v"].map(len).to_numpy()):
+                V = np.array(grp["_v"].tolist(), dtype=np.float64)
+                P = (V @ signs(int(d))) / np.sqrt(float(k))
+                # HALF_UP, not numpy's half-even
+                P = np.sign(P) * np.floor(np.abs(P) * 1e6 + 0.5) / 1e6
+                n = len(grp)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(grp["_id"].to_numpy(), k),
+                        "dim": np.tile(np.arange(k, dtype=np.int32), n),
+                        "value": P.reshape(-1),
+                    }
+                )
+
+    return src.mapInPandas(run, f"vec_id {id_dt}, dim int, value double")

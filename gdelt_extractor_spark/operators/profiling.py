@@ -591,6 +591,92 @@ def gini(
     )
 
 
+def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Join/shuffle-key skew audit — the measurement that decides
+    between a plain shuffle, ``skew.salted_join``, and AQE skew
+    handling BEFORE the job runs at scale: for each candidate key
+    column, one row with
+
+      (key_col, n_rows, n_nulls, n_keys, top1_share, top10_share,
+       gini)
+
+    where the shares are the heaviest key's (and heaviest 10 keys')
+    fraction of non-null rows and ``gini`` is the concentration of
+    the per-key count distribution (the ``gini`` operator's rank-sum
+    identity over counts, tie-broken by key for determinism).
+    top1_share near 1 → one hot key (salt it); high gini with low
+    top1 → broad skew (AQE handles it); gini near 0 → uniform keys.
+
+    Scale shape, per column: ONE partial-aggregated shuffle on the
+    key for the count frame; top-10 via TakeOrderedAndProject (never
+    a global sort); gini ranks via ``ranking.global_row_number``
+    (range partition + bounded offset collect).  The per-column
+    result frames are one row each and union driver-free; column
+    count bounds the plan, not data size."""
+    from .ranking import global_row_number
+
+    outs: list[DataFrame] = []
+    for key in key_cols:
+        base = df.select(F.col(key).cast("string").alias("_k"))
+        totals = base.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("_k").isNull()).alias("n_nulls"),
+        )
+        counts = (
+            base.filter(F.col("_k").isNotNull())
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("_c").alias("_nn"),
+            F.max("_c").alias("_max_c"),
+        )
+        top10 = (
+            counts.orderBy(F.col("_c").desc(), F.col("_k").asc())
+            .limit(10)
+            .agg(F.sum("_c").alias("_top10"))
+        )
+        ranked = global_row_number(
+            counts.select(F.col("_c").cast("double").alias("x"), F.col("_k").alias("_tb")),
+            ["x", "_tb"],
+            rank_col="_i",
+        )
+        g = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("x").cast("decimal(30,15)")).cast("double").alias("_tot"),
+            F.sum((F.col("_i") * F.col("x")).cast("decimal(30,15)"))
+            .cast("double")
+            .alias("_ws"),
+        )
+        row = (
+            totals.crossJoin(stats)
+            .crossJoin(top10)
+            .crossJoin(g)
+            .select(
+                F.lit(key).alias("key_col"),
+                "n_rows",
+                "n_nulls",
+                "n_keys",
+                F.round(F.col("_max_c") / F.col("_nn"), 6).alias("top1_share"),
+                F.round(F.col("_top10") / F.col("_nn"), 6).alias("top10_share"),
+                F.when(
+                    (F.col("_n") > 0) & (F.col("_tot") > 0),
+                    F.round(
+                        F.lit(2.0) * F.col("_ws") / (F.col("_n") * F.col("_tot"))
+                        - (F.col("_n") + F.lit(1.0)) / F.col("_n"),
+                        6,
+                    ),
+                ).alias("gini"),
+            )
+        )
+        outs.append(row)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """Precision-recall curve points — the threshold-picking companion
     to ``auc_score`` (one number says WHETHER the scorer ranks well;

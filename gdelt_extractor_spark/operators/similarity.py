@@ -845,3 +845,102 @@ def align_embeddings(
             "id_a", "id_b", F.col("cos").alias("cosine"), "margin"
         )
     )
+
+
+def source_similarity(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 5,
+    m: int = 32,
+    salt: str = "srcsim-v1",
+) -> DataFrame:
+    """Corpus-level similarity triage: estimated shingle-set Jaccard
+    between every pair of SOURCES via per-source MinHash signatures —
+    "which feeds are near-copies of each other" answered from m longs
+    per source, the step BEFORE any doc-level dedup is pointed at a
+    suspicious source pair.  Returns (source_a < source_b,
+    est_jaccard, n_slots) where est_jaccard is the fraction of the m
+    signature slots on which the two sources' minima agree (the
+    classic unbiased MinHash estimate of |A∩B| / |A∪B| over k-token
+    shingle sets).
+
+    Hashes are md5-derived (salted per slot, 48-bit), NOT the
+    engine-native xxhash64 the doc-level ``minhash_signatures`` uses:
+    corpus-level signatures are computed once and compared across
+    runs/engines, so portability beats the per-row hash speed that
+    dominates doc-level dedup (and it makes the whole estimator
+    DuckDB-replicable — this operator is value-level oracle-gated,
+    not rows-only).
+
+    Scale shape: per-source distinct shingles → ONE explode by the m
+    slots → ONE partial-aggregated min per (source, slot) — the
+    signature table is |sources|·m rows no matter the corpus size;
+    the pairwise comparison joins signatures on the slot key and
+    aggregates per pair, O(|sources|²·m) on a tiny frame.  At 100 TB
+    the only corpus-sized work is the shingle scan."""
+    from ..functions.text import tokens
+
+    base = (
+        docs.select(F.col(source_col).alias("source"), tokens(text_col).alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") >= k)
+    )
+    shingles = (
+        base.select(
+            "source",
+            F.explode(F.sequence(F.lit(0), (F.col("_n") - k).cast("int"))).alias("pos"),
+            "_t",
+        )
+        .select(
+            "source",
+            F.concat_ws(" ", F.slice("_t", (F.col("pos") + 1).cast("int"), k)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()  # set semantics per source
+    )
+    hashed = shingles.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("slot"),
+        "shingle",
+    ).select(
+        "source",
+        "slot",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"),
+                        F.col("slot").cast("string"),
+                        F.lit(":"),
+                        F.col("shingle"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    sig = hashed.groupBy("source", "slot").agg(F.min("h").alias("mh"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.round(
+                F.avg((F.col("a.mh") == F.col("b.mh")).cast("double")), 6
+            ).alias("est_jaccard"),
+            F.count(F.lit(1)).alias("n_slots"),
+        )
+    )

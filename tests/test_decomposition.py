@@ -164,3 +164,62 @@ class TestHLLSketchTable:
             self._events(spark, n=20000, users=20000), ["etype"], "user_id", lg_k=12
         ).collect()
         assert all(len(r.hll_sketch) <= 2 ** 12 + 64 for r in sk)
+
+
+class TestRandomProjection:
+    def test_shape_and_determinism(self, spark):
+        from gdelt_extractor_spark.operators.decomposition import random_projection
+
+        emb = spark.createDataFrame(
+            [(i, [float((i * 13 + j * 7) % 11) - 5.0 for j in range(24)])
+             for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        a = {(r.vec_id, r.dim): r.value
+             for r in random_projection(emb, k=8).collect()}
+        b = {(r.vec_id, r.dim): r.value
+             for r in random_projection(emb.repartition(7), k=8).collect()}
+        assert a == b
+        assert len(a) == 40 * 8
+
+    def test_distance_preservation(self, spark):
+        """JL property: pairwise squared distances in the projected
+        space track the originals (correlation, not exactness — k is
+        small).  Also pins the 1/sqrt(k) scaling: the MEAN ratio of
+        projected to original squared distance must be near 1."""
+        import numpy as np
+
+        from gdelt_extractor_spark.operators.decomposition import random_projection
+
+        rng = np.random.RandomState(7)
+        # scale rows to varying magnitudes: iid gaussian rows have
+        # concentrated pairwise distances (correlation would be
+        # noise); scaling spreads them so tracking is measurable
+        V = rng.randn(30, 32) * (1.0 + np.arange(30) / 6.0)[:, None]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in V[i]]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = random_projection(emb, k=16).collect()
+        P = np.zeros((30, 16))
+        for r in rows:
+            P[r.vec_id, r.dim] = r.value
+        dv, dp = [], []
+        for i in range(30):
+            for j in range(i + 1, 30):
+                dv.append(((V[i] - V[j]) ** 2).sum())
+                dp.append(((P[i] - P[j]) ** 2).sum())
+        dv, dp = np.array(dv), np.array(dp)
+        ratio = dp / dv
+        assert 0.7 < ratio.mean() < 1.3, ratio.mean()
+        assert np.corrcoef(dv, dp)[0, 1] > 0.5
+
+    def test_null_and_ragged_vectors_dropped(self, spark):
+        from gdelt_extractor_spark.operators.decomposition import random_projection
+
+        emb = spark.createDataFrame(
+            [(1, [1.0] * 8), (2, None), (3, [1.0] * 4)],
+            "vec_id long, embedding array<double>",
+        )
+        got = random_projection(emb, k=4).groupBy("vec_id").count().collect()
+        assert {(r.vec_id, r["count"]) for r in got} == {(1, 4), (3, 4)}

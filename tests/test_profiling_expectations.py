@@ -107,3 +107,27 @@ def test_psi_drift_defaults_range_from_old(spark):
     flat = spark.createDataFrame([(3.0,), (3.0,)], "v double")
     with _pytest.raises(ValueError, match="hi > lo"):
         psi_drift(flat, flat, "v")
+
+
+class TestKeySkewProfile:
+    def test_uniform_vs_hot_key(self, spark):
+        from gdelt_extractor_spark.operators.profiling import key_skew_profile
+
+        rows = [(i, f"u{i % 10}", "hot" if i < 90 else f"t{i}") for i in range(100)]
+        df = spark.createDataFrame(rows, "i long, uniform string, hot string")
+        out = {r.key_col: r for r in key_skew_profile(df, ["uniform", "hot"]).collect()}
+        u, h = out["uniform"], out["hot"]
+        assert u.n_keys == 10 and u.top1_share == 0.1 and u.gini == 0.0
+        assert h.n_keys == 11 and h.top1_share == 0.9
+        assert h.gini > 0.7
+        assert u.n_rows == h.n_rows == 100 and u.n_nulls == 0
+
+    def test_nulls_counted_not_profiled(self, spark):
+        from gdelt_extractor_spark.operators.profiling import key_skew_profile
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, None)], "i long, k string"
+        )
+        r = key_skew_profile(df, ["k"]).collect()[0]
+        assert r.n_rows == 4 and r.n_nulls == 2
+        assert r.n_keys == 1 and r.top1_share == 1.0

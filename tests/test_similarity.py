@@ -387,3 +387,49 @@ def test_align_embeddings_threshold_and_hub_penalty(spark):
     kept = S.align_embeddings(a, b, k=2, margin_threshold=thr).collect()
     assert {r.id_a for r in kept} == {i for i in range(4)
                                       if out[i].margin >= thr}
+
+
+class TestSourceSimilarity:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_identical_sources_score_one(self, spark):
+        from gdelt_extractor_spark.operators.similarity import source_similarity
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = self._docs(
+            spark, [(1, "a", text), (2, "b", text), (3, "c", "x y z w q r s t u v")]
+        )
+        out = {(r.source_a, r.source_b): r.est_jaccard
+               for r in source_similarity(docs, k=5, m=32).collect()}
+        assert out[("a", "b")] == 1.0
+        assert out[("a", "c")] == 0.0 and out[("b", "c")] == 0.0
+
+    def test_estimate_tracks_exact_jaccard(self, spark):
+        from gdelt_extractor_spark.operators.similarity import source_similarity
+
+        # two sources sharing half their shingle sets: exact Jaccard
+        # = |A∩B|/|A∪B|; the 64-slot estimate must land within 0.2
+        words = [f"w{i}" for i in range(40)]
+        a_text = " ".join(words[:30])
+        b_text = " ".join(words[10:40])
+        docs = self._docs(spark, [(1, "a", a_text), (2, "b", b_text)])
+        k = 5
+        sh = lambda t: {" ".join(t.split()[i:i + k])
+                        for i in range(len(t.split()) - k + 1)}
+        exact = len(sh(a_text) & sh(b_text)) / len(sh(a_text) | sh(b_text))
+        got = source_similarity(docs, k=k, m=64).collect()[0]
+        assert abs(got.est_jaccard - exact) < 0.2, (got.est_jaccard, exact)
+        assert got.n_slots == 64
+
+    def test_partition_invariant(self, spark):
+        from gdelt_extractor_spark.operators.similarity import source_similarity
+
+        docs = self._docs(
+            spark,
+            [(i, f"s{i % 3}", " ".join(f"t{(i * 7 + j) % 23}" for j in range(12)))
+             for i in range(30)],
+        )
+        a = {tuple(r) for r in source_similarity(docs.repartition(1)).collect()}
+        b = {tuple(r) for r in source_similarity(docs.repartition(13)).collect()}
+        assert a == b and a
