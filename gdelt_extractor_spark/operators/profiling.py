@@ -626,6 +626,11 @@ def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
             base.filter(F.col("_k").isNotNull())
             .groupBy("_k")
             .agg(F.count(F.lit(1)).alias("_c"))
+            # lazy checkpoint: three consumers (stats, top-10, gini
+            # ranks) would otherwise each re-run the corpus-wide
+            # count shuffle; materialized once, the frame is
+            # n_keys-sized — the thing being measured, not the corpus
+            .localCheckpoint(eager=False)
         )
         stats = counts.agg(
             F.count(F.lit(1)).alias("n_keys"),
