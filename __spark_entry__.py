@@ -448,6 +448,54 @@ def _embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(_emb(spark, sf_dir, width=8), k=16)
 
 
+def _seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of per-event-type daily counts
+    (trend = centered 7-row MA, seasonal = weekday mean of detrended,
+    residual) — the periodic-traffic triage before anomaly calls.
+    Integer daily counts make every windowed sum float-exact, so the
+    cross-engine parity holds without decimal windows; day emitted as
+    TIMESTAMP (the engine-portable date comparison convention)."""
+    from gdelt_extractor_spark.operators.temporal import seasonal_decompose
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"), F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = seasonal_decompose(daily, "event_type", "day", "n")
+    return out.select(
+        "key", F.col("day").cast("timestamp").alias("day"),
+        "value", "trend", "seasonal", "residual",
+    )
+
+
+def _doc_length_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for mean document token length — the
+    deterministic (md5-resample) error bar; the full resampling is
+    replicated in the DuckDB oracle."""
+    from gdelt_extractor_spark.operators.profiling import bootstrap_ci
+    from gdelt_extractor_spark.functions.text import tokens as _tk
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(_tk("text")).cast("double").alias("n_tokens")
+    )
+    return bootstrap_ci(docs, "n_tokens", "doc_id", n_resamples=200)
+
+
+def _pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing padded-batch packing of documents into
+    256-token bins (whole docs, SFT layout) — rows-only gate: the
+    greedy loop is not SQL-expressible; capacity/completeness/
+    determinism/reference-equality are property-tested."""
+    from gdelt_extractor_spark.operators.packing import pack_bins_bfd
+
+    return pack_bins_bfd(
+        _docs(spark, sf_dir), budget=256, n_shards=8
+    )
+
+
 def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Person co-mention network off V2Persons: per-record pair
     expansion (never an exploded self-join), edges with ≥3 supporting
@@ -2641,6 +2689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": _key_skew,
         "source_similarity": _source_similarity,
         "embedding_projection": _embedding_projection,
+        "seasonal_daily": _seasonal_daily,
+        "doc_length_ci": _doc_length_ci,
         # --- oracle-gated, driver-verified r3-r7; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -2838,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_cores": _actor_cores,
         "approx_quantiles": Q.approx_value_quantiles,
         "approx_distinct_users": Q.approx_distinct_users,
+        "pack_bins": _pack_bins,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_semantic": _dedup_semantic,
@@ -4862,6 +4913,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(dim AS INTEGER) AS dim,
               round(SUM(x * sgn) / sqrt(16.0), 6) AS value
             FROM s GROUP BY vec_id, dim
+        """,
+        "seasonal_daily": f"""
+            WITH d AS (
+              SELECT event_type AS key,
+                CAST(date_trunc('day', ts) AS DATE) AS day,
+                COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            t AS (
+              SELECT key, day, CAST(n AS DOUBLE) AS value,
+                round(AVG(CAST(n AS DOUBLE)) OVER (
+                  PARTITION BY key ORDER BY day
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS trend
+              FROM d),
+            dt AS (
+              SELECT *, CAST(round((value - trend) * 1e6) AS BIGINT) AS du,
+                dayofweek(day) + 1 AS dow
+              FROM t),
+            s AS (
+              SELECT key, dow, CAST(SUM(du) AS BIGINT) AS su,
+                COUNT(*) AS n
+              FROM dt GROUP BY 1, 2),
+            s2 AS (
+              SELECT key, dow,
+                CASE WHEN su >= 0 THEN (2 * su + n) // (2 * n)
+                     ELSE -((2 * (-su) + n) // (2 * n)) END AS seas_u
+              FROM s)
+            SELECT dt.key, CAST(dt.day AS TIMESTAMP) AS day, dt.value,
+              dt.trend, s2.seas_u / 1e6 AS seasonal,
+              (dt.du - s2.seas_u) / 1e6 AS residual
+            FROM dt JOIN s2 USING (key, dow)
+        """,
+        "doc_length_ci": f"""
+            WITH v AS (
+              SELECT CAST(len({_toks("coalesce(text, '')")}) AS DOUBLE) AS x,
+                doc_id AS tb
+              FROM documents),
+            idx AS (
+              SELECT x, row_number() OVER (ORDER BY x, tb) - 1 AS idx
+              FROM v),
+            nn AS (SELECT COUNT(*) AS n FROM idx),
+            draws AS (
+              SELECT b.b,
+                CAST(('0x' || substring(md5('boot-v1:'
+                  || CAST(b.b AS VARCHAR) || ':'
+                  || CAST(u.j AS VARCHAR)), 1, 12)) AS BIGINT) % nn.n AS idx
+              FROM (SELECT unnest(range(0, 200)) AS b) b
+              CROSS JOIN nn, unnest(range(0, nn.n)) AS u(j)),
+            means AS (
+              SELECT b, round(CAST(SUM(CAST(x AS DECIMAL(30,15)))
+                AS DOUBLE) / COUNT(*), 6) AS m
+              FROM draws JOIN idx USING (idx) GROUP BY b),
+            rk AS (
+              SELECT m, row_number() OVER (ORDER BY m ASC) AS r FROM means),
+            bounds AS (
+              SELECT MAX(CASE WHEN r = 5 THEN m END) AS ci_lo,
+                MAX(CASE WHEN r = 195 THEN m END) AS ci_hi
+              FROM rk),
+            st AS (
+              SELECT COUNT(*) AS n,
+                round(CAST(SUM(CAST(x AS DECIMAL(30,15)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean
+              FROM v)
+            SELECT st.n, st.mean, bounds.ci_lo, bounds.ci_hi,
+              200 AS n_resamples
+            FROM st CROSS JOIN bounds
         """,
         "gkg_count_events": f"""
             WITH b AS (

@@ -145,6 +145,9 @@ HEADLINE = [
     "key_skew",
     "source_similarity",
     "embedding_projection",
+    "seasonal_daily",
+    "doc_length_ci",
+    "pack_bins",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

@@ -45,10 +45,11 @@ from .affinity import association_rules
 from .decomposition import pca, pca_fit, pca_project, random_projection
 from .graph import k_core, label_propagation, pagerank, triangle_count
 from .keywords import keyword_freq
-from .packing import chunk_documents, pack_sequences
+from .packing import pack_bins_bfd, chunk_documents, pack_sequences
 from .pii import k_anonymity, l_diversity, luhn_valid, redact_pii, scan_pii
 from .features import quantile_normalize, target_encode
 from .profiling import (
+    bootstrap_ci,
     key_skew_profile,
     auc_score,
     benford_audit,
@@ -87,6 +88,7 @@ from .similarity import (
 from .sketches import approx_topk, hll_rollup, hll_sketch_table
 from .skew import salted_agg, salted_join
 from .temporal import (
+    seasonal_decompose,
     asof_join,
     autocorrelation,
     cusum_changepoint,
@@ -132,6 +134,7 @@ __all__ = [
     "url_filter",
     "quality_score", "quantize_embeddings", "range_join", "redact_pii",
     "source_similarity", "key_skew_profile", "random_projection",
+    "bootstrap_ci", "pack_bins_bfd", "seasonal_decompose",
     "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "dedup_videos", "video_fingerprint",

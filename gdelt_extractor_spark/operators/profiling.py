@@ -743,3 +743,108 @@ def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc())
     )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_resamples: int = 200,
+    alpha: float = 0.05,
+    salt: str = "boot-v1",
+) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the MEAN of a
+    value column — the error bar every eval/quality headline number
+    should carry ("quality went 0.62 → 0.64" means nothing without
+    one).  Returns ONE row: (n, mean, ci_lo, ci_hi, n_resamples).
+
+    The resampling draw is md5-derived — draw j of resample b picks
+    row index md5(salt:b:j) mod n — so the interval is a pure
+    function of (data, salt): reproducible across runs, engines and
+    partitionings, and value-level oracle-checkable (no RNG state
+    anywhere).  Percentile bounds use the nearest-rank convention on
+    the sorted resample means (floor(q·(B−1)) zero-based — exact,
+    no interpolation to drift).
+
+    Scale shape: rows get a dense 0..n−1 index (range-partitioned
+    ``global_row_number``, no single-partition sort); the B·n draw
+    frame is generated by exploding two sequences (no driver data)
+    and equi-joins the indexed values on the index key; per-resample
+    means are one partial-aggregated decimal shuffle on b; the B-row
+    means frame finishes with one tiny sort.  B·n scales linearly —
+    at 100 TB bootstrap a pre-aggregated or sampled frame, as
+    statistics (and memory) already demand."""
+    from .ranking import global_row_number
+
+    b_means_needed = n_resamples
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("x"),
+        F.col(id_col).alias("_tb"),
+    )
+    indexed = global_row_number(v, ["x", "_tb"], rank_col="_i").select(
+        (F.col("_i") - 1).cast("long").alias("idx"), "x"
+    )
+    n_row = indexed.agg(F.count(F.lit(1)).alias("n"))
+    draws = (
+        n_row.select(
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(b_means_needed - 1))).alias("b"),
+        )
+        .select(
+            "n",
+            "b",
+            F.explode(F.sequence(F.lit(0), (F.col("n") - 1).cast("int"))).alias("j"),
+        )
+        .select(
+            "b",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(salt + ":"),
+                                F.col("b").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n"),
+            ).alias("idx"),
+        )
+    )
+    means = (
+        draws.join(indexed, "idx")
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(30,15)")).cast("double") / F.count(F.lit(1))).alias("m")
+        )
+        .select(F.round("m", 6).alias("m"))
+    )
+    lo_rank = int((alpha / 2) * (n_resamples - 1)) + 1
+    hi_rank = int((1 - alpha / 2) * (n_resamples - 1)) + 1
+    from pyspark.sql import Window as _W
+
+    ranked = means.withColumn(
+        "_r", F.row_number().over(_W.orderBy(F.col("m").asc()))
+    )
+    bounds = ranked.agg(
+        F.max(F.when(F.col("_r") == lo_rank, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("_r") == hi_rank, F.col("m"))).alias("ci_hi"),
+    )
+    stats = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+    )
+    return stats.crossJoin(bounds).select(
+        "n", "mean", "ci_lo", "ci_hi", F.lit(n_resamples).alias("n_resamples")
+    )

@@ -760,3 +760,89 @@ def autocorrelation(
         )
         .orderBy("lag")
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+    period_window: int = 3,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a per-key daily
+    series: value = trend + seasonal + residual — the triage step
+    before anomaly calls on periodic streams (``event_spikes``'
+    z-score flags Mondays as anomalies on weekday-periodic traffic;
+    decomposing first lets it score the RESIDUAL).
+
+    Per (key, date):
+      trend    = centered moving average over ±``period_window`` rows
+                 in date order (7-day window by default — the weekly
+                 cycle; edges average over what exists, the standard
+                 convention),
+      seasonal = per-(key, weekday) mean of the detrended values
+                 (decimal-summed, order-independent),
+      residual = value − trend − seasonal.
+
+    Cross-engine exactness: the detrended values are carried as
+    EXACT INTEGER MICRO-UNITS (round((value−trend)·1e6) — integral up
+    to float noise ~1e-9, never near a .5) and the weekday mean is
+    rounded half-up IN INTEGER ARITHMETIC ((2·Σu + n) div (2n) on the
+    positive magnitude), because Σdetr/n lands on exact 1e-6
+    midpoints where Spark (decimal-string HALF_UP) and a
+    binary-double round disagree — the r5 decimal-midpoint gotcha,
+    measured here on real weekday groups (4.0714285 → 4.071429 vs
+    4.071428).  Trend is safe to round directly when values are
+    integral counts (denominators ≤ 2·window+1 have no 5-terminated
+    expansions); with non-integral inputs trend midpoints are the
+    caller's risk.  Input is
+    an already-aggregated (key, date, value) frame — compose after
+    ``events_hourly``/daily rollups, or after ``fill_gaps`` when the
+    calendar has holes (a missing day shifts the ROWS window, same as
+    every engine's rolling decomposition).
+
+    Scale shape: one window pass partitioned by key (each key's
+    series sorts within its partition — no global sort), one
+    partial-aggregated shuffle on (key, weekday), one broadcast-sized
+    join back.  Nothing driver-side."""
+    from ..plans.queries import dsum
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(date_col).cast("date").alias("day"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-period_window, period_window)
+    )
+    with_trend = base.withColumn("trend", F.round(F.avg("value").over(w), 6))
+    detr = with_trend.withColumn(
+        "_du", F.round((F.col("value") - F.col("trend")) * 1e6).cast("long")
+    ).withColumn("_dow", F.dayofweek("day"))
+    seas = detr.groupBy("key", "_dow").agg(
+        F.sum("_du").alias("_su"), F.count(F.lit(1)).alias("_n")
+    ).select(
+        "key",
+        "_dow",
+        # integer half-up mean of the micro-units, sign handled on
+        # the magnitude so truncating div == floor
+        F.when(
+            F.col("_su") >= 0,
+            F.expr("(2 * _su + _n) div (2 * _n)"),
+        )
+        .otherwise(-F.expr("(2 * -_su + _n) div (2 * _n)"))
+        .alias("_seas_u"),
+    )
+    return (
+        detr.join(seas, ["key", "_dow"])
+        .select(
+            "key",
+            "day",
+            "value",
+            "trend",
+            (F.col("_seas_u") / 1e6).alias("seasonal"),
+            ((F.col("_du") - F.col("_seas_u")) / 1e6).alias("residual"),
+        )
+    )

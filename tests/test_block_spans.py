@@ -91,3 +91,94 @@ def test_partition_independent(spark):
         map(tuple, lm_block_spans(df.repartition(7), budget=16).collect())
     )
     assert a == b
+
+
+class TestPackBinsBFD:
+    def _docs(self, spark, lens, budget_word="w"):
+        rows = [(i, " ".join([budget_word] * n)) for i, n in enumerate(lens)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_example(self, spark):
+        from gdelt_extractor_spark.operators.packing import pack_bins_bfd
+
+        # budget 10, lengths [7,5,5,3,2] in one shard:
+        # desc order 7,5,5,3,2 → bins [7,3], [5,5], [2]
+        out = pack_bins_bfd(
+            self._docs(spark, [7, 5, 5, 3, 2]), budget=10, n_shards=1
+        ).collect()
+        by_bin: dict = {}
+        for r in out:
+            by_bin.setdefault(r.bin_id, []).append(r.n_tokens)
+        assert sorted(sorted(v, reverse=True) for v in by_bin.values()) == [
+            [2], [5, 5], [7, 3]]
+        assert not any(r.truncated for r in out)
+
+    def test_invariants_and_determinism(self, spark):
+        from gdelt_extractor_spark.operators.packing import pack_bins_bfd
+
+        lens = [((i * 37) % 120) + 1 for i in range(200)]
+        docs = self._docs(spark, lens)
+        out = pack_bins_bfd(docs, budget=128, n_shards=4).collect()
+        # completeness: every doc exactly once
+        assert sorted(r.doc_id for r in out) == list(range(200))
+        # capacity: no (shard, bin) over budget; truncated docs alone
+        fill: dict = {}
+        for r in out:
+            fill.setdefault((r.shard, r.bin_id), []).append(r)
+        for members in fill.values():
+            if any(m.truncated for m in members):
+                assert len(members) == 1
+            else:
+                assert sum(m.n_tokens for m in members) <= 128
+        # bin_slot is a dense placement order within the bin
+        for members in fill.values():
+            assert sorted(m.bin_slot for m in members) == list(range(len(members)))
+        # partition invariance
+        out2 = pack_bins_bfd(docs.repartition(13), budget=128, n_shards=4).collect()
+        assert {tuple(r) for r in out} == {tuple(r) for r in out2}
+
+    def test_truncated_flag(self, spark):
+        from gdelt_extractor_spark.operators.packing import pack_bins_bfd
+
+        out = pack_bins_bfd(
+            self._docs(spark, [300, 4]), budget=16, n_shards=1
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[0].truncated and not by_id[1].truncated
+        assert by_id[0].bin_id != by_id[1].bin_id
+
+    def test_matches_reference_bfd(self, spark):
+        """Independent pure-Python BFD (bisect-insort structure, not
+        the operator's linear scan) must produce the identical
+        assignment."""
+        import bisect
+        import hashlib
+
+        from gdelt_extractor_spark.operators.packing import pack_bins_bfd
+
+        lens = [((i * 53) % 90) + 1 for i in range(120)]
+        budget, n_shards = 96, 2
+        docs = self._docs(spark, lens)
+        got = {(r.doc_id): (r.shard, r.bin_id, r.bin_slot)
+               for r in pack_bins_bfd(docs, budget=budget, n_shards=n_shards).collect()}
+        # reference
+        want = {}
+        for shard in range(n_shards):
+            items = [(lens[i], hashlib.md5(f"pack-v1:{i}".encode()).hexdigest(), i)
+                     for i in range(120) if i % n_shards == shard]
+            items.sort(key=lambda t: (-t[0], t[1], t[2]))
+            open_bins = []  # sorted list of [remaining, bin_id, next_slot]
+            n_bins = 0
+            for n, _, i in items:
+                cands = [b for b in open_bins if b[0] >= n]
+                if not cands:
+                    b = [budget - n, n_bins, 1]
+                    n_bins += 1
+                    open_bins.append(b)
+                    want[i] = (shard, b[1], 0)
+                else:
+                    b = min(cands, key=lambda t: (t[0], t[1]))
+                    want[i] = (shard, b[1], b[2])
+                    b[0] -= n
+                    b[2] += 1
+        assert got == want

@@ -131,3 +131,29 @@ class TestKeySkewProfile:
         r = key_skew_profile(df, ["k"]).collect()[0]
         assert r.n_rows == 4 and r.n_nulls == 2
         assert r.n_keys == 1 and r.top1_share == 1.0
+
+
+class TestBootstrapCI:
+    def test_ci_brackets_mean_and_is_deterministic(self, spark):
+        from gdelt_extractor_spark.operators.profiling import bootstrap_ci
+
+        df = spark.createDataFrame(
+            [(i, float(i % 100) + 1.0) for i in range(400)], "id long, x double"
+        )
+        a = bootstrap_ci(df, "x", "id", n_resamples=100).collect()[0]
+        b = bootstrap_ci(df.repartition(17), "x", "id", n_resamples=100).collect()[0]
+        assert tuple(a) == tuple(b)
+        assert a.n == 400 and a.n_resamples == 100
+        assert a.ci_lo <= a.mean <= a.ci_hi
+        assert a.ci_hi - a.ci_lo < 10  # ~2·1.96·sd/sqrt(n) ballpark
+
+    def test_salt_changes_resamples_not_mean(self, spark):
+        from gdelt_extractor_spark.operators.profiling import bootstrap_ci
+
+        df = spark.createDataFrame(
+            [(i, float((i * 13) % 50)) for i in range(200)], "id long, x double"
+        )
+        a = bootstrap_ci(df, "x", "id", n_resamples=100, salt="s1").collect()[0]
+        b = bootstrap_ci(df, "x", "id", n_resamples=100, salt="s2").collect()[0]
+        assert a.mean == b.mean and a.n == b.n
+        assert (a.ci_lo, a.ci_hi) != (b.ci_lo, b.ci_hi)

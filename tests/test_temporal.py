@@ -571,3 +571,56 @@ class TestAutocorrelation:
                 sum(d[i] * d[i + k] for i in range(len(d) - k)) / den, 6
             )
             assert abs(got[k][1] - want) < 2e-6, (k, got[k], want)
+
+
+class TestSeasonalDecompose:
+    def test_identity_and_constant_series(self, spark):
+        import datetime as dt
+
+        from gdelt_extractor_spark.operators.temporal import seasonal_decompose
+
+        rows = [("k", dt.date(2024, 1, 1) + dt.timedelta(days=i), 5.0)
+                for i in range(21)]
+        df = spark.createDataFrame(rows, "k string, day date, v double")
+        out = seasonal_decompose(df, "k", "day", "v").collect()
+        assert len(out) == 21
+        for r in out:
+            # constant series: trend = value, seasonal = residual = 0
+            assert r.trend == 5.0 and r.seasonal == 0.0 and r.residual == 0.0
+            # additive identity holds exactly (micro-unit arithmetic)
+            assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 2e-6
+
+    def test_weekly_pattern_recovered(self, spark):
+        import datetime as dt
+
+        from gdelt_extractor_spark.operators.temporal import seasonal_decompose
+
+        # period-7 signal, no trend: interior rows' centered 7-day MA
+        # is the flat mean, so seasonal should capture the offsets
+        pattern = [10, 12, 14, 10, 8, 6, 10]  # mean 10
+        rows = [("k", dt.date(2024, 1, 1) + dt.timedelta(days=i),
+                 float(pattern[i % 7])) for i in range(35)]
+        df = spark.createDataFrame(rows, "k string, day date, v double")
+        out = {r.day: r for r in seasonal_decompose(df, "k", "day", "v").collect()}
+        interior = [dt.date(2024, 1, 1) + dt.timedelta(days=i)
+                    for i in range(3, 32)]
+        for d in interior:
+            r = out[d]
+            assert r.trend == 10.0
+            # seasonal close to the true offset (edge windows shift
+            # the weekday means slightly)
+            true_off = pattern[(d - dt.date(2024, 1, 1)).days % 7] - 10.0
+            assert abs(r.seasonal - true_off) < 1.2, (d, r.seasonal, true_off)
+            assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 2e-6
+
+    def test_partition_invariant(self, spark):
+        import datetime as dt
+
+        from gdelt_extractor_spark.operators.temporal import seasonal_decompose
+
+        rows = [(f"k{i % 3}", dt.date(2024, 1, 1) + dt.timedelta(days=i // 3),
+                 float((i * 7) % 13)) for i in range(90)]
+        df = spark.createDataFrame(rows, "k string, day date, v double")
+        a = {tuple(r) for r in seasonal_decompose(df.repartition(1), "k", "day", "v").collect()}
+        b = {tuple(r) for r in seasonal_decompose(df.repartition(11), "k", "day", "v").collect()}
+        assert a == b
