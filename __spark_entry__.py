@@ -496,6 +496,39 @@ def _pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF top-5 terms per source (BERTopic labeling step): what
+    each feed actually contains, scored against the rest of the
+    corpus — the audit/labeling companion to per-doc tfidf_top_terms."""
+    return TS.class_tfidf(_docs(spark, sf_dir, width=0), "source", "text", top_k=5)
+
+
+def _text_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair audit: inject the classic double-encoding
+    defects into a deterministic third of the corpus, run
+    fix_mojibake, report per-doc changed flags + char deltas.
+    Rows-only gate (byte transcoding has no DuckDB surface); the
+    repair itself is case-tested in tests/test_zipf_unicode.py."""
+    from gdelt_extractor_spark.functions.text import fix_mojibake
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" cafÃ© donâ€™t naÃ¯ve")),
+        )
+        .otherwise(F.col("text"))
+        .alias("dirty"),
+    )
+    fixed = docs.withColumn("clean", fix_mojibake("dirty"))
+    return fixed.select(
+        "doc_id",
+        (F.col("clean") != F.col("dirty")).alias("repaired"),
+        F.length("dirty").alias("n_chars_dirty"),
+        F.length("clean").alias("n_chars_clean"),
+    )
+
+
 def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Person co-mention network off V2Persons: per-record pair
     expansion (never an exploded self-join), edges with ≥3 supporting
@@ -2691,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_projection": _embedding_projection,
         "seasonal_daily": _seasonal_daily,
         "doc_length_ci": _doc_length_ci,
+        "source_top_terms": _source_top_terms,
         # --- oracle-gated, driver-verified r3-r7; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -2889,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": Q.approx_value_quantiles,
         "approx_distinct_users": Q.approx_distinct_users,
         "pack_bins": _pack_bins,
+        "text_repair": _text_repair,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_semantic": _dedup_semantic,
@@ -4978,6 +5013,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT st.n, st.mean, bounds.ci_lo, bounds.ci_hi,
               200 AS n_resamples
             FROM st CROSS JOIN bounds
+        """,
+        "source_top_terms": f"""
+            WITH t AS (
+              SELECT source AS class,
+                unnest({_toks("coalesce(text, '')")}) AS term
+              FROM documents),
+            ct AS (SELECT class, term, COUNT(*) AS n FROM t GROUP BY 1, 2),
+            cls AS (
+              SELECT class, CAST(SUM(n) AS BIGINT) AS n_class
+              FROM ct GROUP BY 1),
+            tt AS (
+              SELECT term, CAST(SUM(n) AS BIGINT) AS f_t
+              FROM ct GROUP BY 1),
+            aa AS (
+              SELECT CAST(SUM(n_class) AS DOUBLE) / COUNT(*) AS A FROM cls),
+            sc AS (
+              SELECT ct.class, ct.term, ct.n,
+                round((CAST(ct.n AS DOUBLE) / cls.n_class)
+                  * ln(1.0 + aa.A / tt.f_t), 6) AS score
+              FROM ct JOIN cls USING (class) JOIN tt USING (term)
+              CROSS JOIN aa),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY class ORDER BY score DESC, term ASC) AS rank
+              FROM sc)
+            SELECT class, term, n, score, rank FROM r WHERE rank <= 5
         """,
         "gkg_count_events": f"""
             WITH b AS (

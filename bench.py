@@ -148,6 +148,8 @@ HEADLINE = [
     "seasonal_daily",
     "doc_length_ci",
     "pack_bins",
+    "source_top_terms",
+    "text_repair",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

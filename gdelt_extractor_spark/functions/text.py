@@ -208,3 +208,59 @@ def mixed_script_token_count(col: Column | str) -> Column:
         lambda t: t.rlike("[a-zA-Z]") & t.rlike("[Ѐ-ӿ]"),
     )
     return F.size(mixed)
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair the classic double-encoding mojibake (UTF-8 bytes read
+    as Latin-1/CP1252: 'A-tilde + copyright' for 'e-acute',
+    'a-circumflex + euro + trademark' for a right quote) -- a
+    top-frequency defect in web-crawl corpora (ftfy's core case).
+
+    A string is repaired ONLY when (a) it contains a mojibake marker
+    (a UTF-8 lead-byte char \u00c2-\u00c3/\u00e2/\u00d0/\u00d1
+    followed by a continuation-range or CP1252-punctuation char --
+    clean text virtually never does) and (b) the cp1252/latin-1
+    encode -> strict utf-8 decode round trip succeeds; anything else
+    passes through unchanged, so correctly-encoded French/Spanish
+    text is safe (the strict decode rejects it unless the byte
+    sequence really is valid UTF-8).
+
+    Like ``unicode_nfc``, this is inherently a byte-transcoding pass
+    with no JVM expression equivalent, so it drops to ONE
+    Arrow-batched pandas UDF, applied once on ingest; rows-only
+    testing (no DuckDB transcoding surface)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    marker = _re.compile(
+        "[\u00c2\u00c3\u00e2\u00d0\u00d1]"
+        "[\u0080-\u00bf\u0152\u0153\u0160\u0161\u017d\u017e"
+        "\u0192\u02c6\u02dc\u2013\u2014\u2018\u2019\u201a"
+        "\u201c\u201d\u201e\u2020\u2021\u2022\u2026\u2030"
+        "\u2039\u203a\u20ac\u2122]"
+    )
+
+    def _fix_one(v):
+        if v is None or not marker.search(v):
+            return v
+        try:
+            raw = v.encode("cp1252", "strict")
+        except UnicodeEncodeError:
+            try:
+                raw = v.encode("latin-1", "strict")
+            except UnicodeEncodeError:
+                return v
+        try:
+            return raw.decode("utf-8", "strict")
+        except UnicodeDecodeError:
+            return v
+
+    def _fix_fn(s):
+        return s.map(_fix_one)
+
+    import pandas as pd
+
+    _fix_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _fix = pandas_udf(_fix_fn, "string")
+    return _fix(F.col(col) if isinstance(col, str) else col)

@@ -98,6 +98,7 @@ from .temporal import (
     scd2_apply,
 )
 from .textstats import (
+    class_tfidf,
     bpe_pair_counts,
     byte_stats,
     fingerprint,
@@ -134,7 +135,7 @@ __all__ = [
     "url_filter",
     "quality_score", "quantize_embeddings", "range_join", "redact_pii",
     "source_similarity", "key_skew_profile", "random_projection",
-    "bootstrap_ci", "pack_bins_bfd", "seasonal_decompose",
+    "bootstrap_ci", "pack_bins_bfd", "seasonal_decompose", "class_tfidf",
     "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "dedup_videos", "video_fingerprint",

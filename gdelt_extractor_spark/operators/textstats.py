@@ -1391,3 +1391,62 @@ def hapax_stats(
             ),
         )
     )
+
+
+def class_tfidf(
+    df: DataFrame,
+    class_col: str,
+    text_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Class-based TF-IDF top terms (the BERTopic labeling step,
+    Grootendorst 2022): treat each class (source, cluster id, topic)
+    as ONE concatenated document and score its terms by
+
+        c-TF-IDF(t, c) = (count(t, c) / n_c) · ln(1 + A / f_t)
+
+    with n_c the class's token total, f_t the term's corpus count and
+    A the mean tokens per class — the terms that characterize a class
+    AGAINST the rest of the corpus, unlike per-document
+    ``tfidf_top_terms``.  The canonical use here: label k-means /
+    IVF embedding clusters or audit what a source actually contains.
+    Returns (class, term, n, score, rank) for each class's ``top_k``
+    terms (ties → term ascending, deterministic).
+
+    Scale shape: one explode + THREE partial-aggregated shuffles
+    ((class, term), class, term) — all keyed, no row blowup; the
+    class-size and mean frames are broadcast-sized; final top-k is a
+    per-class window over the (class, term) aggregate, vocabulary-
+    bounded, never corpus-bounded."""
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(class_col).alias("class"), F.explode(tokens(text_col)).alias("term")
+    )
+    ct = t.groupBy("class", "term").agg(F.count(F.lit(1)).alias("n"))
+    cls_tot = ct.groupBy("class").agg(F.sum("n").alias("_n_class"))
+    term_tot = ct.groupBy("term").agg(F.sum("n").alias("_f_t"))
+    avg_a = cls_tot.agg(
+        (F.sum("_n_class") / F.count(F.lit(1))).alias("_A")
+    )
+    scored = (
+        ct.join(F.broadcast(cls_tot), "class")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(avg_a))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("n") / F.col("_n_class"))
+                * F.log(F.lit(1.0) + F.col("_A") / F.col("_f_t")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("class").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("class", "term", "n", "score", "rank")
+    )

@@ -774,3 +774,24 @@ def test_lang_ngram_short_and_unseen_docs(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert 9001 in rows and 9002 in rows
     assert rows[9001].lang_pred is not None
+
+
+def test_class_tfidf_discriminates(spark):
+    """A term frequent in one class and absent elsewhere must outrank
+    corpus-wide terms; top_k and deterministic tie-break hold."""
+    from gdelt_extractor_spark.operators.textstats import class_tfidf
+
+    rows = [
+        (1, "a", "zebra zebra zebra common common"),
+        (2, "a", "zebra common"),
+        (3, "b", "yak yak common common"),
+        (4, "b", "yak common common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = class_tfidf(df, "source", "text", top_k=2).collect()
+    top = {(r["class"], r.rank): r.term for r in out}
+    assert top[("a", 1)] == "zebra" and top[("b", 1)] == "yak"
+    assert all(r.rank <= 2 for r in out)
+    # partition invariance
+    out2 = class_tfidf(df.repartition(5), "source", "text", top_k=2).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in out2}

@@ -128,3 +128,37 @@ def test_dehyphenate_wraps(spark):
     keep = spark.createDataFrame([("well-known\nterm x -\ny",)], "text string")
     got2 = keep.select(dehyphenate_wraps("text")).first()[0]
     assert got2 == "well-known term x - y"
+
+
+class TestFixMojibake:
+    def _run(self, spark, vals):
+        from gdelt_extractor_spark.functions.text import fix_mojibake
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i long, t string"
+        )
+        return {r.i: r.f for r in df.select("i", fix_mojibake("t").alias("f")).collect()}
+
+    def test_repairs_classic_cases(self, spark):
+        out = self._run(spark, ["cafÃ©", "donâ€™t",
+                                "naÃ¯ ve rÃ©sumÃ©"])
+        assert out[0] == "café"
+        assert out[1] == "don’t"
+        assert out[2] == "naï ve résumé"
+
+    def test_clean_text_untouched(self, spark):
+        vals = ["plain ascii", "café déjà vu", "中文 text",
+                "À la carte", None, ""]
+        out = self._run(spark, vals)
+        for i, v in enumerate(vals):
+            assert out[i] == v, (i, v, out[i])
+
+    def test_idempotent(self, spark):
+        from gdelt_extractor_spark.functions.text import fix_mojibake
+
+        df = spark.createDataFrame(
+            [(1, "cafÃ© donâ€™t")], "i long, t string"
+        )
+        once = df.select(fix_mojibake("t").alias("t"))
+        twice = once.select(fix_mojibake("t").alias("t"))
+        assert once.collect() == twice.collect()
