@@ -85,6 +85,8 @@ ROWS_ONLY = (
     "pca_embeddings",
     "sketch_rollup",
     "actor_cores",
+    "pack_bins",
+    "text_repair",
 )
 
 
