@@ -2938,6 +2938,21 @@ def _dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
 
 
+def _srcsim_perms(m: int, salt: str = "srcsim-v1") -> str:
+    """(slot, a, b) VALUES rows for the source_similarity oracle —
+    the same md5-derived universal-family constants the operator
+    uses (operators/similarity.py source_similarity)."""
+    import hashlib
+
+    rows = []
+    for i in range(m):
+        d = hashlib.md5(f"{salt}:perm:{i}".encode()).hexdigest()
+        a = (int(d[:4], 16) % (1 << 14)) | 1
+        b = int(d[4:16], 16)
+        rows.append(f"({i}, {a}, {b})")
+    return ", ".join(rows)
+
+
 def _duck_tsv(filename: str, schema) -> str:
     """DuckDB read_csv over a GDELT fixture TSV with the column
     names/types generated FROM THE SPARK SCHEMA — the two engines
@@ -4913,12 +4928,17 @@ def oracle_sql() -> dict[str, str]:
                 array_to_string(toks[i:i+4], ' ') AS shingle
               FROM b, unnest(range(1, n - 3)) AS u(i)
               WHERE n >= 5),
+            h0 AS (
+              SELECT source,
+                CAST(('0x' || substring(md5('srcsim-v1:' || shingle), 1, 12))
+                  AS BIGINT) AS h0
+              FROM sh),
+            p AS (SELECT * FROM (VALUES {_srcsim_perms(32)})
+                  AS t(slot, a, bb)),
             h AS (
-              SELECT source, s.slot,
-                CAST(('0x' || substring(md5('srcsim-v1:'
-                  || CAST(s.slot AS VARCHAR) || ':' || shingle), 1, 12))
-                  AS BIGINT) AS hv
-              FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS slot) s),
+              SELECT source, p.slot,
+                (h0.h0 * p.a + p.bb) % 281474976710656 AS hv
+              FROM h0 CROSS JOIN p),
             sig AS (
               SELECT source, slot, MIN(hv) AS mh FROM h GROUP BY 1, 2)
             SELECT a.source AS source_a, b2.source AS source_b,

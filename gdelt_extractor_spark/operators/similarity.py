@@ -865,20 +865,27 @@ def source_similarity(
     classic unbiased MinHash estimate of |A∩B| / |A∪B| over k-token
     shingle sets).
 
-    Hashes are md5-derived (salted per slot, 48-bit), NOT the
-    engine-native xxhash64 the doc-level ``minhash_signatures`` uses:
-    corpus-level signatures are computed once and compared across
-    runs/engines, so portability beats the per-row hash speed that
-    dominates doc-level dedup (and it makes the whole estimator
-    DuckDB-replicable — this operator is value-level oracle-gated,
-    not rows-only).
+    Hashing is the production one-strong-hash + cheap-permutations
+    MinHash: each distinct shingle is md5'd ONCE (salted, 48-bit
+    ``h0``), and slot ``i``'s value is the universal-family
+    permutation ``(h0·a_i + b_i) mod 2^48`` with per-slot odd
+    multipliers ``a_i ∈ [1, 2^14)`` and offsets ``b_i ∈ [0, 2^48)``
+    both derived from md5(salt:perm:i) — so the m-fold expansion is
+    pure integer codegen, not m cryptographic hashes (A/B at sf0.1:
+    2.5s → see BENCH_FULL), products stay ≤ 62 bits (no signed-64
+    overflow), and every step remains engine-portable / DuckDB-
+    replicable — this operator is value-level oracle-gated, not
+    rows-only.
 
-    Scale shape: per-source distinct shingles → ONE explode by the m
-    slots → ONE partial-aggregated min per (source, slot) — the
-    signature table is |sources|·m rows no matter the corpus size;
-    the pairwise comparison joins signatures on the slot key and
-    aggregates per pair, O(|sources|²·m) on a tiny frame.  At 100 TB
-    the only corpus-sized work is the shingle scan."""
+    Scale shape: per-source distinct shingles (one md5 each) → ONE
+    explode by the m slots with integer-only per-slot math → ONE
+    partial-aggregated min per (source, slot) — the signature table
+    is |sources|·m rows no matter the corpus size; the pairwise
+    comparison joins signatures on the slot key and aggregates per
+    pair, O(|sources|²·m) on a tiny frame.  At 100 TB the only
+    corpus-sized work is the shingle scan."""
+    import hashlib
+
     from ..functions.text import tokens
 
     base = (
@@ -900,31 +907,36 @@ def source_similarity(
         )
         .distinct()  # set semantics per source
     )
-    hashed = shingles.select(
+    h0 = shingles.select(
         "source",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("slot"),
-        "shingle",
-    ).select(
-        "source",
-        "slot",
         F.conv(
             F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt + ":"),
-                        F.col("slot").cast("string"),
-                        F.lit(":"),
-                        F.col("shingle"),
-                    )
-                ),
-                1,
-                12,
+                F.md5(F.concat(F.lit(salt + ":"), F.col("shingle"))), 1, 12
             ),
             16,
             10,
         )
         .cast("long")
-        .alias("h"),
+        .alias("_h0"),
+    )
+    # per-slot permutation constants, derived (not random) so the
+    # DuckDB oracle regenerates them; odd a_i for a proper universal
+    # multiply family
+    def _perm(i: int) -> tuple[int, int]:
+        d = hashlib.md5(f"{salt}:perm:{i}".encode()).hexdigest()
+        a = (int(d[:4], 16) % (1 << 14)) | 1
+        b = int(d[4:16], 16)
+        return a, b
+
+    mask = (1 << 48) - 1
+    slot_vals = F.array(
+        *[
+            ((F.col("_h0") * F.lit(a) + F.lit(b)) % F.lit(mask + 1)).alias(f"_s{i}")
+            for i, (a, b) in ((i, _perm(i)) for i in range(m))
+        ]
+    )
+    hashed = h0.select(
+        "source", F.posexplode(slot_vals).alias("slot", "h")
     )
     sig = hashed.groupBy("source", "slot").agg(F.min("h").alias("mh"))
     a, b = sig.alias("a"), sig.alias("b")
