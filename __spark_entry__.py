@@ -529,6 +529,80 @@ def _text_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import math as _math
+
+_FS_MU = {  # (m, u) per field for the record_linkage entry
+    "name": (0.95, 0.001),
+    "segment": (0.9, 0.2),
+    "balance": (0.9, 0.01),
+}
+_FS_W = {
+    k: (
+        _math.log(mv / uv),
+        _math.log((1.0 - mv) / (1.0 - uv)),
+    )
+    for k, (mv, uv) in _FS_MU.items()
+}
+
+
+def _record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: customers vs a
+    deterministically perturbed re-registration of themselves
+    (md5-parity noise: some names get a suffix, some balances drift,
+    some segments flip), blocked on nationkey, three weighted field
+    comparators with reviewed m/u constants.  The same weight
+    literals are inlined into the DuckDB oracle (repr round-trip), so
+    the whole decision surface is value-gated."""
+    from gdelt_extractor_spark.operators.linkage import linkage_score
+
+    # single-file scan = one split = the whole 9M-pair block join on
+    # one core (measured 6.7s at sf0.1); a 15k-row repartition is
+    # free and a no-op at real scale where the scan is already wide
+    cust = load_table(spark, sf_dir, "customer").repartition(32)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("link:"), F.col("c_custkey").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    dirty = cust.select(
+        (F.col("c_custkey") + 1000000).alias("d_custkey"),
+        F.col("c_nationkey"),
+        F.when(h % 7 == 0, F.concat(F.col("c_name"), F.lit(" jr")))
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.when(h % 5 == 0, F.col("c_acctbal") + 250.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("d_acctbal"),
+        F.when(h % 11 == 0, F.lit("FLIPPED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_mktsegment"),
+    )
+    comps = {
+        "name": F.col("a.c_name") == F.col("b.d_name"),
+        "segment": F.col("a.c_mktsegment") == F.col("b.d_mktsegment"),
+        "balance": F.abs(F.col("a.c_acctbal") - F.col("b.d_acctbal")) < 1.0,
+    }
+    scored = linkage_score(
+        cust,
+        dirty,
+        block_on=["c_nationkey"],
+        id_a="c_custkey",
+        id_b="d_custkey",
+        comparators=comps,
+        m={k: v[0] for k, v in _FS_MU.items()},
+        u={k: v[1] for k, v in _FS_MU.items()},
+    )
+    # the linkage REPORT: drop the non-match bulk (92k rows at
+    # sf0.01, all weight-sum-pinned anyway through the kept classes)
+    return scored.filter(F.col("decision") != "non_match")
+
+
 def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Person co-mention network off V2Persons: per-record pair
     expansion (never an exploded self-join), edges with ≥3 supporting
@@ -2725,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_daily": _seasonal_daily,
         "doc_length_ci": _doc_length_ci,
         "source_top_terms": _source_top_terms,
+        "record_linkage": _record_linkage,
         # --- oracle-gated, driver-verified r3-r7; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -5059,6 +5134,45 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY class ORDER BY score DESC, term ASC) AS rank
               FROM sc)
             SELECT class, term, n, score, rank FROM r WHERE rank <= 5
+        """,
+        "record_linkage": f"""
+            WITH dirty AS (
+              SELECT c_custkey + 1000000 AS d_custkey, c_nationkey,
+                CASE WHEN h % 7 = 0 THEN c_name || ' jr'
+                     ELSE c_name END AS d_name,
+                CASE WHEN h % 5 = 0 THEN c_acctbal + 250.0
+                     ELSE c_acctbal END AS d_acctbal,
+                CASE WHEN h % 11 = 0 THEN 'FLIPPED'
+                     ELSE c_mktsegment END AS d_mktsegment
+              FROM (
+                SELECT *, CAST(('0x' || substring(
+                  md5('link:' || CAST(c_custkey AS VARCHAR)), 1, 6))
+                  AS BIGINT) AS h
+                FROM customer)),
+            p AS (
+              SELECT a.c_custkey AS id_a, b.d_custkey AS id_b,
+                (a.c_name = b.d_name) AS agree_name,
+                (a.c_mktsegment = b.d_mktsegment) AS agree_segment,
+                (abs(a.c_acctbal - b.d_acctbal) < 1.0) AS agree_balance
+              FROM customer a JOIN dirty b
+                ON a.c_nationkey = b.c_nationkey),
+            s AS (
+              SELECT *, round(0.0
+                + CASE WHEN agree_name THEN {_FS_W['name'][0]!r}
+                       ELSE {_FS_W['name'][1]!r} END
+                + CASE WHEN agree_segment THEN {_FS_W['segment'][0]!r}
+                       ELSE {_FS_W['segment'][1]!r} END
+                + CASE WHEN agree_balance THEN {_FS_W['balance'][0]!r}
+                       ELSE {_FS_W['balance'][1]!r} END, 6) AS fs_score
+              FROM p)
+            SELECT * FROM (
+              SELECT id_a, id_b, agree_name, agree_segment, agree_balance,
+                fs_score,
+                CASE WHEN fs_score >= 4.0 THEN 'match'
+                     WHEN fs_score <= 0.0 THEN 'non_match'
+                     ELSE 'possible' END AS decision
+              FROM s)
+            WHERE decision <> 'non_match'
         """,
         "gkg_count_events": f"""
             WITH b AS (

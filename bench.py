@@ -150,6 +150,7 @@ HEADLINE = [
     "pack_bins",
     "source_top_terms",
     "text_repair",
+    "record_linkage",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

@@ -136,6 +136,7 @@ __all__ = [
     "quality_score", "quantize_embeddings", "range_join", "redact_pii",
     "source_similarity", "key_skew_profile", "random_projection",
     "bootstrap_ci", "pack_bins_bfd", "seasonal_decompose", "class_tfidf",
+    "linkage_score",
     "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "dedup_videos", "video_fingerprint",

@@ -167,3 +167,74 @@ class TestNearestJoin:
         }
         out = self._nj(spark, points, anchors, cell_deg=10.0)
         assert {r.pid: r.aid for r in out} == want
+
+
+class TestLinkageScore:
+    def _frames(self, spark):
+        a = spark.createDataFrame(
+            [(1, "k1", "ann", "x"), (2, "k1", "bob", "y"), (3, "k2", "cat", "z")],
+            "ida long, blk string, name string, tag string",
+        )
+        b = spark.createDataFrame(
+            [(10, "k1", "ann", "x"), (11, "k1", "ann", "q"), (12, "k2", None, "z")],
+            "idb long, blk string, name string, tag string",
+        )
+        return a, b
+
+    def test_hand_scores_and_decisions(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from gdelt_extractor_spark.operators.linkage import linkage_score
+
+        a, b = self._frames(spark)
+        out = linkage_score(
+            a, b, ["blk"], "ida", "idb",
+            {"name": F.col("a.name") == F.col("b.name"),
+             "tag": F.col("a.tag") == F.col("b.tag")},
+            m={"name": 0.9, "tag": 0.8},
+            u={"name": 0.01, "tag": 0.25},
+            match_threshold=4.0,
+            non_match_threshold=0.0,
+        ).collect()
+        w = {
+            ("name", True): math.log(0.9 / 0.01),
+            ("name", False): math.log(0.1 / 0.99),
+            ("tag", True): math.log(0.8 / 0.25),
+            ("tag", False): math.log(0.2 / 0.75),
+        }
+        got = {(r.id_a, r.id_b): r for r in out}
+        # k1 block: 2 a-rows x 2 b-rows; k2: 1 x 1
+        assert len(got) == 5
+        r = got[(1, 10)]  # both agree
+        assert r.agree_name and r.agree_tag
+        assert abs(r.fs_score - round(w[("name", True)] + w[("tag", True)], 6)) < 1e-9
+        assert r.decision == "match"
+        r = got[(1, 11)]  # name agrees, tag not
+        assert r.agree_name and not r.agree_tag
+        # ln(.9/.01) + ln(.2/.75) = 4.50 - 1.32 = 3.18: above the
+        # non-match cut, below the match cut
+        assert r.decision == "possible"
+        assert abs(r.fs_score - round(w[("name", True)] + w[("tag", False)], 6)) < 1e-9
+        r = got[(2, 10)]  # nothing agrees
+        assert r.decision == "non_match"
+        # NULL comparator counts as disagreement, never NULL score
+        r = got[(3, 12)]
+        assert not r.agree_name and r.agree_tag
+        assert r.fs_score is not None
+
+    def test_validation(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from gdelt_extractor_spark.operators.linkage import linkage_score
+
+        a, b = self._frames(spark)
+        comp = {"name": F.col("a.name") == F.col("b.name")}
+        with pytest.raises(ValueError):
+            linkage_score(a, b, ["blk"], "ida", "idb", comp,
+                          m={"other": 0.9}, u={"name": 0.1})
+        with pytest.raises(ValueError):
+            linkage_score(a, b, ["blk"], "ida", "idb", comp,
+                          m={"name": 0.1}, u={"name": 0.9})  # u > m
