@@ -718,6 +718,37 @@ def _actor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _related_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002) over the actor-dyad
+    network, seeded at USA: ranks countries by relatedness TO THE
+    SEED rather than global influence — the related-entities query
+    every knowledge-graph surface serves.  Rows-only like
+    actor_pagerank (iterative fixed point); seed locality, mass
+    conservation, uniform-reset equivalence and dangling-to-seed
+    teleport are property-tested in tests/test_graph.py."""
+    from gdelt_extractor_spark.operators.graph import pagerank
+    from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
+
+    dyads = actor_dyad_rollup(read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv"))
+    sym = dyads.unionByName(
+        dyads.select(
+            F.col("actor2_cc").alias("actor1_cc"),
+            F.col("actor1_cc").alias("actor2_cc"),
+            "n_events",
+            *[c for c in dyads.columns if c not in ("actor1_cc", "actor2_cc", "n_events")],
+        ).select(*dyads.columns)
+    )
+    seeds = spark.createDataFrame([("USA", 1.0)], "node string, w double")
+    # damping 0.5 is the similarity-PPR convention (short walks near
+    # the seed) and halves the round count vs 0.85 — from a point-mass
+    # start the L1 delta shrinks as damping^k, so 0.85 needs ~2x the
+    # rounds of the uniform-start classic to hit the same tol
+    return pagerank(
+        sym, src="actor1_cc", dst="actor2_cc", weight="n_events",
+        damping=0.5, tol=1e-4, reset=seeds,
+    ).filter(F.col("rank") > 0)
+
+
 def _gdelt_v1_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v1 (58-col) reader end-to-end: fixture TSV → typed schema →
     per-(day, root-code) rollup with event-weighted Goldstein/tone
@@ -2999,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": Q.approx_distinct_users,
         "pack_bins": _pack_bins,
         "text_repair": _text_repair,
+        "related_actors": _related_actors,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_semantic": _dedup_semantic,

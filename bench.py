@@ -151,6 +151,7 @@ HEADLINE = [
     "source_top_terms",
     "text_repair",
     "record_linkage",
+    "related_actors",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

@@ -36,14 +36,27 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 30,
     tol: float = 1e-6,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank by power iteration over an edge frame.
 
     Returns (node, rank) with ranks summing to 1.  ``weight`` (None →
     every edge weighs 1) is normalized per source into transition
     probabilities; dangling nodes (no out-edges) redistribute their
-    mass uniformly, as in the original formulation.  Stops when the
-    L1 rank delta drops below ``tol`` or after ``max_iter`` rounds.
+    mass proportionally to the reset vector, as in the original
+    formulation.  Stops when the L1 rank delta drops below ``tol`` or
+    after ``max_iter`` rounds.
+
+    ``reset`` turns this into PERSONALIZED PageRank (Haveliwala 2002,
+    "Topic-sensitive PageRank"): a (node, weight) frame — the teleport
+    distribution, normalized internally; nodes absent from it get
+    reset mass 0, so random walks restart at the SEEDS and the result
+    ranks "relatedness to the seed set" instead of global influence.
+    ``reset=None`` is the uniform classic (numerically identical to
+    the previous signature: the reset column is 1/n everywhere).  The
+    reset weight rides on the rank frame exactly like the dangling
+    flag — joined once before the loop, zero per-round cost, and the
+    r7 one-heavy-job-per-round fold is unchanged.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
@@ -73,14 +86,36 @@ def pagerank(
     # through every checkpoint) so the per-round dangling mass is a
     # conditional sum over ranks — no per-round flag join
     has_out = out_w.select(F.col("src").alias("node"), F.lit(1).alias("_has_out"))
-    nodes_f = (
-        nodes.join(F.broadcast(has_out), "node", "left")
-        .select("node", F.coalesce("_has_out", F.lit(0)).alias("_has_out"))
-        .localCheckpoint(eager=True)
+    nodes_f = nodes.join(F.broadcast(has_out), "node", "left").select(
+        "node", F.coalesce("_has_out", F.lit(0)).alias("_has_out")
     )
+    if reset is None:
+        nodes_f = nodes_f.withColumn("_rv", F.lit(1.0 / n))
+    else:
+        # normalize over the seeds PRESENT IN THE GRAPH — a seed
+        # outside the node set would otherwise silently leak reset
+        # mass and ranks would no longer sum to 1
+        r = (
+            reset.select(
+                F.col(reset.columns[0]).cast("string").alias("node"),
+                F.col(reset.columns[1]).cast("double").alias("_w"),
+            )
+            .filter(F.col("_w") > 0)
+            .join(nodes, "node")
+        )
+        tw = r.agg(F.sum("_w")).first()[0]
+        if not tw:
+            raise ValueError(
+                "pagerank(reset=...): no seed with positive weight is "
+                "present in the graph's node set"
+            )
+        rv = r.select("node", (F.col("_w") / F.lit(float(tw))).alias("_rv"))
+        nodes_f = nodes_f.join(F.broadcast(rv), "node", "left").select(
+            "node", "_has_out", F.coalesce("_rv", F.lit(0.0)).alias("_rv")
+        )
+    nodes_f = nodes_f.localCheckpoint(eager=True)
 
-    ranks = nodes_f.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    base = (1.0 - damping) / n
+    ranks = nodes_f.withColumn("rank", F.col("_rv")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         # ONE heavy job per round: the dangling mass is a 1-row
         # aggregate cross-joined (broadcast) into the update
@@ -107,12 +142,13 @@ def pagerank(
             .select(
                 "node",
                 "_has_out",
+                "_rv",
                 (
-                    F.lit(base)
+                    F.lit(1.0 - damping) * F.col("_rv")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dang") / F.lit(float(n))
+                        + F.col("_dang") * F.col("_rv")
                     )
                 ).alias("rank"),
                 "_old",

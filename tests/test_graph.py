@@ -270,3 +270,49 @@ class TestScalarFoldJobCounts:
         # setup 2 + 2 rounds × 2 + collect 1 = 7 (triangle+pendant
         # H-index converges on round 2's no-change scan)
         assert n <= 7, f"k_core ran {n} jobs (fold shape = 7)"
+
+
+class TestPersonalizedPageRank:
+    def test_uniform_reset_equals_classic(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+            "src string, dst string",
+        )
+        classic = {r.node: r.rank for r in pagerank(e).collect()}
+        nodes = spark.createDataFrame(
+            [(n, 1.0) for n in "abcd"], "node string, w double"
+        )
+        pers = {r.node: r.rank for r in pagerank(e, reset=nodes).collect()}
+        for n in "abcd":
+            assert abs(classic[n] - pers[n]) < 1e-7
+
+    def test_seed_locality_and_mass(self, spark):
+        # two disconnected triangles; seed in one of them: ALL rank
+        # mass must stay on the seeded component
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x")],
+            "src string, dst string",
+        )
+        seeds = spark.createDataFrame([("a", 1.0)], "node string, w double")
+        out = {r.node: r.rank for r in pagerank(e, reset=seeds).collect()}
+        assert abs(sum(out.values()) - 1.0) < 1e-6
+        assert out["x"] == out["y"] == out["z"] == 0.0
+        assert out["a"] > out["b"] > 0 and out["c"] > 0
+
+    def test_seed_outside_graph_raises(self, spark):
+        import pytest
+
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        seeds = spark.createDataFrame([("zz", 1.0)], "node string, w double")
+        with pytest.raises(ValueError):
+            pagerank(e, reset=seeds)
+
+    def test_dangling_mass_returns_to_seeds(self, spark):
+        # b is dangling; with a seeded reset its mass teleports back
+        # to the seed, not uniformly
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        seeds = spark.createDataFrame([("a", 1.0)], "node string, w double")
+        out = {r.node: r.rank for r in pagerank(e, reset=seeds).collect()}
+        assert abs(sum(out.values()) - 1.0) < 1e-6
+        assert out["a"] > out["b"]  # classic uniform gives b MORE than a
