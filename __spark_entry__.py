@@ -603,6 +603,46 @@ def _record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("decision") != "non_match")
 
 
+def _score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE for a probability-like score
+    (value/500 clamped) against the purchase label — the calibration
+    gate next to auc_ranking/pr_points."""
+    from gdelt_extractor_spark.operators.profiling import calibration_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("value") / 500.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return calibration_table(ev, "score", "label", n_bins=10)
+
+
+def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between click and
+    purchase value distributions — the exact sup-ECDF-gap companion
+    to psi_drift's binned approximation."""
+    from gdelt_extractor_spark.operators.profiling import ks_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_test(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
+def _budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first selection under a per-source token budget
+    (the last step of every mixture recipe): strict prefix in
+    (score DESC, id ASC) order until the source's allocation is
+    spent; integer-exact cumulative sums."""
+    from gdelt_extractor_spark.operators.curation import budget_select
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "quality", F.col("n_chars").cast("double")
+    )
+    return budget_select(docs, token_budget=2000)
+
+
 def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Person co-mention network off V2Persons: per-record pair
     expansion (never an exploded self-join), edges with ≥3 supporting
@@ -2831,6 +2871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_ci": _doc_length_ci,
         "source_top_terms": _source_top_terms,
         "record_linkage": _record_linkage,
+        "score_calibration": _score_calibration,
+        "ks_drift": _ks_drift,
+        "budget_selection": _budget_selection,
         # --- oracle-gated, driver-verified r3-r7; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -5205,6 +5248,89 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'possible' END AS decision
               FROM s)
             WHERE decision <> 'non_match'
+        """,
+        "score_calibration": """
+            WITH base AS (
+              SELECT greatest(least(value / 500.0, 1.0), 0.0) AS s,
+                CAST(event_type = 'purchase' AS INTEGER) AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            b AS (
+              SELECT CASE WHEN s >= 1.0 THEN 9
+                          ELSE CAST(floor(s * 10) AS INTEGER) END AS bin,
+                s, y
+              FROM base),
+            g AS (
+              SELECT bin, COUNT(*) AS n,
+                SUM(CAST(s AS DECIMAL(30,15))) AS ss,
+                CAST(SUM(y) AS BIGINT) AS sy
+              FROM b GROUP BY bin),
+            t AS (
+              SELECT bin, round(bin / 10.0, 6) AS lo_edge,
+                round((bin + 1) / 10.0, 6) AS hi_edge, n,
+                round(CAST(ss AS DOUBLE) / n, 6) AS mean_score,
+                round(sy / CAST(n AS DOUBLE), 6) AS obs_rate
+              FROM g),
+            t2 AS (
+              SELECT *, round(abs(obs_rate - mean_score), 6) AS gap
+              FROM t),
+            e AS (
+              SELECT round(CAST(SUM(CAST(gap * n AS DECIMAL(30,15)))
+                AS DOUBLE) / SUM(n), 6) AS ece
+              FROM t2)
+            SELECT t2.*, e.ece FROM t2 CROSS JOIN e
+        """,
+        "ks_drift": """
+            WITH o AS (SELECT value AS v FROM events
+                       WHERE event_type = 'click' AND value IS NOT NULL),
+            nw AS (SELECT value AS v FROM events
+                   WHERE event_type = 'purchase' AND value IS NOT NULL),
+            per_v AS (
+              SELECT v, CAST(SUM(co) AS BIGINT) AS co,
+                CAST(SUM(cn) AS BIGINT) AS cn
+              FROM (
+                SELECT v, 1 AS co, 0 AS cn FROM o
+                UNION ALL SELECT v, 0, 1 FROM nw)
+              GROUP BY v),
+            run AS (
+              SELECT v,
+                SUM(co) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS ro,
+                SUM(cn) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS rn
+              FROM per_v),
+            tot AS (
+              SELECT CAST(SUM(co) AS BIGINT) AS n_old,
+                CAST(SUM(cn) AS BIGINT) AS n_new
+              FROM per_v),
+            d AS (
+              SELECT n_old, n_new,
+                MAX(abs(ro * n_new - rn * n_old)) AS dnum
+              FROM run CROSS JOIN tot
+              GROUP BY n_old, n_new)
+            SELECT n_old, n_new,
+              round(CAST(dnum AS DOUBLE) / (n_old * n_new), 6) AS ks_d,
+              round((CAST(dnum AS DOUBLE) / (n_old * n_new))
+                * sqrt(CAST(n_old * n_new AS DOUBLE)
+                       / (n_old + n_new)), 6) AS ks_scaled
+            FROM d
+        """,
+        "budget_selection": f"""
+            WITH base AS (
+              SELECT doc_id, source AS "group",
+                CAST(n_chars AS DOUBLE) AS score,
+                CAST(len({_toks("coalesce(text, '')")}) AS BIGINT)
+                  AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT *, SUM(n_tokens) OVER (
+                PARTITION BY "group"
+                ORDER BY score DESC, doc_id ASC
+                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM base)
+            SELECT doc_id, "group", score, n_tokens, cum_tokens,
+              (cum_tokens <= 2000) AS selected
+            FROM c
         """,
         "gkg_count_events": f"""
             WITH b AS (

@@ -152,6 +152,9 @@ HEADLINE = [
     "text_repair",
     "record_linkage",
     "related_actors",
+    "score_calibration",
+    "ks_drift",
+    "budget_selection",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

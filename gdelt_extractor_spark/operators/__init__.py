@@ -2,6 +2,7 @@
 function; import from here for the public API."""
 
 from .curation import (
+    budget_select,
     c4_line_filter,
     corpus_report,
     source_quality_filter,
@@ -50,6 +51,8 @@ from .pii import k_anonymity, l_diversity, luhn_valid, redact_pii, scan_pii
 from .features import quantile_normalize, target_encode
 from .profiling import (
     bootstrap_ci,
+    calibration_table,
+    ks_test,
     key_skew_profile,
     auc_score,
     benford_audit,
@@ -136,7 +139,7 @@ __all__ = [
     "quality_score", "quantize_embeddings", "range_join", "redact_pii",
     "source_similarity", "key_skew_profile", "random_projection",
     "bootstrap_ci", "pack_bins_bfd", "seasonal_decompose", "class_tfidf",
-    "linkage_score",
+    "linkage_score", "calibration_table", "ks_test", "budget_select",
     "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "dedup_videos", "video_fingerprint",

@@ -6,7 +6,7 @@ at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -1503,4 +1503,53 @@ def c4_line_filter(
             F.col("_page_kill")
             | (F.coalesce("n_kept", F.lit(0)) < min_kept_lines)
         ).alias("doc_dropped"),
+    )
+
+
+def budget_select(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    score_col: str = "quality",
+    token_budget: int = 10_000,
+) -> DataFrame:
+    """Quality-first selection under a per-group token budget — the
+    greedy knapsack every mixture recipe ends with ("take each
+    source's best documents until its token allocation is spent"):
+    within each group, documents are taken in (score DESC, id ASC)
+    order while the RUNNING token total stays ≤ ``token_budget``;
+    the first document that would overflow the budget is dropped and
+    so is everything after it at lower scores (strict prefix rule —
+    deterministic and auditable, unlike best-fit backfilling which
+    reorders by size).  A document alone larger than the budget is
+    never taken.
+
+    Returns every input doc with (doc_id, group, score, n_tokens,
+    cum_tokens, selected) — keep ``selected`` docs, audit the rest.
+
+    Scale shape: one window pass partitioned by the group (per-group
+    sort, never global), token counting in the same projection;
+    output is input-sized.  The cumulative sum is integer-exact, so
+    the contract is engine-portable with no rounding anywhere."""
+    from ..functions.text import tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        F.col(score_col).cast("double").alias("score"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    # strict prefix: selected iff EVERY doc up to and incl. this one
+    # fits, i.e. the running max of cum_tokens so far ≤ budget ⇔
+    # cum_tokens ≤ budget AND no earlier overflow — with positive
+    # token counts cum is monotone, so cum ≤ budget suffices
+    return cum.withColumn(
+        "selected", F.col("cum_tokens") <= F.lit(token_budget)
     )

@@ -859,3 +859,141 @@ def bootstrap_ci(
     return stats.crossJoin(bounds).select(
         "n", "mean", "ci_lo", "ci_hi", F.lit(n_resamples).alias("n_resamples")
     )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error — the
+    complement to ``auc_score`` (ranking) and ``pr_curve``
+    (thresholding): a well-RANKED scorer can still be badly
+    CALIBRATED, and mixture/curriculum weights built on raw scores
+    inherit that bias.  Scores are cut into ``n_bins`` equal-width
+    bins over [0, 1] (clamped; the probability convention), and each
+    bin reports observed positive rate vs mean score, plus the
+    bin's |gap| contribution to
+
+        ECE = Σ_bins (n_bin / n) · |obs_rate − mean_score|
+
+    repeated on every row (the standard one-number summary).
+    Output: (bin, lo_edge, hi_edge, n, mean_score, obs_rate, gap,
+    ece) per non-empty bin.
+
+    Cross-engine exactness: mean_score/obs_rate are decimal-summed
+    ratios rounded 6; the ECE sums |gap|-weighted integer counts in
+    one final 1-row aggregate (decimal) — no float-order sensitivity
+    anywhere.  Scale: ONE partial-aggregated shuffle on the bin id
+    (≤ n_bins result rows), one broadcast total."""
+    b = (
+        F.when(F.col("_s") >= 1.0, F.lit(n_bins - 1))
+        .otherwise(F.floor(F.col("_s") * n_bins))
+        .cast("int")
+    )
+    base = df.select(
+        F.greatest(F.least(F.col(score_col).cast("double"), F.lit(1.0)), F.lit(0.0)).alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    bins = (
+        base.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_s").cast("decimal(30,15)")).alias("_ss"),
+            F.sum("_y").alias("_sy"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") / F.lit(float(n_bins)), 6).alias("lo_edge"),
+            F.round((F.col("bin") + 1) / F.lit(float(n_bins)), 6).alias("hi_edge"),
+            "n",
+            F.round(F.col("_ss").cast("double") / F.col("n"), 6).alias("mean_score"),
+            F.round(F.col("_sy") / F.col("n").cast("double"), 6).alias("obs_rate"),
+        )
+        .withColumn("gap", F.round(F.abs(F.col("obs_rate") - F.col("mean_score")), 6))
+    )
+    tot = bins.agg(
+        F.sum("n").alias("_n"),
+        F.sum((F.col("gap") * F.col("n")).cast("decimal(30,15)")).alias("_wg"),
+    ).select(
+        F.round(F.col("_wg").cast("double") / F.col("_n"), 6).alias("ece")
+    )
+    return bins.crossJoin(F.broadcast(tot))
+
+
+def ks_test(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — the exact
+    distribution-shift gate next to ``psi_drift``'s binned
+    approximation: D = sup_x |ECDF_old(x) − ECDF_new(x)| computed at
+    EVERY distinct observed value (where the supremum is attained),
+    plus the classic large-sample significance scale
+    c = D·√(n·m/(n+m)) (reject at α=0.05 when c > 1.358, α=0.01 when
+    c > 1.628 — reported as the scaled statistic, the caller picks
+    the cut).  One row: (n_old, n_new, ks_d, ks_scaled).
+
+    Exactness: counts per distinct value from ONE union + pivot-style
+    conditional aggregate; ECDFs via the range-partitioned
+    ``global_running_sum`` (no single-partition window); D is a max
+    over exact integer-ratio differences — no float-order
+    sensitivity (the ratio difference is computed as a single
+    expression |co·m − cn·n| / (n·m) in INTEGER numerators).
+    """
+    from .ranking import global_running_sum
+
+    o = old.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    nw = new.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    per_v = (
+        o.withColumn("_o", F.lit(1))
+        .withColumn("_n", F.lit(0))
+        .unionByName(nw.withColumn("_o", F.lit(0)).withColumn("_n", F.lit(1)))
+        .groupBy("v")
+        .agg(F.sum("_o").alias("co"), F.sum("_n").alias("cn"))
+    )
+    run = global_running_sum(
+        per_v, order_by=["v"], weight_col=["co", "cn"], out_col=["ro", "rn"]
+    )
+    tot = per_v.agg(
+        F.sum("co").cast("long").alias("n_old"),
+        F.sum("cn").cast("long").alias("n_new"),
+    )
+    d = (
+        run.crossJoin(F.broadcast(tot))
+        .select(
+            "n_old",
+            "n_new",
+            (
+                F.abs(
+                    F.col("ro").cast("decimal(30,0)") * F.col("n_new")
+                    - F.col("rn").cast("decimal(30,0)") * F.col("n_old")
+                )
+            ).alias("_num"),
+        )
+        .groupBy("n_old", "n_new")
+        .agg(F.max("_num").alias("_dnum"))
+    )
+    return d.select(
+        "n_old",
+        "n_new",
+        F.round(
+            F.col("_dnum").cast("double") / (F.col("n_old") * F.col("n_new")).cast("double"),
+            6,
+        ).alias("ks_d"),
+        F.round(
+            (F.col("_dnum").cast("double") / (F.col("n_old") * F.col("n_new")).cast("double"))
+            * F.sqrt(
+                (F.col("n_old") * F.col("n_new")).cast("double")
+                / (F.col("n_old") + F.col("n_new")).cast("double")
+            ),
+            6,
+        ).alias("ks_scaled"),
+    )

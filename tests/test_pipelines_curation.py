@@ -775,3 +775,34 @@ def test_c4_line_filter_rules(spark):
     # nothing kept → dropped; NULL text → 1 empty line, dropped
     assert out[4].doc_dropped and out[4].n_kept == 0
     assert out[5].doc_dropped and out[5].clean_text == ""
+
+
+class TestBudgetSelect:
+    def test_strict_prefix_and_oversized(self, spark):
+        from gdelt_extractor_spark.operators.curation import budget_select
+
+        # group g: scores 9,8,7,6 with 4,4,4,4 tokens, budget 10 →
+        # top two fit (cum 4,8), third overflows (12) and everything
+        # after is dropped with it
+        rows = [
+            (1, "g", 9.0, "a b c d"),
+            (2, "g", 8.0, "a b c d"),
+            (3, "g", 7.0, "a b c d"),
+            (4, "g", 6.0, "a"),        # would fit alone — prefix rule drops it
+            (5, "h", 1.0, " ".join(["x"] * 50)),  # alone over budget
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, quality double, text string")
+        out = {r.doc_id: r for r in budget_select(df, token_budget=10).collect()}
+        assert [out[i].selected for i in (1, 2, 3, 4)] == [True, True, False, False]
+        assert not out[5].selected
+        assert out[2].cum_tokens == 8 and out[3].cum_tokens == 12
+
+    def test_partition_invariant(self, spark):
+        from gdelt_extractor_spark.operators.curation import budget_select
+
+        rows = [(i, f"s{i % 4}", float((i * 13) % 7), "w " * ((i % 9) + 1))
+                for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, quality double, text string")
+        a = {tuple(r) for r in budget_select(df, token_budget=20).collect()}
+        b = {tuple(r) for r in budget_select(df.repartition(11), token_budget=20).collect()}
+        assert a == b

@@ -157,3 +157,61 @@ class TestBootstrapCI:
         b = bootstrap_ci(df, "x", "id", n_resamples=100, salt="s2").collect()[0]
         assert a.mean == b.mean and a.n == b.n
         assert (a.ci_lo, a.ci_hi) != (b.ci_lo, b.ci_hi)
+
+
+class TestCalibrationTable:
+    def test_perfect_calibration_has_zero_ece(self, spark):
+        from gdelt_extractor_spark.operators.profiling import calibration_table
+
+        # bin [0.2, 0.3): all scores 0.25, exactly 1 of 4 positive →
+        # obs 0.25 == mean score; same trick in a second bin
+        rows = [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0),
+                (0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = calibration_table(df, "s", "y", n_bins=10).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r.gap == 0.0 and r.ece == 0.0
+        by_bin = {r.bin: r for r in out}
+        assert by_bin[2].obs_rate == 0.25 and by_bin[7].obs_rate == 0.75
+
+    def test_miscalibrated_and_clamping(self, spark):
+        from gdelt_extractor_spark.operators.profiling import calibration_table
+
+        rows = [(0.9, 0), (0.95, 0), (1.3, 0), (-0.2, 1)]  # clamp 1.3→bin9, -0.2→bin0
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = {r.bin: r for r in calibration_table(df, "s", "y").collect()}
+        assert set(out) == {0, 9}
+        assert out[9].n == 3 and out[9].obs_rate == 0.0
+        assert out[0].n == 1 and out[0].obs_rate == 1.0
+        # ece = (3*|0-mean9| + 1*|1-0|)/4
+        m9 = out[9].mean_score
+        assert abs(out[0].ece - round((3 * m9 + 1.0) / 4, 6)) < 1e-6
+
+
+class TestKSTest:
+    def test_identical_samples_zero(self, spark):
+        from gdelt_extractor_spark.operators.profiling import ks_test
+
+        a = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+        r = ks_test(a, a, "v").collect()[0]
+        assert r.ks_d == 0.0 and r.n_old == r.n_new == 50
+
+    def test_disjoint_samples_one(self, spark):
+        from gdelt_extractor_spark.operators.profiling import ks_test
+
+        a = spark.createDataFrame([(float(i),) for i in range(30)], "v double")
+        b = spark.createDataFrame([(float(i + 100),) for i in range(20)], "v double")
+        r = ks_test(a, b, "v").collect()[0]
+        assert r.ks_d == 1.0
+
+    def test_hand_case(self, spark):
+        from gdelt_extractor_spark.operators.profiling import ks_test
+
+        # old = {1,2,3,4}, new = {3,4,5,6}: D at v=2: |2/4 - 0| = 0.5
+        a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+        b = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+        r = ks_test(a, b, "v").collect()[0]
+        assert r.ks_d == 0.5
+        import math
+        assert abs(r.ks_scaled - round(0.5 * math.sqrt(16 / 8), 6)) < 1e-9
