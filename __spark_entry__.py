@@ -643,6 +643,43 @@ def _budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_select(docs, token_budget=2000)
 
 
+def _cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster k-means audit (size/fraction, exact-L2 mean/max
+    distance, decimal-summed inertia) — the is-k-right numbers before
+    pointing D4 pruning or SemDeDup at a cluster.  Rows-only like
+    cluster_embeddings (quantizer not SQL-expressible); invariants
+    property-tested."""
+    from gdelt_extractor_spark.operators.clustering import cluster_profile
+
+    return cluster_profile(_emb(spark, sf_dir, width=8), k=8)
+
+
+def _blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-boundary blocklist screening over documents (the C4
+    dirty-word-list rule, flag-don't-delete): hit counts, distinct
+    blocked terms, first offending term, keep verdict."""
+    from gdelt_extractor_spark.operators.curation import blocklist_filter
+
+    return blocklist_filter(
+        _docs(spark, sf_dir, width=0), terms=["error", "merge", "slow"]
+    )
+
+
+def _join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-join output cardinality WITHOUT running the join
+    (sum of per-key count products) for orders x lineitem — the
+    pre-flight feasibility number next to key_skew's shuffle-shape
+    audit."""
+    from gdelt_extractor_spark.operators.profiling import join_cardinality
+
+    return join_cardinality(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
 def _person_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Person co-mention network off V2Persons: per-record pair
     expansion (never an exploded self-join), edges with ≥3 supporting
@@ -2874,6 +2911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration": _score_calibration,
         "ks_drift": _ks_drift,
         "budget_selection": _budget_selection,
+        "blocklist_screen": _blocklist_screen,
+        "join_size": _join_size,
         # --- oracle-gated, driver-verified r3-r7; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -3074,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": _pack_bins,
         "text_repair": _text_repair,
         "related_actors": _related_actors,
+        "cluster_quality": _cluster_quality,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_semantic": _dedup_semantic,
@@ -5331,6 +5371,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, "group", score, n_tokens, cum_tokens,
               (cum_tokens <= 2000) AS selected
             FROM c
+        """,
+        "blocklist_screen": """
+            WITH g AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t,
+                '(?i)\\b(?:error|merge|slow)\\b')) AS BIGINT)
+                AS n_blocked_hits,
+              CAST(
+                (CASE WHEN regexp_matches(t, '(?i)\\berror\\b')
+                      THEN 1 ELSE 0 END)
+                + (CASE WHEN regexp_matches(t, '(?i)\\bmerge\\b')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN regexp_matches(t, '(?i)\\bslow\\b')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_blocked_terms,
+              lower(regexp_extract(t,
+                '(?i)\\b(error|merge|slow)\\b', 1)) AS first_blocked,
+              (len(regexp_extract_all(t,
+                '(?i)\\b(?:error|merge|slow)\\b')) <= 0) AS keep
+            FROM g
+        """,
+        "join_size": """
+            WITH ca AS (
+              SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders
+              WHERE o_orderkey IS NOT NULL GROUP BY 1),
+            cb AS (
+              SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem
+              WHERE l_orderkey IS NOT NULL GROUP BY 1),
+            sa AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                     COUNT(*) AS n_keys_a FROM ca),
+            sb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_b,
+                     COUNT(*) AS n_keys_b FROM cb),
+            cm AS (
+              SELECT COUNT(*) AS n_common_keys,
+                coalesce(CAST(SUM(CAST(ca AS DECIMAL(20,0)) * cb)
+                  AS DOUBLE), 0.0) AS join_rows,
+                coalesce(CAST(MAX(ca * cb) AS BIGINT), 0) AS max_key_rows
+              FROM ca JOIN cb USING (k))
+            SELECT n_a, n_b, n_keys_a, n_keys_b, n_common_keys,
+              join_rows, max_key_rows
+            FROM sa CROSS JOIN sb CROSS JOIN cm
         """,
         "gkg_count_events": f"""
             WITH b AS (

@@ -155,6 +155,9 @@ HEADLINE = [
     "score_calibration",
     "ks_drift",
     "budget_selection",
+    "blocklist_screen",
+    "join_size",
+    "cluster_quality",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

@@ -2,6 +2,7 @@
 function; import from here for the public API."""
 
 from .curation import (
+    blocklist_filter,
     budget_select,
     c4_line_filter,
     corpus_report,
@@ -52,6 +53,7 @@ from .features import quantile_normalize, target_encode
 from .profiling import (
     bootstrap_ci,
     calibration_table,
+    join_cardinality,
     ks_test,
     key_skew_profile,
     auc_score,
@@ -74,6 +76,7 @@ from .multimodal import (
     resize_images,
 )
 from .clustering import (
+    cluster_profile,
     cluster_prune,
     contrastive_triplets,
     kmeans_cluster,
@@ -140,6 +143,7 @@ __all__ = [
     "source_similarity", "key_skew_profile", "random_projection",
     "bootstrap_ci", "pack_bins_bfd", "seasonal_decompose", "class_tfidf",
     "linkage_score", "calibration_table", "ks_test", "budget_select",
+    "blocklist_filter", "join_cardinality", "cluster_profile",
     "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "dedup_videos", "video_fingerprint",

@@ -351,3 +351,49 @@ def contrastive_triplets(
         .select("anchor_id", "positive_id", "negative_id", "cluster")
         .orderBy("anchor_id")
     )
+
+
+def cluster_profile(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster quality audit for a k-means fit — the numbers that
+    decide whether k is right and which clusters deserve the D4
+    prune or a SemDeDup pass: for each cluster,
+    (cluster, n, frac, mean_dist, max_dist, inertia) where distances
+    are exact L2 to the winning centroid (``_assign_dist_udf``'s
+    direct recomputation, not the cancellation-prone expanded form)
+    and inertia is the cluster's Σ dist² (decimal-summed, so the
+    audit is partition-order independent like the fit itself).
+
+    Scale shape: the fit is the bounded kmeans_fit job; assignment +
+    distance is one Arrow pass; the profile is ONE partial-aggregated
+    shuffle on the cluster id (k result rows).  Rows-only gate (the
+    quantizer is not SQL-expressible); invariants are unit-tested
+    (tight vs loose clusters, fractions sum to 1, inertia ≥ 0)."""
+    cents = kmeans_fit(vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    ad = _assign_dist_udf(cents)
+    assigned = vectors.select(
+        ad(_as_double(vec_col)).alias("_cd")
+    ).select(
+        F.col("_cd.cell").cast("long").alias("cluster"),
+        F.col("_cd.dist").alias("_d"),
+    )
+    prof = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_d").cast("decimal(30,15)")).alias("_sd"),
+        F.max("_d").alias("_md"),
+        F.sum((F.col("_d") * F.col("_d")).cast("decimal(30,15)")).alias("_sd2"),
+    )
+    tot = prof.agg(F.sum("n").alias("_tn"))
+    return prof.crossJoin(F.broadcast(tot)).select(
+        "cluster",
+        "n",
+        F.round(F.col("n") / F.col("_tn").cast("double"), 6).alias("frac"),
+        F.round(F.col("_sd").cast("double") / F.col("n"), 6).alias("mean_dist"),
+        F.round(F.col("_md"), 6).alias("max_dist"),
+        F.round(F.col("_sd2").cast("double"), 6).alias("inertia"),
+    )

@@ -1553,3 +1553,61 @@ def budget_select(
     return cum.withColumn(
         "selected", F.col("cum_tokens") <= F.lit(token_budget)
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Word-boundary blocklist screening — the unsophisticated but
+    universal first toxicity/brand-safety pass (C4 dropped any page
+    hitting the "List of Dirty, Naughty ..." list; max_hits=0 is that
+    rule).  Returns every doc with (n_blocked_hits, n_blocked_terms,
+    first_blocked, keep = hits ≤ max_hits) — flag-don't-delete, so
+    the audit trail survives.
+
+    Matching is case-insensitive on word boundaries (``\\b``), the
+    terms compiled into ONE alternation regex evaluated by
+    ``regexp_count`` — a single codegen pass per row, not |terms|
+    scans; the term list is a plan-time literal (the sane size for a
+    blocklist; a list too big for a regex belongs in a broadcast-join
+    token table instead, which is what ``decontaminate`` does).
+    Terms are regex-escaped, so ``c++`` style entries are safe."""
+    import re as _re
+
+    if not terms:
+        raise ValueError("blocklist_filter: at least one term")
+
+    def bounded(t: str) -> str:
+        # \b only works at word-char edges; terms ending in
+        # punctuation ('c++') get lookarounds instead (Java regex —
+        # oracle twins use plain-word terms where \b suffices)
+        left = r"\b" if _re.match(r"\w", t) else r"(?<![\w])"
+        right = r"\b" if _re.search(r"\w$", t) else r"(?![\w])"
+        return f"{left}{_re.escape(t)}{right}"
+
+    uniq = sorted(set(t.lower() for t in terms))
+    alts = "|".join(bounded(t) for t in uniq)
+    pat = f"(?i)(?:{alts})"
+    hits = F.regexp_count(F.col(text_col), F.lit(pat))
+    first = F.regexp_extract(F.col(text_col), f"(?i)({alts})", 1)
+    per_term = F.array(
+        *[
+            (F.regexp_count(F.col(text_col), F.lit(f"(?i){bounded(t)}")) > 0).cast(
+                "int"
+            )
+            for t in uniq
+        ]
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        hits.cast("long").alias("n_blocked_hits"),
+        F.aggregate(per_term, F.lit(0), lambda a, x: a + x)
+        .cast("long")
+        .alias("n_blocked_terms"),
+        F.lower(first).alias("first_blocked"),
+        (hits <= max_hits).alias("keep"),
+    )

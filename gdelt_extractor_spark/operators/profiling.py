@@ -997,3 +997,60 @@ def ks_test(
             6,
         ).alias("ks_scaled"),
     )
+
+
+def join_cardinality(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+) -> DataFrame:
+    """EXACT equi-join output cardinality WITHOUT running the join —
+    |A ⋈ B| = Σ_k cA(k)·cB(k) over the two per-key count tables.
+    The pre-flight sibling of ``key_skew_profile``: skew tells you
+    HOW a join will shuffle, this tells you how big it comes out
+    (the number that decides whether the downstream pipeline is
+    feasible at all — a 10^13-row blowup is cheaper to discover from
+    two aggregates than from a dead cluster).
+
+    One row: (n_a, n_b, n_keys_a, n_keys_b, n_common_keys,
+    join_rows, max_key_rows) where ``max_key_rows`` is the largest
+    single key's contribution — the blowup culprit when join_rows
+    explodes.
+
+    Scale shape: one partial-aggregated count per side (key-space
+    sized), an inner join of the two COUNT TABLES (not the data),
+    and a 1-row aggregate; join_rows sums exact integer products in
+    DECIMAL so 10^13+ doesn't overflow a long silently."""
+    key_b = key_b or key_a
+    ca = (
+        a.select(F.col(key_a).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    cb = (
+        b.select(F.col(key_b).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    sa = ca.agg(F.sum("ca").alias("n_a"), F.count(F.lit(1)).alias("n_keys_a"))
+    sb = cb.agg(F.sum("cb").alias("n_b"), F.count(F.lit(1)).alias("n_keys_b"))
+    common = ca.join(cb, "k").select(
+        (F.col("ca").cast("decimal(20,0)") * F.col("cb")).alias("_rows")
+    )
+    agg = common.agg(
+        F.count(F.lit(1)).alias("n_common_keys"),
+        F.coalesce(F.sum("_rows"), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("join_rows"),
+        F.coalesce(F.max("_rows"), F.lit(0).cast("decimal(20,0)"))
+        .cast("long")
+        .alias("max_key_rows"),
+    )
+    return sa.crossJoin(sb).crossJoin(agg).select(
+        "n_a", "n_b", "n_keys_a", "n_keys_b", "n_common_keys",
+        F.col("join_rows").cast("double").alias("join_rows"),
+        "max_key_rows",
+    )

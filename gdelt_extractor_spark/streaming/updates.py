@@ -376,3 +376,68 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def run_drift_monitor(
+    stream: DataFrame,
+    baseline: DataFrame,
+    value_col: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> "StreamingQuery":
+    """Live distribution-drift monitoring: every micro-batch's
+    ``value_col`` is scored against a FROZEN baseline with the PSI
+    gate (``profiling.psi_drift`` — same bins, same ε, same
+    reading: <0.1 stable, >0.25 shifted) and one
+    (epoch, n_rows, psi) row lands in ``metrics_dir`` — the
+    streaming sibling of the batch drift audits, and the alarm feed
+    a curation pipeline watches while ingesting a new crawl.
+
+    The baseline's bin edges are computed ONCE before the query
+    starts (or passed as ``lo``/``hi`` literals — the monitoring
+    posture: freeze edges with the baseline) and the per-bin
+    baseline fractions are precomputed and reused, so each epoch
+    pays ONE aggregate over its own batch plus a tiny join of two
+    ≤ n_bins count tables.  Append-only metrics keyed by epoch id:
+    a replayed batch overwrites its own epoch row idempotently
+    (same last-write-wins discipline as the incremental pipelines'
+    dedup-rate metrics)."""
+    from ..operators.profiling import psi_drift
+
+    if lo is None or hi is None:
+        mm = baseline.agg(
+            F.min(F.col(value_col).cast("double")),
+            F.max(F.col(value_col).cast("double")),
+        ).first()
+        lo = float(mm[0]) if lo is None else lo
+        hi = float(mm[1]) if hi is None else hi
+    frozen = baseline.select(F.col(value_col).cast("double").alias("v")).cache()
+    frozen.count()  # materialize once; epochs only re-read the cache
+
+    def score(batch: DataFrame, epoch: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        b = batch.select(F.col(value_col).cast("double").alias("v"))
+        out = psi_drift(frozen, b, "v", n_bins=n_bins, lo=lo, hi=hi)
+        psi = out.select(F.max("psi")).first()[0]
+        n = batch.count()
+        row = spark.createDataFrame(
+            [(int(epoch), int(n), float(psi))], "epoch long, n_rows long, psi double"
+        )
+        # idempotent per-epoch partition overwrite — a replayed batch
+        # rewrites its own row (the incremental pipelines' metrics
+        # discipline), not an append duplicate
+        from ..sinks.files import upsert_partitions
+
+        upsert_partitions(row, metrics_dir, ["epoch"])
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(score)
+        .start()
+    )

@@ -183,3 +183,31 @@ def test_contrastive_triplets_semantics(spark, sf_dir):
         ).collect()
     )
     assert a == b
+
+
+class TestClusterProfile:
+    def test_tight_vs_loose_and_invariants(self, spark):
+        import numpy as np
+
+        from gdelt_extractor_spark.operators.clustering import cluster_profile
+
+        rng = np.random.RandomState(3)
+        tight = rng.randn(40, 8) * 0.05 + np.array([5.0] * 8)
+        loose = rng.randn(40, 8) * 2.0 + np.array([-5.0] * 8)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(list(tight) + list(loose))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = cluster_profile(emb, k=2, n_iter=6).collect()
+        assert len(out) == 2
+        assert abs(sum(r.frac for r in out) - 1.0) < 1e-6
+        assert all(r.inertia >= 0 and r.max_dist >= r.mean_dist for r in out)
+        by_n = sorted(out, key=lambda r: r.mean_dist)
+        assert by_n[0].mean_dist * 5 < by_n[1].mean_dist  # tight ≪ loose
+
+    def test_partition_invariant(self, spark):
+        from gdelt_extractor_spark.operators.clustering import cluster_profile
+
+        rows = [(i, [float((i * 7 + j) % 13) for j in range(6)]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = {tuple(r) for r in cluster_profile(emb, k=4).collect()}
+        b = {tuple(r) for r in cluster_profile(emb.repartition(9), k=4).collect()}
+        assert a == b

@@ -806,3 +806,33 @@ class TestBudgetSelect:
         a = {tuple(r) for r in budget_select(df, token_budget=20).collect()}
         b = {tuple(r) for r in budget_select(df.repartition(11), token_budget=20).collect()}
         assert a == b
+
+
+class TestBlocklistFilter:
+    def test_word_boundaries_and_counts(self, spark):
+        from gdelt_extractor_spark.operators.curation import blocklist_filter
+
+        rows = [
+            (1, "a fatal ERROR and another error here"),
+            (2, "errors are fine: no word-boundary match"),
+            (3, "clean text entirely"),
+            (4, "merge Merge MERGE"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in blocklist_filter(df, ["error", "merge"]).collect()}
+        assert out[1].n_blocked_hits == 2 and out[1].n_blocked_terms == 1
+        assert out[1].first_blocked == "error" and not out[1].keep
+        assert out[2].n_blocked_hits == 0 and out[2].keep
+        assert out[3].keep and out[3].first_blocked == ""
+        assert out[4].n_blocked_hits == 3 and out[4].n_blocked_terms == 1
+
+    def test_regex_metachars_escaped(self, spark):
+        from gdelt_extractor_spark.operators.curation import blocklist_filter
+
+        df = spark.createDataFrame(
+            [(1, "we use c++ daily"), (2, "plain c here")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in blocklist_filter(df, ["c++"]).collect()}
+        assert out[1].n_blocked_hits >= 1 and not out[1].keep
+        assert out[2].keep

@@ -215,3 +215,30 @@ class TestKSTest:
         assert r.ks_d == 0.5
         import math
         assert abs(r.ks_scaled - round(0.5 * math.sqrt(16 / 8), 6)) < 1e-9
+
+
+class TestJoinCardinality:
+    def test_exact_counts(self, spark):
+        from gdelt_extractor_spark.operators.profiling import join_cardinality
+
+        a = spark.createDataFrame(
+            [(k,) for k in [1, 1, 1, 2, 3, None]], "k long"
+        )
+        b = spark.createDataFrame([(k,) for k in [1, 1, 2, 4]], "k long")
+        r = join_cardinality(a, b, "k").collect()[0]
+        assert (r.n_a, r.n_b) == (5, 4)          # nulls excluded
+        assert (r.n_keys_a, r.n_keys_b) == (3, 3)
+        assert r.n_common_keys == 2
+        # key 1: 3*2=6, key 2: 1*1=1 → 7; max per key 6
+        assert r.join_rows == 7.0 and r.max_key_rows == 6
+        # must equal the real join size
+        real = a.dropna().join(b, "k").count()
+        assert real == int(r.join_rows)
+
+    def test_disjoint(self, spark):
+        from gdelt_extractor_spark.operators.profiling import join_cardinality
+
+        a = spark.createDataFrame([(1,)], "k long")
+        b = spark.createDataFrame([(2,)], "k long")
+        r = join_cardinality(a, b, "k").collect()[0]
+        assert r.join_rows == 0.0 and r.n_common_keys == 0

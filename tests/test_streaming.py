@@ -413,3 +413,54 @@ def test_native_session_window_counts(spark, tmp_path):
         ("u1", "2024-01-01 13:00:00"): 1,
         ("u2", "2024-01-01 09:00:00"): 1,
     }
+
+
+def test_run_drift_monitor(spark, tmp_path):
+    """Streaming PSI drift: a batch drawn from the baseline's range
+    scores near 0; a shifted batch scores high; metrics are
+    per-epoch idempotent parquet rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gdelt_extractor_spark.streaming.updates import run_drift_monitor
+
+    src = tmp_path / "src"
+    src.mkdir()
+    baseline = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    # epoch batch 1: same distribution; batch 2: shifted by +80
+    spark.range(500).select(((F.col("id") % 100)).cast("double").alias("v")) \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", "4")
+        .parquet(str(src / "b1"))
+    )
+    metrics = str(tmp_path / "metrics")
+    q = run_drift_monitor(
+        stream, baseline, "v", metrics, str(tmp_path / "ckpt"),
+        lo=0.0, hi=100.0,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    m = spark.read.parquet(metrics).collect()
+    assert len(m) >= 1
+    assert all(r.psi < 0.05 for r in m), [r.psi for r in m]
+    # shifted source → high psi
+    base2 = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    spark.range(500).select(((F.col("id") % 100) + 80).cast("double").alias("v")) \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    stream2 = spark.readStream.schema("v double").parquet(str(src / "b2"))
+    metrics2 = str(tmp_path / "metrics2")
+    q2 = run_drift_monitor(
+        stream2, base2, "v", metrics2, str(tmp_path / "ckpt2"),
+        lo=0.0, hi=100.0,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    m2 = spark.read.parquet(metrics2).collect()
+    assert all(r.psi > 0.25 for r in m2), [r.psi for r in m2]
