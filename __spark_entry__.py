@@ -654,6 +654,24 @@ def _cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_profile(_emb(spark, sf_dir, width=8), k=8)
 
 
+def _balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-lang class rebalancing to the minority size
+    (salted-md5 order): the balanced-training-set recipe, audited by
+    the carried class_n.  Rolled up per lang so the oracle pins both
+    the kept counts AND which documents were kept (min/max doc_id as
+    the selection fingerprint)."""
+    from gdelt_extractor_spark.operators.curation import balance_classes
+
+    kept = balance_classes(_docs(spark, sf_dir), "lang")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("class_n").alias("class_n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum("doc_id").alias("sum_doc"),
+    )
+
+
 def _blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-boundary blocklist screening over documents (the C4
     dirty-word-list rule, flag-don't-delete): hit counts, distinct
@@ -2913,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_selection": _budget_selection,
         "blocklist_screen": _blocklist_screen,
         "join_size": _join_size,
+        "balanced_corpus": _balanced_corpus,
         # --- oracle-gated, driver-verified r3-r7; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -5413,6 +5432,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_a, n_b, n_keys_a, n_keys_b, n_common_keys,
               join_rows, max_key_rows
             FROM sa CROSS JOIN sb CROSS JOIN cm
+        """,
+        "balanced_corpus": """
+            WITH c AS (
+              SELECT lang, COUNT(*) AS class_n FROM documents GROUP BY lang),
+            k AS (SELECT MIN(class_n) AS per_class FROM c),
+            r AS (
+              SELECT d.doc_id, d.lang,
+                row_number() OVER (
+                  PARTITION BY d.lang
+                  ORDER BY md5('balance-v1:' || CAST(d.doc_id AS VARCHAR)),
+                           d.doc_id) AS rn
+              FROM documents d),
+            kept AS (
+              SELECT r.doc_id, r.lang FROM r CROSS JOIN k
+              WHERE r.rn <= k.per_class)
+            SELECT kept.lang, COUNT(*) AS n_kept,
+              CAST(MAX(c.class_n) AS BIGINT) AS class_n,
+              MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+              CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+            FROM kept JOIN c USING (lang)
+            GROUP BY kept.lang
         """,
         "gkg_count_events": f"""
             WITH b AS (

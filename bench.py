@@ -158,6 +158,7 @@ HEADLINE = [
     "blocklist_screen",
     "join_size",
     "cluster_quality",
+    "balanced_corpus",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

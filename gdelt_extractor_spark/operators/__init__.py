@@ -2,6 +2,7 @@
 function; import from here for the public API."""
 
 from .curation import (
+    balance_classes,
     blocklist_filter,
     budget_select,
     c4_line_filter,
@@ -144,6 +145,7 @@ __all__ = [
     "bootstrap_ci", "pack_bins_bfd", "seasonal_decompose", "class_tfidf",
     "linkage_score", "calibration_table", "ks_test", "budget_select",
     "blocklist_filter", "join_cardinality", "cluster_profile",
+    "balance_classes",
     "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",
     "scan_pii", "simhash", "stratified_sample", "token_stats",
     "dedup_videos", "video_fingerprint",

@@ -1611,3 +1611,41 @@ def blocklist_filter(
         F.lower(first).alias("first_blocked"),
         (hits <= max_hits).alias("keep"),
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+    per_class: int | None = None,
+    salt: str = "balance-v1",
+) -> DataFrame:
+    """Deterministic class rebalancing by downsampling: keep
+    ``per_class`` rows per class (default: the MINORITY class size —
+    the classic balanced-training-set recipe), chosen by the salted
+    md5 order of the id — content-stable, partition-independent, and
+    reproducible like every sampler in this repo (sample_split /
+    stratified_sample / weighted_sample).  Output = kept rows with
+    ``class_n`` (the class's original size) carried for the audit.
+
+    Scale shape: one window rank per class (per-class sort, never
+    global) + a broadcast of the (class, size) table; when
+    ``per_class`` defaults, the minority size is one tiny aggregate
+    of class counts.  Rows stream through one shuffle on the class
+    key."""
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("class_n"))
+    if per_class is None:
+        per_class_col = counts.agg(F.min("class_n")).first()[0]
+        if per_class_col is None:
+            return df.join(F.broadcast(counts), class_col).limit(0)
+        per_class = int(per_class_col)
+    w = Window.partitionBy(class_col).orderBy(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_class)
+        .drop("_rn")
+        .join(F.broadcast(counts), class_col)
+    )

@@ -836,3 +836,30 @@ class TestBlocklistFilter:
         out = {r.doc_id: r for r in blocklist_filter(df, ["c++"]).collect()}
         assert out[1].n_blocked_hits >= 1 and not out[1].keep
         assert out[2].keep
+
+
+class TestBalanceClasses:
+    def test_minority_size_and_determinism(self, spark):
+        from gdelt_extractor_spark.operators.curation import balance_classes
+
+        rows = [(i, "big" if i < 50 else ("mid" if i < 70 else "small"))
+                for i in range(75)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = balance_classes(df, "lang").collect()
+        from collections import Counter
+        c = Counter(r.lang for r in out)
+        assert c == {"big": 5, "mid": 5, "small": 5}  # minority = 5
+        assert all(r.class_n in (50, 20, 5) for r in out)
+        out2 = balance_classes(df.repartition(7), "lang").collect()
+        assert {r.doc_id for r in out} == {r.doc_id for r in out2}
+
+    def test_explicit_per_class(self, spark):
+        from gdelt_extractor_spark.operators.curation import balance_classes
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(40)],
+            "doc_id long, lang string",
+        )
+        out = balance_classes(df, "lang", per_class=3).collect()
+        from collections import Counter
+        assert Counter(r.lang for r in out) == {"a": 3, "b": 3}
