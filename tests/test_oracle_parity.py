@@ -87,6 +87,8 @@ ROWS_ONLY = (
     "actor_cores",
     "pack_bins",
     "text_repair",
+    "related_actors",
+    "cluster_quality",
 )
 
 
