@@ -672,6 +672,40 @@ def _balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _golden_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after linkage: merge duplicate clusters (custkey
+    mod 500, ~3 members each) into golden records — per field the
+    first NON-NULL value in (acctbal DESC, custkey ASC) order, nulls
+    injected deterministically so the per-field fallback is really
+    exercised."""
+    from gdelt_extractor_spark.operators.linkage import golden_record
+
+    cust = load_table(spark, sf_dir, "customer")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gold:"), F.col("c_custkey").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    t = cust.select(
+        "c_custkey",
+        (F.col("c_custkey") % 500).alias("cl"),
+        "c_acctbal",
+        F.when(h % 3 == 0, F.lit(None)).otherwise(F.col("c_name")).alias("name"),
+        F.when(h % 4 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return golden_record(
+        t, "cl", "c_acctbal", ["name", "segment"], id_col="c_custkey"
+    )
+
+
 def _blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-boundary blocklist screening over documents (the C4
     dirty-word-list rule, flag-don't-delete): hit counts, distinct
@@ -2932,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_screen": _blocklist_screen,
         "join_size": _join_size,
         "balanced_corpus": _balanced_corpus,
+        "golden_customers": _golden_customers,
         # --- oracle-gated, driver-verified r3-r7; oldest verification
         # first so re-grading keeps the cumulative record fresh ---
         "decontaminate": _decontaminate,  # r3
@@ -5453,6 +5488,40 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(doc_id) AS BIGINT) AS sum_doc
             FROM kept JOIN c USING (lang)
             GROUP BY kept.lang
+        """,
+        "golden_customers": """
+            WITH t AS (
+              SELECT c_custkey, c_custkey % 500 AS cl, c_acctbal,
+                CASE WHEN h % 3 = 0 THEN NULL ELSE c_name END AS name,
+                CASE WHEN h % 4 = 0 THEN NULL
+                     ELSE c_mktsegment END AS segment
+              FROM (
+                SELECT *, CAST(('0x' || substring(
+                  md5('gold:' || CAST(c_custkey AS VARCHAR)), 1, 6))
+                  AS BIGINT) AS h
+                FROM customer)),
+            pid AS (
+              SELECT cl, c_custkey AS primary_id, rn, nm FROM (
+                SELECT cl, c_custkey,
+                  row_number() OVER (PARTITION BY cl
+                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+                  COUNT(*) OVER (PARTITION BY cl) AS nm
+                FROM t) WHERE rn = 1),
+            nm AS (
+              SELECT cl, name FROM (
+                SELECT cl, name, row_number() OVER (PARTITION BY cl
+                  ORDER BY CASE WHEN name IS NULL THEN 1 ELSE 0 END,
+                           c_acctbal DESC, c_custkey ASC) AS rk
+                FROM t) WHERE rk = 1),
+            sg AS (
+              SELECT cl, segment FROM (
+                SELECT cl, segment, row_number() OVER (PARTITION BY cl
+                  ORDER BY CASE WHEN segment IS NULL THEN 1 ELSE 0 END,
+                           c_acctbal DESC, c_custkey ASC) AS rk
+                FROM t) WHERE rk = 1)
+            SELECT pid.cl AS cluster, pid.primary_id, nm.name,
+              sg.segment, CAST(pid.nm AS BIGINT) AS n_members
+            FROM pid JOIN nm USING (cl) JOIN sg USING (cl)
         """,
         "gkg_count_events": f"""
             WITH b AS (

@@ -159,6 +159,7 @@ HEADLINE = [
     "join_size",
     "cluster_quality",
     "balanced_corpus",
+    "golden_customers",
     "mix_sources",
     "shard_manifest",
     "ann_topk",

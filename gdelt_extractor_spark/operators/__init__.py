@@ -143,7 +143,7 @@ __all__ = [
     "quality_score", "quantize_embeddings", "range_join", "redact_pii",
     "source_similarity", "key_skew_profile", "random_projection",
     "bootstrap_ci", "pack_bins_bfd", "seasonal_decompose", "class_tfidf",
-    "linkage_score", "calibration_table", "ks_test", "budget_select",
+    "linkage_score", "golden_record", "calibration_table", "ks_test", "budget_select",
     "blocklist_filter", "join_cardinality", "cluster_profile",
     "balance_classes",
     "resize_images", "salted_agg", "salted_join", "sample_split", "scd2_apply",

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,4 +89,46 @@ def linkage_score(
         F.when(F.col("fs_score") >= match_threshold, F.lit("match"))
         .when(F.col("fs_score") <= non_match_threshold, F.lit("non_match"))
         .otherwise(F.lit("possible")),
+    )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    priority_col: str,
+    fields: list[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Survivorship — the step AFTER linkage clusters duplicates:
+    merge every cluster into one golden record, each field taking its
+    FIRST NON-NULL value in (priority DESC, id ASC) order (the
+    standard most-trusted-source / most-recent rule; per-field, so a
+    record missing one attribute still donates the others).  Output:
+    one row per cluster with the merged fields plus n_members and
+    the donor id of the highest-priority row (``primary_id``).
+
+    One window pass partitioned by the cluster (per-cluster sort,
+    never global) + one dedup projection — no joins, no UDFs, and
+    the merge is deterministic for any input partitioning because
+    the order key is totalized by the id tie-break."""
+    order = [F.col(priority_col).desc()]
+    if id_col:
+        order.append(F.col(id_col).asc())
+    w = (
+        Window.partitionBy(cluster_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rank = Window.partitionBy(cluster_col).orderBy(*order)
+    cols = [F.col(cluster_col).alias("cluster")]
+    if id_col:
+        cols.append(F.first(F.col(id_col)).over(w).alias("primary_id"))
+    for f_ in fields:
+        cols.append(F.first(F.col(f_), ignorenulls=True).over(w).alias(f_))
+    cols.append(F.count(F.lit(1)).over(w).alias("n_members"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .select(*cols, "_rn")
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

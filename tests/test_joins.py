@@ -238,3 +238,41 @@ class TestLinkageScore:
         with pytest.raises(ValueError):
             linkage_score(a, b, ["blk"], "ida", "idb", comp,
                           m={"name": 0.1}, u={"name": 0.9})  # u > m
+
+
+class TestGoldenRecord:
+    def test_per_field_survivorship(self, spark):
+        from gdelt_extractor_spark.operators.linkage import golden_record
+
+        rows = [
+            (1, "c1", 3.0, "Ann", None),
+            (2, "c1", 5.0, None, "ann@x.com"),
+            (3, "c1", 1.0, "Annie", "old@x.com"),
+            (4, "c2", 2.0, "Bob", "bob@y.com"),
+            (5, "c3", 1.0, None, None),  # all-null cluster field
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, cl string, prio double, name string, email string"
+        )
+        out = {r.cluster: r for r in golden_record(
+            df, "cl", "prio", ["name", "email"], id_col="id").collect()}
+        g = out["c1"]
+        # highest-prio row donates the id; each field falls to its
+        # first NON-NULL donor in priority order
+        assert g.primary_id == 2 and g.name == "Ann" and g.email == "ann@x.com"
+        assert g.n_members == 3
+        assert out["c2"].n_members == 1 and out["c2"].name == "Bob"
+        assert out["c3"].name is None and out["c3"].email is None
+
+    def test_partition_invariant(self, spark):
+        from gdelt_extractor_spark.operators.linkage import golden_record
+
+        rows = [(i, f"c{i % 7}", float((i * 13) % 5),
+                 None if i % 3 == 0 else f"n{i}",
+                 None if i % 4 == 0 else f"e{i}") for i in range(70)]
+        df = spark.createDataFrame(
+            rows, "id long, cl string, prio double, name string, email string"
+        )
+        a = {tuple(r) for r in golden_record(df, "cl", "prio", ["name", "email"], id_col="id").collect()}
+        b = {tuple(r) for r in golden_record(df.repartition(9), "cl", "prio", ["name", "email"], id_col="id").collect()}
+        assert a == b
