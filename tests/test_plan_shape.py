@@ -873,3 +873,84 @@ def test_new_accounting_ops_prune_scans(spark, sf_dir):
         "V2Persons" in rs and "V2Locations" not in rs and "GCAM" not in rs
         for rs in read_schemas(p)
     )
+
+
+# ---- round-8 operators: the same posture guards ----
+
+
+def test_lang_nb_no_row_python_and_broadcast_weights(spark, sf_dir):
+    """The trained language ID must stay pure JVM (md5 buckets, no
+    Python UDF anywhere) and its weight/model tables must broadcast
+    onto the gram stream."""
+    plan = plan_of(spark, "lang_nb_id", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_source_similarity_no_python_and_partial_agg(spark, sf_dir):
+    """MinHash signatures: integer permutations in codegen (one md5
+    per shingle, no Python), partial aggregation before the
+    (source, slot) shuffle."""
+    plan = plan_of(spark, "source_similarity", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_embedding_projection_is_single_arrow_pass(spark, sf_dir):
+    """JL projection: exactly one Arrow stage (the GEMM), no joins,
+    no aggregate shuffles."""
+    plan = plan_of(spark, "embedding_projection", sf_dir)
+    # "MapInPandas (N" matches the plan TREE node only (the detail
+    # section prints "(N) MapInPandas"), so this counts operators
+    assert plan.count("MapInPandas (") == 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_record_linkage_block_equi_join_no_cartesian(spark, sf_dir):
+    """FS linkage: the block key must reach the join as an equi-key —
+    never a cartesian/BNLJ — and the field weights fold to literals
+    (no Python eval)."""
+    plan = plan_of(spark, "record_linkage", sf_dir)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_key_skew_no_global_sort(spark, sf_dir):
+    """The skew audit's gini ranks must come from the range-partition
+    helper — a single-partition global Sort would defeat the point."""
+    plan = plan_of(spark, "key_skew", sf_dir)
+    # top-10 must be TakeOrderedAndProject, never a global Sort+Limit
+    # (1-row final aggregates legitimately use SinglePartition
+    # exchanges, so that's not assertable here)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_golden_customers_no_join(spark, sf_dir):
+    """Survivorship is one window pass — no join may appear."""
+    plan = plan_of(spark, "golden_customers", sf_dir)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_blocklist_screen_single_scan_codegen(spark, sf_dir):
+    """Blocklist screening: pure regexp codegen, one scan, no
+    shuffle at all."""
+    plan = plan_of(spark, "blocklist_screen", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_join_size_never_joins_the_data(spark, sf_dir):
+    """The cardinality estimate joins COUNT TABLES, not the inputs:
+    both join inputs must already be aggregates."""
+    plan = plan_of(spark, "join_size", sf_dir)
+    # the only SortMergeJoin/BroadcastHashJoin operands are
+    # HashAggregate outputs — pin by checking the scans' columns are
+    # pruned to the key alone
+    assert any(
+        ("o_orderkey" in rs and "o_totalprice" not in rs) for rs in read_schemas(plan)
+    )
+    assert any(
+        ("l_orderkey" in rs and "l_quantity" not in rs) for rs in read_schemas(plan)
+    )
