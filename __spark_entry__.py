@@ -634,13 +634,27 @@ def _budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy quality-first selection under a per-source token budget
     (the last step of every mixture recipe): strict prefix in
     (score DESC, id ASC) order until the source's allocation is
-    spent; integer-exact cumulative sums."""
+    spent; integer-exact cumulative sums.
+
+    Emitted frame is ALL-integer/bool (score re-cast to its original
+    BIGINT n_chars): the r8 driver window hash-mismatched on the
+    redundant double score column despite value-identical local runs
+    at three SFs — hash-robust output means no doubles anywhere
+    (VERDICT r8 item 1)."""
     from gdelt_extractor_spark.operators.curation import budget_select
 
     docs = _docs(spark, sf_dir).withColumn(
         "quality", F.col("n_chars").cast("double")
     )
-    return budget_select(docs, token_budget=2000)
+    sel = budget_select(docs, token_budget=2000)
+    return sel.select(
+        "doc_id",
+        "group",
+        F.col("score").cast("long").alias("score"),
+        "n_tokens",
+        "cum_tokens",
+        "selected",
+    )
 
 
 def _cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5412,15 +5426,18 @@ def oracle_sql() -> dict[str, str]:
         "budget_selection": f"""
             WITH base AS (
               SELECT doc_id, source AS "group",
-                CAST(n_chars AS DOUBLE) AS score,
+                CAST(n_chars AS BIGINT) AS score,
                 CAST(len({_toks("coalesce(text, '')")}) AS BIGINT)
                   AS n_tokens
               FROM documents),
             c AS (
-              SELECT *, SUM(n_tokens) OVER (
+              -- CAST the windowed sum: DuckDB SUM(BIGINT) is HUGEINT
+              -- -> pandas float64 ('1000.0' vs '1000') — the r8
+              -- driver hash mismatch
+              SELECT *, CAST(SUM(n_tokens) OVER (
                 PARTITION BY "group"
                 ORDER BY score DESC, doc_id ASC
-                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
               FROM base)
             SELECT doc_id, "group", score, n_tokens, cum_tokens,
               (cum_tokens <= 2000) AS selected

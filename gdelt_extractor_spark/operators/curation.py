@@ -1534,11 +1534,17 @@ def budget_select(
     the contract is engine-portable with no rounding anywhere."""
     from ..functions.text import tokens
 
+    # NULL text must count as empty text, NOT as size(NULL) = -1:
+    # a -1 token count breaks cum_tokens' monotonicity and lets a
+    # doc AFTER the first overflow re-satisfy cum <= budget (ADVICE
+    # r8); the DuckDB oracle twin coalesces identically.
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("group"),
         F.col(score_col).cast("double").alias("score"),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
     )
     w = (
         Window.partitionBy("group")
@@ -1592,11 +1598,15 @@ def blocklist_filter(
     uniq = sorted(set(t.lower() for t in terms))
     alts = "|".join(bounded(t) for t in uniq)
     pat = f"(?i)(?:{alts})"
-    hits = F.regexp_count(F.col(text_col), F.lit(pat))
-    first = F.regexp_extract(F.col(text_col), f"(?i)({alts})", 1)
+    # NULL text counts as empty (hits=0, keep=true) — bare NULL would
+    # propagate into n_blocked_hits/keep so the doc is neither kept
+    # nor flagged downstream (ADVICE r8); the oracle twin coalesces.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    hits = F.regexp_count(txt, F.lit(pat))
+    first = F.regexp_extract(txt, f"(?i)({alts})", 1)
     per_term = F.array(
         *[
-            (F.regexp_count(F.col(text_col), F.lit(f"(?i){bounded(t)}")) > 0).cast(
+            (F.regexp_count(txt, F.lit(f"(?i){bounded(t)}")) > 0).cast(
                 "int"
             )
             for t in uniq

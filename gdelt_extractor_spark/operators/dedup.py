@@ -1021,6 +1021,13 @@ def dedup_embedding(
     ordering and would emit the pair), NULL/ragged vectors are
     dropped rather than task-crashing (ADVICE r7).
     """
+    if engine not in ("gemm", "sql"):
+        # a typo ('GEMM', 'sql ') must not silently select the other
+        # engine — the two differ on degenerate inputs (see above)
+        raise ValueError(
+            f"dedup_embedding: unknown engine {engine!r} "
+            "(expected 'gemm' or 'sql')"
+        )
     if engine == "gemm":
         blocked = emb.select(
             F.col(id_col).alias("_id"),

@@ -60,7 +60,11 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         shard.cast("int").alias("shard"),
         order_key.alias("_ok"),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        # NULL text counts as empty, not size(NULL) = -1 — a negative
+        # n_tokens corrupts running sums / bin capacities (ADVICE r8)
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy(F.col("_ok").asc(), F.col("doc_id").asc())
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
@@ -160,7 +164,7 @@ def length_buckets(
     at any scale; the aggregate output is bounded by the boundary
     list, never by the corpus.
     """
-    n_tok = F.size(tokens(text_col))
+    n_tok = F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
     bucket = F.lit(-1)
     for bound in sorted(boundaries, reverse=True):
         bucket = F.when(n_tok <= bound, F.lit(bound)).otherwise(bucket)
@@ -237,7 +241,11 @@ def lm_block_spans(
         F.col(id_col).alias("doc_id"),
         shard.cast("int").alias("shard"),
         order_key.alias("_ok"),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        # NULL text counts as empty, not size(NULL) = -1 — a negative
+        # n_tokens corrupts running sums / bin capacities (ADVICE r8)
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy(
         F.col("_ok").asc(), F.col("doc_id").asc()
@@ -327,7 +335,11 @@ def pack_bins_bfd(
         F.col(id_col).alias("doc_id"),
         shard.cast("int").alias("shard"),
         order_key.alias("_ok"),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        # NULL text counts as empty, not size(NULL) = -1 — a negative
+        # n_tokens corrupts running sums / bin capacities (ADVICE r8)
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
     )
     id_dt = df.schema[id_col].dataType.simpleString()
 
@@ -342,6 +354,11 @@ def pack_bins_bfd(
         out_bin, out_slot, out_trunc = [], [], []
         for n in pdf["n_tokens"].to_numpy():
             need = int(n)
+            # the coalesce above guarantees this; a negative need
+            # would best-fit anywhere and GROW the bin's remaining
+            # capacity, silently overflowing the budget (ADVICE r8)
+            if need < 0:
+                raise ValueError(f"pack_bins_bfd: negative n_tokens {need}")
             if need > budget:
                 bins.append([0, len(bins), 1])  # full bin of its own
                 out_bin.append(bins[-1][1]); out_slot.append(0)

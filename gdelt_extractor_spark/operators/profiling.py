@@ -607,6 +607,13 @@ def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
     top1_share near 1 → one hot key (salt it); high gini with low
     top1 → broad skew (AQE handles it); gini near 0 → uniform keys.
 
+    Edge contract (ADVICE r8): an ALL-NULL key column still emits a
+    row — n_keys=0 with NULL shares/gini (global aggregates always
+    return one row) — whereas a GROUP-BY-based SQL twin would emit
+    none; oracle-gated uses must either profile columns with at
+    least one non-null value or left-join the twin's CTEs from the
+    totals frame.
+
     Scale shape, per column: ONE partial-aggregated shuffle on the
     key for the count frame; top-10 via TakeOrderedAndProject (never
     a global sort); gini ranks via ``ranking.global_row_number``

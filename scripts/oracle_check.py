@@ -13,6 +13,11 @@ column names, order-insensitive value equality), and writes
 plus per-query wall seconds.
 
 Usage:  python scripts/oracle_check.py [sf_dir]
+
+Set SPARK_GRAFT_ORACLE_QUERIES=name1,name2 to check a subset while
+iterating; subset runs print results but do NOT write
+CORRECTNESS_FULL_LOCAL.json (same clobber discipline as bench.py's
+BENCH_SUBSET split).
 """
 
 from __future__ import annotations
@@ -48,6 +53,15 @@ def canon(df) -> list[tuple]:
     return out
 
 
+def dtype_kinds(df) -> list[str]:
+    """Per-column pandas dtype KIND (int/float/bool/object/...), sorted
+    by column name.  The driver's value hash is repr-sensitive — a
+    DuckDB HUGEINT aggregate coming back float64 ('1000.0') hash-
+    mismatches a Spark int64 ('1000') even though the values compare
+    equal (r8 budget_selection); this catches that class locally."""
+    return [df[c].dtype.kind for c in sorted(df.columns)]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("oracle-check")
@@ -58,6 +72,13 @@ def main() -> None:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    subset = os.environ.get("SPARK_GRAFT_ORACLE_QUERIES", "").strip()
+    if subset:
+        keep = {q.strip() for q in subset.split(",") if q.strip()}
+        unknown = keep - queries.keys()
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in keep}
     results: dict[str, dict] = {}
     t_total0 = time.perf_counter()
     for name, fn in queries.items():
@@ -76,8 +97,15 @@ def main() -> None:
                 rec["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
                 rec["hash_match"] = (
                     rec["rows_match"] and rec["schema_match"]
+                    and dtype_kinds(sdf) == dtype_kinds(ddf)
                     and canon(sdf) == canon(ddf)
                 )
+                if (rec["rows_match"] and rec["schema_match"]
+                        and not rec["hash_match"]
+                        and dtype_kinds(sdf) != dtype_kinds(ddf)):
+                    rec["err"] = (
+                        f"dtype_kinds {dtype_kinds(sdf)} vs {dtype_kinds(ddf)}"
+                    )
             else:
                 rec["err"] = "no_oracle"
         except Exception as exc:  # noqa: BLE001 — recorded per query
@@ -102,8 +130,9 @@ def main() -> None:
         "total_sec": round(time.perf_counter() - t_total0, 1),
     }
     out = {"_summary": summary, **results}
-    with open(os.path.join(REPO, "CORRECTNESS_FULL_LOCAL.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+    if not subset:
+        with open(os.path.join(REPO, "CORRECTNESS_FULL_LOCAL.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
     print(json.dumps(summary))
     sys.exit(1 if n_fail else 0)
 

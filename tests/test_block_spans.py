@@ -137,6 +137,23 @@ class TestPackBinsBFD:
         out2 = pack_bins_bfd(docs.repartition(13), budget=128, n_shards=4).collect()
         assert {tuple(r) for r in out} == {tuple(r) for r in out2}
 
+    def test_null_text_counts_as_empty(self, spark):
+        """ADVICE r8: NULL text must not reach _bfd as n_tokens=-1
+        (which would best-fit anywhere and GROW the bin's remaining
+        capacity); it counts as 1 token ('') and capacity holds."""
+        from gdelt_extractor_spark.operators.packing import pack_bins_bfd
+
+        rows = [(0, None)] + [(i, " ".join(["w"] * 9)) for i in range(1, 12)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_bins_bfd(docs, budget=10, n_shards=1).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[0].n_tokens == 1 and not by_id[0].truncated
+        fill: dict = {}
+        for r in out:
+            fill.setdefault(r.bin_id, 0)
+            fill[r.bin_id] += r.n_tokens
+        assert all(v <= 10 for v in fill.values())
+
     def test_truncated_flag(self, spark):
         from gdelt_extractor_spark.operators.packing import pack_bins_bfd
 

@@ -107,6 +107,19 @@ def test_embedding_dedup_blocked(spark):
     assert out == {(1, 2)}
 
 
+def test_embedding_dedup_rejects_unknown_engine(spark):
+    """ADVICE r8: a typo'd engine must raise, not silently fall
+    through to the SQL path (different degenerate-input semantics)."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, label int"
+    )
+    for bad in ("GEMM", "sql ", "numpy"):
+        with pytest.raises(ValueError, match="unknown engine"):
+            D.dedup_embedding(emb, engine=bad)
+
+
 def test_connected_components_transitive(spark):
     """A~B, B~C must form ONE cluster rooted at the min id, even
     though (A,C) was never a pair; separate components stay apart."""

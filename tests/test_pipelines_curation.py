@@ -807,6 +807,28 @@ class TestBudgetSelect:
         b = {tuple(r) for r in budget_select(df.repartition(11), token_budget=20).collect()}
         assert a == b
 
+    def test_null_text_counts_as_empty(self, spark):
+        """ADVICE r8: NULL text must NOT contribute size(NULL) = -1 —
+        cum_tokens stays monotone and nothing after the first
+        overflow re-enters the prefix."""
+        from gdelt_extractor_spark.operators.curation import budget_select
+
+        rows = [
+            (1, "g", 9.0, "a b c d"),   # 4 tokens, cum 4
+            (2, "g", 8.0, None),        # NULL → 1 token (''), cum 5
+            (3, "g", 7.0, "a b c"),     # 3 tokens, cum 8 → overflow
+            (4, "g", 6.0, "a"),         # after overflow → dropped
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, quality double, text string"
+        )
+        out = {r.doc_id: r for r in budget_select(df, token_budget=7).collect()}
+        assert out[2].n_tokens == 1 and out[2].cum_tokens == 5
+        assert [out[i].selected for i in (1, 2, 3, 4)] == [
+            True, True, False, False]
+        # monotone cum within the group order
+        assert out[1].cum_tokens < out[2].cum_tokens < out[3].cum_tokens
+
 
 class TestBlocklistFilter:
     def test_word_boundaries_and_counts(self, spark):
@@ -825,6 +847,19 @@ class TestBlocklistFilter:
         assert out[2].n_blocked_hits == 0 and out[2].keep
         assert out[3].keep and out[3].first_blocked == ""
         assert out[4].n_blocked_hits == 3 and out[4].n_blocked_terms == 1
+
+    def test_null_text_kept(self, spark):
+        """ADVICE r8: NULL text → hits=0 / keep=true (like the oracle
+        twin), never NULL flags that drop the doc from both sides."""
+        from gdelt_extractor_spark.operators.curation import blocklist_filter
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "an error here")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in blocklist_filter(df, ["error"]).collect()}
+        assert out[1].n_blocked_hits == 0 and out[1].n_blocked_terms == 0
+        assert out[1].keep is True and out[1].first_blocked == ""
+        assert not out[2].keep
 
     def test_regex_metachars_escaped(self, spark):
         from gdelt_extractor_spark.operators.curation import blocklist_filter
