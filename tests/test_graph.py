@@ -316,3 +316,23 @@ class TestPersonalizedPageRank:
         out = {r.node: r.rank for r in pagerank(e, reset=seeds).collect()}
         assert abs(sum(out.values()) - 1.0) < 1e-6
         assert out["a"] > out["b"]  # classic uniform gives b MORE than a
+
+
+def test_no_forced_broadcast_of_node_sized_frames():
+    """100 TB posture pin (VERDICT r8): graph.py must never force-
+    broadcast a node-derived frame — has_out is O(|nodes|) and a
+    forced hint bypasses AQE's size check (driver/executor OOM the
+    moment nodes outgrow a few GB).  The only F.broadcast sites
+    allowed are the genuinely small ones: the seed reset vector
+    (``rv``, seed-set-sized) and the 1-row dangling-mass aggregate
+    (``dang``).  Source pin, not a plan pin: every iterative op
+    checkpoints its pre-loop frames, so the hint is invisible in any
+    returned DataFrame's plan."""
+    import inspect
+    import re
+
+    import gdelt_extractor_spark.operators.graph as G
+
+    src = inspect.getsource(G)
+    hints = re.findall(r"F\.broadcast\((\w+)", src)
+    assert set(hints) <= {"rv", "dang"}, hints
