@@ -3288,6 +3288,24 @@ def _profile_block_sql(table: str, cols: list[tuple[str, bool]]) -> str:
     )
 
 
+def _pois_cnt_sql() -> str:
+    """Poisson(1) count from the 12-hex md5 substring ``u`` — the
+    SAME hex thresholds the operator embeds (profiling.
+    poisson1_thresholds_hex); fixed-width lowercase hex compares
+    lexicographically equal to its numeric order in both engines, so
+    neither side pays the hex→BIGINT conversion."""
+    from gdelt_extractor_spark.operators.profiling import (
+        poisson1_thresholds_hex,
+    )
+
+    return "(" + " + ".join(
+        f"(CASE WHEN u >= '{t}' THEN 1 ELSE 0 END)"
+        for t in poisson1_thresholds_hex()
+    ) + ")"
+
+
+_POIS_CNT = _pois_cnt_sql()
+
 _NDCG_DISC_VALUES = "(1, 1.0), (2, 0.6309297535714575), (3, 0.5), (4, 0.43067655807339306), (5, 0.38685280723454163), (6, 0.3562071871080222), (7, 0.3333333333333333), (8, 0.31546487678572877), (9, 0.3010299956639812), (10, 0.2890648263178879)"
 _NDCG_IDCG_VALUES = "(1, 1.0), (2, 1.6309297535714575), (3, 2.1309297535714578), (4, 2.5616063116448506), (5, 2.9484591188793923), (6, 3.3046663059874146), (7, 3.637999639320748), (8, 3.953464516106477), (9, 4.254494511770458), (10, 4.543559338088346)"
 
@@ -5258,39 +5276,53 @@ def oracle_sql() -> dict[str, str]:
             FROM dt JOIN s2 USING (key, dow)
         """,
         "doc_length_ci": f"""
-            WITH v AS (
-              SELECT CAST(len({_toks("coalesce(text, '')")}) AS DOUBLE) AS x,
-                doc_id AS tb
+            -- deterministic POISSON bootstrap (r9): row multiplicity
+            -- in resample b = Poisson(1) count from md5(salt:b:id)
+            -- inverted through integer 48-bit CDF thresholds; all
+            -- means are integer micro-unit half-up divisions
+            WITH vu AS (
+              SELECT CAST(floor(
+                  CAST(len({_toks("coalesce(text, '')")}) AS DOUBLE)
+                  * 1e6 + 0.5) AS BIGINT) AS xu,
+                CAST(doc_id AS VARCHAR) AS id
               FROM documents),
-            idx AS (
-              SELECT x, row_number() OVER (ORDER BY x, tb) - 1 AS idx
-              FROM v),
-            nn AS (SELECT COUNT(*) AS n FROM idx),
-            draws AS (
-              SELECT b.b,
-                CAST(('0x' || substring(md5('boot-v1:'
-                  || CAST(b.b AS VARCHAR) || ':'
-                  || CAST(u.j AS VARCHAR)), 1, 12)) AS BIGINT) % nn.n AS idx
-              FROM (SELECT unnest(range(0, 200)) AS b) b
-              CROSS JOIN nn, unnest(range(0, nn.n)) AS u(j)),
-            means AS (
-              SELECT b, round(CAST(SUM(CAST(x AS DECIMAL(30,15)))
-                AS DOUBLE) / COUNT(*), 6) AS m
-              FROM draws JOIN idx USING (idx) GROUP BY b),
+            e AS (
+              SELECT xu,
+                substring(md5('boot-v1:'
+                  || CAST(b.b AS VARCHAR) || ':' || id), 1, 12) AS u,
+                b.b
+              FROM vu CROSS JOIN (SELECT unnest(range(0, 200)) AS b) b),
+            c AS (SELECT b, xu, {_POIS_CNT} AS cnt FROM e),
+            pb AS (
+              SELECT b, SUM(CAST(cnt AS BIGINT) * xu) AS su,
+                SUM(cnt) AS w
+              FROM c GROUP BY b HAVING SUM(cnt) > 0),
+            mm AS (
+              SELECT CASE WHEN su >= 0
+                THEN CAST((2 * su + w) // (2 * w) AS BIGINT)
+                ELSE -CAST((2 * (-su) + w) // (2 * w) AS BIGINT)
+                END AS mu
+              FROM pb),
             rk AS (
-              SELECT m, row_number() OVER (ORDER BY m ASC) AS r FROM means),
+              SELECT mu, row_number() OVER (ORDER BY mu ASC) AS r
+              FROM mm),
             bounds AS (
-              SELECT MAX(CASE WHEN r = 5 THEN m END) AS ci_lo,
-                MAX(CASE WHEN r = 195 THEN m END) AS ci_hi
+              SELECT MAX(CASE WHEN r = 5 THEN mu END) / 1e6 AS ci_lo,
+                MAX(CASE WHEN r = 195 THEN mu END) / 1e6 AS ci_hi
               FROM rk),
-            st AS (
-              SELECT COUNT(*) AS n,
-                round(CAST(SUM(CAST(x AS DECIMAL(30,15)))
-                  AS DOUBLE) / COUNT(*), 6) AS mean
-              FROM v)
-            SELECT st.n, st.mean, bounds.ci_lo, bounds.ci_hi,
+            st AS (SELECT COUNT(*) AS n, SUM(xu) AS sxu FROM vu),
+            stm AS (
+              SELECT CAST(n AS BIGINT) AS n,
+                CASE WHEN n > 0 THEN
+                  (CASE WHEN sxu >= 0
+                   THEN CAST((2 * sxu + n) // (2 * n) AS BIGINT)
+                   ELSE -CAST((2 * (-sxu) + n) // (2 * n) AS BIGINT)
+                   END) / 1e6
+                END AS mean
+              FROM st)
+            SELECT stm.n, stm.mean, bounds.ci_lo, bounds.ci_hi,
               200 AS n_resamples
-            FROM st CROSS JOIN bounds
+            FROM stm CROSS JOIN bounds
         """,
         "source_top_terms": f"""
             WITH t AS (

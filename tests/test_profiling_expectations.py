@@ -147,6 +147,42 @@ class TestBootstrapCI:
         assert a.ci_lo <= a.mean <= a.ci_hi
         assert a.ci_hi - a.ci_lo < 10  # ~2·1.96·sd/sqrt(n) ballpark
 
+    def test_poisson_draw_matches_pure_python(self, spark):
+        """The md5→48-bit→threshold inversion must equal a pure-Python
+        replica (the same replica the DuckDB oracle runs), and the
+        realized counts must look Poisson(1): mean ≈ 1, P(0) ≈ e⁻¹."""
+        import hashlib
+        import math
+
+        from gdelt_extractor_spark.operators.profiling import (
+            bootstrap_ci,
+            poisson1_thresholds_48,
+        )
+
+        T = poisson1_thresholds_48()
+        assert len(T) == 9 and T == sorted(T)
+        assert abs(T[0] / (1 << 48) - math.exp(-1)) < 1e-12
+
+        def count(salt: str, b: int, rid: str) -> int:
+            u = int(
+                hashlib.md5(f"{salt}:{b}:{rid}".encode()).hexdigest()[:12], 16
+            )
+            return sum(1 for t in T if u >= t)
+
+        counts = [count("boot-v1", b, str(i)) for b in range(50) for i in range(200)]
+        m = sum(counts) / len(counts)
+        p0 = sum(1 for c in counts if c == 0) / len(counts)
+        assert 0.9 < m < 1.1
+        assert abs(p0 - math.exp(-1)) < 0.03
+
+        # end-to-end: the operator's CI on constant data is exactly
+        # the constant (every resample mean = 42 in micro-units)
+        df = spark.createDataFrame(
+            [(i, 42.0) for i in range(100)], "id long, x double"
+        )
+        r = bootstrap_ci(df, "x", "id", n_resamples=50).collect()[0]
+        assert r.mean == r.ci_lo == r.ci_hi == 42.0
+
     def test_salt_changes_resamples_not_mean(self, spark):
         from gdelt_extractor_spark.operators.profiling import bootstrap_ci
 
