@@ -486,9 +486,11 @@ def _doc_length_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing padded-batch packing of documents into
-    256-token bins (whole docs, SFT layout) — rows-only gate: the
-    greedy loop is not SQL-expressible; capacity/completeness/
-    determinism/reference-equality are property-tested."""
+    256-token bins (whole docs, SFT layout).  Hash-gated since r9:
+    BFD is sequential per shard but deterministic, so the DuckDB
+    oracle replays it with a recursive CTE carrying the open-bins
+    state as lists; capacity/completeness/determinism/reference
+    equality additionally property-tested."""
     from gdelt_extractor_spark.operators.packing import pack_bins_bfd
 
     return pack_bins_bfd(
@@ -660,9 +662,9 @@ def _budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster k-means audit (size/fraction, exact-L2 mean/max
     distance, decimal-summed inertia) — the is-k-right numbers before
-    pointing D4 pruning or SemDeDup at a cluster.  Rows-only like
-    cluster_embeddings (quantizer not SQL-expressible); invariants
-    property-tested."""
+    pointing D4 pruning or SemDeDup at a cluster.  Hash-gated since
+    r9 via the same centroid-pin mechanism as cluster_embeddings
+    (n_iter=4 set); invariants additionally property-tested."""
     from gdelt_extractor_spark.operators.clustering import cluster_profile
 
     return cluster_profile(_emb(spark, sf_dir, width=8), k=8)
@@ -1140,16 +1142,29 @@ def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed model-free text embeddings (the bridge from
-    the text corpus into the embedding machinery).  Rows-only gate:
-    DuckDB has no xxhash64; determinism/similarity-ordering/ANN-chain
-    properties are unit-tested in tests/test_textstats.py.  The
-    vector serializes to CSV for a stable 2-column schema."""
-    emb = TS.hashed_embedding(_docs(spark, sf_dir, width=0), "doc_id", "text")
+    the text corpus into the embedding machinery), hash-gated since
+    r9: ``hash_fn="md5"`` uses the repo-wide portable md5-bucket
+    idiom so the DuckDB oracle replicates the FULL embedding —
+    bucket, ±1 sign, L2 normalization — value-for-value; the frame
+    is exploded to (doc_id, bucket, v_micro) with micro-unit half-up
+    values so no doubles reach the driver hash.  The xxhash64 fast
+    path keeps its determinism/chain unit tests."""
+    emb = TS.hashed_embedding(
+        _docs(spark, sf_dir, width=0),
+        "doc_id",
+        "text",
+        hash_fn="md5",
+        layout="long",
+    )
     return emb.select(
         "doc_id",
-        F.array_join(
-            F.transform("embedding", lambda x: F.round(x, 6).cast("string")), ","
-        ).alias("embedding_csv"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.when(
+            F.col("value") >= 0, F.floor(F.col("value") * 1e6 + F.lit(0.5))
+        )
+        .otherwise(-F.floor(-F.col("value") * 1e6 + F.lit(0.5)))
+        .cast("long")
+        .alias("v_micro"),
     )
 
 
@@ -1178,10 +1193,10 @@ def _source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 / SSL-prototypes diversity pruning: k-means the embedding
     space, drop the most prototypical 40% of every cluster, keep the
-    diverse tail.  Rows-only gate (iterative k-means inside);
-    survivor-count exactness, prototype-vs-tail behavior, and
-    partition independence are property-tested in
-    tests/test_clustering.py."""
+    diverse tail.  Hash-gated since r9 via the cluster_embeddings
+    centroid pins (same n_iter=3 fit); survivor-count exactness,
+    prototype-vs-tail behavior, and partition independence are
+    additionally property-tested in tests/test_clustering.py."""
     emb = _emb(spark, sf_dir, width=0)
     return CL.cluster_prune(emb, k=8, keep_fraction=0.6, n_iter=3)
 
@@ -1189,10 +1204,12 @@ def _cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (anchor, positive, negative) triplet mining from
     the embedding clusters — the contrastive-training data prep.
-    Rows-only gate (k-means inside); cluster-membership semantics and
-    partition independence are tested in tests/test_clustering.py."""
+    Hash-gated since r9: pinned n_iter=2 centroids + the portable
+    md5 ring order let the oracle replay the full mining;
+    cluster-membership semantics and partition independence are
+    additionally tested in tests/test_clustering.py."""
     emb = _emb(spark, sf_dir, width=0)
-    return CL.contrastive_triplets(emb, k=8, n_iter=2)
+    return CL.contrastive_triplets(emb, k=8, n_iter=2, hash_fn="md5")
 
 
 def _quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,10 +1233,13 @@ def _cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus distributed k-means over the embedding table —
     the clusters-as-product operator (domain discovery, curriculum
     buckets, SemDeDup pruning budgets), distinct from the
-    bounded-sample IVF quantizer fit.  Rows-only gate: an iterative
-    fixed-point is not SQL-expressible; partition-independence,
-    separation-recovery, and inertia tests live in
-    tests/test_clustering.py."""
+    bounded-sample IVF quantizer fit.  Hash-gated since r9: the
+    iterative fit isn't SQL-expressible, but its converged centroids
+    are deterministic — pinned as literals keyed by a data
+    fingerprint (scripts/pin_kmeans_centroids.py), so the oracle
+    re-runs the closed-form assignment and value-gates the full
+    frame.  Partition-independence, separation-recovery, and inertia
+    tests live in tests/test_clustering.py."""
     emb = _emb(spark, sf_dir, width=0)
     return CL.kmeans_cluster(emb, k=8, n_iter=3)
 
@@ -2957,61 +2977,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     committed output (CORRECTNESS_FULL_LOCAL.json) covers the full
     registry every round."""
     return {
-        # --- rotation head for round 8: the one never-driver-verified
-        # entry (c4_line_filter landed after the r7 window) + new r8
-        # oracle-gated entries ---
-        "c4_line_filter": _c4_line_filter,
-        "gkg_quotes": _gkg_quotes,
-        "gkg_amounts": _gkg_amounts,
-        "gkg_image_dups": _gkg_image_dups,
-        "gkg_count_events": _gkg_count_events,
-        "gkg_translations": _gkg_translations,
-        "lang_nb_id": _lang_nb_id,
-        "key_skew": _key_skew,
-        "source_similarity": _source_similarity,
-        "embedding_projection": _embedding_projection,
-        "seasonal_daily": _seasonal_daily,
-        "doc_length_ci": _doc_length_ci,
-        "source_top_terms": _source_top_terms,
-        "record_linkage": _record_linkage,
-        "score_calibration": _score_calibration,
-        "ks_drift": _ks_drift,
+        # --- rotation head for round 9: budget_selection leads (its r8
+        # hash mismatch was the oracle's uncast HUGEINT cum_tokens,
+        # fixed) + the six rows-only entries graduated to hash-gated
+        # oracles in r9, then the oldest-verified entries (last driver
+        # record r5) fill the 50-slot window ---
         "budget_selection": _budget_selection,
-        "blocklist_screen": _blocklist_screen,
-        "join_size": _join_size,
-        "balanced_corpus": _balanced_corpus,
-        "golden_customers": _golden_customers,
-        # --- oracle-gated, driver-verified r3-r7; oldest verification
-        # first so re-grading keeps the cumulative record fresh ---
-        "decontaminate": _decontaminate,  # r3
-        "sample_split": _sample_split,  # r3
-        "corpus_stats": _corpus_stats,  # r3
-        "stratified_sample": _stratified_sample,  # r3
-        "repetition_stats": _repetition_stats,  # r3
-        "remove_boilerplate": _remove_boilerplate,  # r3
-        "tfidf_top_terms": _tfidf_top_terms,  # r3
-        "top_bigrams": _top_bigrams,  # r3
-        "lookup_rollup": _lookup_rollup,  # r4
-        "lookup_country_rollup": _lookup_country_rollup,  # r4
-        "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,  # r4
-        "quad_class_rollup": _quad_class_rollup,  # r4
-        "goldstein_daily": _goldstein_daily,  # r4
-        "geo_project": _geo_project,  # r4
-        "dedup_exact": _dedup_exact,  # r4
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,  # r4
-        "dedup_apply": _dedup_apply,  # r4
-        "dedup_embedding": _dedup_embedding,  # r4
-        "dup_clusters": _dup_clusters,  # r4
-        "pii_scan": _pii_scan,  # r4
-        "pack_sequences": _pack_sequences,  # r4
-        "mix_sources": _mix_sources,  # r4
-        "ann_topk": _ann_topk,  # r4
-        "lang_id": _lang_id,  # r4
-        "lang_confusion": _lang_confusion,  # r4
-        "quality_score": _quality_score,  # r4
-        "gopher_rules": _gopher_rules,  # r4
-        "token_stats": _token_stats,  # r4
-        "fingerprint": _fingerprint,  # r4
+        "hashed_embeddings": _hashed_embeddings,
+        "cluster_embeddings": _cluster_embeddings,
+        "cluster_quality": _cluster_quality,
+        "cluster_prune": _cluster_prune,
+        "contrastive_triplets": _contrastive_triplets,
+        "pack_bins": _pack_bins,
         "q1_pricing_summary": Q.q1_pricing_summary,  # r5
         "q3_top_unshipped": Q.q3_top_unshipped,  # r5
         "q5_region_volume": Q.q5_region_volume,  # r5
@@ -3060,6 +3037,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_by_key": _dedup_first_by_key,  # r5
         "enrich_articles": _enrich_articles,  # r5
         "keyword_freq": _keyword_freq,  # r5
+        # --- verified r8 (c4_line_filter + the r8-new oracle entries) ---
+        "c4_line_filter": _c4_line_filter,
+        "gkg_quotes": _gkg_quotes,
+        "gkg_amounts": _gkg_amounts,
+        "gkg_image_dups": _gkg_image_dups,
+        "gkg_count_events": _gkg_count_events,
+        "gkg_translations": _gkg_translations,
+        "lang_nb_id": _lang_nb_id,
+        "key_skew": _key_skew,
+        "source_similarity": _source_similarity,
+        "embedding_projection": _embedding_projection,
+        "seasonal_daily": _seasonal_daily,
+        "doc_length_ci": _doc_length_ci,
+        "source_top_terms": _source_top_terms,
+        "record_linkage": _record_linkage,
+        "score_calibration": _score_calibration,
+        "ks_drift": _ks_drift,
+        "blocklist_screen": _blocklist_screen,
+        "join_size": _join_size,
+        "balanced_corpus": _balanced_corpus,
+        "golden_customers": _golden_customers,
+        # --- oracle-gated, driver-verified r3-r7; oldest verification
+        # first so re-grading keeps the cumulative record fresh ---
+        "decontaminate": _decontaminate,  # r3
+        "sample_split": _sample_split,  # r3
+        "corpus_stats": _corpus_stats,  # r3
+        "stratified_sample": _stratified_sample,  # r3
+        "repetition_stats": _repetition_stats,  # r3
+        "remove_boilerplate": _remove_boilerplate,  # r3
+        "tfidf_top_terms": _tfidf_top_terms,  # r3
+        "top_bigrams": _top_bigrams,  # r3
+        "lookup_rollup": _lookup_rollup,  # r4
+        "lookup_country_rollup": _lookup_country_rollup,  # r4
+        "gkg_theme_cooccurrence": _gkg_theme_cooccurrence,  # r4
+        "quad_class_rollup": _quad_class_rollup,  # r4
+        "goldstein_daily": _goldstein_daily,  # r4
+        "geo_project": _geo_project,  # r4
+        "dedup_exact": _dedup_exact,  # r4
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,  # r4
+        "dedup_apply": _dedup_apply,  # r4
+        "dedup_embedding": _dedup_embedding,  # r4
+        "dup_clusters": _dup_clusters,  # r4
+        "pii_scan": _pii_scan,  # r4
+        "pack_sequences": _pack_sequences,  # r4
+        "mix_sources": _mix_sources,  # r4
+        "ann_topk": _ann_topk,  # r4
+        "lang_id": _lang_id,  # r4
+        "lang_confusion": _lang_confusion,  # r4
+        "quality_score": _quality_score,  # r4
+        "gopher_rules": _gopher_rules,  # r4
+        "token_stats": _token_stats,  # r4
+        "fingerprint": _fingerprint,  # r4
         "mention_stats": _mention_stats,  # r6
         "gkg_theme_daily": _gkg_theme_daily,  # r6
         "actor_dyads": _actor_dyads,  # r6
@@ -3164,13 +3193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against exact baselines locally) ---
         "person_influence": _person_influence,
         "dedup_incremental_minhash": _dedup_incremental_minhash,
-        "cluster_embeddings": _cluster_embeddings,
-        "cluster_prune": _cluster_prune,
         "actor_communities": _actor_communities,
         "bpe_subwords": _bpe_subwords,
         "actor_pagerank": _actor_pagerank,
-        "hashed_embeddings": _hashed_embeddings,
-        "contrastive_triplets": _contrastive_triplets,
         "compression_stats": _compression_stats,
         "ann_pq_topk": _ann_pq_topk,
         "pca_embeddings": _pca_embeddings,
@@ -3178,10 +3203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_cores": _actor_cores,
         "approx_quantiles": Q.approx_value_quantiles,
         "approx_distinct_users": Q.approx_distinct_users,
-        "pack_bins": _pack_bins,
         "text_repair": _text_repair,
         "related_actors": _related_actors,
-        "cluster_quality": _cluster_quality,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_semantic": _dedup_semantic,
@@ -3305,6 +3328,50 @@ def _pois_cnt_sql() -> str:
 
 
 _POIS_CNT = _pois_cnt_sql()
+
+
+def _kmeans_pin_values(pin_key: str) -> str:
+    """VALUES rows ``(fp, j, csq, cv)`` for every pinned centroid set
+    (scripts/pin_kmeans_centroids.py): the oracle joins on the data
+    fingerprint so one SQL string is correct at every pinned SF and
+    returns ZERO rows (loud red) on unpinned data."""
+    from gdelt_extractor_spark.operators._kmeans_pins import PINS
+
+    rows = []
+    for fp, st in PINS[pin_key].items():
+        for j, (cv, csq) in enumerate(zip(st["cents"], st["csq"])):
+            arr = ", ".join(repr(x) for x in cv)
+            rows.append(f"('{fp}', {j}, {csq!r}, [{arr}]::DOUBLE[])")
+    return ",\n              ".join(rows)
+
+
+def _kmeans_assign_ctes(pin_key: str) -> str:
+    """Shared CTE block: fingerprint → matching centroid set →
+    per-vector expanded-form distances → winning cluster (tie → low
+    j, exactly the assignment UDF's argmin-first rule)."""
+    from gdelt_extractor_spark.operators._kmeans_pins import (
+        FINGERPRINT_SQL,
+    )
+
+    return f"""fp AS (
+              SELECT {FINGERPRINT_SQL} AS f FROM embeddings),
+            c(f, j, csq, cv) AS (VALUES
+              {_kmeans_pin_values(pin_key)}),
+            dx AS (
+              SELECT e.vec_id, c.j, c.cv,
+                c.csq - 2 * list_dot_product(
+                  CAST(e.embedding AS DOUBLE[]), c.cv) AS dexp
+              FROM embeddings e
+              CROSS JOIN c JOIN fp ON c.f = fp.f),
+            win AS (
+              SELECT vec_id, j, cv, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dexp ASC, j ASC) AS rn
+              FROM dx)"""
+
+
+_KM_DIST_TERMS = " + ".join(
+    f"(v[{i}] - cv[{i}]) * (v[{i}] - cv[{i}])" for i in range(1, 65)
+)
 
 _NDCG_DISC_VALUES = "(1, 1.0), (2, 0.6309297535714575), (3, 0.5), (4, 0.43067655807339306), (5, 0.38685280723454163), (6, 0.3562071871080222), (7, 0.3333333333333333), (8, 0.31546487678572877), (9, 0.3010299956639812), (10, 0.2890648263178879)"
 _NDCG_IDCG_VALUES = "(1, 1.0), (2, 1.6309297535714575), (3, 2.1309297535714578), (4, 2.5616063116448506), (5, 2.9484591188793923), (6, 3.3046663059874146), (7, 3.637999639320748), (8, 3.953464516106477), (9, 4.254494511770458), (10, 4.543559338088346)"
@@ -5323,6 +5390,185 @@ def oracle_sql() -> dict[str, str]:
             SELECT stm.n, stm.mean, bounds.ci_lo, bounds.ci_hi,
               200 AS n_resamples
             FROM stm CROSS JOIN bounds
+        """,
+        "hashed_embeddings": f"""
+            -- full feature-hash replica (r9 graduation): md5 bucket
+            -- + sign parity, signed counts, L2 normalize, densify to
+            -- all 64 buckets, micro-unit half-up values
+            WITH tk AS (
+              SELECT doc_id, unnest({_toks("coalesce(text, '')")}) AS t
+              FROM documents),
+            hb AS (
+              SELECT doc_id,
+                CAST(CAST(('0x' || substring(md5('hash-emb-v1:' || t),
+                  1, 12)) AS BIGINT) % 64 AS INT) AS b,
+                CASE WHEN CAST(('0x' || substring(md5('hash-emb-v1:'
+                  || t), 13, 1)) AS BIGINT) % 2 = 0
+                  THEN -1.0 ELSE 1.0 END AS s
+              FROM tk WHERE t <> ''),
+            c AS (SELECT doc_id, b, SUM(s) AS c FROM hb GROUP BY 1, 2),
+            nrm AS (
+              SELECT doc_id, sqrt(SUM(c * c)) AS n FROM c GROUP BY 1),
+            grid AS (
+              SELECT d.doc_id, g.bucket
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g),
+            v AS (
+              SELECT grid.doc_id, grid.bucket,
+                CASE WHEN COALESCE(nrm.n, 0) > 0
+                  THEN COALESCE(c.c, 0) / nrm.n ELSE 0.0 END AS x
+              FROM grid
+              LEFT JOIN c ON c.doc_id = grid.doc_id
+                AND c.b = grid.bucket
+              LEFT JOIN nrm ON nrm.doc_id = grid.doc_id)
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+              CAST(CASE WHEN x >= 0 THEN floor(x * 1e6 + 0.5)
+                ELSE -floor(-x * 1e6 + 0.5) END AS BIGINT) AS v_micro
+            FROM v
+        """,
+        "pack_bins": f"""
+            -- r9 graduation: BFD is sequential per shard but fully
+            -- deterministic, so a recursive CTE replays it — bins
+            -- state (remaining capacity + next slot per bin) carried
+            -- as lists, best-fit = first position of the minimal
+            -- sufficient remaining (operator tie rule)
+            WITH RECURSIVE ord AS (
+              SELECT doc_id,
+                CAST(doc_id % 8 AS INT) AS shard,
+                CAST(len({_toks("coalesce(text, '')")}) AS BIGINT)
+                  AS need,
+                row_number() OVER (
+                  PARTITION BY doc_id % 8
+                  ORDER BY CAST(len({_toks("coalesce(text, '')")})
+                      AS BIGINT) DESC,
+                    md5('pack-v1:' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS i
+              FROM documents),
+            state AS (
+              SELECT shard, 0::BIGINT AS i,
+                []::BIGINT[] AS rem, []::BIGINT[] AS slots,
+                NULL::BIGINT AS doc_id, NULL::BIGINT AS need,
+                NULL::BIGINT AS bin_id, NULL::BIGINT AS bin_slot,
+                NULL::BOOLEAN AS trunc
+              FROM (SELECT DISTINCT CAST(doc_id % 8 AS INT) AS shard
+                    FROM documents)
+              UNION ALL
+              SELECT shard, i,
+                CASE WHEN need > 256 THEN list_append(rem, 0::BIGINT)
+                     WHEN best IS NULL
+                       THEN list_append(rem, 256 - need)
+                     ELSE list_transform(range(1, len(rem) + 1),
+                       x -> CASE WHEN x = best THEN rem[x] - need
+                            ELSE rem[x] END)
+                END AS rem,
+                CASE WHEN need > 256 OR best IS NULL
+                       THEN list_append(slots, 1::BIGINT)
+                     ELSE list_transform(range(1, len(slots) + 1),
+                       x -> CASE WHEN x = best THEN slots[x] + 1
+                            ELSE slots[x] END)
+                END AS slots,
+                doc_id, need,
+                CASE WHEN need > 256 OR best IS NULL THEN len(rem)
+                     ELSE best - 1 END AS bin_id,
+                CASE WHEN need > 256 OR best IS NULL THEN 0
+                     ELSE slots[best] END AS bin_slot,
+                (need > 256) AS trunc
+              FROM (
+                SELECT s.shard, o.i, s.rem, s.slots, o.doc_id, o.need,
+                  CASE WHEN o.need <= 256 THEN list_position(s.rem,
+                    list_min(list_filter(s.rem, r -> r >= o.need)))
+                  END AS best
+                FROM state s
+                JOIN ord o ON o.shard = s.shard AND o.i = s.i + 1))
+            SELECT doc_id, shard, need AS n_tokens, bin_id, bin_slot,
+              trunc AS truncated
+            FROM state WHERE i > 0
+        """,
+        "cluster_embeddings": f"""
+            -- r9 graduation: the Lloyd fit is iterative, but its
+            -- converged centroids are deterministic — pinned as
+            -- literals (scripts/pin_kmeans_centroids.py) keyed by a
+            -- data fingerprint, so the closed-form assignment step
+            -- re-runs here and the full (vec_id, cluster) frame is
+            -- value-gated
+            WITH {_kmeans_assign_ctes("assign3")}
+            SELECT vec_id, CAST(j AS BIGINT) AS cluster
+            FROM win WHERE rn = 1
+        """,
+        "cluster_quality": f"""
+            -- r9 graduation (same pin mechanism, n_iter=4 set):
+            -- winner by the expanded form, exact L2 recomputed
+            -- per-dim against the winning centroid (the UDF's
+            -- anti-cancellation rule), decimal-summed audit
+            WITH {_kmeans_assign_ctes("profile4")},
+            wd AS (
+              SELECT w.j AS cluster, sqrt({_KM_DIST_TERMS}) AS dist
+              FROM (SELECT vec_id, j, cv FROM win WHERE rn = 1) w
+              JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings) e USING (vec_id)),
+            p AS (
+              SELECT cluster, COUNT(*) AS n,
+                SUM(CAST(dist AS DECIMAL(30,15))) AS sd,
+                MAX(dist) AS md,
+                SUM(CAST(dist * dist AS DECIMAL(30,15))) AS sd2
+              FROM wd GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tn FROM p)
+            SELECT CAST(cluster AS BIGINT) AS cluster,
+              CAST(n AS BIGINT) AS n,
+              round(n / t.tn, 6) AS frac,
+              round(CAST(sd AS DOUBLE) / n, 6) AS mean_dist,
+              round(md, 6) AS max_dist,
+              round(CAST(sd2 AS DOUBLE), 6) AS inertia
+            FROM p CROSS JOIN t
+        """,
+        "cluster_prune": f"""
+            -- r9 graduation: same centroid pins as
+            -- cluster_embeddings (n_iter=3 set); prune = per-cluster
+            -- rank on the exact recomputed L2
+            WITH {_kmeans_assign_ctes("assign3")},
+            wd AS (
+              SELECT w.vec_id, w.j AS cluster,
+                sqrt({_KM_DIST_TERMS}) AS dist
+              FROM (SELECT vec_id, j, cv FROM win WHERE rn = 1) w
+              JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings) e USING (vec_id)),
+            r AS (
+              SELECT vec_id, cluster, dist,
+                row_number() OVER (PARTITION BY cluster
+                  ORDER BY dist ASC, vec_id ASC) AS rk,
+                COUNT(*) OVER (PARTITION BY cluster) AS n
+              FROM wd)
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+              round(dist, 6) AS dist
+            FROM r WHERE rk > floor((1.0 - 0.6) * n)
+        """,
+        "contrastive_triplets": f"""
+            -- r9 graduation: pinned centroids (n_iter=2 set) +
+            -- md5-ordered ring positives + next-cluster min-id
+            -- negatives — the full mining replayed closed-form
+            WITH {_kmeans_assign_ctes("triplets2")},
+            t AS (
+              SELECT vec_id AS anchor_id, j AS cluster,
+                md5('triplets-v1:' || CAST(vec_id AS VARCHAR)) AS ok
+              FROM win WHERE rn = 1),
+            ring AS (
+              SELECT anchor_id, cluster,
+                COALESCE(
+                  lead(anchor_id) OVER (PARTITION BY cluster
+                    ORDER BY ok ASC, anchor_id ASC),
+                  first_value(anchor_id) OVER (PARTITION BY cluster
+                    ORDER BY ok ASC, anchor_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)) AS positive_id
+              FROM t),
+            reps AS (
+              SELECT cluster AS nc, MIN(anchor_id) AS negative_id
+              FROM t GROUP BY 1)
+            SELECT r.anchor_id, r.positive_id, reps.negative_id,
+              CAST(r.cluster AS BIGINT) AS cluster
+            FROM (SELECT *, (cluster + 1) % 8 AS nc FROM ring
+                  WHERE positive_id <> anchor_id) r
+            JOIN reps USING (nc)
         """,
         "source_top_terms": f"""
             WITH t AS (

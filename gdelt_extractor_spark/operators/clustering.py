@@ -301,6 +301,7 @@ def contrastive_triplets(
     salt: str = "triplets-v1",
     tol: float = 1e-6,
     persist: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic contrastive-training triplets mined from the
     embedding clusters: each anchor pairs with a POSITIVE from its
@@ -317,9 +318,19 @@ def contrastive_triplets(
     clusters drop (no in-cluster positive exists), and an anchor
     whose next cluster happens to be empty drops with it (pick a
     smaller k if clusters run empty).
+
+    ``hash_fn``: ``"xxhash64"`` (default) or ``"md5"`` — the
+    engine-portable ring order (the md5 hex string compares as the
+    hash; same discipline as hashed_embedding), which lets the
+    DuckDB oracle replay the full mining given pinned centroids.
     """
     from pyspark.sql import Window
 
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"contrastive_triplets: unknown hash_fn {hash_fn!r} "
+            "(expected 'xxhash64' or 'md5')"
+        )
     tagged = kmeans_cluster(
         vectors,
         k=k,
@@ -329,7 +340,12 @@ def contrastive_triplets(
         tol=tol,
         persist=persist,
     ).select(F.col(id_col).alias("anchor_id"), "cluster")
-    order = F.xxhash64(F.col("anchor_id").cast("string"), F.lit(salt))
+    if hash_fn == "md5":
+        order = F.md5(
+            F.concat(F.lit(salt + ":"), F.col("anchor_id").cast("string"))
+        )
+    else:
+        order = F.xxhash64(F.col("anchor_id").cast("string"), F.lit(salt))
     w = Window.partitionBy("cluster").orderBy(order.asc(), F.col("anchor_id").asc())
     ring = tagged.withColumn(
         "positive_id",

@@ -830,6 +830,8 @@ def hashed_embedding(
     text_col: str,
     dim: int = 64,
     seed: str = "hash-emb-v1",
+    hash_fn: str = "xxhash64",
+    layout: str = "dense",
 ) -> DataFrame:
     """Feature-hashed document embeddings (Weinberger et al. 2009):
     every token hashes to one of ``dim`` buckets with a ±1 sign from
@@ -845,19 +847,87 @@ def hashed_embedding(
     signs cancel hash collisions in expectation (the standard
     trick).  Output: (id, embedding array<double>, unit L2 norm;
     all-zero docs yield the zero vector).
+
+    ``hash_fn``: ``"xxhash64"`` (default — the fastest JVM hash) or
+    ``"md5"`` — the engine-portable variant (bucket from the first
+    12 hex digits of md5(seed:token), sign from the parity of hex
+    digit 13; the repo-wide md5-bucket idiom DuckDB reproduces
+    verbatim), which is what lets the oracle twin replicate the full
+    embedding value-for-value.  Same plan shape either way; md5
+    costs one extra hash-width per token at scan time.
+
+    ``layout``: ``"dense"`` (default — one row per doc with the
+    array<double> column, the shape the ANN machinery consumes) or
+    ``"long"`` — one row per (id, bucket, value), built straight
+    from the bucket aggregates by a codegen explode + two equi-joins
+    with NO array construction.  Use "long" when the consumer wants
+    exploded values anyway: posexplode over the dense column
+    re-evaluates the (interpreted) densify/normalize lambdas once
+    per OUTPUT row — measured 9.3s vs 1.5s at sf0.1.
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"hashed_embedding: unknown hash_fn {hash_fn!r} "
+            "(expected 'xxhash64' or 'md5')"
+        )
+    if layout not in ("dense", "long"):
+        raise ValueError(
+            f"hashed_embedding: unknown layout {layout!r} "
+            "(expected 'dense' or 'long')"
+        )
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     ).filter(F.col("t") != "")
-    h = F.xxhash64(F.col("t"), F.lit(seed))
+    if hash_fn == "md5":
+        hx = F.md5(F.concat(F.lit(seed + ":"), F.col("t")))
+        h = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+        sign_even = (
+            F.pmod(F.conv(F.substring(hx, 13, 1), 16, 10).cast("long"), F.lit(2))
+            == 0
+        )
+    else:
+        h = F.xxhash64(F.col("t"), F.lit(seed))
+        sign_even = (
+            F.pmod(F.xxhash64(F.col("t"), F.lit(seed + ":sign")), F.lit(2)) == 0
+        )
     bucketed = toks.select(
         "id",
         F.pmod(h, F.lit(dim)).cast("int").alias("b"),
-        F.when(F.pmod(F.xxhash64(F.col("t"), F.lit(seed + ":sign")), F.lit(2)) == 0, -1.0)
-        .otherwise(1.0)
-        .alias("s"),
+        F.when(sign_even, -1.0).otherwise(1.0).alias("s"),
     )
     counts = bucketed.groupBy("id", "b").agg(F.sum("s").alias("c"))
+    if layout == "long":
+        # codegen path: ids × bucket grid → left-join counts + norms;
+        # Σc² over the nonzero buckets equals the dense bucket-order
+        # sum exactly (counts are integer-valued doubles — exact,
+        # order-independent addition)
+        nrm_l = counts.groupBy("id").agg(
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("_n")
+        )
+        grid = (
+            df.select(F.col(id_col).alias("id"))
+            .distinct()
+            .select(
+                "id",
+                F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("_bk"),
+            )
+            .select("id", F.col("_bk").cast("int").alias("bucket"))
+        )
+        return (
+            grid.join(counts, (grid.id == counts.id) & (grid.bucket == counts.b), "left")
+            .drop(counts.id)
+            .join(nrm_l, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                "bucket",
+                F.when(
+                    F.coalesce("_n", F.lit(0.0)) > 0,
+                    F.coalesce("c", F.lit(0.0)) / F.col("_n"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("value"),
+            )
+        )
     # Left-join the bucket aggregates back onto the distinct input ids:
     # a doc whose text tokenizes to nothing emits no explode rows and
     # would otherwise vanish from the output instead of yielding the

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Regenerate the data-pinned k-means centroid literals.
+
+``cluster_embeddings`` and ``cluster_quality`` are iterative fits —
+not SQL-expressible — but their converged centroids are a pure
+function of the (deterministic) fit inputs, so the DuckDB oracle can
+hash-gate the FULL assignment/profile by inlining the centroid
+literals and re-running only the (closed-form) assignment step.
+Because each testdata SF has different embedding content, the pins
+are keyed by a DATA FINGERPRINT the oracle recomputes inside the
+query (COUNT + integer micro-sum of the first component): the oracle
+carries every pinned set and joins on the matching fingerprint, so
+one SQL string is correct at every pinned SF and fails LOUDLY (zero
+rows) on unpinned/regenerated data.
+
+Run after any testdata regeneration:
+    python scripts/pin_kmeans_centroids.py
+writes gdelt_extractor_spark/operators/_kmeans_pins.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from gdelt_extractor_spark.session import get_spark  # noqa: E402
+from gdelt_extractor_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+FINGERPRINT_SQL = (
+    "CAST(COUNT(*) AS VARCHAR) || ':' || CAST(CAST(SUM(CAST(floor("
+    "CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)"
+    " AS VARCHAR)"
+)
+
+
+def fingerprint(sf_dir: str) -> str:
+    con = duckdb.connect()
+    return con.sql(
+        f"SELECT {FINGERPRINT_SQL} FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+
+
+def main() -> None:
+    from gdelt_extractor_spark.operators.clustering import kmeans_fit
+
+    spark = get_spark("pin-kmeans")
+    spark.sparkContext.setLogLevel("ERROR")
+    # per set: {"cents": [[dim doubles] * k], "csq": [k doubles]} —
+    # csq is numpy (c*c).sum(axis=1), stored so the oracle's expanded
+    # distance uses the BIT-SAME squared norms the assignment UDF uses
+    pins: dict[str, dict[str, dict]] = {
+        "assign3": {},  # cluster_embeddings + cluster_prune: k=8, n_iter=3
+        "profile4": {},  # cluster_quality:       k=8, n_iter=4
+        "triplets2": {},  # contrastive_triplets: k=8, n_iter=2
+    }
+    for sf_dir in SF_DIRS:
+        fp = fingerprint(sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        for key, n_iter in (("assign3", 3), ("profile4", 4), ("triplets2", 2)):
+            c = kmeans_fit(emb, k=8, n_iter=n_iter)
+            pins[key][fp] = {
+                "cents": [[float(x) for x in row] for row in c],
+                "csq": [float(x) for x in (c * c).sum(axis=1)],
+            }
+        print(f"{sf_dir}: fingerprint {fp}")
+
+    out = os.path.join(
+        REPO, "gdelt_extractor_spark", "operators", "_kmeans_pins.py"
+    )
+    with open(out, "w") as fh:
+        fh.write(
+            '"""Data-pinned k-means centroids (GENERATED — do not edit).\n\n'
+            "Regenerate with scripts/pin_kmeans_centroids.py after any\n"
+            "testdata change.  Keys are the embeddings-table fingerprint\n"
+            "the oracle recomputes in SQL; values are the converged\n"
+            "centroid matrices (repr round-trip — bit-exact doubles).\n"
+            '"""\n\n'
+            f"FINGERPRINT_SQL = {FINGERPRINT_SQL!r}\n\n"
+            f"PINS = {pins!r}\n"
+        )
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -293,6 +293,66 @@ class TestHashedEmbedding:
         assert got[3] == [0.0] * 64
         assert any(v != 0.0 for v in got[1])
 
+    def test_md5_mode_matches_pure_python(self, spark):
+        """The portable hash_fn='md5' variant (the oracle-replicable
+        one) must equal a pure-Python replica of bucket/sign/norm —
+        the same replica the DuckDB twin implements in SQL."""
+        import hashlib
+        import math
+
+        from gdelt_extractor_spark.operators.textstats import hashed_embedding
+
+        rows = [(1, "alpha beta beta gamma"), (2, "alpha alpha delta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: list(r.embedding)
+               for r in hashed_embedding(df, "doc_id", "text",
+                                         hash_fn="md5").collect()}
+        for doc_id, text in rows:
+            c = [0.0] * 64
+            for t in text.split():
+                hx = hashlib.md5(f"hash-emb-v1:{t}".encode()).hexdigest()
+                b = int(hx[:12], 16) % 64
+                s = -1.0 if int(hx[12], 16) % 2 == 0 else 1.0
+                c[b] += s
+            n = math.sqrt(sum(x * x for x in c))
+            want = [x / n if n > 0 else 0.0 for x in c]
+            assert got[doc_id] == want
+
+    def test_long_layout_matches_dense(self, spark):
+        """layout='long' (the codegen exploded path the oracle-gated
+        entry uses) must equal posexploding the dense array —
+        bit-for-bit, including zero rows for empty docs."""
+        from pyspark.sql import functions as F
+
+        from gdelt_extractor_spark.operators.textstats import hashed_embedding
+
+        rows = [(1, "alpha beta beta gamma"), (2, ""), (3, "alpha delta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        dense = hashed_embedding(df, "doc_id", "text", hash_fn="md5")
+        via_dense = {
+            (r.doc_id, r.bucket): r.v
+            for r in dense.select(
+                "doc_id", F.posexplode("embedding").alias("bucket", "v")
+            ).collect()
+        }
+        long = {
+            (r.doc_id, r.bucket): r.value
+            for r in hashed_embedding(
+                df, "doc_id", "text", hash_fn="md5", layout="long"
+            ).collect()
+        }
+        assert long == via_dense
+        assert len(long) == 3 * 64
+
+    def test_unknown_hash_fn_raises(self, spark):
+        import pytest
+
+        from gdelt_extractor_spark.operators.textstats import hashed_embedding
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="unknown hash_fn"):
+            hashed_embedding(df, "doc_id", "text", hash_fn="sha1")
+
     def test_chains_into_ann(self, spark):
         """The bridge works: hashed text embeddings flow straight
         into the embedding ANN machinery."""
