@@ -2942,6 +2942,51 @@ def _pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca(_emb(spark, sf_dir), p=8)
 
 
+def _dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup — trimmed-copy detection via Haitsma-Kalker
+    sub-fingerprints (real numpy DSP: Hann window → |rfft|² →
+    log-band energies → 32-bit sign-of-derivative words) with
+    shared-word equi-join blocking and Jaccard verify, the audio
+    sibling of dedup_videos.  Fixture: 8 deterministic PCM signals
+    (md5-stream waveforms — no RNG), each with a hop-aligned trimmed
+    copy, plus 8 unrelated clips; expected output is exactly the 8
+    (base, copy) pairs.  Rows-only gate (FFT DSP is not
+    SQL-expressible); clip/pad/silence robustness is unit-tested in
+    tests/test_sinks_multimodal.py."""
+    import numpy as np
+
+    from gdelt_extractor_spark.operators.multimodal import (
+        _fake_decode,
+        dedup_audio,
+    )
+
+    rows = []
+    for i in range(8):
+        sig = (
+            np.asarray(_fake_decode(f"audio:{i}".encode(), 8000, 1)) * 2.0
+            - 1.0
+        )
+        rows.append((i, sig))
+        rows.append((100 + i, sig[128 * 4 : 128 * 4 + 6000]))  # trim
+        other = (
+            np.asarray(_fake_decode(f"noise:{i}".encode(), 8000, 1)) * 2.0
+            - 1.0
+        )
+        rows.append((200 + i, other))
+    data = [
+        (int(mid), np.asarray(sig, dtype="<f8").tobytes(),
+         ("pcm/f64", 0, 0, 0, float(len(sig)) / 8000.0))
+        for mid, sig in rows
+    ]
+    media = spark.createDataFrame(
+        data,
+        "media_id long, content binary, "
+        "meta struct<format:string,width:int,height:int,"
+        "n_frames:int,duration_s:double>",
+    )
+    return dedup_audio(media, threshold=0.35).orderBy("id_a", "id_b")
+
+
 def _sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch table (sketches.hll_sketch_table →
     hll_rollup): per-(event_type, day) DataSketches HLL sketches of
@@ -3210,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "dedup_audio": _dedup_audio,  # r9
     }
 
 

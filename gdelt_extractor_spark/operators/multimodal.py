@@ -408,3 +408,161 @@ def dedup_videos(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+AUDIO_FP_SCHEMA = "media_id bigint, sub_fps array<bigint>"
+
+
+def _decode_audio(content: bytes, duration_s: float, fmt: str, window: int):
+    """Waveform from a media row: ``pcm/f64`` content is REAL
+    little-endian float64 PCM (the already-decoded path — what an
+    upstream ffmpeg/librosa stage would hand over, and what tests
+    feed to exercise clip/pad semantics on actual signals); anything
+    else goes through the deterministic fake decoder, matching
+    ``audio_features``' convention."""
+    import numpy as np
+
+    if fmt == "pcm/f64":
+        return np.frombuffer(bytes(content), dtype="<f8")
+    n = max(window, int(float(duration_s) * 100) + window)
+    raw = np.asarray(_fake_decode(bytes(content), n, 1))
+    return raw * 2.0 - 1.0
+
+
+def _band_edges(window: int, n_bands: int):
+    """Log-spaced FFT-bin band edges (DC skipped), padded linearly if
+    log spacing collapses adjacent edges at small windows — always
+    exactly n_bands+1 strictly increasing edges."""
+    import numpy as np
+
+    n_bins = window // 2 + 1
+    edges = np.unique(
+        np.round(
+            np.geomspace(1, n_bins - 1, n_bands + 1)
+        ).astype(np.int64)
+    )
+    while len(edges) < n_bands + 1:  # collapsed log steps → densify
+        gaps = np.diff(edges)
+        i = int(np.argmax(gaps))
+        edges = np.insert(edges, i + 1, edges[i] + gaps[i] // 2)
+        edges = np.unique(edges)
+    return edges[: n_bands + 1]
+
+
+def audio_subfingerprints(sig, window: int = 256, hop: int = 128, n_bands: int = 33):
+    """Haitsma-Kalker (2002) sub-fingerprints of one waveform: Hann
+    windows ``hop`` apart → |rfft|² → ``n_bands`` log-spaced band
+    energies E[n,m] → one (n_bands−1)-bit word per window from the
+    sign of the band-difference's time derivative,
+    bit(n,m) = [ (E[n,m]−E[n,m+1]) − (E[n−1,m]−E[n−1,m+1]) > 0 ].
+    Real numpy DSP — only the decode is environment-gated.  Returns
+    int64 values (n_bands=33 → 32-bit words); len = n_windows − 1
+    (the first window has no predecessor), [] for signals shorter
+    than two hops."""
+    import numpy as np
+
+    sig = np.asarray(sig, dtype=np.float64)
+    if len(sig) < window:
+        sig = np.pad(sig, (0, window - len(sig)))
+    starts = np.arange(0, len(sig) - window + 1, hop)
+    if len(starts) < 2:
+        return []
+    frames = np.stack([sig[s : s + window] for s in starts])
+    frames = frames * np.hanning(window)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    edges = _band_edges(window, n_bands)
+    E = np.add.reduceat(spec, edges[:-1], axis=1)
+    D = E[:, :-1] - E[:, 1:]
+    B = (D[1:] - D[:-1]) > 0
+    vals = []
+    for row in B:
+        v = 0
+        for i, b in enumerate(row):
+            if b:
+                v |= 1 << i
+        vals.append(int(v))
+    return vals
+
+
+def audio_fingerprint(
+    media: DataFrame, window: int = 256, hop: int = 128, n_bands: int = 33
+) -> DataFrame:
+    """Per-audio ordered sub-fingerprint sequence: one Arrow pass
+    over the bytes (decode + the full DSP per item, executor-side),
+    one media_id shuffle to assemble — the audio sibling of
+    ``video_fingerprint``.  Output (media_id, sub_fps array<bigint>),
+    order deterministic under any partitioning."""
+    src = media.select("media_id", "content", "meta.duration_s", "meta.format")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, dur, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_s"], pdf["format"]
+            ):
+                sig = _decode_audio(content, dur, str(fmt), window)
+                rows.append(
+                    (mid, audio_subfingerprints(sig, window, hop, n_bands))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "sub_fps"])
+
+    return src.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def dedup_audio(
+    media: DataFrame,
+    threshold: float = 0.35,
+    window: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """Audio near-dup pairs — trimmed/padded copy detection: two
+    clips are candidates when they SHARE ANY sub-fingerprint
+    (equi-join on the exploded 32-bit words — content-derived
+    blocking, never all-pairs), verified by Jaccard over their
+    distinct sub-fingerprint sets.  A ``hop``-aligned trim keeps the
+    interior windows bit-identical → high Jaccard; unrelated audio
+    shares no words and never meets.  Same join discipline as
+    ``dedup_videos`` (frames→windows) and the text shingle family.
+
+    Candidate-side skew: silence produces sub-fp 0 for every silent
+    window; all-zero words are dropped from BLOCKING (silence must
+    not join every clip to every clip) but kept in the Jaccard sets,
+    so padding with silence still lowers similarity honestly."""
+    fp = audio_fingerprint(media, window=window, hop=hop).localCheckpoint(
+        eager=True
+    )
+    ex = fp.select(
+        "media_id", F.explode(F.array_distinct("sub_fps")).alias("w")
+    ).filter(F.col("w") != 0)
+    a, b = ex.alias("a"), ex.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("media_id").alias("id_a"), F.array_distinct("sub_fps").alias("_wa")
+    )
+    fb = fp.select(
+        F.col("media_id").alias("id_b"), F.array_distinct("sub_fps").alias("_wb")
+    )
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_wa", "_wb"))
+                / F.size(F.array_union("_wa", "_wb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

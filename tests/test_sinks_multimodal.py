@@ -463,3 +463,88 @@ def test_write_webdataset_finalize_keeps_manifest_consistent(spark, tmp_path):
     manifest = _json.load(open(out + "/manifest.json"))
     assert manifest == m2
     assert {r["shard"] for r in manifest} == {0}
+
+
+def _pcm_media(spark, rows):
+    """(media_id, float64 waveform) rows → a media frame on the REAL
+    pcm/f64 decode path."""
+    import numpy as np
+
+    data = [
+        (int(mid), np.asarray(sig, dtype="<f8").tobytes(),
+         ("pcm/f64", 0, 0, 0, float(len(sig)) / 8000.0))
+        for mid, sig in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "media_id long, content binary, "
+        "meta struct<format:string,width:int,height:int,"
+        "n_frames:int,duration_s:double>",
+    )
+
+
+def test_audio_fingerprint_deterministic_and_shaped(spark):
+    import numpy as np
+
+    rs = np.random.RandomState(11)
+    rows = [(i, rs.randn(4000 + 700 * i)) for i in range(4)]
+    media = _pcm_media(spark, rows)
+    f1 = {r.media_id: list(r.sub_fps)
+          for r in M.audio_fingerprint(media).collect()}
+    f2 = {r.media_id: list(r.sub_fps)
+          for r in M.audio_fingerprint(media.repartition(3)).collect()}
+    assert f1 == f2
+    for mid, sig in rows:
+        # n_windows − 1 sub-fps, each a 32-bit word
+        n_windows = (len(sig) - 256) // 128 + 1
+        assert len(f1[mid]) == n_windows - 1
+        assert all(0 <= v < (1 << 32) for v in f1[mid])
+
+
+def test_audio_dedup_trimmed_and_padded_copy(spark):
+    """A hop-aligned trim and a silence-padded copy both pair with
+    the original; unrelated clips never meet (no spurious pairs)."""
+    import numpy as np
+
+    rs = np.random.RandomState(23)
+    full = rs.randn(8000)
+    clip = full[128 * 4 : 128 * 4 + 6000]          # hop-aligned trim
+    padded = np.concatenate([np.zeros(128 * 8), full])  # silence pad
+    other = rs.randn(8000)                          # unrelated
+    media = _pcm_media(
+        spark, [(1, full), (2, clip), (3, padded), (4, other)]
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in M.dedup_audio(media, threshold=0.35).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_audio_dedup_silence_never_blocks(spark):
+    """All-silence clips produce only the zero word — they must not
+    candidate-join with each other or anything else."""
+    import numpy as np
+
+    rs = np.random.RandomState(5)
+    media = _pcm_media(
+        spark,
+        [(1, np.zeros(6000)), (2, np.zeros(7000)), (3, rs.randn(6000))],
+    )
+    assert M.dedup_audio(media, threshold=0.0).count() == 0
+
+
+def test_audio_fingerprint_short_and_fake_decode(spark):
+    """Sub-window signals yield an empty sequence (not a crash); the
+    fake-decode path (non-pcm formats) still fingerprints."""
+    import numpy as np
+
+    media = _pcm_media(spark, [(1, np.ones(100))])
+    out = {r.media_id: list(r.sub_fps)
+           for r in M.audio_fingerprint(media).collect()}
+    assert out[1] == []
+    # ids 50-52 → duration_s 5.0-5.2 → several windows each
+    fake = M.attach_fake_media(spark.range(50, 53), "id")
+    got = {r.media_id: list(r.sub_fps)
+           for r in M.audio_fingerprint(fake).collect()}
+    assert all(len(v) >= 1 for v in got.values())
