@@ -20,6 +20,7 @@ Two paths:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -87,11 +88,49 @@ def _stub_fetcher(url: str) -> dict:
     )
 
 
+def demo_fetcher(url: str) -> dict:
+    """A second deterministic fake with parsed-article shape — the
+    entry-point-injection test target, and a template for wiring a
+    real parser (swap the body for newspaper3k's
+    download/parse/nlp)."""
+    import hashlib
+
+    h = hashlib.md5((url or "").encode()).hexdigest()
+    return {
+        "title": f"demo {h[:8]}",
+        "site": (url or "").split("/")[0],
+        "summary": f"summary of {url}",
+        "keywords": f"kw{h[0]}; kw{h[1]}",
+        "meta_keys": f"mk{h[2]}",
+    }
+
+
+ENRICH_FETCHER_ENV = "SPARK_GRAFT_ARTICLE_FETCHER"
+
+
+def _resolve_fetcher(spec: str | None) -> Callable[[str], dict]:
+    """'module:function' → the callable; empty → the raising stub.
+    Called INSIDE the mapInPandas closure, so the import happens on
+    each executor — a real parser lib only needs to exist where the
+    work runs, and injecting one requires no code change, just the
+    env var (VERDICT r8 item 8)."""
+    if not spec:
+        return _stub_fetcher
+    mod_name, _, fn_name = spec.partition(":")
+    if not mod_name or not fn_name:
+        raise ValueError(
+            f"{ENRICH_FETCHER_ENV} must be 'module:function', got {spec!r}"
+        )
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), fn_name)
+
+
 def enrich_articles_fetch(
     docs: DataFrame,
     id_col: str = "doc_id",
     url_col: str = "source",
-    fetcher: Callable[[str], dict] = _stub_fetcher,
+    fetcher: Callable[[str], dict] | None = None,
 ) -> DataFrame:
     """Distributed article fetch+parse via Arrow-batched mapInPandas.
 
@@ -102,15 +141,23 @@ def enrich_articles_fetch(
     a dict with title/site/summary/keywords/meta_keys (None values on
     failure, mirroring the reference's except-path
     extractor.py:118-119).
+
+    Injection order: an explicit ``fetcher`` callable wins; else the
+    ``SPARK_GRAFT_ARTICLE_FETCHER`` env var ('module:function',
+    resolved by import ON THE EXECUTOR — a network-enabled
+    deployment drops in a real newspaper3k parser with zero code
+    change); else the raising stub.
     """
+    spec = os.environ.get(ENRICH_FETCHER_ENV)
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(url_col).alias("_url"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = fetcher if fetcher is not None else _resolve_fetcher(spec)
         for pdf in batches:
             rows = []
             for doc_id, url in zip(pdf["doc_id"], pdf["_url"]):
                 try:
-                    d = fetcher(url)
+                    d = fn(url)
                     rows.append(
                         (
                             doc_id,
