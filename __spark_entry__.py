@@ -1081,13 +1081,31 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, hash-gated since r9 via
+    ``hash_fn="md5"``: one salted md5 per distinct shingle (48-bit
+    h0), per-slot minima under the derived universal permutations,
+    band buckets as md5 of the comma-joined slot minima, exact-
+    Jaccard verification on the candidate pairs — the DuckDB oracle
+    replays every step value-for-value (same S-curve: 32 hashes × 8
+    bands).  The xxhash64 fast path keeps its determinism/recall
+    unit tests; at sf0.001 both variants and the exact-Jaccard
+    baseline all emit the same 28 pairs."""
     docs = _docs(spark, sf_dir, width=0)
-    return D.dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.6)
+    return D.dedup_minhash_lsh(
+        docs, "text", "doc_id", threshold=0.6, hash_fn="md5"
+    )
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hash-gated since r9 via
+    ``hash_fn="md5"``: one salted md5 per token, 64 bit-votes as
+    codegen aggregates, the fingerprint re-assembled as a 16-hex-char
+    STRING, pigeonhole candidates on 4-char chunks, hamming as the
+    digit-wise xor popcount — the DuckDB oracle replays every step
+    (same votes, same strictly-positive bit rule, same chunk join).
+    The xxhash64 + Arrow-UDF fast path keeps its own unit tests."""
     docs = _docs(spark, sf_dir, width=8)
-    return D.dedup_simhash(docs, "text", "doc_id", max_hamming=3)
+    return D.dedup_simhash(docs, "text", "doc_id", max_hamming=3, hash_fn="md5")
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3034,6 +3052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_prune": _cluster_prune,
         "contrastive_triplets": _contrastive_triplets,
         "pack_bins": _pack_bins,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,  # graduated to hash gate r9
+        "dedup_simhash": _dedup_simhash,  # graduated to hash gate r9
         "q1_pricing_summary": Q.q1_pricing_summary,  # r5
         "q3_top_unshipped": Q.q3_top_unshipped,  # r5
         "q5_region_volume": Q.q5_region_volume,  # r5
@@ -3250,8 +3270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": Q.approx_distinct_users,
         "text_repair": _text_repair,
         "related_actors": _related_actors,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_simhash": _dedup_simhash,
         "dedup_semantic": _dedup_semantic,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -5078,6 +5096,97 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON i.id_a = sa.doc_id
             JOIN sz sb ON i.id_b = sb.doc_id
             WHERE {_jacc} >= 0.6
+        """,
+        # full replay of the md5-portable MinHash+LSH (operators/
+        # dedup.py _dedup_minhash_lsh_md5): salted 48-bit shingle h0,
+        # universal-permutation slot minima, md5 band buckets, exact
+        # Jaccard on candidates — same constants via _srcsim_perms
+        "dedup_minhash_lsh": f"""
+            WITH b AS (
+              SELECT doc_id AS id, {_toks("coalesce(text, '')")} AS toks,
+                len({_toks("coalesce(text, '')")}) AS n
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT id,
+                CAST(('0x' || substring(md5('mhlsh-v1:'
+                  || array_to_string(toks[i:i+2], ' ')), 1, 12))
+                  AS BIGINT) AS h0
+              FROM b, unnest(range(1, n - 1)) AS u(i)
+              WHERE n >= 3),
+            p AS (SELECT * FROM (VALUES {_srcsim_perms(32, 'mhlsh-v1')})
+                  AS t(slot, a, bb)),
+            sig AS (
+              SELECT id, p.slot,
+                MIN((sh.h0 * p.a + p.bb) % 281474976710656) AS mh
+              FROM sh CROSS JOIN p GROUP BY 1, 2),
+            bands AS (
+              SELECT id, slot // 4 AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY slot))
+                  AS bucket
+              FROM sig GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+              FROM bands a JOIN bands b2
+                ON a.band = b2.band AND a.bucket = b2.bucket
+                AND a.id < b2.id),
+            cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              FROM cand c JOIN sh x ON x.id = c.id_a
+              JOIN sh y ON y.id = c.id_b AND y.h0 = x.h0
+              GROUP BY 1, 2),
+            j AS (
+              SELECT i.id_a, i.id_b,
+                round(i.n_inter * 1.0
+                  / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard
+              FROM inter i JOIN cnt ca ON ca.id = i.id_a
+              JOIN cnt cb ON cb.id = i.id_b)
+            SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
+        """,
+        # full replay of the md5-portable SimHash (operators/dedup.py
+        # simhash_md5 + hamming_pairs_hex): per-token salted md5, 64
+        # bit votes, strictly-positive bit rule, hex-string
+        # fingerprint, 4-char pigeonhole chunks, digit-wise xor
+        # popcount hamming
+        "dedup_simhash": f"""
+            WITH b AS (
+              SELECT doc_id AS id, {_toks("coalesce(text, '')")} AS toks
+              FROM documents),
+            tok AS (SELECT id, unnest(toks) AS t FROM b),
+            h AS (SELECT id, md5('simhash-v1:' || t) AS h FROM tok),
+            dig AS (
+              SELECT id, j, CAST(('0x' || substring(h, j + 1, 1))
+                AS INTEGER) AS d
+              FROM h, unnest(range(0, 16)) AS u(j)),
+            bit AS (
+              SELECT id, j * 4 + bb AS i, ((d >> bb) & 1) * 2 - 1 AS vote
+              FROM dig, unnest(range(0, 4)) AS w(bb)),
+            v AS (SELECT id, i, SUM(vote) AS v FROM bit GROUP BY 1, 2),
+            dd AS (
+              SELECT id, i // 4 AS j,
+                SUM((CASE WHEN v > 0 THEN 1 ELSE 0 END) << (i % 4)) AS d
+              FROM v GROUP BY 1, 2),
+            fp AS (
+              SELECT id, string_agg(substring('0123456789abcdef',
+                CAST(d AS INTEGER) + 1, 1), '' ORDER BY j) AS fp
+              FROM dd GROUP BY 1),
+            ch AS (
+              SELECT id, fp, c, substring(fp, c * 4 + 1, 4) AS chunk
+              FROM fp, unnest(range(0, 4)) AS u(c)),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                a.fp AS fp_a, b2.fp AS fp_b
+              FROM ch a JOIN ch b2
+                ON a.c = b2.c AND a.chunk = b2.chunk AND a.id < b2.id),
+            ham AS (
+              SELECT id_a, id_b, SUM(bit_count(xor(
+                CAST(('0x' || substring(fp_a, j + 1, 1)) AS BIGINT),
+                CAST(('0x' || substring(fp_b, j + 1, 1)) AS BIGINT))))
+                AS hamming
+              FROM cand, unnest(range(0, 16)) AS u(j)
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+            FROM ham WHERE hamming <= 3
         """,
         "dedup_pipeline": f"""
             WITH RECURSIVE {ngram_ctes},

@@ -384,6 +384,20 @@ def minhash_signatures(
     )
 
 
+def _md5_perm_consts(m: int, salt: str) -> list[tuple[int, int]]:
+    """Per-slot universal-family permutation constants (a_i odd in
+    [1, 2^14), b_i in [0, 2^48)) derived from md5(salt:perm:i) — the
+    same derived-not-random discipline as ``source_similarity``
+    (operators/similarity.py), so a DuckDB oracle regenerates them."""
+    import hashlib
+
+    out = []
+    for i in range(m):
+        d = hashlib.md5(f"{salt}:perm:{i}".encode()).hexdigest()
+        out.append(((int(d[:4], 16) % (1 << 14)) | 1, int(d[4:16], 16)))
+    return out
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     text_col: str,
@@ -393,6 +407,8 @@ def dedup_minhash_lsh(
     n: int = 3,
     threshold: float = 0.6,
     cache_shingles: bool = True,
+    hash_fn: str = "xxhash64",
+    salt: str = "mhlsh-v1",
 ) -> DataFrame:
     """MinHash+LSH near-dup: band signatures, bucket-join candidates,
     verify candidates with exact Jaccard, emit pairs ≥ threshold.
@@ -414,7 +430,25 @@ def dedup_minhash_lsh(
     so repeated calls in a long-lived session do not accumulate
     cached blocks (checkpoint blocks themselves are context-cleaned
     once the caller drops the result).
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest, JVM-native) or
+    ``"md5"``, the engine-portable variant (r9): ONE salted md5 per
+    distinct shingle truncated to 48 bits, per-slot minima under the
+    derived universal permutations of ``_md5_perm_consts``, band
+    buckets as md5 of the comma-joined slot minima, and exact-Jaccard
+    verification over the distinct 48-bit shingle-hash sets — every
+    step DuckDB-replicable, so the registry entry is value-hash
+    oracle-gated instead of rows-only.  The md5 variant uses shingle
+    SET semantics and drops docs shorter than ``n`` tokens (no full
+    window exists); the xxhash64 path keeps its historical
+    multiset/partial-window contract.
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    if hash_fn == "md5":
+        return _dedup_minhash_lsh_md5(
+            df, text_col, id_col, num_hashes, bands, n, threshold, salt
+        )
     r = num_hashes // bands
     base = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
@@ -494,6 +528,131 @@ def dedup_minhash_lsh(
     return verified
 
 
+def _dedup_minhash_lsh_md5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    threshold: float,
+    salt: str,
+) -> DataFrame:
+    """Engine-portable MinHash+LSH (see ``dedup_minhash_lsh``
+    ``hash_fn="md5"``).  Same plan skeleton at scale: the corpus-sized
+    work is one shingle scan + one partial-aggregated groupBy(id)
+    with ``num_hashes`` codegen min-aggregates; the band join and the
+    verification joins run on hash-uniform keys over frames bounded
+    by the signature table and the candidate set respectively."""
+    r = num_hashes // bands
+    mod = 1 << 48
+    consts = _md5_perm_consts(num_hashes, salt)
+
+    base = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") >= n)
+    )
+    # distinct (id, 48-bit salted shingle hash): one md5 per shingle
+    sh0 = (
+        base.select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("_n") - n).cast("int"))
+            ).alias("pos"),
+            "_t",
+        )
+        .select(
+            "id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt + ":"),
+                            F.concat_ws(
+                                " ", F.slice("_t", (F.col("pos") + 1).cast("int"), n)
+                            ),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h0"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds signatures AND both verify sides
+    )
+    sig = sh0.groupBy("id").agg(
+        *[
+            F.min((F.col("h0") * F.lit(a) + F.lit(b)) % F.lit(mod)).alias(f"_s{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"_s{b * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b_ = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    counts = sh0.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # intersection size per candidate pair: join each side's shingle
+    # set and count matches — an equi-join on (id, h0), never wider
+    # than (pairs × per-doc shingles)
+    inter = (
+        candidates.join(sh0.select(F.col("id").alias("id_a"), "h0"), "id_a")
+        .join(
+            sh0.select(F.col("id").alias("id_b"), "h0"),
+            ["id_b", "h0"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _simhash_fp_udf():
     """Pandas UDF: array<bigint> token hashes → 64-bit SimHash.
 
@@ -528,6 +687,125 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
     ).select("id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("th"))
     return toks.select("id", _simhash_fp_udf()("th").alias("simhash"))
+
+
+_HEXCHARS = "0123456789abcdef"
+
+
+def simhash_md5(
+    df: DataFrame, text_col: str, id_col: str, salt: str = "simhash-v1"
+) -> DataFrame:
+    """(id, simhash 16-hex-char string): the engine-portable SimHash
+    (r9).  Per token ONE salted md5; each of the digest's 16 leading
+    hex digits contributes 4 fingerprint bits, votes are summed in 64
+    codegen aggregates over the token rows (multiset semantics, like
+    the xxhash64 path), bit i is set iff its vote is strictly
+    positive, and the fingerprint is re-assembled as a hex STRING so
+    every step — including the bit math — replays in DuckDB.  NULL
+    text is coalesced to '' (one empty-string token), matching the
+    oracle's ``coalesce(text, '')``."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("t"),
+    )
+    h = tok.select(
+        "id", F.md5(F.concat(F.lit(salt + ":"), F.col("t"))).alias("h")
+    )
+    digs = h.select(
+        "id",
+        *[
+            F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
+            for j in range(16)
+        ],
+    )
+    votes = digs.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"d{i // 4}"), i % 4).bitwiseAND(F.lit(1)) * 2
+                - 1
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+
+    def digit(j: int) -> Column:
+        d = F.lit(0)
+        for b in range(4):
+            d = d + F.when(F.col(f"v{4 * j + b}") > 0, F.lit(1 << b)).otherwise(
+                F.lit(0)
+            )
+        return d
+
+    return votes.select(
+        "id",
+        F.concat(
+            *[F.lit(_HEXCHARS).substr(digit(j) + 1, F.lit(1)) for j in range(16)]
+        ).alias("simhash"),
+    )
+
+
+def hamming_pairs_hex(
+    fp: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """``hamming_pairs`` for hex-STRING fingerprints (16 chars = 64
+    bits): pigeonhole candidates from an equi-join on (chunk index,
+    chunk substring), hamming as the digit-wise xor popcount — all
+    string/integer expressions, fully engine-portable.  The same
+    localCheckpoint discipline as ``hamming_pairs``: the fingerprint
+    frame is tiny next to the corpus scan that produced it."""
+    n_chunks = max(n_chunks, max_hamming + 1)
+    width = -(-16 // n_chunks)  # hex chars per chunk
+
+    fp = fp.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
+    ).localCheckpoint(eager=True)
+    chunks = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.substring("fp", c * width + 1, width).alias("v"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "fp", "ch.c", "ch.v")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+
+    def dig(col: str, j: int) -> Column:
+        return F.conv(F.substring(col, j + 1, 1), 16, 10).cast("int")
+
+    ham = F.lit(0)
+    for j in range(16):
+        ham = ham + F.bit_count(dig("fp_a", j).bitwiseXOR(dig("fp_b", j)))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def hamming_pairs(
@@ -635,11 +913,23 @@ def hamming_pairs(
 
 
 def dedup_simhash(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ max_hamming
     (candidate generation via the pigeonhole chunk equi-join —
-    see ``hamming_pairs``)."""
+    see ``hamming_pairs``).  ``hash_fn="md5"`` switches to the
+    engine-portable hex-string fingerprint (``simhash_md5`` +
+    ``hamming_pairs_hex``) whose DuckDB twin replays every step —
+    value-hash oracle-gated since r9."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    if hash_fn == "md5":
+        fp = simhash_md5(df, text_col, id_col)
+        return hamming_pairs_hex(fp, "id", "simhash", max_hamming)
     fp = simhash(df, text_col, id_col)
     return hamming_pairs(fp, "id", "simhash", max_hamming)
 

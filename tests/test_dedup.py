@@ -79,6 +79,72 @@ def test_minhash_signature_determinism_and_shape(docs):
     assert s1[0] != s1[3]
 
 
+def test_minhash_lsh_md5_matches_exact_and_is_deterministic(docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.dedup_ngram_jaccard(docs, "text", "doc_id", threshold=0.6).collect()
+    }
+    m1 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.dedup_minhash_lsh(
+            docs, "text", "doc_id", threshold=0.6, hash_fn="md5"
+        ).collect()
+    }
+    m2 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.dedup_minhash_lsh(
+            docs, "text", "doc_id", threshold=0.6, hash_fn="md5"
+        ).collect()
+    }
+    assert m1 == m2
+    # verification is exact jaccard → surviving pairs carry the exact
+    # values; LSH banding can only LOSE candidates, never invent them
+    assert set(m1) <= set(exact)
+    assert all(m1[p] == exact[p] for p in m1)
+    assert (0, 1) in m1
+
+
+def test_minhash_lsh_rejects_unknown_hash_fn(docs):
+    with pytest.raises(ValueError, match="hash_fn"):
+        D.dedup_minhash_lsh(docs, "text", "doc_id", hash_fn="MD5")
+
+
+def test_simhash_md5_properties(docs, spark):
+    fp = {r.id: r.simhash for r in D.simhash_md5(docs, "text", "doc_id").collect()}
+    assert all(len(v) == 16 and set(v) <= set("0123456789abcdef") for v in fp.values())
+    assert fp[0] == fp[1]  # normalization-identical docs
+
+    def ham(a, b):
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])  # near-dup closer
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.dedup_simhash(
+            docs, "text", "doc_id", max_hamming=10, hash_fn="md5"
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    # pair hamming must equal the fingerprint-level recomputation
+    assert all(ham(fp[a], fp[b]) == h for (a, b), h in pairs.items())
+
+
+def test_simhash_md5_null_text_is_empty_token(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r.id: r.simhash for r in D.simhash_md5(df, "text", "doc_id").collect()}
+    assert fp[1] == fp[2]  # NULL coalesces to '' — oracle contract
+    assert fp[3] != fp[1]
+
+
+def test_dedup_simhash_rejects_unknown_hash_fn(docs):
+    with pytest.raises(ValueError, match="hash_fn"):
+        D.dedup_simhash(docs, "text", "doc_id", hash_fn="sha1")
+
+
 def test_simhash_properties(docs, spark):
     fp = {r.id: r.simhash for r in D.simhash(docs, "text", "doc_id").collect()}
     assert fp[0] == fp[1]       # normalization-identical docs

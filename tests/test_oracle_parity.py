@@ -63,32 +63,29 @@ def canon(df) -> list[tuple]:
     return out
 
 
+# the declared no-oracle set: approximate / iterative / non-SQL ops.
+# r9 graduations REMOVED from this list (now hash-gated in ORACLES):
+# hashed_embeddings, cluster_embeddings/quality/prune,
+# contrastive_triplets, pack_bins, dedup_minhash_lsh, dedup_simhash.
 ROWS_ONLY = (
     "person_influence",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_semantic",
+    "dedup_audio",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "approx_distinct_users",
     "approx_quantiles",
     "compression_stats",
     "actor_pagerank",
-    "cluster_embeddings",
-    "cluster_prune",
     "dedup_incremental_minhash",
-    "hashed_embeddings",
-    "contrastive_triplets",
     "ann_pq_topk",
     "actor_communities",
     "bpe_subwords",
     "pca_embeddings",
     "sketch_rollup",
     "actor_cores",
-    "pack_bins",
     "text_repair",
     "related_actors",
-    "cluster_quality",
 )
 
 
