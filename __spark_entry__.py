@@ -2949,15 +2949,24 @@ def _pr_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA (decomposition.pca): embeddings projected onto
-    the top-8 principal components, explained-variance ratio carried
-    per row.  Rows-only for the gate (eigensolver floats aren't
-    SQL-expressible); orthonormality / variance accounting /
-    planted-basis recovery / partition-invariance are property-tested
-    in tests/test_decomposition.py."""
-    from gdelt_extractor_spark.operators.decomposition import pca
+    """Distributed PCA, hash-gated since r9: the fit (integer-exact
+    Gramian + driver eigh) is deterministic, so its micro-unit-
+    quantized mean/components are pinned as literals keyed by a data
+    fingerprint (scripts/pin_kmeans_centroids.py "pca8"), and the
+    entry emits ``pca_project_quantized`` — EXACT int64 projection of
+    the quantized data, bit-identical across engines — which the
+    DuckDB oracle replays from the pins.  Driver green additionally
+    certifies refit == pin.  Float API (``pca``/``pca_project``)
+    unchanged; orthonormality / variance accounting / planted-basis
+    recovery stay property-tested in tests/test_decomposition.py."""
+    from gdelt_extractor_spark.operators.decomposition import (
+        pca_fit,
+        pca_project_quantized,
+    )
 
-    return pca(_emb(spark, sf_dir), p=8)
+    emb = _emb(spark, sf_dir)
+    model = pca_fit(emb, p=8)
+    return pca_project_quantized(emb, model)
 
 
 def _dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3054,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": _pack_bins,
         "dedup_minhash_lsh": _dedup_minhash_lsh,  # graduated to hash gate r9
         "dedup_simhash": _dedup_simhash,  # graduated to hash gate r9
+        "pca_embeddings": _pca_embeddings,  # graduated to hash gate r9
         "q1_pricing_summary": Q.q1_pricing_summary,  # r5
         "q3_top_unshipped": Q.q3_top_unshipped,  # r5
         "q5_region_volume": Q.q5_region_volume,  # r5
@@ -3263,7 +3273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_pagerank": _actor_pagerank,
         "compression_stats": _compression_stats,
         "ann_pq_topk": _ann_pq_topk,
-        "pca_embeddings": _pca_embeddings,
         "sketch_rollup": _sketch_rollup,
         "actor_cores": _actor_cores,
         "approx_quantiles": Q.approx_value_quantiles,
@@ -3409,6 +3418,23 @@ def _kmeans_pin_values(pin_key: str) -> str:
     return ",\n              ".join(rows)
 
 
+def _pca_pin_values() -> tuple[str, str]:
+    """VALUES rows for the PCA pins (scripts/pin_kmeans_centroids.py
+    "pca8"): ``(fp, mean_u BIGINT[])`` and ``(fp, k, comp_u BIGINT[])``
+    — micro-unit ints, so the oracle's replay of
+    ``pca_project_quantized`` is exact integer arithmetic."""
+    from gdelt_extractor_spark.operators._kmeans_pins import PINS
+
+    mrows, crows = [], []
+    for fp, st in PINS["pca8"].items():
+        mu = ", ".join(str(x) for x in st["mean_u"])
+        mrows.append(f"('{fp}', [{mu}]::BIGINT[])")
+        for k, comp in enumerate(st["comps_u"]):
+            cu = ", ".join(str(x) for x in comp)
+            crows.append(f"('{fp}', {k}, [{cu}]::BIGINT[])")
+    return ",\n              ".join(mrows), ",\n              ".join(crows)
+
+
 def _kmeans_assign_ctes(pin_key: str) -> str:
     """Shared CTE block: fingerprint → matching centroid set →
     per-vector expanded-form distances → winning cluster (tie → low
@@ -3442,6 +3468,11 @@ _NDCG_IDCG_VALUES = "(1, 1.0), (2, 1.6309297535714575), (3, 2.1309297535714578),
 
 
 def oracle_sql() -> dict[str, str]:
+    from gdelt_extractor_spark.operators._kmeans_pins import (
+        FINGERPRINT_SQL as _FP_SQL,
+    )
+
+    _pca_m, _pca_c = _pca_pin_values()
     toks_text = _toks("text")
     toks_scrub = _toks(_SCRUB.format(c="text"))
     kw_list = f"list_sort(list_distinct(list_filter({toks_scrub}, w -> length(w) > 4)))"
@@ -5638,6 +5669,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, need AS n_tokens, bin_id, bin_slot,
               trunc AS truncated
             FROM state WHERE i > 0
+        """,
+        # r9 graduation: replay of pca_project_quantized from the
+        # pinned micro-unit mean/components (pin_kmeans_centroids.py
+        # "pca8") — exact int64 arithmetic end-to-end, so the gate is
+        # bit-level; driver green also certifies refit == pin
+        "pca_embeddings": f"""
+            WITH fp AS (
+              SELECT {_FP_SQL} AS f FROM embeddings),
+            m(f, mv) AS (VALUES
+              {_pca_m}),
+            c(f, k, cv) AS (VALUES
+              {_pca_c}),
+            e AS (
+              SELECT vec_id, i,
+                CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS xu
+              FROM embeddings, unnest(range(0, 64)) AS u(i)),
+            d AS (
+              SELECT e.vec_id, c.k,
+                SUM((e.xu - m.mv[e.i + 1]) * c.cv[e.i + 1]) AS v
+              FROM e JOIN fp ON true
+              JOIN m ON m.f = fp.f
+              JOIN c ON c.f = fp.f
+              GROUP BY 1, 2)
+            SELECT vec_id, CAST(k AS INTEGER) AS dim,
+              CAST(v AS BIGINT) AS v_u
+            FROM d
         """,
         "cluster_embeddings": f"""
             -- r9 graduation: the Lloyd fit is iterative, but its

@@ -152,6 +152,56 @@ def pca_project(
     )
 
 
+_Q = 1_000_000  # output micro-unit quantization (repo convention)
+
+
+def pca_project_quantized(
+    vectors: DataFrame,
+    model: PCAModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "v_u",
+) -> DataFrame:
+    """Engine-portable projection (r9, the hash-gate variant of
+    ``pca_project``): quantize the input vector, the mean, and the
+    components to 1e-6 micro-unit int64s (``floor(x·1e6 + 0.5)`` —
+    the same half-up-toward-+inf rule DuckDB's ``floor`` applies),
+    then project with EXACT int64 arithmetic:
+
+        v_u[k] = Σ_i (x_u[i] − mean_u[i]) · comp_u[k][i]
+
+    Integer addition is order-independent, so the result is
+    bit-identical across engines and partitionings — a DuckDB oracle
+    replays it from pinned component literals.  Magnitudes: |x|,
+    |mean| ≤ O(1) and |c| ≤ 1 ⇒ per-term ≤ ~1e13, d=64 terms ⇒
+    ≪ 2^63.  Output is EXPLODED (id, dim, v_u) — the driver-hash
+    shape (BIGINT values only).  One Arrow pass, int64 matmul per
+    batch; the contract is exact projection OF THE QUANTIZED data
+    (micro-unit rounding ≈ 1e-6 relative), mirroring ``pca_fit``'s
+    own quantized-Gramian contract."""
+    mean_u = np.floor(model.mean * _Q + 0.5).astype(np.int64)
+    comps_u = np.floor(model.components * _Q + 0.5).astype(np.int64)
+    p = comps_u.shape[0]
+
+    @F.pandas_udf("array<long>")
+    def _proj(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        xu = np.floor(np.vstack(col.to_numpy()) * _Q + 0.5).astype(np.int64)
+        out = (xu - mean_u) @ comps_u.T  # exact int64
+        return pd.Series(list(out))
+
+    return (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _proj(_as_double(vec_col)).alias("_vu"))
+        .select(
+            id_col,
+            F.posexplode("_vu").alias("dim", out_col),
+        )
+        .withColumn("dim", F.col("dim").cast("int"))
+    )
+
+
 def pca(
     vectors: DataFrame,
     p: int = 8,

@@ -59,10 +59,15 @@ def main() -> None:
     # per set: {"cents": [[dim doubles] * k], "csq": [k doubles]} —
     # csq is numpy (c*c).sum(axis=1), stored so the oracle's expanded
     # distance uses the BIT-SAME squared norms the assignment UDF uses
+    import numpy as np
+
+    from gdelt_extractor_spark.operators.decomposition import pca_fit
+
     pins: dict[str, dict[str, dict]] = {
         "assign3": {},  # cluster_embeddings + cluster_prune: k=8, n_iter=3
         "profile4": {},  # cluster_quality:       k=8, n_iter=4
         "triplets2": {},  # contrastive_triplets: k=8, n_iter=2
+        "pca8": {},  # pca_embeddings: p=8 micro-unit mean/components
     }
     for sf_dir in SF_DIRS:
         fp = fingerprint(sf_dir)
@@ -73,6 +78,17 @@ def main() -> None:
                 "cents": [[float(x) for x in row] for row in c],
                 "csq": [float(x) for x in (c * c).sum(axis=1)],
             }
+        # PCA pins: the micro-unit-quantized mean vector and component
+        # rows pca_project_quantized derives from the (deterministic)
+        # fit — ints, so the oracle replay is exact by construction
+        m = pca_fit(emb, p=8)
+        pins["pca8"][fp] = {
+            "mean_u": [int(x) for x in np.floor(m.mean * 1e6 + 0.5)],
+            "comps_u": [
+                [int(x) for x in np.floor(row * 1e6 + 0.5)]
+                for row in m.components
+            ],
+        }
         print(f"{sf_dir}: fingerprint {fp}")
 
     out = os.path.join(

@@ -15,6 +15,7 @@ from gdelt_extractor_spark.operators.decomposition import (
     pca,
     pca_fit,
     pca_project,
+    pca_project_quantized,
 )
 from gdelt_extractor_spark.operators.sketches import hll_rollup, hll_sketch_table
 
@@ -61,6 +62,38 @@ class TestPCA:
         # which makes the dominant loading positive)
         assert m.components[0][0] > 0.99
         assert m.components[1][3] > 0.99
+
+    def test_quantized_projection_exact_and_partition_independent(self, spark):
+        x = _planted(n=60)
+        df = _vecs(spark, x)
+        m = pca_fit(df, p=3)
+        out1 = {
+            (r.vec_id, r.dim): r.v_u
+            for r in pca_project_quantized(df, m).collect()
+        }
+        out2 = {
+            (r.vec_id, r.dim): r.v_u
+            for r in pca_project_quantized(df.repartition(7), m).collect()
+        }
+        assert out1 == out2  # exact int64 math → partitioning-invariant
+        assert len(out1) == 60 * 3
+        # pure-python replica of the quantized contract (independent
+        # of numpy matmul): identical ints
+        mu = [int(np.floor(v * 1e6 + 0.5)) for v in m.mean]
+        cu = [[int(np.floor(v * 1e6 + 0.5)) for v in row] for row in m.components]
+        for i, row in enumerate(x):
+            xu = [int(np.floor(v * 1e6 + 0.5)) for v in row]
+            for k in range(3):
+                want = sum((a - b) * c for a, b, c in zip(xu, mu, cu[k]))
+                assert out1[(i, k)] == want
+        # micro-unit projection ≈ float projection within quantization
+        flo = {
+            r.vec_id: np.array(r.pca)
+            for r in pca_project(df, m).collect()
+        }
+        for i in range(60):
+            got = np.array([out1[(i, k)] for k in range(3)]) / 1e12
+            assert np.allclose(got, flo[i], atol=2e-4)
 
     def test_projection_matches_algebra(self, spark):
         x = _planted(n=50)

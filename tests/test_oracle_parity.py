@@ -81,7 +81,6 @@ ROWS_ONLY = (
     "ann_pq_topk",
     "actor_communities",
     "bpe_subwords",
-    "pca_embeddings",
     "sketch_rollup",
     "actor_cores",
     "text_repair",
