@@ -1067,6 +1067,19 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-copy pairs (Schleimer 2003 / MOSS,
+    r9): salted-md5 k-gram hashes, per-window minima sampled at
+    ~2/(w+1) density with the ≥(w+k-1)-token match guarantee, pairs
+    by shared selected fingerprints — the SAMPLED complement of
+    dup_spans' keep-every-window index.  Fully value-hash-gated: the
+    DuckDB oracle replays hashing, the window minima, the hot-
+    fingerprint cap, and the pair rollup.  At sf0.001 recalls all 28
+    exact-Jaccard near-dup pairs."""
+    docs = _docs(spark, sf_dir, width=0)
+    return D.winnow_dup_pairs(docs, "text", "doc_id")
+
+
 def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment |A∩B|/min(|A|,|B|) ≥ 0.8 —
     catches short-doc-quoted-in-long-doc pairs Jaccard misses.
@@ -1081,15 +1094,27 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, hash-gated since r9 via
-    ``hash_fn="md5"``: one salted md5 per distinct shingle (48-bit
-    h0), per-slot minima under the derived universal permutations,
-    band buckets as md5 of the comma-joined slot minima, exact-
-    Jaccard verification on the candidate pairs — the DuckDB oracle
-    replays every step value-for-value (same S-curve: 32 hashes × 8
-    bands).  The xxhash64 fast path keeps its determinism/recall
-    unit tests; at sf0.001 both variants and the exact-Jaccard
-    baseline all emit the same 28 pairs."""
+    """MinHash+LSH near-dup pairs — the PRODUCTION xxhash64 path
+    (rows-only; recall-vs-exact and determinism unit-tested).  Its
+    algorithm twin ``dedup_minhash_lsh_portable`` is value-hash
+    gated: same S-curve and exact-Jaccard verification over portable
+    md5 hashing, fully replayed by the DuckDB oracle — the fast path
+    anchors perf, the twin anchors correctness (r9)."""
+    docs = _docs(spark, sf_dir, width=0)
+    return D.dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.6)
+
+
+def _dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH, engine-portable twin (r9, hash-gated): one salted
+    md5 per shingle occurrence (48-bit h0), per-slot minima under the
+    derived universal permutations, band buckets as md5 of the
+    comma-joined slot minima, exact-Jaccard verification on the
+    candidate pairs — the DuckDB oracle replays every step
+    value-for-value (same S-curve: 32 hashes × 8 bands).  At sf0.001
+    both variants and the exact-Jaccard baseline all emit the same 28
+    pairs; exists so the MinHash+LSH ALGORITHM is value-hash verified
+    while ``dedup_minhash_lsh`` keeps the ~2.5× cheaper xxhash64
+    fingerprints."""
     docs = _docs(spark, sf_dir, width=0)
     return D.dedup_minhash_lsh(
         docs, "text", "doc_id", threshold=0.6, hash_fn="md5"
@@ -1097,13 +1122,25 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hash-gated since r9 via
-    ``hash_fn="md5"``: one salted md5 per token, 64 bit-votes as
-    codegen aggregates, the fingerprint re-assembled as a 16-hex-char
-    STRING, pigeonhole candidates on 4-char chunks, hamming as the
-    digit-wise xor popcount — the DuckDB oracle replays every step
-    (same votes, same strictly-positive bit rule, same chunk join).
-    The xxhash64 + Arrow-UDF fast path keeps its own unit tests."""
+    """SimHash near-dup pairs — the PRODUCTION xxhash64 + Arrow-UDF
+    path (rows-only; bit-vote/hamming contracts unit-tested).  Its
+    algorithm twin ``dedup_simhash_portable`` is value-hash gated:
+    same SimHash semantics over portable md5 token hashes, fully
+    replayed by the DuckDB oracle — the fast path anchors perf, the
+    twin anchors correctness (r9)."""
+    docs = _docs(spark, sf_dir, width=8)
+    return D.dedup_simhash(docs, "text", "doc_id", max_hamming=3)
+
+
+def _dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, engine-portable twin (r9, hash-gated): one
+    salted md5 per token, 64 bit-votes as codegen aggregates, the
+    fingerprint re-assembled as a 16-hex-char STRING, pigeonhole
+    candidates on 4-char chunks, hamming as the digit-wise xor
+    popcount — the DuckDB oracle replays every step (same votes,
+    same strictly-positive bit rule, same chunk join).  Exists so the
+    SimHash ALGORITHM is value-hash verified while ``dedup_simhash``
+    keeps the fast xxhash64 fingerprint (~4× cheaper at sf0.1)."""
     docs = _docs(spark, sf_dir, width=8)
     return D.dedup_simhash(docs, "text", "doc_id", max_hamming=3, hash_fn="md5")
 
@@ -1122,12 +1159,13 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over embeddings: IVF-quantize the space, exact cosine
     pairs (per-cluster numpy GEMM) within multi-probed clusters.
-    Rows-only gate: the k-means quantizer is not SQL-expressible;
-    soundness (every pair really ≥ τ) and recall vs the exact blocked
-    baseline are property-tested in tests/test_dedup.py.  nprobe=4
-    after the r7 GEMM rewrite made probes ~free: recall vs exact
-    0.69 → 0.998 at sf0.1 with the median unchanged (~0.9s, from
-    6.6s in the r6 driver record)."""
+    Hash-gated since r9: the deterministic quantizer's centroids are
+    pinned ("ivfsem8", scripts/pin_kmeans_centroids.py) so the DuckDB
+    oracle replays assignment/probing/pairing value-for-value —
+    driver green also certifies refit == pin.  Soundness (every pair
+    really ≥ τ) and recall vs the exact blocked baseline stay
+    property-tested in tests/test_dedup.py (recall 0.998 at sf0.1
+    with nprobe=4 after the r7 GEMM rewrite)."""
     emb = _emb(spark, sf_dir, width=0)
     return D.dedup_semantic(emb, threshold=0.3, m=8, nprobe=4)
 
@@ -1694,6 +1732,12 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multiprobe LSH ANN.  Hash-gated since r9: the
+    hyperplanes are a fixed RandomState(42) draw the oracle
+    regenerates as literals, so buckets, the hamming-1 probe set,
+    the candidate join, and the exact cosine rerank all replay in
+    DuckDB.  Recall vs brute force stays tested in
+    tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1702,6 +1746,11 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN.  Hash-gated since r9 via the pinned deterministic
+    quantizer ("ivf16"): the oracle replays assignment, nprobe=4
+    probing, and the exact cosine rerank; driver green also
+    certifies refit == pin.  Recall vs brute force stays tested in
+    tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2024,6 +2073,11 @@ def _semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC).  Hash-gated since r9 via the
+    pinned deterministic codebooks ("pq4x16"): the oracle replays
+    per-subspace encoding, the query partial-distance tables, and
+    the decimal-summed approximate-distance top-k; driver green also
+    certifies refit == pin."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2073,9 +2127,13 @@ def _actor_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Country-actor communities by deterministic label propagation
     over the dyad interaction graph — the density-aware complement
     to actor_pagerank (influence) and dup_clusters (reachability).
-    Iterative label voting → rows-only; contracts property-tested in
-    tests/test_graph.py (clique separation, min-label convergence,
-    partition independence)."""
+    Hash-gated since r9: synchronous deterministic LPA is a pure
+    function of the previous labels, so the DuckDB oracle replays the
+    vote/argmax rounds with a recursive list-state CTE to the same
+    fixpoint (label-string tie order == node-index order by
+    construction).  Clique separation, min-label convergence, and
+    partition independence stay property-tested in
+    tests/test_graph.py."""
     from gdelt_extractor_spark.operators.graph import label_propagation
     from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
 
@@ -2749,8 +2807,11 @@ def _chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _actor_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core decomposition (graph.k_core) of the country-dyad
     interaction graph: which actors sit in the densest interaction
-    shells.  Synchronous H-index iteration → rows-only; exact
-    equality with naive min-degree peeling is property-tested in
+    shells.  Hash-gated since r9: the synchronous H-index iteration
+    is pure integer arithmetic, so the DuckDB oracle replays it with
+    a recursive CTE carrying the node-value vector as a LIST (the
+    pack_bins state discipline) to the same fixpoint.  Exact
+    equality with naive min-degree peeling stays property-tested in
     tests/test_graph.py."""
     from gdelt_extractor_spark.operators.graph import k_core
     from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
@@ -3055,15 +3116,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracles in r9, then the oldest-verified entries (last driver
         # record r5) fill the 50-slot window ---
         "budget_selection": _budget_selection,
+        "winnow_dup_pairs": _winnow_dup_pairs,  # new r9
         "hashed_embeddings": _hashed_embeddings,
         "cluster_embeddings": _cluster_embeddings,
         "cluster_quality": _cluster_quality,
         "cluster_prune": _cluster_prune,
         "contrastive_triplets": _contrastive_triplets,
         "pack_bins": _pack_bins,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,  # graduated to hash gate r9
-        "dedup_simhash": _dedup_simhash,  # graduated to hash gate r9
+        "dedup_minhash_lsh_portable": _dedup_minhash_lsh_portable,  # new r9, hash-gated twin
+        "dedup_simhash_portable": _dedup_simhash_portable,  # new r9, hash-gated twin
         "pca_embeddings": _pca_embeddings,  # graduated to hash gate r9
+        "actor_cores": _actor_cores,  # graduated to hash gate r9
+        "actor_communities": _actor_communities,  # graduated to hash gate r9
+        "dedup_semantic": _dedup_semantic,  # graduated to hash gate r9
+        "ann_lsh_topk": _ann_lsh_topk,  # graduated to hash gate r9
+        "ann_ivf_topk": _ann_ivf_topk,  # graduated to hash gate r9
+        "ann_pq_topk": _ann_pq_topk,  # graduated to hash gate r9
         "q1_pricing_summary": Q.q1_pricing_summary,  # r5
         "q3_top_unshipped": Q.q3_top_unshipped,  # r5
         "q5_region_volume": Q.q5_region_volume,  # r5
@@ -3268,20 +3336,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against exact baselines locally) ---
         "person_influence": _person_influence,
         "dedup_incremental_minhash": _dedup_incremental_minhash,
-        "actor_communities": _actor_communities,
         "bpe_subwords": _bpe_subwords,
         "actor_pagerank": _actor_pagerank,
         "compression_stats": _compression_stats,
-        "ann_pq_topk": _ann_pq_topk,
         "sketch_rollup": _sketch_rollup,
-        "actor_cores": _actor_cores,
         "approx_quantiles": Q.approx_value_quantiles,
         "approx_distinct_users": Q.approx_distinct_users,
         "text_repair": _text_repair,
         "related_actors": _related_actors,
-        "dedup_semantic": _dedup_semantic,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_audio": _dedup_audio,  # r9
     }
 
@@ -3433,6 +3497,43 @@ def _pca_pin_values() -> tuple[str, str]:
             cu = ", ".join(str(x) for x in comp)
             crows.append(f"('{fp}', {k}, [{cu}]::BIGINT[])")
     return ",\n              ".join(mrows), ",\n              ".join(crows)
+
+
+def _pq_pin_values() -> str:
+    """VALUES rows ``(fp, j, c, bsq, bv DOUBLE[])`` for the pinned PQ
+    codebooks (scripts/pin_kmeans_centroids.py "pq4x16") — the oracle
+    replays per-subspace encoding (expanded-form argmin) and the ADC
+    partial-distance tables from these literals."""
+    from gdelt_extractor_spark.operators._kmeans_pins import PINS
+
+    rows = []
+    for fp, st in PINS["pq4x16"].items():
+        for j, (book, sqs) in enumerate(zip(st["books"], st["bsq"])):
+            for c, (cent, sq) in enumerate(zip(book, sqs)):
+                arr = ", ".join(repr(x) for x in cent)
+                rows.append(f"('{fp}', {j}, {c}, {sq!r}, [{arr}]::DOUBLE[])")
+    return ",\n              ".join(rows)
+
+
+def _lsh_plane_values(
+    dim: int = 64, n_planes: int = 8, n_tables: int = 6, seed: int = 42
+) -> str:
+    """VALUES rows ``(t, p, plane DOUBLE[])`` regenerating the random
+    hyperplanes of ``similarity.lsh_multitable_udf`` /
+    ``lsh_query_probes_udf`` (same RandomState(seed) draw, column p of
+    table t) — repr round-trip doubles, so the DuckDB oracle computes
+    the bit-same projections and bucket ids."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal(
+        (n_tables, dim, n_planes)
+    )
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            arr = ", ".join(repr(float(x)) for x in planes[t][:, p])
+            rows.append(f"({t}, {p}, [{arr}]::DOUBLE[])")
+    return ",\n              ".join(rows)
 
 
 def _kmeans_assign_ctes(pin_key: str) -> str:
@@ -5132,13 +5233,13 @@ def oracle_sql() -> dict[str, str]:
         # dedup.py _dedup_minhash_lsh_md5): salted 48-bit shingle h0,
         # universal-permutation slot minima, md5 band buckets, exact
         # Jaccard on candidates — same constants via _srcsim_perms
-        "dedup_minhash_lsh": f"""
+        "dedup_minhash_lsh_portable": f"""
             WITH b AS (
               SELECT doc_id AS id, {_toks("coalesce(text, '')")} AS toks,
                 len({_toks("coalesce(text, '')")}) AS n
               FROM documents),
             sh AS (
-              SELECT DISTINCT id,
+              SELECT id,
                 CAST(('0x' || substring(md5('mhlsh-v1:'
                   || array_to_string(toks[i:i+2], ' ')), 1, 12))
                   AS BIGINT) AS h0
@@ -5160,9 +5261,10 @@ def oracle_sql() -> dict[str, str]:
               FROM bands a JOIN bands b2
                 ON a.band = b2.band AND a.bucket = b2.bucket
                 AND a.id < b2.id),
-            cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            cnt AS (
+              SELECT id, COUNT(DISTINCT h0) AS n_sh FROM sh GROUP BY 1),
             inter AS (
-              SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              SELECT c.id_a, c.id_b, COUNT(DISTINCT x.h0) AS n_inter
               FROM cand c JOIN sh x ON x.id = c.id_a
               JOIN sh y ON y.id = c.id_b AND y.h0 = x.h0
               GROUP BY 1, 2),
@@ -5174,12 +5276,47 @@ def oracle_sql() -> dict[str, str]:
               JOIN cnt cb ON cb.id = i.id_b)
             SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
         """,
+        # full replay of winnowing (operators/dedup.py
+        # winnow_dup_pairs): salted 48-bit k-gram hashes, per-window
+        # minima (ROWS BETWEEN w-1 PRECEDING), distinct selected
+        # values, hot-fingerprint cap, shared-fingerprint pair rollup
+        "winnow_dup_pairs": f"""
+            WITH b AS (
+              SELECT doc_id AS id, {_toks("coalesce(text, '')")} AS toks,
+                len({_toks("coalesce(text, '')")}) AS n
+              FROM documents),
+            g AS (
+              SELECT id, i AS pos,
+                CAST(('0x' || substring(md5('winnow-v1:'
+                  || array_to_string(toks[i+1:i+5], ' ')), 1, 12))
+                  AS BIGINT) AS h
+              FROM b, unnest(range(0, n - 4)) AS u(i)
+              WHERE n >= 8),
+            mins AS (
+              SELECT id, pos, MIN(h) OVER (
+                PARTITION BY id ORDER BY pos
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minh
+              FROM g),
+            fps AS (
+              SELECT DISTINCT id, minh AS fp FROM mins WHERE pos >= 3),
+            hot AS (
+              SELECT fp FROM (
+                SELECT fp, COUNT(DISTINCT id) AS df FROM fps GROUP BY 1)
+              WHERE df > 100),
+            fpc AS (
+              SELECT fps.* FROM fps LEFT JOIN hot USING (fp)
+              WHERE hot.fp IS NULL)
+            SELECT a.id AS id_a, b2.id AS id_b, COUNT(*) AS n_shared
+            FROM fpc a JOIN fpc b2
+              ON a.fp = b2.fp AND a.id < b2.id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
         # full replay of the md5-portable SimHash (operators/dedup.py
         # simhash_md5 + hamming_pairs_hex): per-token salted md5, 64
         # bit votes, strictly-positive bit rule, hex-string
         # fingerprint, 4-char pigeonhole chunks, digit-wise xor
         # popcount hamming
-        "dedup_simhash": f"""
+        "dedup_simhash_portable": f"""
             WITH b AS (
               SELECT doc_id AS id, {_toks("coalesce(text, '')")} AS toks
               FROM documents),
@@ -5271,6 +5408,106 @@ def oracle_sql() -> dict[str, str]:
             WHERE Actor1CountryCode IS NOT NULL
               AND Actor2CountryCode IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # r9 graduation: deterministic synchronous LPA is a pure
+        # function of the previous labels (votes over distinct
+        # neighbors + self, argmax by count desc / label asc, and
+        # label-string order == node-index order by construction), so
+        # a recursive CTE replays it with the label vector as a LIST;
+        # same 10-round cap and fixpoint early-stop as the operator
+        "actor_communities": f"""
+            WITH RECURSIVE dy AS (
+              SELECT DISTINCT
+                least(Actor1CountryCode, Actor2CountryCode) AS a,
+                greatest(Actor1CountryCode, Actor2CountryCode) AS b
+              FROM {_duck_tsv('v2_events.tsv', V2_EVENTS_SCHEMA)}
+              WHERE Actor1CountryCode IS NOT NULL
+                AND Actor2CountryCode IS NOT NULL
+                AND Actor1CountryCode <> Actor2CountryCode),
+            nd AS (
+              SELECT node, row_number() OVER (ORDER BY node) AS idx
+              FROM (SELECT a AS node FROM dy UNION SELECT b FROM dy)),
+            sym AS (
+              SELECT a AS u, b AS v FROM dy
+              UNION ALL SELECT b, a FROM dy
+              UNION ALL SELECT node, node FROM nd),
+            aj AS (
+              SELECT nu.idx AS ui, list(DISTINCT nv.idx) AS nbrs
+              FROM sym JOIN nd nu ON nu.node = sym.u
+              JOIN nd nv ON nv.node = sym.v GROUP BY 1),
+            adjt AS (SELECT list(nbrs ORDER BY ui) AS adjl FROM aj),
+            state(it, vals) AS (
+              SELECT 0,
+                (SELECT list_transform(range(1, count(*) + 1),
+                   x -> CAST(x AS BIGINT)) FROM nd)
+              UNION ALL
+              SELECT it + 1, nv FROM (
+                SELECT s.it, s.vals,
+                  list_transform(range(1, len(s.vals) + 1), x ->
+                    list_min(list_filter(
+                      list_distinct(list_transform(
+                        a.adjl[x], y -> s.vals[y])), l ->
+                      len(list_filter(list_transform(
+                        a.adjl[x], y -> s.vals[y]), z -> z = l)) =
+                      list_max(list_transform(
+                        list_distinct(list_transform(
+                          a.adjl[x], y -> s.vals[y])), m ->
+                        len(list_filter(list_transform(
+                          a.adjl[x], y -> s.vals[y]), z -> z = m))))))
+                  ) AS nv
+                FROM state s, adjt a) t
+              WHERE nv <> vals AND it < 10),
+            fin AS (SELECT vals FROM state ORDER BY it DESC LIMIT 1),
+            ex AS (
+              SELECT x AS idx, vals[x] AS li
+              FROM fin, unnest(range(1, len(vals) + 1)) AS u(x))
+            SELECT nd.node, nd2.node AS community
+            FROM ex JOIN nd ON nd.idx = ex.idx
+            JOIN nd nd2 ON nd2.idx = ex.li
+        """,
+        # r9 graduation: k_core's synchronous H-index iteration is
+        # pure integer arithmetic, so a recursive CTE replays it —
+        # the (node-indexed) value vector rides as a LIST through the
+        # iterations (the pack_bins state discipline), h-index via a
+        # sorted-neighbor-values prefix count, fixpoint by list
+        # inequality
+        "actor_cores": f"""
+            WITH RECURSIVE dy AS (
+              SELECT DISTINCT
+                least(Actor1CountryCode, Actor2CountryCode) AS a,
+                greatest(Actor1CountryCode, Actor2CountryCode) AS b
+              FROM {_duck_tsv('v2_events.tsv', V2_EVENTS_SCHEMA)}
+              WHERE Actor1CountryCode IS NOT NULL
+                AND Actor2CountryCode IS NOT NULL
+                AND Actor1CountryCode <> Actor2CountryCode),
+            nd AS (
+              SELECT node, row_number() OVER (ORDER BY node) AS idx
+              FROM (SELECT a AS node FROM dy UNION SELECT b FROM dy)),
+            sym AS (
+              SELECT a AS u, b AS v FROM dy
+              UNION ALL SELECT b, a FROM dy),
+            aj AS (
+              SELECT nu.idx AS ui, list(nv.idx) AS nbrs
+              FROM sym JOIN nd nu ON nu.node = sym.u
+              JOIN nd nv ON nv.node = sym.v GROUP BY 1),
+            adjt AS (SELECT list(nbrs ORDER BY ui) AS adjl FROM aj),
+            init AS (SELECT list(len(nbrs) ORDER BY ui) AS v0 FROM aj),
+            state(it, vals) AS (
+              SELECT 0, (SELECT v0 FROM init)
+              UNION ALL
+              SELECT it + 1, nv FROM (
+                SELECT s.it, s.vals,
+                  list_transform(range(1, len(s.vals) + 1), x ->
+                    len(list_filter(
+                      range(1, len(a.adjl[x]) + 1), i ->
+                        list_reverse_sort(list_transform(
+                          a.adjl[x], y -> s.vals[y]))[i] >= i))
+                  ) AS nv
+                FROM state s, adjt a) t
+              WHERE nv <> vals AND it < 100),
+            fin AS (SELECT vals FROM state ORDER BY it DESC LIMIT 1)
+            SELECT nd.node, CAST(vals[nd.idx] AS INTEGER) AS coreness
+            FROM nd, fin
         """,
         "gdelt_v1_daily": f"""
             SELECT SQLDATE AS sqldate, EventRootCode AS root_code,
@@ -6417,6 +6654,181 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
               round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        # r9 graduation: PQ codebooks pinned ("pq4x16") — the oracle
+        # replays per-subspace encoding (expanded-form argmin, ties →
+        # low code), the query ADC partial tables (round 9), and the
+        # decimal-summed approximate distances + top-k
+        "ann_pq_topk": f"""
+            WITH fp AS (
+              SELECT {_FP_SQL} AS f FROM embeddings),
+            b(f, j, c, bsq, bv) AS (VALUES
+              {_pq_pin_values()}),
+            nn AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            sub AS (
+              SELECT vec_id, jj.j AS j,
+                list_slice(vv, jj.j * 16 + 1, jj.j * 16 + 16) AS vj
+              FROM nn, (SELECT unnest(range(0, 4)) AS j) jj),
+            dx AS (
+              SELECT s.vec_id, s.j, b.c,
+                b.bsq - 2 * list_dot_product(s.vj, b.bv) AS dexp
+              FROM sub s JOIN fp ON true
+              JOIN b ON b.f = fp.f AND b.j = s.j),
+            code AS (
+              SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c, row_number() OVER (
+                  PARTITION BY vec_id, j ORDER BY dexp ASC, c ASC)
+                  AS rn
+                FROM dx) t
+              WHERE rn = 1),
+            pd AS (
+              SELECT q.vec_id AS query_id, b.j, b.c,
+                round(list_sum(list_transform(range(1, 17), i ->
+                  (b.bv[i] - q.vv[b.j * 16 + i])
+                  * (b.bv[i] - q.vv[b.j * 16 + i]))), 9) AS pd
+              FROM nn q JOIN fp ON true JOIN b ON b.f = fp.f
+              WHERE q.vec_id < 8),
+            scored AS (
+              SELECT pd.query_id, code.vec_id,
+                CAST(SUM(CAST(pd.pd AS DECIMAL(25,9))) AS DOUBLE)
+                  AS adist
+              FROM code JOIN pd ON pd.j = code.j AND pd.c = code.c
+              WHERE code.vec_id <> pd.query_id
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT query_id, vec_id, adist, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist ASC, vec_id ASC)
+                AS rank
+              FROM scored)
+            SELECT query_id, vec_id AS nbr_id,
+              CAST(rank AS BIGINT) AS rank,
+              round(adist, 6) AS approx_dist
+            FROM ranked WHERE rank <= 5
+        """,
+        # r9 graduation: the LSH planes are a fixed RandomState(42)
+        # draw — regenerated as literals — so the oracle computes the
+        # bit-same projections, sign buckets, hamming-1 multiprobe
+        # set, candidate join, and exact cosine rerank
+        "ann_lsh_topk": f"""
+            WITH pl(t, p, pv) AS (VALUES
+              {_lsh_plane_values()}),
+            nn AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            n2 AS (SELECT vec_id, vv,
+                sqrt(list_dot_product(vv, vv)) AS nrm FROM nn),
+            bits AS (
+              SELECT e.vec_id, pl.t,
+                CAST(SUM(CASE WHEN list_dot_product(e.vv, pl.pv) > 0
+                  THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bkt
+              FROM nn e CROSS JOIN pl GROUP BY 1, 2),
+            qb AS (
+              SELECT vec_id AS query_id, t, bkt
+              FROM bits WHERE vec_id < 8
+              UNION
+              SELECT b.vec_id, b.t, xor(b.bkt, (1::BIGINT << pp.p))
+              FROM bits b CROSS JOIN (SELECT DISTINCT p FROM pl) pp
+              WHERE b.vec_id < 8),
+            cand AS (
+              SELECT DISTINCT q.query_id, v.vec_id AS nbr_id
+              FROM qb q JOIN bits v ON v.t = q.t AND v.bkt = q.bkt
+              WHERE v.vec_id <> q.query_id),
+            scored AS (
+              SELECT c.query_id, c.nbr_id,
+                list_dot_product(q.vv, v.vv) / (q.nrm * v.nrm) AS cos
+              FROM cand c JOIN n2 q ON q.vec_id = c.query_id
+              JOIN n2 v ON v.vec_id = c.nbr_id),
+            ranked AS (
+              SELECT query_id, nbr_id, cos, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC)
+                AS rank
+              FROM scored)
+            SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
+              round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        # r9 graduation: the IVF quantizer fit is deterministic
+        # (bounded-sample Lloyd), so its centroids are pinned (key
+        # "ivf16", scripts/pin_kmeans_centroids.py) and the oracle
+        # replays assignment (argmin of the expanded L2, ties → low
+        # j), nprobe=4 probing, and the exact cosine rerank
+        "ann_ivf_topk": f"""
+            WITH fp AS (
+              SELECT {_FP_SQL} AS f FROM embeddings),
+            c(f, j, csq, cv) AS (VALUES
+              {_kmeans_pin_values("ivf16")}),
+            nn AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            n2 AS (SELECT vec_id, vv,
+                sqrt(list_dot_product(vv, vv)) AS nrm FROM nn),
+            dx AS (
+              SELECT e.vec_id, c.j,
+                c.csq - 2 * list_dot_product(e.vv, c.cv) AS dexp
+              FROM nn e CROSS JOIN c JOIN fp ON c.f = fp.f),
+            rk AS (
+              SELECT vec_id, j, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dexp ASC, j ASC) AS rn
+              FROM dx),
+            cell AS (SELECT vec_id, j AS cell FROM rk WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS query_id, j AS cell
+              FROM rk WHERE vec_id < 8 AND rn <= 4),
+            scored AS (
+              SELECT p.query_id, ce.vec_id AS nbr_id,
+                list_dot_product(q.vv, v.vv) / (q.nrm * v.nrm) AS cos
+              FROM probes p JOIN cell ce ON ce.cell = p.cell
+              JOIN n2 v ON v.vec_id = ce.vec_id
+              JOIN n2 q ON q.vec_id = p.query_id
+              WHERE ce.vec_id <> p.query_id),
+            ranked AS (
+              SELECT query_id, nbr_id, cos, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC)
+                AS rank
+              FROM scored)
+            SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
+              round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        # r9 graduation: SemDeDup with the pinned m=8 quantizer
+        # ("ivfsem8") — every vector probes its 4 nearest cells,
+        # exact cosine pairs within a shared cell, distinct pairs
+        "dedup_semantic": f"""
+            WITH fp AS (
+              SELECT {_FP_SQL} AS f FROM embeddings),
+            c(f, j, csq, cv) AS (VALUES
+              {_kmeans_pin_values("ivfsem8")}),
+            nn AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            n2 AS (SELECT vec_id, vv,
+                sqrt(list_dot_product(vv, vv)) AS nrm FROM nn),
+            dx AS (
+              SELECT e.vec_id, c.j,
+                c.csq - 2 * list_dot_product(e.vv, c.cv) AS dexp
+              FROM nn e CROSS JOIN c JOIN fp ON c.f = fp.f),
+            rk AS (
+              SELECT vec_id, j, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dexp ASC, j ASC) AS rn
+              FROM dx),
+            probes AS (SELECT vec_id, j AS cell FROM rk WHERE rn <= 4),
+            pr AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM probes a JOIN probes b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id),
+            sc AS (
+              SELECT pr.id_a, pr.id_b,
+                round(list_dot_product(va.vv, vb.vv)
+                  / (va.nrm * vb.nrm), 6) AS cosine
+              FROM pr JOIN n2 va ON va.vec_id = pr.id_a
+              JOIN n2 vb ON vb.vec_id = pr.id_b)
+            SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.3
         """,
         "quantize_embeddings": """
             WITH s AS (

@@ -120,8 +120,11 @@ HEADLINE = [
     "curation_pipeline",
     "dedup_ngram_jaccard",
     "dedup_containment",
+    "winnow_dup_pairs",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_portable",
     "dedup_simhash",
+    "dedup_simhash_portable",
     "dedup_embedding",
     "dedup_semantic",
     "dup_clusters",

@@ -68,7 +68,15 @@ def main() -> None:
         "profile4": {},  # cluster_quality:       k=8, n_iter=4
         "triplets2": {},  # contrastive_triplets: k=8, n_iter=2
         "pca8": {},  # pca_embeddings: p=8 micro-unit mean/components
+        "ivf16": {},  # ann_ivf_topk: IVF quantizer m=16, n_iter=2
+        "ivfsem8": {},  # dedup_semantic: IVF quantizer m=8, n_iter=2
+        "pq4x16": {},  # ann_pq_topk: PQ codebooks m=4, ksub=16, n_iter=3
     }
+    from gdelt_extractor_spark.operators.similarity import (
+        ivf_fit_centroids,
+        pq_fit_codebooks,
+    )
+
     for sf_dir in SF_DIRS:
         fp = fingerprint(sf_dir)
         emb = load_table(spark, sf_dir, "embeddings")
@@ -81,6 +89,24 @@ def main() -> None:
         # PCA pins: the micro-unit-quantized mean vector and component
         # rows pca_project_quantized derives from the (deterministic)
         # fit — ints, so the oracle replay is exact by construction
+        # IVF coarse-quantizer pins (ann_ivf_topk / dedup_semantic):
+        # the bounded-sample Lloyd fit is deterministic, so the oracle
+        # replays assignment/probe/rerank from these literals
+        for key, m_cells in (("ivf16", 16), ("ivfsem8", 8)):
+            c = ivf_fit_centroids(emb, m=m_cells, n_iter=2)
+            pins[key][fp] = {
+                "cents": [[float(x) for x in row] for row in c],
+                "csq": [float(x) for x in (c * c).sum(axis=1)],
+            }
+        books = pq_fit_codebooks(emb, m=4, ksub=16, n_iter=3)
+        pins["pq4x16"][fp] = {
+            "books": [
+                [[float(x) for x in cent] for cent in book] for book in books
+            ],
+            "bsq": [
+                [float(x) for x in (book * book).sum(axis=1)] for book in books
+            ],
+        }
         m = pca_fit(emb, p=8)
         pins["pca8"][fp] = {
             "mean_u": [int(x) for x in np.floor(m.mean * 1e6 + 0.5)],

@@ -69,20 +69,16 @@ def canon(df) -> list[tuple]:
 # contrastive_triplets, pack_bins, dedup_minhash_lsh, dedup_simhash.
 ROWS_ONLY = (
     "person_influence",
-    "dedup_semantic",
+    "dedup_simhash",  # fast xxhash64 path; md5 twin dedup_simhash_portable is gated
+    "dedup_minhash_lsh",  # fast xxhash64 path; md5 twin ..._portable is gated
     "dedup_audio",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
     "approx_distinct_users",
     "approx_quantiles",
     "compression_stats",
     "actor_pagerank",
     "dedup_incremental_minhash",
-    "ann_pq_topk",
-    "actor_communities",
     "bpe_subwords",
     "sketch_rollup",
-    "actor_cores",
     "text_repair",
     "related_actors",
 )
