@@ -1067,6 +1067,23 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality audit (r9): pair precision/recall/F1 of the
+    md5-portable MinHash+LSH against the exact-Jaccard baseline
+    (same 0.6 threshold, hot-shingle-capped candidates) — the
+    recall-knob report every production dedup publishes.  Both
+    rankers and the metric arithmetic are engine-portable, so the
+    audit itself is value-hash oracle-gated."""
+    docs = _docs(spark, sf_dir, width=0)
+    pred = D.dedup_minhash_lsh(
+        docs, "text", "doc_id", threshold=0.6, hash_fn="md5"
+    )
+    truth = D.dedup_ngram_jaccard(
+        docs, "text", "doc_id", n=3, threshold=0.6, max_shingle_df=100
+    )
+    return D.dedup_pair_eval(pred, truth)
+
+
 def _winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint near-copy pairs (Schleimer 2003 / MOSS,
     r9): salted-md5 k-gram hashes, per-window minima sampled at
@@ -2008,6 +2025,20 @@ def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wave(21, "U", "2023-01-01", F.col("c_acctbal") + 99))
     )
     return apply_cdc(snap, changes, "c_custkey", ["bal", "nk"])
+
+
+def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (r9): reciprocal-rank fusion (Cormack 2009)
+    of the BM25 lexical ranker and the md5 feature-hashed dense
+    cosine ranker — the standard two-tower retrieval shape with zero
+    trained components.  Both towers and the fusion arithmetic are
+    engine-portable (integer ranks, one IEEE add per fused score,
+    decimal-summed cosine), so the WHOLE hybrid is value-hash
+    oracle-gated."""
+    return TS.hybrid_search(
+        _docs(spark, sf_dir, width=0), "doc_id", "text",
+        query_terms=["spark", "hash", "join", "window"],
+    )
 
 
 def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3117,6 +3148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # record r5) fill the 50-slot window ---
         "budget_selection": _budget_selection,
         "winnow_dup_pairs": _winnow_dup_pairs,  # new r9
+        "hybrid_search": _hybrid_search,  # new r9
+        "dedup_eval": _dedup_eval,  # new r9
         "hashed_embeddings": _hashed_embeddings,
         "cluster_embeddings": _cluster_embeddings,
         "cluster_quality": _cluster_quality,
@@ -5097,6 +5130,102 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 20
         """,
+        # r9: full replay of the two-tower RRF hybrid — the bm25
+        # CTE chain (same constants), the md5 feature-hash dense
+        # cosine (sparse products; zero terms add exact decimal 0),
+        # and the 1/(60+rank) fusion (≤2 IEEE adds per doc)
+        "hybrid_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks_text}) AS t,
+                     len({toks_text}) AS dl
+              FROM documents),
+            tf AS (
+              SELECT doc_id, t, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+              FROM toks
+              WHERE t IN ('spark', 'hash', 'join', 'window')
+              GROUP BY doc_id, t),
+            stats AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(len({toks_text})) AS DOUBLE) AS total_toks
+              FROM documents),
+            dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+            bscored AS (
+              SELECT tf.doc_id,
+                ((n - df + 0.5) / (df + 0.5)) * tf
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_toks / n)))
+                  AS contrib
+              FROM tf JOIN dfreq USING (t) CROSS JOIN stats),
+            lexs AS (
+              SELECT doc_id,
+                CAST(SUM(CAST(contrib AS DECIMAL(25,6))) AS DOUBLE)
+                  AS score
+              FROM bscored GROUP BY doc_id
+              ORDER BY score DESC, doc_id ASC LIMIT 20),
+            lex_r AS (
+              SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS INTEGER) AS r_lex
+              FROM lexs),
+            tk AS (
+              SELECT doc_id, unnest({_toks("coalesce(text, '')")}) AS t
+              FROM documents),
+            hb AS (
+              SELECT doc_id,
+                CAST(CAST(('0x' || substring(md5('hash-emb-v1:' || t),
+                  1, 12)) AS BIGINT) % 64 AS INT) AS b,
+                CASE WHEN CAST(('0x' || substring(md5('hash-emb-v1:'
+                  || t), 13, 1)) AS BIGINT) % 2 = 0
+                  THEN -1.0 ELSE 1.0 END AS s
+              FROM tk WHERE t <> ''),
+            c AS (SELECT doc_id, b, SUM(s) AS c FROM hb GROUP BY 1, 2),
+            nrm AS (
+              SELECT doc_id, sqrt(SUM(c * c)) AS n FROM c GROUP BY 1),
+            dv AS (
+              SELECT doc_id, b, c.c / nrm.n AS v
+              FROM c JOIN nrm USING (doc_id) WHERE nrm.n > 0),
+            qt AS (
+              SELECT unnest({_toks("'spark hash join window'")}) AS t),
+            qhb AS (
+              SELECT
+                CAST(CAST(('0x' || substring(md5('hash-emb-v1:' || t),
+                  1, 12)) AS BIGINT) % 64 AS INT) AS b,
+                CASE WHEN CAST(('0x' || substring(md5('hash-emb-v1:'
+                  || t), 13, 1)) AS BIGINT) % 2 = 0
+                  THEN -1.0 ELSE 1.0 END AS s
+              FROM qt WHERE t <> ''),
+            qc AS (SELECT b, SUM(s) AS c FROM qhb GROUP BY 1),
+            qn AS (SELECT sqrt(SUM(c * c)) AS n FROM qc),
+            qv AS (SELECT b, qc.c / qn.n AS v FROM qc CROSS JOIN qn
+                   WHERE qn.n > 0),
+            cosd AS (
+              SELECT dv.doc_id,
+                CAST(SUM(CAST(dv.v * qv.v AS DECIMAL(38,18)))
+                  AS DOUBLE) AS cos
+              FROM dv JOIN qv ON qv.b = dv.b GROUP BY 1),
+            cos_all AS (
+              SELECT d.doc_id, COALESCE(cosd.cos, 0.0) AS cos
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN cosd USING (doc_id)),
+            dtop AS (
+              SELECT doc_id, cos FROM cos_all
+              ORDER BY cos DESC, doc_id ASC LIMIT 20),
+            dense_r AS (
+              SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS r_dense
+              FROM dtop),
+            fused AS (
+              SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                l.r_lex, d.r_dense,
+                round(COALESCE(1.0 / (60 + l.r_lex), 0.0)
+                  + COALESCE(1.0 / (60 + d.r_dense), 0.0), 6) AS rrf
+              FROM lex_r l FULL OUTER JOIN dense_r d
+                ON l.doc_id = d.doc_id
+              ORDER BY rrf DESC, COALESCE(l.doc_id, d.doc_id) ASC
+              LIMIT 10)
+            SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
+              rrf, r_lex, r_dense
+            FROM fused
+        """,
         "corpus_diff": f"""
             WITH old AS (
               SELECT doc_id, md5({_NORM.format(c='text')}) AS old_hash
@@ -5275,6 +5404,76 @@ def oracle_sql() -> dict[str, str]:
               FROM inter i JOIN cnt ca ON ca.id = i.id_a
               JOIN cnt cb ON cb.id = i.id_b)
             SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
+        """,
+        # r9: the dedup audit replayed end-to-end — portable-minhash
+        # pairs (m-prefixed CTEs) vs the exact-Jaccard truth (shared
+        # ngram CTE chain), then the precision/recall/F1 row
+        "dedup_eval": f"""
+            WITH {ngram_ctes},
+            mb AS (
+              SELECT doc_id AS id, {_toks("coalesce(text, '')")} AS toks,
+                len({_toks("coalesce(text, '')")}) AS n
+              FROM documents),
+            msh AS (
+              SELECT id,
+                CAST(('0x' || substring(md5('mhlsh-v1:'
+                  || array_to_string(toks[i:i+2], ' ')), 1, 12))
+                  AS BIGINT) AS h0
+              FROM mb, unnest(range(1, n - 1)) AS u(i)
+              WHERE n >= 3),
+            mp AS (SELECT * FROM (VALUES {_srcsim_perms(32, 'mhlsh-v1')})
+                  AS t(slot, a, bb)),
+            msig AS (
+              SELECT id, mp.slot,
+                MIN((msh.h0 * mp.a + mp.bb) % 281474976710656) AS mh
+              FROM msh CROSS JOIN mp GROUP BY 1, 2),
+            mbands AS (
+              SELECT id, slot // 4 AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY slot))
+                  AS bucket
+              FROM msig GROUP BY 1, 2),
+            mcand AS (
+              SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+              FROM mbands a JOIN mbands b2
+                ON a.band = b2.band AND a.bucket = b2.bucket
+                AND a.id < b2.id),
+            mcnt AS (
+              SELECT id, COUNT(DISTINCT h0) AS n_sh FROM msh GROUP BY 1),
+            minter AS (
+              SELECT c.id_a, c.id_b, COUNT(DISTINCT x.h0) AS n_inter
+              FROM mcand c JOIN msh x ON x.id = c.id_a
+              JOIN msh y ON y.id = c.id_b AND y.h0 = x.h0
+              GROUP BY 1, 2),
+            predp AS (
+              SELECT i.id_a, i.id_b
+              FROM minter i JOIN mcnt ca ON ca.id = i.id_a
+              JOIN mcnt cb ON cb.id = i.id_b
+              WHERE round(i.n_inter * 1.0
+                / (ca.n_sh + cb.n_sh - i.n_inter), 6) >= 0.6),
+            truthp AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i
+              JOIN sz sa ON i.id_a = sa.doc_id
+              JOIN sz sb ON i.id_b = sb.doc_id
+              WHERE {_jacc} >= 0.6),
+            m AS (
+              SELECT
+                (SELECT COUNT(*) FROM predp) AS n_pred,
+                (SELECT COUNT(*) FROM truthp) AS n_true,
+                (SELECT COUNT(*) FROM predp JOIN truthp
+                  USING (id_a, id_b)) AS n_hit),
+            r AS (
+              SELECT n_pred, n_true, n_hit,
+                CASE WHEN n_pred > 0 THEN n_hit * 1.0 / n_pred
+                  ELSE 0.0 END AS p,
+                CASE WHEN n_true > 0 THEN n_hit * 1.0 / n_true
+                  ELSE 0.0 END AS rr
+              FROM m)
+            SELECT n_pred, n_true, n_hit,
+              round(p, 6) AS precision, round(rr, 6) AS recall,
+              round(CASE WHEN p + rr > 0 THEN 2 * p * rr / (p + rr)
+                ELSE 0.0 END, 6) AS f1
+            FROM r
         """,
         # full replay of winnowing (operators/dedup.py
         # winnow_dup_pairs): salted 48-bit k-gram hashes, per-window

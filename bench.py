@@ -121,6 +121,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "winnow_dup_pairs",
+    "hybrid_search",
+    "dedup_eval",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_portable",
     "dedup_simhash",

@@ -664,6 +664,46 @@ def _dedup_minhash_lsh_md5(
     return verified
 
 
+def dedup_pair_eval(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Pair-level evaluation of an approximate dedup against an exact
+    baseline — the number every production dedup run reports before
+    anyone trusts a recall knob: ONE row (n_pred, n_true, n_hit,
+    precision, recall, f1).  Both inputs are (id_a, id_b[, ...]) pair
+    frames; extra columns are ignored and pairs are deduped.
+
+    Plan: two distincts, ONE full-outer pair join carrying presence
+    flags, ONE 1-row aggregate — each input pipeline is evaluated
+    exactly once (three separate count jobs would re-run the heavy
+    upstream dedups once per count)."""
+    p = pred.select("id_a", "id_b").distinct().withColumn("_p", F.lit(1))
+    t = truth.select("id_a", "id_b").distinct().withColumn("_t", F.lit(1))
+    j = p.join(t, ["id_a", "id_b"], "full_outer")
+    counts = j.agg(
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("n_pred"),
+        F.coalesce(F.sum("_t"), F.lit(0)).alias("n_true"),
+        F.coalesce(F.sum(F.col("_p") * F.col("_t")), F.lit(0)).alias("n_hit"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("n_hit") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_true") > 0, F.col("n_hit") / F.col("n_true")
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.withColumn("precision", F.round(prec, 6))
+        .withColumn("recall", F.round(rec, 6))
+        .withColumn(
+            "f1",
+            F.round(
+                F.when(
+                    prec + rec > 0, 2 * prec * rec / (prec + rec)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,

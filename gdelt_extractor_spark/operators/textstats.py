@@ -1046,6 +1046,102 @@ def bm25_search(
     )
 
 
+def hybrid_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    top_k: int = 20,
+    rrf_k: int = 60,
+    final_k: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher, SIGIR 2009: "Reciprocal rank fusion outperforms Condorcet
+    and individual rank learning methods"): fuse the LEXICAL ranker
+    (``bm25_search``) with the DENSE ranker (cosine between the
+    query's and each document's md5 feature-hashed embedding) as
+    score(d) = Σ_r 1/(rrf_k + rank_r(d)) over the rankers that
+    retrieved d in their top-``top_k``.  The standard two-tower
+    fusion shape with zero trained components — both towers are
+    already engine-portable, so the WHOLE hybrid is value-hash
+    oracle-gated.
+
+    Determinism/portability: ranks are integers; 1/(rrf_k + r) is the
+    same IEEE double in any engine; each fused score is a sum of at
+    most two such terms (one add — order-free).  The dense cosine
+    decimal-sums its per-bucket products (both embeddings unit-L2
+    from ``hashed_embedding``), so bucket order can't flip ranks.
+
+    Plan shape at scale: BM25 = one corpus scan + tiny broadcast
+    joins + TakeOrdered; dense = one corpus scan (bucket aggregates)
+    + a broadcast join with the 64-row query vector + TakeOrdered;
+    fusion = a full-outer join of two ≤top_k-row frames.  No global
+    window ever sees a corpus-sized frame — both rankers cut to
+    top_k with distributed TakeOrdered BEFORE row_number runs on the
+    bounded result."""
+    lex = bm25_search(df, id_col, text_col, query_terms, top_k=top_k)
+    from pyspark.sql import Window
+
+    w_lex = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    lex_r = lex.select(
+        F.col(id_col).alias("_id"),
+        F.row_number().over(w_lex).alias("r_lex"),
+    )
+
+    emb = hashed_embedding(
+        df, id_col, text_col, hash_fn="md5", layout="long"
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(0, " ".join(query_terms))], "qid long, qtext string"
+    )
+    qemb = hashed_embedding(
+        qdf, "qid", "qtext", hash_fn="md5", layout="long"
+    ).select("bucket", F.col("value").alias("_qv"))
+    dense = (
+        emb.join(F.broadcast(qemb), "bucket")
+        .groupBy(F.col(emb.columns[0]).alias("_id"))
+        .agg(
+            F.sum(
+                (F.col("value") * F.col("_qv")).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("_cos")
+        )
+    )
+    dense_top = dense.orderBy(
+        F.col("_cos").desc(), F.col("_id").asc()
+    ).limit(top_k)
+    w_d = Window.orderBy(F.col("_cos").desc(), F.col("_id").asc())
+    dense_r = dense_top.select(
+        "_id", F.row_number().over(w_d).alias("r_dense")
+    )
+
+    fused = (
+        lex_r.join(dense_r, "_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("r_dense")), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("_id").asc())
+        .limit(final_k)
+    )
+    w_f = Window.orderBy(F.col("rrf").desc(), F.col("_id").asc())
+    return fused.select(
+        F.col("_id").alias(id_col),
+        F.row_number().over(w_f).cast("long").alias("rank"),
+        "rrf",
+        "r_lex",
+        "r_dense",
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     text_col: str,

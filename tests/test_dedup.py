@@ -145,6 +145,73 @@ def test_dedup_simhash_rejects_unknown_hash_fn(docs):
         D.dedup_simhash(docs, "text", "doc_id", hash_fn="sha1")
 
 
+def test_dedup_pair_eval_counts(spark):
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8), (9, 10)], "id_a long, id_b long"
+    )
+    r = D.dedup_pair_eval(pred, truth).collect()[0]
+    assert (r.n_pred, r.n_true, r.n_hit) == (3, 4, 2)
+    assert r.precision == round(2 / 3, 6)
+    assert r.recall == 0.5
+    p, q = 2 / 3, 0.5
+    assert r.f1 == round(2 * p * q / (p + q), 6)
+
+
+def test_dedup_pair_eval_empty_pred(spark):
+    pred = spark.createDataFrame([], "id_a long, id_b long")
+    truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = D.dedup_pair_eval(pred, truth).collect()[0]
+    assert (r.n_pred, r.n_true, r.n_hit) == (0, 1, 0)
+    assert r.precision == 0.0 and r.recall == 0.0 and r.f1 == 0.0
+
+
+def test_winnow_guarantee_and_density(spark):
+    # two docs sharing a long run (>= w+k-1 = 8 tokens) MUST share a
+    # fingerprint; a doc with no shared run must not pair
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} tail x y z"),
+            (2, f"other prefix {shared} different ending w"),
+            (3, "totally unrelated words nothing matching here at all ok"),
+            (4, "shorty"),  # < k+w-1 tokens → no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in D.winnow_dup_pairs(
+            df, "text", "doc_id", min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all({a, b} == {1, 2} for a, b in pairs)
+    fps = D.winnow_fingerprints(df, "text", "doc_id").collect()
+    ids = {r.id for r in fps}
+    assert 4 not in ids  # too short for a full hash window
+    # sampling: selected fingerprints are a strict subset of all
+    # k-gram hashes (density ~2/(w+1))
+    n1 = len([r for r in fps if r.id == 1])
+    n_grams = len(f"intro one two {shared} tail x y z".split()) - 5 + 1
+    assert 0 < n1 < n_grams
+
+
+def test_winnow_deterministic_and_partition_independent(docs):
+    a = sorted(
+        (r.id, r.fp) for r in D.winnow_fingerprints(docs, "text", "doc_id").collect()
+    )
+    b = sorted(
+        (r.id, r.fp)
+        for r in D.winnow_fingerprints(
+            docs.repartition(5), "text", "doc_id"
+        ).collect()
+    )
+    assert a == b
+
+
 def test_simhash_properties(docs, spark):
     fp = {r.id: r.simhash for r in D.simhash(docs, "text", "doc_id").collect()}
     assert fp[0] == fp[1]       # normalization-identical docs

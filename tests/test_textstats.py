@@ -405,6 +405,57 @@ class TestBm25Search:
         assert len(a) == 7 and a == b
 
 
+class TestHybridSearch:
+    def test_rrf_fusion_math_and_rank(self, spark):
+        from gdelt_extractor_spark.operators.textstats import hybrid_search
+
+        df = spark.createDataFrame(
+            [
+                (1, "spark join spark join window hash"),  # strong lexical
+                (2, "spark filter window code path"),
+                (3, "nothing relevant at all here"),
+                (4, "hash window join spark hash window join"),
+            ],
+            "doc_id long, text string",
+        )
+        out = hybrid_search(
+            df, "doc_id", "text", ["spark", "hash", "join", "window"],
+            top_k=4, final_k=4,
+        ).collect()
+        rows = {r.doc_id: r for r in out}
+        # rrf must equal the reciprocal-rank arithmetic exactly
+        for r in out:
+            want = 0.0
+            if r.r_lex is not None:
+                want += 1.0 / (60 + r.r_lex)
+            if r.r_dense is not None:
+                want += 1.0 / (60 + r.r_dense)
+            assert r.rrf == round(want, 6)
+        # ranks are 1..n in rrf order
+        ordered = sorted(out, key=lambda r: r.rank)
+        assert [r.rank for r in ordered] == list(range(1, len(out) + 1))
+        assert all(
+            ordered[i].rrf >= ordered[i + 1].rrf
+            for i in range(len(ordered) - 1)
+        )
+        # a doc hit by both rankers outranks a lexical-zero doc
+        assert rows[4].rank < rows[3].rank if 3 in rows else True
+
+    def test_partition_independent(self, spark):
+        from gdelt_extractor_spark.operators.textstats import hybrid_search
+
+        df = spark.createDataFrame(
+            [(i, f"spark hash join window pad{i % 7} " * (1 + i % 3))
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = hybrid_search(df, "doc_id", "text", ["spark", "hash"]).collect()
+        b = hybrid_search(
+            df.repartition(6), "doc_id", "text", ["spark", "hash"]
+        ).collect()
+        assert a == b
+
+
 def test_length_buckets_boundaries_and_overflow(spark):
     from gdelt_extractor_spark.operators.packing import length_buckets
 
