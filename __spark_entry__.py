@@ -1740,6 +1740,22 @@ def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein 1998, r9): greedy
+    λ·rel − (1−λ)·max-sim re-ranking of the brute-force top-20
+    candidates, k=8 picks per query.  Every comparison runs on
+    6-rounded cosines both engines share, ties break to the lowest
+    nbr_id, so the DuckDB oracle replays the greedy with a recursive
+    list-state CTE (selected positions + objective values ride as
+    lists) to the identical ranking."""
+    emb = _emb(spark, sf_dir, width=0)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = S.ann_bruteforce(emb, q, k=20)
+    return S.mmr_rerank(cand, emb, k=8)
+
+
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir, width=8)
     q = emb.filter(F.col("vec_id") < 8).select(
@@ -3150,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": _winnow_dup_pairs,  # new r9
         "hybrid_search": _hybrid_search,  # new r9
         "dedup_eval": _dedup_eval,  # new r9
+        "mmr_rerank": _mmr_rerank,  # new r9
         "hashed_embeddings": _hashed_embeddings,
         "cluster_embeddings": _cluster_embeddings,
         "cluster_quality": _cluster_quality,
@@ -6834,6 +6851,85 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY url_norm ORDER BY doc_id ASC) AS rn
               FROM k)
             SELECT doc_id, host, url_norm, lang, source FROM d WHERE rn = 1
+        """,
+        # r9: greedy MMR replayed with a recursive list-state CTE —
+        # per-query candidate ids / 6-rounded relevances / pairwise
+        # 6-rounded cosine matrix ride as lists; each round scores
+        # unselected positions (NULL-masked), picks list_max with
+        # lowest-position (== lowest-id) tie-break
+        "mmr_rerank": """
+            WITH RECURSIVE nn AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            n2 AS (SELECT vec_id, vv,
+                sqrt(list_dot_product(vv, vv)) AS nrm FROM nn),
+            scored AS (
+              SELECT q.vec_id AS query_id, v.vec_id AS nbr_id,
+                list_dot_product(q.vv, v.vv) / (q.nrm * v.nrm) AS cos
+              FROM n2 q JOIN n2 v ON v.vec_id <> q.vec_id
+              WHERE q.vec_id < 8),
+            cands AS (
+              SELECT query_id, nbr_id, cos FROM (
+                SELECT query_id, nbr_id, cos, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC)
+                  AS rank
+                FROM scored) t
+              WHERE rank <= 20),
+            cl AS (
+              SELECT query_id, list(nbr_id ORDER BY nbr_id) AS ids,
+                list(round(cos, 6) ORDER BY nbr_id) AS rels
+              FROM cands GROUP BY 1),
+            ps AS (
+              SELECT c1.query_id, c1.nbr_id AS a, c2.nbr_id AS b,
+                round(list_dot_product(va.vv, vb.vv)
+                  / (va.nrm * vb.nrm), 6) AS s
+              FROM cands c1 JOIN cands c2
+                ON c1.query_id = c2.query_id
+              JOIN n2 va ON va.vec_id = c1.nbr_id
+              JOIN n2 vb ON vb.vec_id = c2.nbr_id),
+            pm AS (
+              SELECT query_id, a, list(s ORDER BY b) AS srow
+              FROM ps GROUP BY 1, 2),
+            mat AS (
+              SELECT query_id, list(srow ORDER BY a) AS sim
+              FROM pm GROUP BY 1),
+            st(query_id, it, sel, scs) AS (
+              SELECT query_id, 0, []::BIGINT[], []::DOUBLE[] FROM cl
+              UNION ALL
+              SELECT query_id, it + 1,
+                list_append(sel, list_min(list_filter(
+                  range(1, len(scores) + 1), i -> scores[i] = mx))),
+                list_append(scs, mx)
+              FROM (
+                SELECT query_id, it, sel, scs, scores,
+                  list_max(scores) AS mx
+                FROM (
+                  SELECT s.query_id, s.it, s.sel, s.scs,
+                    list_transform(range(1, len(c.ids) + 1), i ->
+                      CASE WHEN list_contains(s.sel, i) THEN NULL
+                        ELSE 0.5 * c.rels[i]
+                          - 0.5 * (CASE WHEN len(s.sel) = 0 THEN 0.0
+                            ELSE list_max(list_transform(s.sel,
+                              j -> m.sim[i][j])) END)
+                      END) AS scores
+                  FROM st s JOIN cl c USING (query_id)
+                  JOIN mat m USING (query_id)
+                  WHERE s.it < 8 AND len(s.sel) < len(c.ids)) t1) t2),
+            fin AS (
+              SELECT query_id, sel, scs FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY it DESC) AS rn
+                FROM st) t
+              WHERE rn = 1),
+            ex AS (
+              SELECT query_id, r, sel[r] AS pos, scs[r] AS sc
+              FROM fin, unnest(range(1, len(sel) + 1)) AS u(r))
+            SELECT e.query_id, c.ids[e.pos] AS nbr_id,
+              CAST(e.r AS INTEGER) AS mmr_rank,
+              c.rels[e.pos] AS relevance,
+              round(e.sc, 6) AS mmr_score
+            FROM ex e JOIN cl c USING (query_id)
         """,
         "ann_topk": """
             WITH v AS (

@@ -123,6 +123,7 @@ HEADLINE = [
     "winnow_dup_pairs",
     "hybrid_search",
     "dedup_eval",
+    "mmr_rerank",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_portable",
     "dedup_simhash",

@@ -68,6 +68,81 @@ def ann_bruteforce(
     )
 
 
+def mmr_rerank(
+    results: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998): greedily re-rank a first-stage candidate
+    list so each pick maximizes ``lam·relevance − (1−lam)·max
+    similarity to the already-picked set`` — the standard
+    redundancy-removal pass between retrieval and the context window.
+
+    ``results`` is any bounded per-query candidate frame
+    (query_id, nbr_id, cosine) — e.g. ``ann_bruteforce`` /
+    ``ann_ivf`` output; relevance = its ``cosine``.  Returns
+    (query_id, nbr_id, mmr_rank, relevance, mmr_score) with
+    ``mmr_score`` the objective value at selection time (first pick:
+    max-sim term is 0 → pure relevance).
+
+    Determinism & portability: candidate-candidate cosines are
+    rounded HALF_UP to 6 decimals (the repo GEMM rule) and relevance
+    arrives already 6-rounded, so every comparison runs on doubles
+    both engines share bit-for-bit; ties break to the LOWEST nbr_id.
+    The greedy is sequential per query but queries are independent —
+    ONE ``applyInPandas`` over the query key, numpy GEMM for the
+    pairwise sims of the ≤N candidates, O(N·k) selection.  At scale
+    the first-stage retriever bounds N, so this is per-query-constant
+    work after one join to fetch candidate embeddings."""
+    cand = results.select(
+        "query_id", "nbr_id", F.col("cosine").alias("_rel")
+    ).join(
+        vectors.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("_v")),
+        "nbr_id",
+    )
+
+    def _select(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("nbr_id").reset_index(drop=True)
+        X = np.vstack(pdf["_v"].to_numpy())
+        nrm = np.sqrt((X * X).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        sims = (X @ X.T) / np.outer(nrm, nrm)
+        # HALF_UP 6-decimal round — F.round / DuckDB round semantics
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+        rel = pdf["_rel"].to_numpy()
+        n = len(pdf)
+        sel: list[int] = []
+        scores: list[float] = []
+        while len(sel) < min(k, n):
+            best, best_s = -1, None
+            for i in range(n):  # ascending nbr_id → strict > keeps low id
+                if i in sel:
+                    continue
+                ms = max(sims[i][j] for j in sel) if sel else 0.0
+                s = lam * rel[i] - (1.0 - lam) * ms
+                if best_s is None or s > best_s:
+                    best, best_s = i, s
+            sel.append(best)
+            scores.append(best_s)
+        out = pdf.iloc[sel][["query_id", "nbr_id"]].copy()
+        out["mmr_rank"] = np.arange(1, len(sel) + 1, dtype=np.int32)
+        out["relevance"] = rel[sel]
+        out["mmr_score"] = np.round(
+            np.sign(scores) * np.floor(np.abs(scores) * 1e6 + 0.5) / 1e6, 6
+        )
+        return out
+
+    return cand.groupBy("query_id").applyInPandas(
+        _select,
+        "query_id long, nbr_id long, mmr_rank int, relevance double, "
+        "mmr_score double",
+    )
+
+
 def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     """Pandas UDF: array<double|float> vector → int bucket (sign bits
     of projections onto seeded random hyperplanes).

@@ -433,3 +433,65 @@ class TestSourceSimilarity:
         a = {tuple(r) for r in source_similarity(docs.repartition(1)).collect()}
         b = {tuple(r) for r in source_similarity(docs.repartition(13)).collect()}
         assert a == b and a
+
+
+class TestMMRRerank:
+    def _frame(self, spark):
+        # query 0 at e0; candidates: two near-identical high-relevance
+        # docs (1, 2) and one orthogonal-ish diverse doc (3)
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.9, 0.11, 0.0, 0.0]),
+            (3, [0.5, 0.0, 0.85, 0.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_diversifies_redundant_candidates(self, spark):
+        from gdelt_extractor_spark.operators import similarity as S
+        from pyspark.sql import functions as F
+
+        emb = self._frame(spark)
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cand = S.ann_bruteforce(emb, q, k=3)
+        out = sorted(
+            S.mmr_rerank(cand, emb, k=3).collect(),
+            key=lambda r: r.mmr_rank,
+        )
+        # pick 1: highest relevance (doc 1, marginally above doc 2)
+        assert out[0].nbr_id == 1
+        # pick 2: the DIVERSE doc 3 must beat the near-duplicate doc 2
+        # even though doc 2 has higher raw relevance
+        assert out[1].nbr_id == 3
+        assert out[2].nbr_id == 2
+        # first pick's objective is pure relevance / 2 (lam = 0.5)
+        assert abs(out[0].mmr_score - 0.5 * out[0].relevance) < 1e-9
+
+    def test_deterministic_and_partition_independent(self, spark):
+        from gdelt_extractor_spark.operators import similarity as S
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cand = S.ann_bruteforce(emb, q, k=15)
+        a = sorted(
+            map(tuple, S.mmr_rerank(cand, emb, k=6).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                S.mmr_rerank(cand, emb.repartition(7), k=6).collect(),
+            )
+        )
+        assert a == b
+        # k picks per query
+        import collections
+
+        per_q = collections.Counter(r[0] for r in a)
+        assert all(v == 6 for v in per_q.values())
