@@ -1740,6 +1740,20 @@ def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (r9): top-5 feedback
+    neighbors per query, q' = q + 0.75·centroid, corpus re-ranked
+    against the expanded query — the zero-model recall lever closing
+    the retrieval family.  Decimal-summed feedback means and
+    index-order cosine folds make both passes engine-identical, so
+    the whole loop is value-hash oracle-gated."""
+    emb = _emb(spark, sf_dir, width=0)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.prf_expand_search(emb, q, k=10, k_fb=5)
+
+
 def _mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification (Carbonell & Goldstein 1998, r9): greedy
     λ·rel − (1−λ)·max-sim re-ranking of the brute-force top-20
@@ -3167,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _hybrid_search,  # new r9
         "dedup_eval": _dedup_eval,  # new r9
         "mmr_rerank": _mmr_rerank,  # new r9
+        "prf_search": _prf_search,  # new r9
         "hashed_embeddings": _hashed_embeddings,
         "cluster_embeddings": _cluster_embeddings,
         "cluster_quality": _cluster_quality,
@@ -6851,6 +6866,60 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY url_norm ORDER BY doc_id ASC) AS rn
               FROM k)
             SELECT doc_id, host, url_norm, lang, source FROM d WHERE rn = 1
+        """,
+        # r9: Rocchio PRF replayed in full — feedback top-5 (ann
+        # chain), per-dim decimal-summed centroid, q' = q + 0.75·m,
+        # second-pass cosine rerank (index-order dot folds both
+        # engines share)
+        "prf_search": """
+            WITH nn AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+            n2 AS (SELECT vec_id, vv,
+                sqrt(list_dot_product(vv, vv)) AS nrm FROM nn),
+            fb AS (
+              SELECT query_id, nbr_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS nbr_id,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_dot_product(q.vv, v.vv) / (q.nrm * v.nrm)
+                      DESC, v.vec_id ASC) AS rank
+                FROM n2 q JOIN n2 v ON v.vec_id <> q.vec_id
+                WHERE q.vec_id < 8) t
+              WHERE rank <= 5),
+            fbm AS (
+              SELECT fb.query_id, u.i - 1 AS dim,
+                CAST(SUM(CAST(nn.vv[u.i] AS DECIMAL(38,18)))
+                  AS DOUBLE) / COUNT(*) AS m
+              FROM fb JOIN nn ON nn.vec_id = fb.nbr_id,
+                unnest(range(1, len(nn.vv) + 1)) AS u(i)
+              GROUP BY 1, 2),
+            qx AS (
+              SELECT vec_id AS query_id, u.i - 1 AS dim, vv[u.i] AS qx
+              FROM nn, unnest(range(1, len(vv) + 1)) AS u(i)
+              WHERE vec_id < 8),
+            q2 AS (
+              SELECT qx.query_id,
+                list(1.0 * qx.qx + 0.75 * COALESCE(fbm.m, 0.0)
+                  ORDER BY qx.dim) AS qv
+              FROM qx LEFT JOIN fbm
+                ON fbm.query_id = qx.query_id AND fbm.dim = qx.dim
+              GROUP BY 1),
+            q2n AS (
+              SELECT query_id, qv,
+                sqrt(list_dot_product(qv, qv)) AS qnrm FROM q2),
+            scored AS (
+              SELECT q.query_id, v.vec_id AS nbr_id,
+                list_dot_product(q.qv, v.vv) / (q.qnrm * v.nrm) AS cos
+              FROM q2n q JOIN n2 v ON v.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, nbr_id, cos, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC)
+                AS rank
+              FROM scored)
+            SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank,
+              round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 10
         """,
         # r9: greedy MMR replayed with a recursive list-state CTE —
         # per-query candidate ids / 6-rounded relevances / pairwise

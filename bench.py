@@ -124,6 +124,7 @@ HEADLINE = [
     "hybrid_search",
     "dedup_eval",
     "mmr_rerank",
+    "prf_search",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_portable",
     "dedup_simhash",

@@ -68,6 +68,96 @@ def ann_bruteforce(
     )
 
 
+def prf_expand_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_fb: int = 5,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Pseudo-relevance feedback by Rocchio query expansion (Rocchio
+    1971, the classic PRF loop): retrieve each query's top ``k_fb``
+    neighbors, move the query toward their centroid — q' = α·q +
+    β·mean(feedback vectors) — and re-rank the corpus against the
+    expanded query.  The zero-model recall lever that closes the
+    retrieval family (bm25 → ann → hybrid fusion → PRF → MMR →
+    retrieval_eval).
+
+    Determinism & portability: the per-dimension feedback mean
+    decimal-sums its components (order-free), every scalar step
+    (α·x + β·m, cosine fold in index order, 6-decimal round, id
+    tie-break) is the identical IEEE computation in Spark and
+    DuckDB, so the WHOLE two-pass loop is value-hash oracle-gated.
+
+    Plan shape at scale: pass 1 is ``ann_bruteforce`` (broadcast
+    query side); the expansion frame is (|Q|·d) rows aggregated to
+    |Q| expanded vectors — driver-free, assembled with a sorted
+    struct collect; pass 2 is one corpus scan with the |Q|-row
+    expanded-query frame broadcast.  Two scans total, no UDF."""
+    fb = ann_bruteforce(
+        vectors, queries, k=k_fb, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    fbx = (
+        fb.join(
+            vectors.select(
+                F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("_v")
+            ),
+            "nbr_id",
+        )
+        .select("query_id", F.posexplode("_v").alias("dim", "x"))
+        .groupBy("query_id", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    qx = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("_q")
+    ).select("query_id", F.posexplode("_q").alias("dim", "qx"))
+    q2 = (
+        qx.join(fbx, ["query_id", "dim"], "left")
+        .select(
+            "query_id",
+            "dim",
+            (
+                F.lit(alpha) * F.col("qx")
+                + F.lit(beta) * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("val"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("val")))
+                ),
+                lambda s: s["val"],
+            ).alias("qv")
+        )
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v")
+    )
+    scored = (
+        v.join(F.broadcast(q2), F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def mmr_rerank(
     results: DataFrame,
     vectors: DataFrame,

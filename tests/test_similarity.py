@@ -495,3 +495,61 @@ class TestMMRRerank:
 
         per_q = collections.Counter(r[0] for r in a)
         assert all(v == 6 for v in per_q.values())
+
+
+class TestPRFExpandSearch:
+    def test_expansion_pulls_in_cluster_neighbors(self, spark):
+        from gdelt_extractor_spark.operators import similarity as S
+        from pyspark.sql import functions as F
+
+        # query 0 sits between a tight cluster (1, 2, 3 around e0+e1)
+        # and a decoy (4, closest to the RAW query along e0); after
+        # feedback expansion the cluster member 5 (pure e1, invisible
+        # to the raw query) must enter the top ranks
+        rows = [
+            (0, [1.0, 0.4, 0.0, 0.0]),
+            (1, [0.8, 0.9, 0.0, 0.0]),
+            (2, [0.7, 1.0, 0.0, 0.0]),
+            (3, [0.9, 0.8, 0.0, 0.0]),
+            (4, [1.0, 0.0, 0.2, 0.0]),
+            (5, [0.1, 1.0, 0.0, 0.0]),
+            (6, [0.0, 0.0, 1.0, 0.3]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        base = {
+            r.nbr_id: r.rank
+            for r in S.ann_bruteforce(emb, q, k=6).collect()
+        }
+        prf = {
+            r.nbr_id: r.rank
+            for r in S.prf_expand_search(emb, q, k=6, k_fb=3).collect()
+        }
+        # the raw-query decoy (4, no e1 mass) must DROP after the
+        # e1-heavy feedback centroid pulls the query toward the
+        # cluster, and a cluster member must overtake it
+        assert prf[4] > base[4]
+        assert prf[1] < base[1]
+        # the orthogonal doc stays last
+        assert prf[6] == max(prf.values())
+
+    def test_deterministic_and_k_rows(self, spark):
+        from gdelt_extractor_spark.operators import similarity as S
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = sorted(map(tuple, S.prf_expand_search(emb, q, k=7).collect()))
+        b = sorted(
+            map(
+                tuple,
+                S.prf_expand_search(emb.repartition(9), q, k=7).collect(),
+            )
+        )
+        assert a == b and len(a) == 4 * 7
