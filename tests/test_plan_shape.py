@@ -954,3 +954,44 @@ def test_join_size_never_joins_the_data(spark, sf_dir):
     assert any(
         ("l_orderkey" in rs and "l_quantity" not in rs) for rs in read_schemas(plan)
     )
+
+
+def test_winnow_no_cartesian_pruned_scan(spark, sf_dir):
+    """Winnowing: the pair join must stay an equi-join on the
+    fingerprint (never a cartesian), and the scan must prune to the
+    two columns the operator touches."""
+    plan = plan_of(spark, "winnow_dup_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert all(
+        "text" in rs and "lang" not in rs and "source" not in rs
+        for rs in read_schemas(plan)
+    )
+
+
+def test_hybrid_search_broadcasts_query_side(spark, sf_dir):
+    """RRF hybrid: every join against the corpus-sized frames must
+    broadcast the tiny side (query vector / term stats / top-k rank
+    frames) — a shuffled corpus-vs-corpus join here would mean a
+    ranker lost its bound."""
+    plan = plan_of(spark, "hybrid_search", sf_dir)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_single_grouped_arrow_pass(spark, sf_dir):
+    """MMR: exactly ONE grouped Arrow stage (the per-query greedy) —
+    the pairwise sims must come from inside that stage, never from a
+    candidate-candidate join."""
+    plan = plan_of(spark, "mmr_rerank", sf_dir)
+    # tree lines read "FlatMapGroupsInPandas (N" — exactly one node
+    # (the details section repeats it as "(N) FlatMapGroupsInPandas")
+    assert plan.count("FlatMapGroupsInPandas (") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_prf_two_scans_broadcast_expanded_query(spark, sf_dir):
+    """Rocchio PRF: the expanded-query frame is |Q| rows and must
+    broadcast into the second-pass rerank."""
+    plan = plan_of(spark, "prf_search", sf_dir)
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python
