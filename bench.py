@@ -219,6 +219,7 @@ HEADLINE = [
     "source_quality_filter",
     "cluster_prune",
     "dedup_incremental_minhash",
+    "dedup_audio",
     "fuzzy_join",
     "props_json_extract",
     "stratified_sample",
@@ -434,7 +435,14 @@ def main() -> None:
     # wall), stop early and report medians over the passes that ran —
     # a 2-of-3 median beats a missing BENCH file.  reps_run records
     # how many passes actually completed.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    # default scales with suite size: at 231 queries a flat 1500s cut
+    # the r9 full run to 3 reps, and 3-rep medians let single-pass GC
+    # stalls through (embedding_align spiked 2.5s → 52s in exactly one
+    # pass); ~8s/query keeps all 5 passes at any plausible suite size
+    budget_s = float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "")
+        or max(1500, 8 * len(headline))
+    )
     t_meas0 = time.perf_counter()
     reps: dict[str, list[float]] = {n: [] for n in headline}
     reps_run = 0

@@ -191,7 +191,10 @@ def mmr_rerank(
     cand = results.select(
         "query_id", "nbr_id", F.col("cosine").alias("_rel")
     ).join(
-        vectors.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("_v")),
+        vectors.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("_v"))
+        # a NULL vector can't contribute to the sims matrix (and would
+        # break the numpy stack) — same drop rule as pca_project
+        .filter(F.col("_v").isNotNull()),
         "nbr_id",
     )
 
