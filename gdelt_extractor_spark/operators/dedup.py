@@ -730,39 +730,42 @@ def winnow_fingerprints(
     DuckDB oracle replays everything.  Docs shorter than k+w-1 tokens
     yield no fingerprint (no full hash window exists).
 
-    Plan shape: tokenize + k-gram + md5 in one codegen projection →
-    explode → ONE per-doc window (MIN over w preceding rows) → one
-    distinct.  All shuffles key on (id) or (id, fp) — uniform,
-    bounded, corpus-scan dominated."""
+    Plan shape: tokenize → explode the window POSITIONS, then k-gram
+    + md5 as a plain post-explode projection inside whole-stage
+    codegen (the ``shingle_hash_rows`` discipline — higher-order
+    ``transform`` lambdas run on the interpreted expression walker,
+    measured 7× on the identical shingle-hash shape; r9 verdict item
+    3) → ONE per-doc window (MIN over w preceding rows) → one
+    distinct.  Fingerprint values are byte-identical to the pre-r10
+    array form (same md5 over the same k-gram strings).  All shuffles
+    key on (id) or (id, fp) — uniform, bounded, corpus-scan
+    dominated."""
     base = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
         .withColumn("_n", F.size("_t"))
         .filter(F.col("_n") >= k + w - 1)
     )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.concat_ws(" ", F.slice("_t", F.col("pos") + 1, k)),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
     rows = base.select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), (F.col("_n") - k).cast("int")),
-                lambda p: F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(salt + ":"),
-                                F.concat_ws(
-                                    " ", F.slice("_t", p + 1, k)
-                                ),
-                            )
-                        ),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            )
-        ).alias("pos", "h"),
-    )
+        F.explode(
+            F.sequence(F.lit(0), (F.col("_n") - k).cast("int"))
+        ).alias("pos"),
+        "_t",
+    ).select("id", "pos", h.alias("h"))
     wspec = (
         Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
     )
@@ -936,9 +939,29 @@ def hamming_pairs_hex(
     chunk substring), hamming as the digit-wise xor popcount — all
     string/integer expressions, fully engine-portable.  The same
     localCheckpoint discipline as ``hamming_pairs``: the fingerprint
-    frame is tiny next to the corpus scan that produced it."""
+    frame is tiny next to the corpus scan that produced it.
+
+    Chunk boundaries distribute the 16 hex chars WITHOUT overrun
+    (ADVICE r9: the old ceil-width layout put chunk 4 of a 5-chunk
+    split at char 17 — an empty substring for every row, collapsing
+    that chunk's equi-join to all-pairs): ``divmod`` spreads the
+    remainder across the leading chunks, so every chunk is non-empty
+    and the pigeonhole bound holds for any ``max_hamming ≤ 15``.
+    A ≤ max_hamming BIT difference touches at most max_hamming hex
+    CHARS, so with ≥ max_hamming+1 char-chunks one chunk matches
+    exactly."""
     n_chunks = max(n_chunks, max_hamming + 1)
-    width = -(-16 // n_chunks)  # hex chars per chunk
+    if n_chunks > 16:
+        raise ValueError(
+            "hamming_pairs_hex: pigeonhole on 16 hex chars supports "
+            f"max_hamming <= 15 / n_chunks <= 16 (got n_chunks={n_chunks})"
+        )
+    base, rem = divmod(16, n_chunks)
+    starts, pos = [], 0
+    for c in range(n_chunks):
+        wdt = base + (1 if c < rem else 0)
+        starts.append((pos, wdt))
+        pos += wdt
 
     fp = fp.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
@@ -951,9 +974,9 @@ def hamming_pairs_hex(
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.substring("fp", c * width + 1, width).alias("v"),
+                        F.substring("fp", start + 1, wdt).alias("v"),
                     )
-                    for c in range(n_chunks)
+                    for c, (start, wdt) in enumerate(starts)
                 ]
             )
         ).alias("ch"),
@@ -1018,15 +1041,30 @@ def hamming_pairs(
     cluster, three orders below the corpus it summarizes.
     """
     # pigeonhole needs > max_hamming disjoint chunks; widen if the
-    # caller's max_hamming outgrows the default 4
+    # caller's max_hamming outgrows the default 4.  Boundaries spread
+    # the remainder across leading chunks (ADVICE r9 sibling of the
+    # hex-form fix: the old ceil width made chunk 8 of a 9-chunk
+    # split start at bit 64 — a constant-0 key, all-pairs join) so
+    # every chunk is non-empty for any max_hamming <= 63.
     n_chunks = max(n_chunks, max_hamming + 1)
-    width = -(-64 // n_chunks)  # ceil: uneven last chunk still covers bit 63
+    if n_chunks > 64:
+        raise ValueError(
+            "hamming_pairs: pigeonhole on 64 bits supports "
+            f"max_hamming <= 63 / n_chunks <= 64 (got n_chunks={n_chunks})"
+        )
+    base, rem = divmod(64, n_chunks)
+    bounds, pos = [], 0
+    for c in range(n_chunks):
+        wdt = base + (1 if c < rem else 0)
+        bounds.append((pos, wdt))
+        pos += wdt
 
     fp = fp.select(F.col(id_col), F.col(hash_col)).localCheckpoint(eager=True)
 
-    def chunk_val(c: int) -> Column:
-        lo = c * width
-        mask = (1 << min(width, 64 - lo)) - 1
+    def chunk_val(lo: int, wdt: int) -> Column:
+        if wdt >= 64:  # single-chunk degenerate case: key = whole fp
+            return F.col(hash_col).alias("v")
+        mask = (1 << wdt) - 1
         return (
             F.shiftright(hash_col, lo)
             .bitwiseAND(F.lit(mask).cast("long"))
@@ -1039,8 +1077,8 @@ def hamming_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(c).alias("c"), chunk_val(c))
-                    for c in range(n_chunks)
+                    F.struct(F.lit(c).alias("c"), chunk_val(lo, wdt))
+                    for c, (lo, wdt) in enumerate(bounds)
                 ]
             )
         ).alias("ch"),
@@ -1069,8 +1107,10 @@ def hamming_pairs(
     # dedup costs zero shuffles (measured: removing the distinct cut
     # the cold pair-join stage materially at sf0.1).
     def chunk_xor_zero(c: int) -> Column:
-        lo = c * width
-        mask = (1 << min(width, 64 - lo)) - 1
+        lo, wdt = bounds[c]
+        if wdt >= 64:
+            return F.col("xor") == 0
+        mask = (1 << wdt) - 1
         return (
             F.shiftright("xor", lo).bitwiseAND(F.lit(mask).cast("long")) == 0
         )

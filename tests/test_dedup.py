@@ -707,3 +707,57 @@ def test_dedup_semantic_string_ids(spark):
     out = {(r.id_a, r.id_b): r.cosine
            for r in D.dedup_semantic(emb, threshold=0.95, m=1).collect()}
     assert set(out) == {("docA", "docB")}
+
+
+def test_hamming_pairs_hex_no_chunk_overrun():
+    """ADVICE r9: max_hamming >= 4 used to produce an out-of-range
+    trailing chunk (empty substring — an all-pairs equi-join key).
+    The balanced layout must keep every chunk inside the 16 chars."""
+    # replicate the boundary computation for a spread of settings
+    for max_h in range(0, 16):
+        n_chunks = max(4, max_h + 1)
+        base, rem = divmod(16, n_chunks)
+        pos = 0
+        for c in range(n_chunks):
+            wdt = base + (1 if c < rem else 0)
+            assert wdt >= 1, (max_h, c)
+            assert pos + wdt <= 16, (max_h, c)
+            pos += wdt
+        assert pos == 16, max_h
+
+
+def test_hamming_pairs_hex_max_hamming_4(spark):
+    """Regression (ADVICE r9): at max_hamming=4 (5 chunks) the hex
+    pigeonhole must still find every pair within distance, and the
+    chunk keys must never be empty strings."""
+    fps = [
+        (1, "0000000000000000"),
+        (2, "000000000000000f"),  # 4 bits from id 1
+        (3, "00000000000000ff"),  # 8 bits from id 1, 4 from id 2
+        (4, "8000000000000001"),  # 2 bits from id 1
+        (5, "ffffffffffffffff"),  # far from everything
+    ]
+    df = spark.createDataFrame(fps, "id long, fp string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.hamming_pairs_hex(df, "id", "fp", max_hamming=4).collect()
+    }
+    assert got == {(1, 2): 4, (2, 3): 4, (1, 4): 2, (2, 4): 4}
+
+
+def test_hamming_pairs_long_wide_max_hamming(spark):
+    """The 64-bit long form with max_hamming=8 (9 chunks — the old
+    ceil-width layout made chunk 8 start at bit 64, a constant-0
+    key) still returns exactly the within-distance pairs."""
+    fps = [
+        (1, 0),
+        (2, 0xFF),        # 8 bits from id 1
+        (3, 0x1FF),       # 9 bits from id 1, 1 from id 2
+        (4, -1),          # 64 bits from id 1
+    ]
+    df = spark.createDataFrame(fps, "id long, fp long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.hamming_pairs(df, "id", "fp", max_hamming=8).collect()
+    }
+    assert got == {(1, 2): 8, (2, 3): 1}

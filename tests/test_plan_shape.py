@@ -716,14 +716,17 @@ def test_gap_interpolate_single_window_operator(spark, sf_dir):
 
 
 def test_embedding_align_broadcast_pair_pass(spark, sf_dir):
-    # corpus b broadcasts into the nested-loop pair pass; exactly one
-    # pass per direction (fwd carries best-match via min_by, so no
-    # third recompute), no cartesian, and the final avg join is a
-    # broadcast — never a doc-sized sort-merge join
+    # r10 GEMM engine: pair scoring lives in ONE MapInPandas scan of
+    # corpus a (B rides an executor broadcast) — no nested-loop join,
+    # no cartesian, and the final avg join is a broadcast hash join,
+    # never a doc-sized sort-merge join
+    # (the MapInPandas scan itself is behind an eager localCheckpoint,
+    # so the final plan reads the materialized RDD)
     plan = plan_of(spark, "embedding_align", sf_dir)
-    assert node_count(plan, "BroadcastNestedLoopJoin") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+    assert node_count(plan, "BroadcastHashJoin") >= 1
 
 
 def test_nb_classifier_weight_table_broadcast(spark, sf_dir):
