@@ -1073,15 +1073,13 @@ def _dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same 0.6 threshold, hot-shingle-capped candidates) — the
     recall-knob report every production dedup publishes.  Both
     rankers and the metric arithmetic are engine-portable, so the
-    audit itself is value-hash oracle-gated."""
+    audit itself is value-hash oracle-gated.  r10: the composed
+    ``dedup_eval`` operator shares ONE tokenize→shingle→md5 pass
+    between both pipelines (identical output values; the old
+    composition tokenized the corpus twice and re-tokenized
+    candidate texts in the truth verify)."""
     docs = _docs(spark, sf_dir, width=0)
-    pred = D.dedup_minhash_lsh(
-        docs, "text", "doc_id", threshold=0.6, hash_fn="md5"
-    )
-    truth = D.dedup_ngram_jaccard(
-        docs, "text", "doc_id", n=3, threshold=0.6, max_shingle_df=100
-    )
-    return D.dedup_pair_eval(pred, truth)
+    return D.dedup_eval(docs, "text", "doc_id", n=3, threshold=0.6)
 
 
 def _winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -704,6 +704,223 @@ def dedup_pair_eval(pred: DataFrame, truth: DataFrame) -> DataFrame:
     )
 
 
+def dedup_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_shingle_df: int | None = 100,
+    salt: str = "mhlsh-v1",
+) -> DataFrame:
+    """End-to-end dedup-quality audit: pair precision/recall/F1 of
+    md5-portable MinHash+LSH against the exact-Jaccard baseline at
+    the same ``threshold`` — over ONE shared tokenize→shingle→md5
+    corpus pass (r9 verdict item 4: composing ``dedup_minhash_lsh``
+    and ``dedup_ngram_jaccard`` independently tokenized and shingled
+    the same corpus twice and re-tokenized candidate texts a third
+    time in the verify join; the audit was the suite's most
+    expensive isolated query at 10.5s).
+
+    The shared frame is (id, n_tokens, 48-bit salted-md5 shingle
+    hash) with the partial-window tail (docs shorter than ``n``
+    keep their one partial shingle — ``dedup_ngram_jaccard``'s
+    window semantics), checkpointed once:
+
+    - PRED consumes the full-window subset (docs ≥ n tokens — the
+      md5-MinHash contract) through the exact
+      ``_dedup_minhash_lsh_md5`` plan: slot minima + band buckets →
+      bucket-join candidates → exact-Jaccard verify on distinct-h0
+      sets.
+    - TRUTH runs ``dedup_ngram_jaccard``'s capped-candidate logic on
+      the SAME rows: hot/cold window count, lossless upper-bound
+      prune, then verification as an (id, h0) equi-join count —
+      set algebra is hash-agnostic, so the pair set and jaccard
+      values are identical to the xxhash64 baseline (modulo 48-bit
+      collisions, which the DuckDB oracle shares bit-for-bit on the
+      pred side and which are ~1e-4-improbable on the string-replay
+      truth side at tested scales).
+
+    Returns ONE row (n_pred, n_true, n_hit, precision, recall, f1)
+    — ``dedup_pair_eval`` of the two pair frames."""
+    r = num_hashes // bands
+    mod = 1 << 48
+    consts = _md5_perm_consts(num_hashes, salt)
+
+    base = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
+        .withColumn("_n", F.size("_t"))
+    )
+    h0 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.concat_ws(
+                        " ", F.slice("_t", (F.col("pos") + 1).cast("int"), n)
+                    ),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sh_all = base.select(
+        "id",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.col("_n") - n).cast("int"), F.lit(0)),
+            )
+        ).alias("pos"),
+        "_t",
+    ).select("id", "_n", h0.alias("h0"))
+    # ONE corpus-scale materialization: the distinct SET frame.  Every
+    # consumer below is set-semantic (min aggregates are duplicate-
+    # insensitive; both verifies count distinct matches; the truth
+    # logic is defined on sets), so deduping once up front turns four
+    # countDistinct/distinct passes into plain counts and feeds six
+    # consumers from one checkpoint.
+    rows = (
+        sh_all.select("id", "_n", "h0").distinct().localCheckpoint(eager=True)
+    )
+
+    # --- pred: md5 MinHash+LSH, the _dedup_minhash_lsh_md5 plan from
+    # its sh0 frame onward (full windows only: docs >= n tokens)
+    shp = rows.filter(F.col("_n") >= n).select("id", "h0")
+    sig = shp.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min((F.col("h0") * F.lit(a) + F.lit(b)) % F.lit(mod)).alias(f"_s{i}")
+            for i, (a, b) in enumerate(consts)
+        ],
+    )
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"_s{b * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    ba, bb_ = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        ba.join(
+            bb_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter_p = (
+        candidates.join(shp.select(F.col("id").alias("id_a"), "h0"), "id_a")
+        .join(shp.select(F.col("id").alias("id_b"), "h0"), ["id_b", "h0"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    counts = sig.select("id", "n_sh")
+    pred = (
+        inter_p.join(
+            counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    # --- truth: dedup_ngram_jaccard's capped exact-Jaccard logic on
+    # the same distinct rows (verification by equi-join count instead
+    # of re-tokenizing pair texts)
+    if max_shingle_df is not None:
+        w_sh = Window.partitionBy("h0")
+        flagged = rows.withColumn("nd", F.count(F.lit(1)).over(w_sh))
+        stats = flagged.groupBy("id").agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.sum((F.col("nd") > max_shingle_df).cast("int")).alias("h"),
+        )
+        cold = (
+            flagged.filter(F.col("nd") <= max_shingle_df)
+            .select("id", "h0")
+            .join(stats, "id")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        stats = rows.groupBy("id").agg(
+            F.count(F.lit(1)).alias("sz"), F.lit(0).alias("h")
+        )
+        cold = rows.join(stats, "id").localCheckpoint(eager=True)
+    ca, cb = cold.alias("a"), cold.alias("b")
+    cand_t = (
+        ca.join(
+            cb,
+            (F.col("a.h0") == F.col("b.h0")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    ubc = F.col("nc") + F.least(F.col("h_a"), F.col("h_b"))
+    cand_t = cand_t.filter(
+        ubc / (F.col("sz_a") + F.col("sz_b") - ubc) >= threshold
+    ).select("id_a", "id_b", "sz_a", "sz_b")
+    truth = (
+        cand_t.join(rows.select(F.col("id").alias("id_a"), "h0"), "id_a")
+        .join(rows.select(F.col("id").alias("id_b"), "h0"), ["id_b", "h0"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dedup_pair_eval(pred, truth)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,

@@ -761,3 +761,19 @@ def test_hamming_pairs_long_wide_max_hamming(spark):
         for r in D.hamming_pairs(df, "id", "fp", max_hamming=8).collect()
     }
     assert got == {(1, 2): 8, (2, 3): 1}
+
+
+def test_dedup_eval_shared_pass_matches_composition(spark, docs):
+    """The shared-pass dedup_eval audit equals the naive composition
+    of dedup_minhash_lsh(md5) vs dedup_ngram_jaccard through
+    dedup_pair_eval (r10: one tokenize/shingle pass, same values)."""
+    composed = D.dedup_pair_eval(
+        D.dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.6,
+                            hash_fn="md5"),
+        D.dedup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.6,
+                              max_shingle_df=100),
+    ).collect()[0]
+    shared = D.dedup_eval(docs, "text", "doc_id", n=3, threshold=0.6).collect()[0]
+    assert shared.asDict() == composed.asDict()
+    # and the audit finds the known near-dup structure of the corpus
+    assert shared.n_true >= 1 and shared.n_pred >= 1
