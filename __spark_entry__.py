@@ -1211,6 +1211,37 @@ def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_incremental_minhash_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engine-portable twin of dedup_incremental_minhash (r10,
+    hash-gated): the SAME history/batch construction as the xxhash64
+    perf anchor, but signatures and band buckets come from the
+    repo's md5 idiom (48-bit salted shingle hashes, universal-family
+    permutations, md5 band buckets), so the DuckDB oracle replays
+    signatures, the batch self-join drop, the index join drop, and
+    the survivor list value-for-value.  The drop logic is plain
+    (non-recursive) join algebra — matching ANY lower-id batch doc
+    or ANY indexed doc drops you even if the matched doc is itself
+    dropped — so no recursive CTE is needed."""
+    docs = _docs(spark, sf_dir, width=0).select("doc_id", "text", "source")
+    hist = docs.filter(F.col("doc_id") < 250)
+    idx = D.minhash_band_index(hist, bands=16, hash_fn="md5")
+    mutated = hist.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+        "source",
+    )
+    batch = docs.filter(F.col("doc_id") >= 250).unionByName(mutated)
+    return (
+        D.dedup_incremental_minhash(
+            batch, idx, bands=16, threshold=0.5, hash_fn="md5"
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def _hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed model-free text embeddings (the bridge from
     the text corpus into the embedding machinery), hash-gated since
@@ -3167,13 +3198,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cumulative driver-side record; scripts/oracle_check.py runs the
     SAME query-vs-DuckDB comparison over ALL entries locally and its
     committed output (CORRECTNESS_FULL_LOCAL.json) covers the full
-    registry every round."""
-    return {
-        # --- rotation head for round 9: budget_selection leads (its r8
-        # hash mismatch was the oracle's uncast HUGEINT cum_tokens,
-        # fixed) + the six rows-only entries graduated to hash-gated
-        # oracles in r9, then the oldest-verified entries (last driver
-        # record r5) fill the 50-slot window ---
+    registry every round.
+
+    r10 rotation (the _R10_HEAD reorder below): the new hash-gated
+    incremental-minhash twin + the 9 never-driver-graded rows-only
+    entries + the 4 entries whose only driver record is a stale
+    r4/r5 ``no_oracle`` row + the 4 entries whose implementation
+    materially changed this round (re-grade), then the
+    oldest-verified entries (r5 cohort, then r6) fill the window."""
+    reg = {
+        # (historical r9 head order below — superseded by the
+        # _R10_HEAD reorder at the end of this function)
         "budget_selection": _budget_selection,
         "winnow_dup_pairs": _winnow_dup_pairs,  # new r9
         "hybrid_search": _hybrid_search,  # new r9
@@ -3410,7 +3445,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_audio": _dedup_audio,  # r9
+        "dedup_incremental_minhash_portable": _dedup_incremental_minhash_portable,  # new r10, hash-gated twin
     }
+    head = [k for k in _R10_HEAD if k in reg]
+    out = {k: reg[k] for k in head}
+    out.update({k: v for k, v in reg.items() if k not in out})
+    return out
+
+
+# Round-10 driver window (first 50 graded): new hash-gated entry,
+# the 9 never-driver-graded rows-only entries, the 4 stale r4/r5
+# no_oracle records, the 4 implementations that changed in r10
+# (embedding_align GEMM engine, winnowing explode-first, dedup_eval
+# shared pass, ann_pq rounding), then the oldest-verified cohort
+# (r5-graded, then r6) fills the remaining slots.
+_R10_HEAD = [
+    "dedup_incremental_minhash_portable",  # new r10
+    "person_influence",            # never graded (rows-only)
+    "dedup_incremental_minhash",   # never graded (rows-only)
+    "bpe_subwords",                # never graded (rows-only)
+    "actor_pagerank",              # never graded (rows-only)
+    "compression_stats",           # never graded (rows-only)
+    "sketch_rollup",               # never graded (rows-only)
+    "text_repair",                 # never graded (rows-only)
+    "related_actors",              # never graded (rows-only)
+    "dedup_audio",                 # never graded (rows-only)
+    "dedup_minhash_lsh",           # stale r4 no_oracle record
+    "dedup_simhash",               # stale r4 no_oracle record
+    "approx_distinct_users",       # stale r5 no_oracle record
+    "approx_quantiles",            # stale r5 no_oracle record
+    "embedding_align",             # changed r10: GEMM engine
+    "winnow_dup_pairs",            # changed r10: explode-first hashing
+    "dedup_eval",                  # changed r10: shared shingle pass
+    "ann_pq_topk",                 # changed r10: HALF_UP rounding
+    # oldest-verified cohort: graded r5
+    "cube_volume",
+    "dedup_first_by_key",
+    "enrich_articles",
+    "event_funnel",
+    "event_spikes",
+    "events_gap_fill",
+    "keyword_freq",
+    "order_price_ranks",
+    "props_json_extract",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_excess_stock",
+    "q4_priority_exists",
+    "q8_market_share",
+    "range_count_clicks_after_error",
+    "user_retention",
+    "user_set_ops",
+    "user_top_event",
+    "window_running",
+    # graded r6 (alphabetical prefix fills the window to 50)
+    "actor_dyads",
+    "bm25_search",
+    "bpe_pairs",
+    "cdc_apply",
+    "cluster_split",
+    "cluster_stats",
+    "corpus_diff",
+    "corpus_report",
+    "curation_pipeline",
+    "curriculum_mixture",
+    "cut_spans",
+    "dedup_containment",
+    "dedup_incremental",
+]
 
 
 # ------------------------------------------------------- oracle SQL
@@ -5434,6 +5536,82 @@ def oracle_sql() -> dict[str, str]:
               FROM inter i JOIN cnt ca ON ca.id = i.id_a
               JOIN cnt cb ON cb.id = i.id_b)
             SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
+        """,
+        # r10: incremental MinHash replayed end-to-end — history
+        # (doc_id < 250) builds the md5 band index, the batch (docs
+        # >= 250 plus tail-mutated near-dups of every 10th history
+        # doc) dedups against itself (lower-id wins) then against the
+        # index, both by the slot-equality Jaccard estimate (k/32,
+        # exact in binary).  Ids are disjoint across sides, so side
+        # membership is an id-range predicate.
+        "dedup_incremental_minhash_portable": f"""
+            WITH hist AS (
+              SELECT doc_id, text, source FROM documents
+              WHERE doc_id < 250),
+            mut AS (
+              SELECT doc_id + 100000 AS doc_id,
+                text || ' zz yy xx' AS text, source
+              FROM hist WHERE doc_id % 10 = 0),
+            batch AS (
+              SELECT doc_id, text, source FROM documents
+              WHERE doc_id >= 250
+              UNION ALL SELECT doc_id, text, source FROM mut),
+            allv AS (
+              SELECT doc_id, text FROM hist
+              UNION ALL SELECT doc_id, text FROM batch),
+            b AS (
+              SELECT doc_id AS id, {_toks("coalesce(text, '')")} AS toks,
+                len({_toks("coalesce(text, '')")}) AS n
+              FROM allv),
+            sh AS (
+              SELECT id,
+                CAST(('0x' || substring(md5('mhlsh-v1:'
+                  || array_to_string(toks[i:i+2], ' ')), 1, 12))
+                  AS BIGINT) AS h0
+              FROM b, unnest(range(1, n - 1)) AS u(i)
+              WHERE n >= 3),
+            p AS (SELECT * FROM (VALUES {_srcsim_perms(32, 'mhlsh-v1')})
+                  AS t(slot, a, bb)),
+            sig AS (
+              SELECT id, p.slot,
+                MIN((sh.h0 * p.a + p.bb) % 281474976710656) AS mh
+              FROM sh CROSS JOIN p GROUP BY 1, 2),
+            bands AS (
+              SELECT id, slot // 2 AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY slot))
+                  AS bucket
+              FROM sig GROUP BY 1, 2),
+            bcand AS (
+              SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+              FROM bands a JOIN bands b2
+                ON a.band = b2.band AND a.bucket = b2.bucket
+                AND a.id < b2.id
+              WHERE a.id >= 250 AND b2.id >= 250),
+            best AS (
+              SELECT c.id_a, c.id_b,
+                SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 32.0 AS est
+              FROM bcand c JOIN sig x ON x.id = c.id_a
+              JOIN sig y ON y.id = c.id_b AND y.slot = x.slot
+              GROUP BY 1, 2),
+            intdrop AS (
+              SELECT DISTINCT id_b AS id FROM best WHERE est >= 0.5),
+            hcand AS (
+              SELECT DISTINCT nb.id AS id_b, hb.id AS id_h
+              FROM bands nb JOIN bands hb
+                ON nb.band = hb.band AND nb.bucket = hb.bucket
+              WHERE nb.id >= 250 AND hb.id < 250
+                AND nb.id NOT IN (SELECT id FROM intdrop)),
+            hest AS (
+              SELECT c.id_b, c.id_h,
+                SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 32.0 AS est
+              FROM hcand c JOIN sig x ON x.id = c.id_b
+              JOIN sig y ON y.id = c.id_h AND y.slot = x.slot
+              GROUP BY 1, 2),
+            hdrop AS (
+              SELECT DISTINCT id_b AS id FROM hest WHERE est >= 0.5)
+            SELECT doc_id, source FROM batch
+            WHERE doc_id NOT IN (SELECT id FROM intdrop)
+              AND doc_id NOT IN (SELECT id FROM hdrop)
         """,
         # r9: the dedup audit replayed end-to-end — portable-minhash
         # pairs (m-prefixed CTEs) vs the exact-Jaccard truth (shared

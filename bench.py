@@ -219,6 +219,7 @@ HEADLINE = [
     "source_quality_filter",
     "cluster_prune",
     "dedup_incremental_minhash",
+    "dedup_incremental_minhash_portable",  # r10 md5 twin (hash-gated)
     "dedup_audio",
     "fuzzy_join",
     "props_json_extract",

@@ -2212,24 +2212,95 @@ def updated_index(
     return seen.select(hash_col).unionByName(survivors.select(hash_col))
 
 
-def _expand_bands(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _md5_slot_minima(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    n: int,
+    salt: str,
+) -> DataFrame:
+    """(id, sig array<long>) — engine-portable md5 MinHash
+    signatures: the per-slot minima of ``_dedup_minhash_lsh_md5``
+    (one salted md5 per shingle occurrence truncated to 48 bits,
+    universal-family permutations from ``_md5_perm_consts``)
+    assembled into a signature array.  Docs shorter than ``n``
+    tokens drop (no full window — the md5-path contract)."""
+    mod = 1 << 48
+    consts = _md5_perm_consts(num_hashes, salt)
+    base = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") >= n)
+    )
+    h0 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.concat_ws(
+                        " ", F.slice("_t", (F.col("pos") + 1).cast("int"), n)
+                    ),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sh0 = base.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("_n") - n).cast("int"))
+        ).alias("pos"),
+        "_t",
+    ).select("id", h0.alias("h0"))
+    return (
+        sh0.groupBy("id")
+        .agg(
+            *[
+                F.min((F.col("h0") * F.lit(a) + F.lit(b)) % F.lit(mod)).alias(
+                    f"_s{i}"
+                )
+                for i, (a, b) in enumerate(consts)
+            ]
+        )
+        .select(
+            "id",
+            F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
+def _expand_bands(
+    sig_df: DataFrame, num_hashes: int, bands: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(id, sig) → (id, sig, band, bucket) LSH band rows — the same
     band/bucket derivation as ``dedup_minhash_lsh`` (bucket =
-    xxhash64 over the band's r signature elements), factored so the
-    batch side and the persistent index compute buckets identically."""
+    xxhash64 over the band's r signature elements; ``hash_fn="md5"``
+    = md5 of the comma-joined slot values, the engine-portable form
+    DuckDB replays), factored so the batch side and the persistent
+    index compute buckets identically."""
     r = num_hashes // bands
+
+    def bucket(b: int) -> Column:
+        if hash_fn == "md5":
+            return F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col("sig")[b * r + j].cast("string") for j in range(r)],
+                )
+            )
+        return F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
+
     return sig_df.select(
         "id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * r + j] for j in range(r)]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -2244,16 +2315,29 @@ def minhash_band_index(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    hash_fn: str = "xxhash64",
+    salt: str = "mhlsh-v1",
 ) -> DataFrame:
     """Persistent LSH index rows for a corpus: (id, sig, band,
     bucket) — what ``dedup_incremental_minhash`` joins tomorrow's
     batch against.  Write it bucketed on (band, bucket)
     (``sinks.files.write_bucketed``) so the daily candidate join
     shuffles only the day's batch; the signature column rides along
-    so candidate verification needs no second index."""
-    return _expand_bands(
-        minhash_signatures(df, text_col, id_col, num_hashes, n), num_hashes, bands
+    so candidate verification needs no second index.
+
+    ``hash_fn="md5"`` builds the engine-portable index (r10):
+    48-bit salted-md5 shingle hashes, ``_md5_perm_consts``
+    permutations, md5 band buckets — every value a DuckDB oracle
+    regenerates.  The xxhash64 default stays the production fast
+    path (~2.5× cheaper fingerprints)."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    sig = (
+        _md5_slot_minima(df, text_col, id_col, num_hashes, n, salt)
+        if hash_fn == "md5"
+        else minhash_signatures(df, text_col, id_col, num_hashes, n)
     )
+    return _expand_bands(sig, num_hashes, bands, hash_fn)
 
 
 def _est_jaccard(a, b, num_hashes: int):
@@ -2284,6 +2368,8 @@ def dedup_incremental_minhash(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.6,
+    hash_fn: str = "xxhash64",
+    salt: str = "mhlsh-v1",
 ) -> DataFrame:
     """Incremental NEAR-dup dedup — ``dedup_incremental``'s exact
     anti join generalized to MinHash: today's batch dedups against
@@ -2299,14 +2385,30 @@ def dedup_incremental_minhash(
     re-admits a near-dup).  Returns the surviving new rows; extend
     the index afterwards with ``updated_band_index``.
 
+    ``hash_fn="md5"`` (r10) is the engine-portable twin: signatures
+    from ``_md5_slot_minima``, md5 band buckets — with an md5 index,
+    the whole batch (drop decisions included) is DuckDB-replayable,
+    so the registry entry graduates from rows-only to a value-hash
+    gate.  The estimate is a fraction k/num_hashes (exact in binary
+    for power-of-two num_hashes), so the ≥ threshold comparison is
+    engine-exact.  The xxhash64 default stays the production path.
+
     Plan: batch band rows materialize once (eager localCheckpoint —
     they feed both sides of the self-join and the index join); the
     self-join and the index join are (band, bucket) equi-joins; with
     the index stored bucketed on (band, bucket), only the day's
     batch shuffles.  Verification runs on the bounded candidate set.
     """
-    sig_new = minhash_signatures(new_docs, text_col, id_col, num_hashes, n)
-    nb = _expand_bands(sig_new, num_hashes, bands).localCheckpoint(eager=True)
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    sig_new = (
+        _md5_slot_minima(new_docs, text_col, id_col, num_hashes, n, salt)
+        if hash_fn == "md5"
+        else minhash_signatures(new_docs, text_col, id_col, num_hashes, n)
+    )
+    nb = _expand_bands(sig_new, num_hashes, bands, hash_fn).localCheckpoint(
+        eager=True
+    )
 
     a, b = nb.alias("a"), nb.alias("b")
     internal_drop = (
@@ -2354,13 +2456,17 @@ def updated_band_index(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    hash_fn: str = "xxhash64",
+    salt: str = "mhlsh-v1",
 ) -> DataFrame:
     """The band index after a ``dedup_incremental_minhash`` batch:
     old index ∪ the survivors' band rows (survivors are near-dup
     disjoint from the index by construction — UNION ALL, no distinct
     shuffle; write back bucketed on (band, bucket))."""
     return index.unionByName(
-        minhash_band_index(survivors, text_col, id_col, num_hashes, bands, n)
+        minhash_band_index(
+            survivors, text_col, id_col, num_hashes, bands, n, hash_fn, salt
+        )
     )
 
 

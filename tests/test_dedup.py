@@ -777,3 +777,63 @@ def test_dedup_eval_shared_pass_matches_composition(spark, docs):
     assert shared.asDict() == composed.asDict()
     # and the audit finds the known near-dup structure of the corpus
     assert shared.n_true >= 1 and shared.n_pred >= 1
+
+
+def test_dedup_incremental_minhash_md5_portable(spark, docs):
+    """The md5-portable incremental path (r10 hash-gated twin): an
+    indexed near-dup arriving in the batch drops, genuinely new docs
+    survive, results are deterministic, and bad hash_fn raises."""
+    hist = docs.filter(F.col("doc_id") <= 2)
+    idx = D.minhash_band_index(hist, bands=16, hash_fn="md5")
+    batch = spark.createDataFrame(
+        [
+            # near-dup of history doc 0 (tail appended) → must drop
+            (10, DOCS[0][1] + " zz yy"),
+            # exact dup of in-batch id 10 → internal drop (lower id wins)
+            (11, DOCS[0][1] + " zz yy"),
+            # genuinely new → survives
+            (12, "completely different tokens about streaming watermark state eviction policies"),
+        ],
+        "doc_id long, text string",
+    )
+    out1 = sorted(
+        r.doc_id
+        for r in D.dedup_incremental_minhash(
+            batch, idx, bands=16, threshold=0.5, hash_fn="md5"
+        ).collect()
+    )
+    out2 = sorted(
+        r.doc_id
+        for r in D.dedup_incremental_minhash(
+            batch, idx, bands=16, threshold=0.5, hash_fn="md5"
+        ).collect()
+    )
+    assert out1 == out2 == [12]
+    with pytest.raises(ValueError, match="hash_fn"):
+        D.dedup_incremental_minhash(batch, idx, hash_fn="sha256")
+    with pytest.raises(ValueError, match="hash_fn"):
+        D.minhash_band_index(hist, hash_fn="sha256")
+
+
+def test_updated_band_index_md5_roundtrip(spark, docs):
+    """updated_band_index with hash_fn='md5' extends the index so the
+    same survivor re-submitted tomorrow is dropped."""
+    hist = docs.filter(F.col("doc_id") <= 2)
+    idx = D.minhash_band_index(hist, bands=16, hash_fn="md5")
+    batch = spark.createDataFrame(
+        [(20, "completely different tokens about streaming watermark state eviction policies")],
+        "doc_id long, text string",
+    )
+    surv = D.dedup_incremental_minhash(
+        batch, idx, bands=16, threshold=0.5, hash_fn="md5"
+    )
+    assert [r.doc_id for r in surv.collect()] == [20]
+    idx2 = D.updated_band_index(idx, surv, bands=16, hash_fn="md5")
+    resubmit = spark.createDataFrame(
+        [(30, "completely different tokens about streaming watermark state eviction policies")],
+        "doc_id long, text string",
+    )
+    again = D.dedup_incremental_minhash(
+        resubmit, idx2, bands=16, threshold=0.5, hash_fn="md5"
+    )
+    assert again.count() == 0
