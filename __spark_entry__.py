@@ -1180,7 +1180,14 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver green also certifies refit == pin.  Soundness (every pair
     really ≥ τ) and recall vs the exact blocked baseline stay
     property-tested in tests/test_dedup.py (recall 0.998 at sf0.1
-    with nprobe=4 after the r7 GEMM rewrite)."""
+    with nprobe=4 after the r7 GEMM rewrite).
+
+    DOCUMENTED TOLERANCE (ADVICE r9, same family as ann_ivf_topk):
+    cell assignment compares GEMM-order distances vs the oracle's
+    sequential folds — near-tie distances could assign differently
+    at other scales; centroids are pinned, the tested vectors are
+    tie-free (green r9/r10).  Pair cosines themselves are 6-decimal
+    HALF_UP rounded, absorbing summation-order bits."""
     emb = _emb(spark, sf_dir, width=0)
     return D.dedup_semantic(emb, threshold=0.3, m=8, nprobe=4)
 
@@ -1193,8 +1200,11 @@ def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended — shingle overlap stays high, so they MUST drop while
     the genuinely new docs survive).  Banding (16 bands × 2 rows)
     matches the 0.5 threshold via the (1/b)^(1/r) S-curve midpoint.
-    Rows-only gate (MinHash); semantics are unit-tested including
-    replay convergence in tests/test_dedup.py."""
+    Rows-only gate (xxhash64 MinHash — the production fast path);
+    the ALGORITHM is value-hash gated via its r10 twin
+    ``dedup_incremental_minhash_portable`` (same construction, md5
+    hashing, full DuckDB replay).  Semantics stay unit-tested
+    including replay convergence in tests/test_dedup.py."""
     docs = _docs(spark, sf_dir, width=0).select("doc_id", "text", "source")
     hist = docs.filter(F.col("doc_id") < 250)
     idx = D.minhash_band_index(hist, bands=16)
@@ -1813,7 +1823,18 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerates as literals, so buckets, the hamming-1 probe set,
     the candidate join, and the exact cosine rerank all replay in
     DuckDB.  Recall vs brute force stays tested in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    DOCUMENTED TOLERANCE (ADVICE r9): the Spark side projects with a
+    numpy GEMM while the oracle uses DuckDB's sequential
+    list_dot_product — summation order differs in the last float
+    bits, so sign-bit bucket assignments are only probabilistically
+    identical, not bit-guaranteed.  A near-zero hyperplane projection
+    could flip a bucket (and this gate) at other data scales; the
+    synthetic fingerprints tested here sit far from the decision
+    boundary (verified green r9/r10).  The gate certifies the
+    ALGORITHM replay under that assumption, not FP-exactness of the
+    projection itself."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1826,7 +1847,15 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer ("ivf16"): the oracle replays assignment, nprobe=4
     probing, and the exact cosine rerank; driver green also
     certifies refit == pin.  Recall vs brute force stays tested in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    DOCUMENTED TOLERANCE (ADVICE r9, same as ann_lsh_topk): argmin
+    cell choices compare numpy-GEMM distances against DuckDB's
+    sequential folds — a near-tie centroid distance could assign
+    differently at other data scales; the tested fingerprints are
+    tie-free (green r9/r10).  The centroids themselves ARE
+    bit-pinned literals; only the per-vector assignment comparison
+    carries the FP-order assumption."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2167,7 +2196,15 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned deterministic codebooks ("pq4x16"): the oracle replays
     per-subspace encoding, the query partial-distance tables, and
     the decimal-summed approximate-distance top-k; driver green also
-    certifies refit == pin."""
+    certifies refit == pin.
+
+    DOCUMENTED TOLERANCE (ADVICE r9): encoding argmins compare
+    numpy-GEMM distances vs the oracle's sequential folds — a
+    near-tie code choice could differ at other scales (codebooks are
+    pinned; tested vectors are tie-free).  r10 closed the advice's
+    second finding: the Spark-side partial-distance rounding is now
+    half-away-from-zero, matching DuckDB round(x, 9) on exact
+    midpoints instead of Python's half-even."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"

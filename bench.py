@@ -448,11 +448,22 @@ def main() -> None:
     reps: dict[str, list[float]] = {n: [] for n in headline}
     reps_run = 0
     last_pass_s = 0.0
+    canary_s: list[float] = []
     for _rep in range(N_REPS):
         elapsed = time.perf_counter() - t_meas0
         if _rep > 0 and elapsed + last_pass_s > budget_s:
             break
         reset_gc_cycle(spark)
+        # host-speed canary (VERDICT r9 #1): a fixed pure-compute job
+        # (no IO, no cache state) timed once per measured pass, so a
+        # slow-host day is measurable INSIDE the record — when the
+        # suite total drifts but the canary drifts with it, the round
+        # delta is host variance, not plan regressions
+        t_c = time.perf_counter()
+        # bit_xor, not sum: a sum of 2M ~uniform int64 hashes
+        # overflows under ANSI mode
+        spark.range(2_000_000).selectExpr("bit_xor(xxhash64(id)) s").collect()
+        canary_s.append(round(time.perf_counter() - t_c, 3))
         t_pass0 = time.perf_counter()
         for name in headline:
             if name in errors:
@@ -539,6 +550,14 @@ def main() -> None:
         "n_errors": len(errors),
         "reps_run": reps_run,
         "incomplete": bool(errors) or bool(subset) or reps_run < N_REPS,
+        # per-pass host-speed canary (fixed spark.range compute): the
+        # round-over-round divisor for suite totals; r9's committed
+        # number ran on a host measured ~2x slower with no in-record
+        # evidence
+        "canary_sec": canary_s,
+        "canary_median": (
+            round(statistics.median(canary_s), 3) if canary_s else None
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query medians + raw reps go to a repo file (committed
@@ -556,7 +575,16 @@ def main() -> None:
         # regressions): only the full suite at the driver's sf0.1
         # writes BENCH_FULL.json
         is_record_run = not subset and sf_dir.rstrip("/").endswith("sf0.1")
-        name = "BENCH_FULL.json" if is_record_run else "BENCH_SUBSET.json"
+        # an INCOMPLETE record run (missing reps or errored queries)
+        # writes BENCH_PARTIAL.json so a partial can never be mistaken
+        # for the round's committed number (VERDICT r9 #3: r9 shipped
+        # a 4/5-rep BENCH_FULL)
+        if is_record_run and full["incomplete"]:
+            name = "BENCH_PARTIAL.json"
+        elif is_record_run:
+            name = "BENCH_FULL.json"
+        else:
+            name = "BENCH_SUBSET.json"
         with open(os.path.join(here, name), "w") as fh:
             json.dump(full, fh, indent=1)
     except OSError:
