@@ -497,6 +497,18 @@ def main() -> None:
     # BENCH file to a driver-harness timeout.
     isolated: dict[str, float] = {}
     if not subset and timings:
+        # r10: isolation runs in a FRESH SparkSession.  Measured: the
+        # old in-place isolation pass ran at the END of a 232-query ×
+        # 5-rep suite, where long-lived-JVM state (block-manager /
+        # checkpoint / broadcast bookkeeping) inflated checkpoint-heavy
+        # queries to WORSE than their interleaved medians
+        # (dedup_incremental_minhash_portable 31.8s "isolated" vs 6.9s
+        # interleaved vs 4.6s in a fresh session) — the exact opposite
+        # of the field's documented fresh-state contract.  A JVM
+        # restart costs ~15s once and makes "isolated" mean isolated.
+        spark.stop()
+        spark = get_spark("gdelt-extractor-bench-isolated")
+        spark.sparkContext.setLogLevel("ERROR")
         top10 = sorted(timings, key=timings.get, reverse=True)[:10]
         # VERDICT r7 #3: ALSO isolate any mid-pack query whose
         # interleaved median exceeds 2x its own best rep — the

@@ -430,6 +430,27 @@ def test_align_embeddings_engines_agree(spark):
         S.align_embeddings(a, b, engine="GEMM")
 
 
+def test_align_embeddings_gemm_drops_unusable_a_rows(spark):
+    """NULL or width-mismatched a-side vectors drop from the GEMM
+    engine's output (the sql engine's NULL-cosine rows fall out of
+    the margin filter the same way)."""
+    a = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, None),             # NULL vector
+            (2, [1.0, 0.0, 0.0]),  # width mismatch vs b
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = S.align_embeddings(a, b, k=2, margin_threshold=0.0).collect()
+    assert {r.id_a for r in got} == {0}
+    assert got[0].id_b == 100
+
+
 def test_align_embeddings_gemm_ragged_b_rejected(spark):
     import pytest as _pytest
 
