@@ -544,54 +544,20 @@ def _dedup_minhash_lsh_md5(
     with ``num_hashes`` codegen min-aggregates; the band join and the
     verification joins run on hash-uniform keys over frames bounded
     by the signature table and the candidate set respectively."""
-    r = num_hashes // bands
     mod = 1 << 48
     consts = _md5_perm_consts(num_hashes, salt)
 
-    base = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
-        .withColumn("_n", F.size("_t"))
-        .filter(F.col("_n") >= n)
-    )
     # (id, 48-bit salted shingle hash) MULTISET rows — one md5 per
-    # shingle occurrence, NO distinct: min-aggregates are duplicate-
-    # insensitive and the set-semantics consumers below use
-    # countDistinct, so skipping the distinct saves a full shuffle of
-    # the shingle frame (measured 4.6s → ~2s cold at sf0.1)
-    sh0 = (
-        base.select(
-            "id",
-            F.explode(
-                F.sequence(F.lit(0), (F.col("_n") - n).cast("int"))
-            ).alias("pos"),
-            "_t",
-        )
-        .select(
-            "id",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(salt + ":"),
-                            F.concat_ws(
-                                " ", F.slice("_t", (F.col("pos") + 1).cast("int"), n)
-                            ),
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h0"),
-        )
-        # feeds signatures AND both verify sides (A/B'd vs persist():
-        # the eager checkpoint's one write barrier beats re-reading
-        # the cache through the countDistinct expand, 2.7s vs 3.7s
-        # at sf0.1)
-        .localCheckpoint(eager=True)
+    # shingle occurrence (the shared _md5_shingle_rows idiom), NO
+    # distinct: min-aggregates are duplicate-insensitive and the
+    # set-semantics consumers below use countDistinct, so skipping
+    # the distinct saves a full shuffle of the shingle frame
+    # (measured 4.6s → ~2s cold at sf0.1).  The eager checkpoint
+    # feeds signatures AND both verify sides (A/B'd vs persist():
+    # one write barrier beats re-reading the cache through the
+    # countDistinct expand, 2.7s vs 3.7s at sf0.1).
+    sh0 = _md5_shingle_rows(df, text_col, id_col, n, salt).localCheckpoint(
+        eager=True
     )
     # one shuffle: slot minima + the distinct-shingle count together
     sig = sh0.groupBy("id").agg(
@@ -601,28 +567,15 @@ def _dedup_minhash_lsh_md5(
             for i, (a, b) in enumerate(consts)
         ]
     )
-    band_rows = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"_s{b * r + j}").cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    band_rows = _expand_bands(
+        sig.select(
+            "id",
+            F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"),
+        ),
+        num_hashes,
+        bands,
+        hash_fn="md5",
+    )
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
     candidates = (
         a.join(
@@ -704,6 +657,56 @@ def dedup_pair_eval(pred: DataFrame, truth: DataFrame) -> DataFrame:
     )
 
 
+def _md5_shingle_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    salt: str,
+    keep_len: bool = False,
+    partial_tail: bool = False,
+) -> DataFrame:
+    """(id[, _n], h0) — one row per n-token shingle OCCURRENCE, hashed
+    with the repo's engine-portable idiom: ONE salted md5 per shingle
+    truncated to 48 bits.  The single definition every md5 dedup path
+    shares (minhash signatures, incremental index, dedup_eval), so a
+    change to the salt/truncation can never diverge the Spark paths
+    from each other or the DuckDB oracle.
+
+    ``partial_tail=True`` keeps docs shorter than ``n`` tokens with
+    their one partial-window shingle (``dedup_ngram_jaccard``'s
+    window semantics); the default drops them (the md5 MinHash
+    contract — no full window exists)."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    if partial_tail:
+        hi = F.greatest((F.col("_n") - n).cast("int"), F.lit(0))
+    else:
+        base = base.filter(F.col("_n") >= n)
+        hi = (F.col("_n") - n).cast("int")
+    h0 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.concat_ws(
+                        " ", F.slice("_t", (F.col("pos") + 1).cast("int"), n)
+                    ),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keep = ["id"] + (["_n"] if keep_len else [])
+    return base.select(
+        *keep, F.explode(F.sequence(F.lit(0), hi)).alias("pos"), "_t"
+    ).select(*keep, h0.alias("h0"))
+
+
 def dedup_eval(
     df: DataFrame,
     text_col: str,
@@ -743,43 +746,22 @@ def dedup_eval(
       pred side and which are ~1e-4-improbable on the string-replay
       truth side at tested scales).
 
+    Degenerate-input note (documented divergence from the naive
+    composition): a NULL text and an empty text both hash their one
+    partial window to md5(salt + ":"), so the truth side pairs them —
+    the xxhash64 baseline's multi-arg NULL-skip distinguishes the two.
+    The DuckDB oracle coalesces NULL text to '' and agrees with THIS
+    operator; the composition-equivalence unit test uses a
+    non-NULL-text corpus.
+
     Returns ONE row (n_pred, n_true, n_hit, precision, recall, f1)
     — ``dedup_pair_eval`` of the two pair frames."""
-    r = num_hashes // bands
     mod = 1 << 48
     consts = _md5_perm_consts(num_hashes, salt)
 
-    base = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
-        .withColumn("_n", F.size("_t"))
+    sh_all = _md5_shingle_rows(
+        df, text_col, id_col, n, salt, keep_len=True, partial_tail=True
     )
-    h0 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt + ":"),
-                    F.concat_ws(
-                        " ", F.slice("_t", (F.col("pos") + 1).cast("int"), n)
-                    ),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
-    sh_all = base.select(
-        "id",
-        "_n",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest((F.col("_n") - n).cast("int"), F.lit(0)),
-            )
-        ).alias("pos"),
-        "_t",
-    ).select("id", "_n", h0.alias("h0"))
     # ONE corpus-scale materialization: the distinct SET frame.  Every
     # consumer below is set-semantic (min aggregates are duplicate-
     # insensitive; both verifies count distinct matches; the truth
@@ -800,28 +782,15 @@ def dedup_eval(
             for i, (a, b) in enumerate(consts)
         ],
     )
-    band_rows = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"_s{b * r + j}").cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    band_rows = _expand_bands(
+        sig.select(
+            "id",
+            F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"),
+        ),
+        num_hashes,
+        bands,
+        hash_fn="md5",
+    )
     ba, bb_ = band_rows.alias("a"), band_rows.alias("b")
     candidates = (
         ba.join(
@@ -2228,34 +2197,7 @@ def _md5_slot_minima(
     tokens drop (no full window — the md5-path contract)."""
     mod = 1 << 48
     consts = _md5_perm_consts(num_hashes, salt)
-    base = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
-        .withColumn("_n", F.size("_t"))
-        .filter(F.col("_n") >= n)
-    )
-    h0 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt + ":"),
-                    F.concat_ws(
-                        " ", F.slice("_t", (F.col("pos") + 1).cast("int"), n)
-                    ),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
-    sh0 = base.select(
-        "id",
-        F.explode(
-            F.sequence(F.lit(0), (F.col("_n") - n).cast("int"))
-        ).alias("pos"),
-        "_t",
-    ).select("id", h0.alias("h0"))
+    sh0 = _md5_shingle_rows(df, text_col, id_col, n, salt)
     return (
         sh0.groupBy("id")
         .agg(

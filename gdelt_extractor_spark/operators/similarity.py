@@ -958,17 +958,26 @@ def ranking_metrics(
 
 
 def _margin_from_scored(
-    scored: DataFrame, k: int, margin_threshold: float
+    scored: DataFrame,
+    k: int,
+    margin_threshold: float,
+    broadcast_avg: bool = True,
 ) -> DataFrame:
     """Shared ratio-margin algebra over a (id_a, id_b, cos) candidate
     frame: per-direction top-k windows feed ONE aggregate each — the
     forward side carries the rank-1 best match via ``min_by`` so no
     third pass or best⋈avg self-join ever materializes — then the
-    fwd⋈bwd join broadcasts the b-sized average table.  Neighborhood
-    averages decimal-sum 6-rounded cosines (order-free) and divide by
-    the constant ``k`` (LASER convention: fewer than k candidates
-    still divide by k), so an SQL oracle reproduces the doubles
-    exactly."""
+    fwd⋈bwd join attaches the b-sized average table
+    (``broadcast_avg=True`` hints it broadcast — correct under the
+    bounded-b gemm/sql contract; the ivf large×large path passes
+    False and lets AQE pick, since a corpus-sized average table must
+    not be forced onto every executor).  Neighborhood averages
+    decimal-sum 6-rounded cosines (order-free) and divide by the
+    constant ``k`` (LASER convention: fewer than k candidates still
+    divide by k), so an SQL oracle reproduces the doubles exactly.
+    A zero average denominator (possible only when every candidate
+    cosine is exactly 0) yields NULL margin and is filtered — ANSI
+    mode would otherwise abort on the division."""
     wf = Window.partitionBy("id_a").orderBy(
         F.col("cos").desc(), F.col("id_b").asc()
     )
@@ -992,13 +1001,12 @@ def _margin_from_scored(
         .groupBy("id_b")
         .agg((dsum("cos") / k).alias("avg_b"))
     )
+    denom = (F.col("avg_f") + F.col("avg_b")) / 2.0
     return (
-        fwd.join(F.broadcast(bwd), "id_b")
+        fwd.join(F.broadcast(bwd) if broadcast_avg else bwd, "id_b")
         .withColumn(
             "margin",
-            F.round(
-                F.col("cos") / ((F.col("avg_f") + F.col("avg_b")) / 2.0), 6
-            ),
+            F.when(denom != 0.0, F.round(F.col("cos") / denom, 6)),
         )
         .filter(F.col("margin") >= margin_threshold)
         .select(
@@ -1074,13 +1082,23 @@ def align_embeddings(
     6-decimal round absorbs that except on adversarial midpoints,
     the same documented tolerance as ``dedup_semantic`` /
     ``dedup_embedding``.
+
+    Degenerate inputs (documented divergence, same rule as
+    ``_gemm_block_pairs``): zero-norm vectors are defined to cosine 0
+    in the gemm/ivf kernels, while the sql engine's 0-denominator
+    division aborts under ANSI mode — don't feed zero vectors to
+    ``engine="sql"``.  An all-zero-cosine neighborhood yields NULL
+    margin (filtered) instead of a 0/0 abort in every engine.
     """
     if engine not in ("gemm", "sql", "ivf"):
         raise ValueError(
             f"align_embeddings: unknown engine {engine!r} "
             "(expected 'gemm', 'sql' or 'ivf')"
         )
-    id_dt = a.schema[id_col].dataType.simpleString()
+    # per-side id types: a string-id corpus b next to a long-id corpus
+    # a must round-trip both (the Arrow schemas below name each side)
+    id_dt_a = a.schema[id_col].dataType.simpleString()
+    id_dt_b = b.schema[id_col].dataType.simpleString()
     av = a.select(
         F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va")
     )
@@ -1088,9 +1106,11 @@ def align_embeddings(
         F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb")
     )
     if engine == "gemm":
-        return _align_gemm(av, bv, k, margin_threshold, id_dt)
+        return _align_gemm(av, bv, k, margin_threshold, id_dt_a, id_dt_b)
     if engine == "ivf":
-        return _align_ivf(av, bv, k, margin_threshold, id_dt, m, nprobe)
+        return _align_ivf(
+            av, bv, k, margin_threshold, id_dt_a, id_dt_b, m, nprobe
+        )
     av = av.withColumn("na", _norm(F.col("va")))
     bv = bv.withColumn("nb", _norm(F.col("vb")))
     dot = F.aggregate(
@@ -1118,7 +1138,8 @@ def _align_gemm(
     bv: DataFrame,
     k: int,
     margin_threshold: float,
-    id_dt: str,
+    id_dt_a: str,
+    id_dt_b: str,
 ) -> DataFrame:
     """GEMM engine for ``align_embeddings``: one scan of ``a``, the
     forward aggregate fused into the kernel, backward top-k finished
@@ -1127,10 +1148,12 @@ def _align_gemm(
     b_rows = (
         bv.filter(F.col("vb").isNotNull()).orderBy("id_b").collect()
     )  # bounded by the broadcast-side contract (SURVEY §6)
-    out_schema = f"tag int, id_a {id_dt}, id_b {id_dt}, cos double, avg double"
+    out_schema = (
+        f"tag int, id_a {id_dt_a}, id_b {id_dt_b}, cos double, avg double"
+    )
     if not b_rows:
         return spark.createDataFrame(
-            [], f"id_a {id_dt}, id_b {id_dt}, cosine double, margin double"
+            [], f"id_a {id_dt_a}, id_b {id_dt_b}, cosine double, margin double"
         )
     widths = {len(r.vb) for r in b_rows}
     if len(widths) != 1:
@@ -1200,6 +1223,10 @@ def _align_gemm(
     # localCheckpoint discipline — the tagged frame is O(|a| +
     # batches·|b|·k), three orders below the corpus)
     out = av.mapInPandas(_score, out_schema).localCheckpoint(eager=True)
+    # the checkpoint already materialized every GEMM batch — release
+    # the executor-side B matrix now instead of letting broadcast
+    # state accumulate across calls in a long-lived session
+    bc.destroy()
     fwd = out.filter(F.col("tag") == 0).select(
         "id_a", "id_b", "cos", F.col("avg").alias("avg_f")
     )
@@ -1214,13 +1241,14 @@ def _align_gemm(
         .groupBy("id_b")
         .agg((dsum("cos") / k).alias("avg_b"))
     )
+    denom = (F.col("avg_f") + F.col("avg_b")) / 2.0
     return (
         fwd.join(F.broadcast(bwd), "id_b")
         .withColumn(
             "margin",
-            F.round(
-                F.col("cos") / ((F.col("avg_f") + F.col("avg_b")) / 2.0), 6
-            ),
+            # NULL (filtered) on an all-zero-cosine neighborhood —
+            # ANSI mode would abort on the 0-denominator division
+            F.when(denom != 0.0, F.round(F.col("cos") / denom, 6)),
         )
         .filter(F.col("margin") >= margin_threshold)
         .select("id_a", "id_b", F.col("cos").alias("cosine"), "margin")
@@ -1232,7 +1260,8 @@ def _align_ivf(
     bv: DataFrame,
     k: int,
     margin_threshold: float,
-    id_dt: str,
+    id_dt_a: str,
+    id_dt_b: str,
     m: int,
     nprobe: int,
 ) -> DataFrame:
@@ -1242,14 +1271,28 @@ def _align_ivf(
     its cell, ``a`` multiprobes ``nprobe`` cells; candidates scored by
     a cogrouped per-cell numpy GEMM (an equi-join on cell id — never a
     nested loop), deduped across probes, then the exact margin algebra
-    runs over the candidate frame."""
-    cents = ivf_fit_centroids(bv, m=m, id_col="id_b", vec_col="vb")
+    runs over the candidate frame (averages NOT broadcast — they are
+    corpus-b-sized here)."""
+    # NULL / width-mismatched vectors drop BEFORE the quantizer (the
+    # sql engine's NULL-cosine rows fall out of the margin filter the
+    # same way): the fit, assign and probe kernels all np.vstack their
+    # batches, so a ragged row would otherwise crash them
+    bnn = bv.filter(F.col("vb").isNotNull())
+    dim = bnn.select(F.size("vb").alias("d")).groupBy("d").count()
+    dims = dim.orderBy(F.col("count").desc(), F.col("d").asc()).limit(1).collect()
+    if not dims:
+        return av.sparkSession.createDataFrame(
+            [], f"id_a {id_dt_a}, id_b {id_dt_b}, cosine double, margin double"
+        )
+    d_b = dims[0].d  # dominant b width, deterministic tie-break
+    bu = bnn.filter(F.size("vb") == d_b)
+    au = av.filter(F.col("va").isNotNull() & (F.size("va") == d_b))
+    cents = ivf_fit_centroids(bu, m=m, id_col="id_b", vec_col="vb")
     assign = _ivf_assign_udf(cents)
     probe = _ivf_probe_udf(cents, nprobe)
-    bt = bv.filter(F.col("vb").isNotNull()).withColumn("_blk", assign("vb"))
+    bt = bu.withColumn("_blk", assign("vb"))
     at = (
-        av.filter(F.col("va").isNotNull())
-        .withColumn("_cells", probe("va"))
+        au.withColumn("_cells", probe("va"))
         .select("id_a", "va", F.explode("_cells").alias("_blk"))
     )
 
@@ -1263,44 +1306,36 @@ def _align_ivf(
         )
         if left.empty or right.empty:
             return empty
-        frames = []
-        # width-grouped like _gemm_block_pairs: mismatched widths
-        # can't pair (legacy NULL-cosine drop)
-        lw = left["va"].map(len).to_numpy()
-        rw = right["vb"].map(len).to_numpy()
-        for d in np.intersect1d(np.unique(lw), np.unique(rw)):
-            lg, rg = left[lw == d], right[rw == d]
-            A = np.array(lg["va"].tolist(), dtype=np.float64)
-            B = np.array(rg["vb"].tolist(), dtype=np.float64)
-            na = np.sqrt((A * A).sum(axis=1))
-            na[na == 0.0] = 1.0
-            nb = np.sqrt((B * B).sum(axis=1))
-            nb[nb == 0.0] = 1.0
-            cos = _round6_micro((A @ B.T) / (na[:, None] * nb[None, :])) / 1e6
-            ia, ib = np.meshgrid(
-                np.arange(len(lg)), np.arange(len(rg)), indexing="ij"
-            )
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "id_a": lg["id_a"].to_numpy()[ia.ravel()],
-                        "id_b": rg["id_b"].to_numpy()[ib.ravel()],
-                        "cos": cos.ravel(),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True) if frames else empty
+        # widths are uniform by construction (both sides filtered to
+        # the quantizer width above), so one GEMM per cell
+        A = np.array(left["va"].tolist(), dtype=np.float64)
+        B = np.array(right["vb"].tolist(), dtype=np.float64)
+        na = np.sqrt((A * A).sum(axis=1))
+        na[na == 0.0] = 1.0
+        nb = np.sqrt((B * B).sum(axis=1))
+        nb[nb == 0.0] = 1.0
+        cos = _round6_micro((A @ B.T) / (na[:, None] * nb[None, :])) / 1e6
+        ia, ib = np.meshgrid(
+            np.arange(len(left)), np.arange(len(right)), indexing="ij"
+        )
+        return pd.DataFrame(
+            {
+                "id_a": left["id_a"].to_numpy()[ia.ravel()],
+                "id_b": right["id_b"].to_numpy()[ib.ravel()],
+                "cos": cos.ravel(),
+            }
+        )
 
     scored = (
         at.groupBy("_blk")
         .cogroup(bt.groupBy("_blk"))
-        .applyInPandas(_cross, f"id_a {id_dt}, id_b {id_dt}, cos double")
+        .applyInPandas(_cross, f"id_a {id_dt_a}, id_b {id_dt_b}, cos double")
         # a pair meeting in several probed cells carries the identical
         # cosine — keep one
         .groupBy("id_a", "id_b")
         .agg(F.max("cos").alias("cos"))
     )
-    return _margin_from_scored(scored, k, margin_threshold)
+    return _margin_from_scored(scored, k, margin_threshold, broadcast_avg=False)
 
 
 def source_similarity(

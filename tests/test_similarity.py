@@ -451,6 +451,48 @@ def test_align_embeddings_gemm_drops_unusable_a_rows(spark):
     assert got[0].id_b == 100
 
 
+def test_align_embeddings_ivf_null_b_vectors(spark):
+    """NULL b-side vectors must not crash the ivf quantizer fit
+    (review finding r10): they drop, like the gemm/sql engines."""
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(100, [1.0, 0.1]), (101, None), (102, [0.1, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.id_a: r.id_b
+        for r in S.align_embeddings(
+            a, b, k=2, margin_threshold=0.0, engine="ivf", m=2, nprobe=2
+        ).collect()
+    }
+    assert got == {0: 100, 1: 102}
+
+
+def test_align_embeddings_mixed_id_types(spark):
+    """a with long ids and b with string ids round-trip through the
+    gemm and ivf Arrow schemas (review finding r10: id_b was typed
+    from a's id type)."""
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [("x", [1.0, 0.1]), ("y", [0.1, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    for eng in ("gemm", "ivf"):
+        got = {
+            r.id_a: r.id_b
+            for r in S.align_embeddings(
+                a, b, k=2, margin_threshold=0.0, engine=eng, m=2, nprobe=2
+            ).collect()
+        }
+        assert got == {0: "x", 1: "y"}, eng
+
+
 def test_align_embeddings_gemm_ragged_b_rejected(spark):
     import pytest as _pytest
 
