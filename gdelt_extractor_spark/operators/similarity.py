@@ -32,6 +32,27 @@ def _norm(v: Column) -> Column:
     )
 
 
+def _finite_vec(vec_col: str | Column) -> Column:
+    """True iff the array is non-NULL and every element is a finite
+    non-NULL double.  The numpy-GEMM engines drop rows failing this
+    BEFORE vectorizing: a NULL/NaN/Inf element would otherwise become
+    NaN inside the GEMM, and the HALF_UP integer-micro round would
+    cast that NaN to INT64_MIN (cosine ~-9.2e12) and poison every
+    neighborhood average it touches (r10 ADVICE, high).  The sql
+    engine needs no filter — NULL elements null the zip_with dot and
+    NaN fails the margin comparison, so dirty rows fall out of the
+    margin filter on their own; the filter makes the kernels match
+    that drop semantics exactly.  Pure codegen (forall), so it rides
+    the scan."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return col.isNotNull() & F.forall(
+        col,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(float("inf"))),
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
@@ -1072,7 +1093,21 @@ def align_embeddings(
       ``nprobe == m`` every pair meets and output equals the exact
       engines (pinned by tests/test_similarity.py).  No broadcast of
       either corpus and no nested-loop join anywhere — the pair
-      frame is an equi-join on cell id.
+      frame is an equi-join on cell id.  Width restriction (r10
+      ADVICE, documented divergence): the quantizer is fit at ``b``'s
+      DOMINANT vector width and BOTH corpora are restricted to it —
+      minority-width rows (and the same-width pairs the sql engine
+      would score among them) are discarded, beyond the nprobe
+      approximation.  Mixed-width corpora should use ``engine="sql"``
+      or be aligned per width group.
+
+    Dirty vectors (all numpy engines, r10 ADVICE fix): a vector whose
+    ELEMENTS contain NULL / NaN / ±Inf is dropped by a codegen
+    ``forall`` filter before the kernels (``_finite_vec``) — it would
+    otherwise become NaN inside the GEMM and INT64_MIN in the integer
+    micro round, corrupting neighborhood averages of clean pairs.
+    This matches ``engine="sql"``, where such rows null their cosine
+    and fall out of the margin filter.
 
     Engine-portable numerics: cosines are rounded HALF_UP to 6
     decimals (``sign(x)·floor(|x|·1e6+0.5)/1e6`` — Spark ``F.round``
@@ -1145,8 +1180,12 @@ def _align_gemm(
     forward aggregate fused into the kernel, backward top-k finished
     by one small window over per-batch candidates."""
     spark = av.sparkSession
+    # element-level validation at collect time: a b vector with a
+    # NULL/NaN/Inf element would poison every batch's GEMM column
+    # (r10 ADVICE) — drop it here like the sql engine drops its
+    # NULL-cosine rows
     b_rows = (
-        bv.filter(F.col("vb").isNotNull()).orderBy("id_b").collect()
+        bv.filter(_finite_vec("vb")).orderBy("id_b").collect()
     )  # bounded by the broadcast-side contract (SURVEY §6)
     out_schema = (
         f"tag int, id_a {id_dt_a}, id_b {id_dt_b}, cos double, avg double"
@@ -1179,6 +1218,16 @@ def _align_gemm(
             if pdf.empty:
                 continue
             A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            # defensive twin of the Spark-side _finite_vec filter: a
+            # NaN/Inf element that slipped through would become
+            # INT64_MIN in the micro round and corrupt the backward
+            # averages of every clean pair in the batch (r10 ADVICE)
+            finite = np.isfinite(A).all(axis=1)
+            if not finite.all():
+                pdf = pdf[finite]
+                if pdf.empty:
+                    continue
+                A = A[finite]
             na = np.sqrt((A * A).sum(axis=1))
             na[na == 0.0] = 1.0
             micro = _round6_micro((A @ B_.T) / (na[:, None] * nb_[None, :]))
@@ -1222,7 +1271,11 @@ def _align_gemm(
     # fwd/bwd consumers don't each rerun the scan (the hamming_pairs
     # localCheckpoint discipline — the tagged frame is O(|a| +
     # batches·|b|·k), three orders below the corpus)
-    out = av.mapInPandas(_score, out_schema).localCheckpoint(eager=True)
+    out = (
+        av.filter(_finite_vec("va"))
+        .mapInPandas(_score, out_schema)
+        .localCheckpoint(eager=True)
+    )
     # the checkpoint already materialized every GEMM batch — release
     # the executor-side B matrix now instead of letting broadcast
     # state accumulate across calls in a long-lived session
@@ -1273,11 +1326,13 @@ def _align_ivf(
     nested loop), deduped across probes, then the exact margin algebra
     runs over the candidate frame (averages NOT broadcast — they are
     corpus-b-sized here)."""
-    # NULL / width-mismatched vectors drop BEFORE the quantizer (the
-    # sql engine's NULL-cosine rows fall out of the margin filter the
-    # same way): the fit, assign and probe kernels all np.vstack their
-    # batches, so a ragged row would otherwise crash them
-    bnn = bv.filter(F.col("vb").isNotNull())
+    # NULL / dirty-element / width-mismatched vectors drop BEFORE the
+    # quantizer (the sql engine's NULL-cosine rows fall out of the
+    # margin filter the same way): the fit, assign and probe kernels
+    # all np.vstack their batches, so a ragged row would crash them,
+    # and a NULL/NaN/Inf ELEMENT would poison the centroids and turn
+    # into INT64_MIN in the per-cell GEMM's micro round (r10 ADVICE)
+    bnn = bv.filter(_finite_vec("vb"))
     dim = bnn.select(F.size("vb").alias("d")).groupBy("d").count()
     dims = dim.orderBy(F.col("count").desc(), F.col("d").asc()).limit(1).collect()
     if not dims:
@@ -1286,7 +1341,7 @@ def _align_ivf(
         )
     d_b = dims[0].d  # dominant b width, deterministic tie-break
     bu = bnn.filter(F.size("vb") == d_b)
-    au = av.filter(F.col("va").isNotNull() & (F.size("va") == d_b))
+    au = av.filter(_finite_vec("va") & (F.size("va") == d_b))
     cents = ivf_fit_centroids(bu, m=m, id_col="id_b", vec_col="vb")
     assign = _ivf_assign_udf(cents)
     probe = _ivf_probe_udf(cents, nprobe)

@@ -451,6 +451,58 @@ def test_align_embeddings_gemm_drops_unusable_a_rows(spark):
     assert got[0].id_b == 100
 
 
+def test_align_embeddings_dirty_elements_drop(spark):
+    """Vectors with NULL / NaN ELEMENTS pass a whole-vector null
+    check but would become NaN inside the GEMM and INT64_MIN in the
+    integer micro round (cosine ~-9.2e12), corrupting the clean
+    pairs' backward averages (r10 ADVICE, high).  All engines must
+    drop such rows and agree with engine='sql' exactly — including
+    the clean pair's margin, which the poisoned average used to zero
+    out."""
+    a = spark.createDataFrame(
+        [(0, [1.0, None]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(100, [1.0, 0.2]), (101, [0.1, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rows(df):
+        return sorted((r.id_a, r.id_b, r.cosine, r.margin) for r in df.collect())
+
+    exact = rows(S.align_embeddings(a, b, k=2, margin_threshold=0.0, engine="sql"))
+    assert [t[0] for t in exact] == [1]  # dirty a-row 0 dropped
+    assert exact[0][3] is not None and exact[0][3] > 0.0
+    assert rows(S.align_embeddings(a, b, k=2, margin_threshold=0.0)) == exact
+    assert (
+        rows(
+            S.align_embeddings(
+                a, b, k=2, margin_threshold=0.0, engine="ivf", m=2, nprobe=2
+            )
+        )
+        == exact
+    )
+
+    # b-side: a NaN/Inf element would poison every batch's GEMM column
+    b_dirty = spark.createDataFrame(
+        [(100, [1.0, 0.2]), (101, [float("nan"), 1.0]), (102, [float("inf"), 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    a_clean = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for eng in ("gemm", "ivf"):
+        got = {
+            r.id_a: r.id_b
+            for r in S.align_embeddings(
+                a_clean, b_dirty, k=2, margin_threshold=0.0, engine=eng, m=2, nprobe=2
+            ).collect()
+        }
+        assert got == {0: 100, 1: 100}, eng
+
+
 def test_align_embeddings_ivf_null_b_vectors(spark):
     """NULL b-side vectors must not crash the ivf quantizer fit
     (review finding r10): they drop, like the gemm/sql engines."""
