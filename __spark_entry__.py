@@ -921,6 +921,77 @@ def _gdelt_v1_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gdelt_v2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 (61-col) reader end-to-end: fixture TSV → typed schema →
+    per-(day, QuadClass) rollup — the direct oracle gate for
+    read_gdelt_v2 (r10 verdict item 6; previously only transitively
+    gated through mention_stats).  The oracle's read_csv columns are
+    generated FROM the Spark schema (``_duck_tsv``), and the rollup
+    deliberately touches the v2-only ADM2 column (mid-row) plus the
+    tail columns (DATEADDED, SOURCEURL): any offset error in the
+    61-column layout shifts those and the value hash catches it."""
+    from gdelt_extractor_spark.sources.gdelt import read_gdelt_v2
+
+    ev = read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv")
+    n = F.count(F.lit(1))
+    return (
+        ev.groupBy("SQLDATE", "QuadClass")
+        .agg(
+            n.alias("n_events"),
+            (Q.dsum(F.col("GoldsteinScale")) / n).alias("avg_goldstein"),
+            (Q.dsum(F.col("AvgTone")) / n).alias("avg_tone"),
+            F.sum(F.col("NumArticles").cast("long")).alias("total_articles"),
+            F.countDistinct("ActionGeo_ADM2Code").alias("n_adm2"),
+            F.max("DATEADDED").alias("last_added"),
+            F.countDistinct("SOURCEURL").alias("n_urls"),
+        )
+        .select(
+            F.col("SQLDATE").alias("sqldate"),
+            F.col("QuadClass").alias("quad_class"),
+            "n_events", "avg_goldstein", "avg_tone",
+            "total_articles", "n_adm2", "last_added", "n_urls",
+        )
+    )
+
+
+def _gdelt_mentions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mentions (16-col) reader end-to-end: fixture TSV → typed
+    schema → per-(mention-day, MentionType) rollup — the direct
+    oracle gate for read_gdelt_mentions (r10 verdict item 6).
+    Touches the head (GLOBALEVENTID, MentionTimeDate), middle
+    (MentionSourceName, InRawText) and tail (Confidence,
+    MentionDocLen, MentionDocTone, MentionDocTranslationInfo)
+    columns, so a column-offset error anywhere in the 16-column
+    layout breaks the hash."""
+    from gdelt_extractor_spark.sources.gdelt import read_gdelt_mentions
+
+    mn = read_gdelt_mentions(spark, f"{GDELT_FIXTURES}/v2_mentions.tsv")
+    n = F.count(F.lit(1))
+    return (
+        mn.withColumn("day", F.expr("MentionTimeDate DIV 1000000"))
+        .groupBy("day", "MentionType")
+        .agg(
+            n.alias("n_mentions"),
+            F.countDistinct("GLOBALEVENTID").alias("n_events"),
+            F.countDistinct("MentionSourceName").alias("n_sources"),
+            (Q.dsum(F.col("Confidence")) / n).alias("avg_confidence"),
+            (Q.dsum(F.col("MentionDocTone")) / n).alias("avg_tone"),
+            F.sum(F.col("MentionDocLen").cast("long")).alias("total_doc_len"),
+            F.sum(F.col("InRawText").cast("long")).alias("n_raw_text"),
+            F.sum(
+                F.col("MentionDocTranslationInfo").startswith("srclc:")
+                .cast("long")
+            ).alias("n_translated"),
+        )
+        .select(
+            "day",
+            F.col("MentionType").alias("mention_type"),
+            "n_mentions", "n_events", "n_sources", "avg_confidence",
+            "avg_tone", "total_doc_len", "n_raw_text", "n_translated",
+        )
+    )
+
+
 def _gdelt_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's post-read cleanup end-to-end
     (process_gdelt_events: keep-first SOURCEURL dedup + lowercase
@@ -3372,6 +3443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_dyads": _actor_dyads,  # r6
         "jsonl_corpus_stats": _jsonl_corpus_stats,  # r6
         "gdelt_v1_daily": _gdelt_v1_daily,  # r6
+        "gdelt_v2_daily": _gdelt_v2_daily,  # r11: direct 61-col reader gate
+        "gdelt_mentions_daily": _gdelt_mentions_daily,  # r11: direct 16-col reader gate
         "gdelt_clean": _gdelt_clean,  # r6
         "geo_grid_join": _geo_grid_join,  # r6
         "scd2_customers": _scd2_customers,  # r6
@@ -5960,6 +6033,38 @@ def oracle_sql() -> dict[str, str]:
               {_dsum('AvgTone')} / COUNT(*) AS avg_tone,
               CAST(SUM(NumMentions) AS BIGINT) AS total_mentions
             FROM {_duck_tsv('v1_events.tsv', V1_EVENTS_SCHEMA)}
+            GROUP BY 1, 2
+        """,
+        "gdelt_v2_daily": f"""
+            SELECT SQLDATE AS sqldate, QuadClass AS quad_class,
+              COUNT(*) AS n_events,
+              {_dsum('GoldsteinScale')} / COUNT(*) AS avg_goldstein,
+              {_dsum('AvgTone')} / COUNT(*) AS avg_tone,
+              CAST(SUM(NumArticles) AS BIGINT) AS total_articles,
+              COUNT(DISTINCT ActionGeo_ADM2Code) AS n_adm2,
+              MAX(DATEADDED) AS last_added,
+              COUNT(DISTINCT SOURCEURL) AS n_urls
+            FROM {_duck_tsv('v2_events.tsv', V2_EVENTS_SCHEMA)}
+            GROUP BY 1, 2
+        """,
+        "gdelt_mentions_daily": f"""
+            SELECT MentionTimeDate // 1000000 AS day,
+              MentionType AS mention_type,
+              COUNT(*) AS n_mentions,
+              COUNT(DISTINCT GLOBALEVENTID) AS n_events,
+              COUNT(DISTINCT MentionSourceName) AS n_sources,
+              {_dsum('Confidence')} / COUNT(*) AS avg_confidence,
+              {_dsum('MentionDocTone')} / COUNT(*) AS avg_tone,
+              CAST(SUM(MentionDocLen) AS BIGINT) AS total_doc_len,
+              CAST(SUM(InRawText) AS BIGINT) AS n_raw_text,
+              -- NULL-faithful conditional count: NULL input stays
+              -- NULL (Spark's startswith(NULL) is NULL and sum skips
+              -- it), non-matching non-NULL input counts 0
+              CAST(SUM(CASE
+                WHEN MentionDocTranslationInfo LIKE 'srclc:%' THEN 1
+                WHEN MentionDocTranslationInfo IS NOT NULL THEN 0
+              END) AS BIGINT) AS n_translated
+            FROM {_duck_tsv('v2_mentions.tsv', MENTIONS_SCHEMA)}
             GROUP BY 1, 2
         """,
         "gdelt_clean": f"""

@@ -100,6 +100,8 @@ HEADLINE = [
     "actor_dyads",
     "actor_pagerank",
     "gdelt_v1_daily",
+    "gdelt_v2_daily",
+    "gdelt_mentions_daily",
     "gdelt_clean",
     "jsonl_corpus_stats",
     "geo_project",
