@@ -2342,9 +2342,13 @@ def _actor_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE pipeline over documents: train 50 merges from the
     distributed word-frequency table (bounded driver loop), encode
-    the corpus with the learned merges (one Arrow pass).  Iterative
-    training → rows-only; the merge-sequence/losslessness/partition-
-    independence contracts are pinned in tests/test_textstats.py."""
+    the corpus with the learned merges (one Arrow pass).  Hash-gated
+    since r11: the deterministic merge list is data-pinned
+    (scripts/pin_bpe_merges.py, refit == pin certified at record
+    time) and the oracle replays the encode step as rank-ordered
+    greedy string replaces (``_bpe_oracle_sql``), so the gate covers
+    train + encode end-to-end; merge-sequence/losslessness/partition-
+    independence contracts remain pinned in tests/test_textstats.py."""
     from gdelt_extractor_spark.operators.tokenizer import bpe_encode, bpe_train
 
     docs = _docs(spark, sf_dir, width=0)
@@ -3540,11 +3544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_stats": _byte_stats,  # r7
         "hapax_stats": _hapax_stats,  # r7
         "prefix_clusters": _prefix_clusters,  # r7
+        "bpe_subwords": _bpe_subwords,  # hash-gated r11 (pinned merges)
         # --- rows-only (driver records no_oracle; property-tested
         # against exact baselines locally) ---
         "person_influence": _person_influence,
         "dedup_incremental_minhash": _dedup_incremental_minhash,
-        "bpe_subwords": _bpe_subwords,
         "actor_pagerank": _actor_pagerank,
         "compression_stats": _compression_stats,
         "sketch_rollup": _sketch_rollup,
@@ -3838,6 +3842,63 @@ def _kmeans_assign_ctes(pin_key: str) -> str:
 _KM_DIST_TERMS = " + ".join(
     f"(v[{i}] - cv[{i}]) * (v[{i}] - cv[{i}])" for i in range(1, 65)
 )
+
+
+def _bpe_oracle_sql() -> str:
+    """The bpe_subwords oracle (r11 graduation from rows-only): the
+    merge LIST learned by the iterative trainer is pinned per data
+    fingerprint (scripts/pin_bpe_merges.py, certified refit == pin at
+    record time), and the oracle replays ONLY the closed-form encode:
+    each distinct word becomes a chr(31)-wrapped symbol string
+    (every symbol as \\x1fsym\\x1f) and the 50 pinned merges apply as
+    greedy left-to-right ``replace('\\x1fl\\x1f\\x1fr\\x1f' →
+    '\\x1flr\\x1f')`` calls in rank order — equivalent to the
+    production kernel's lowest-applicable-rank loop because a merge
+    at rank j only creates pairs of rank > j (new symbols participate
+    only in later-learned pairs) and never forms a new adjacency
+    between pre-existing symbols.  Subword count per word = half the
+    separator count; per-doc totals join tokens back on the word.
+    Fingerprint mismatch (regenerated testdata) yields all-zero
+    counts vs the live-trained Spark side — the same loud-failure
+    contract as the kmeans pins."""
+    from gdelt_extractor_spark.operators._bpe_pins import PINS
+
+    sep = chr(31)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    branches = []
+    for fp, merges in PINS.items():
+        expr = (
+            "regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g')"
+            " || chr(31)||'</w>'||chr(31)"
+        )
+        for left, right in merges:
+            pat = q(sep + left + sep + sep + right + sep)
+            rep = q(sep + left + right + sep)
+            expr = f"replace({expr}, {pat}, {rep})"
+        branches.append(f"SELECT {q(fp)} AS fp, w, {expr} AS s FROM wds")
+    union = "\n              UNION ALL ".join(branches)
+    return f"""
+        WITH fpq AS (
+          SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
+            CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR) AS fp
+          FROM documents),
+        tok AS (
+          SELECT doc_id, unnest({_toks('text')}) AS w FROM documents),
+        wds AS (SELECT DISTINCT w FROM tok WHERE w <> ''),
+        enc AS ({union}),
+        cnt AS (
+          SELECT w,
+            (length(s) - length(replace(s, chr(31), ''))) // 2 AS n
+          FROM enc JOIN fpq USING (fp)),
+        agg AS (
+          SELECT doc_id, SUM(n) AS n
+          FROM tok JOIN cnt USING (w) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_subwords
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """
 
 _NDCG_DISC_VALUES = "(1, 1.0), (2, 0.6309297535714575), (3, 0.5), (4, 0.43067655807339306), (5, 0.38685280723454163), (6, 0.3562071871080222), (7, 0.3333333333333333), (8, 0.31546487678572877), (9, 0.3010299956639812), (10, 0.2890648263178879)"
 _NDCG_IDCG_VALUES = "(1, 1.0), (2, 1.6309297535714575), (3, 2.1309297535714578), (4, 2.5616063116448506), (5, 2.9484591188793923), (6, 3.3046663059874146), (7, 3.637999639320748), (8, 3.953464516106477), (9, 4.254494511770458), (10, 4.543559338088346)"
@@ -6035,6 +6096,7 @@ def oracle_sql() -> dict[str, str]:
             FROM {_duck_tsv('v1_events.tsv', V1_EVENTS_SCHEMA)}
             GROUP BY 1, 2
         """,
+        "bpe_subwords": _bpe_oracle_sql(),
         "gdelt_v2_daily": f"""
             SELECT SQLDATE AS sqldate, QuadClass AS quad_class,
               COUNT(*) AS n_events,

@@ -568,6 +568,30 @@ class TestBpeTokenizer:
         assert (bpe_train(df, "text", n_merges=15)
                 == bpe_train(df.repartition(7), "text", n_merges=15))
 
+    def test_pinned_merges_match_refit(self, spark):
+        """The committed _bpe_pins literals (the bpe_subwords oracle's
+        encode-replay inputs) must equal a fresh bpe_train refit at
+        sf0.001 — the record-time certification replayed in CI, so
+        testdata drift fails HERE, not as a silent oracle mismatch."""
+        import duckdb
+
+        from gdelt_extractor_spark.operators._bpe_pins import N_MERGES, PINS
+        from gdelt_extractor_spark.operators.tokenizer import bpe_train
+        from gdelt_extractor_spark.sources.tables import load_table
+
+        sf_dir = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        fp = con.sql(
+            "SELECT CAST(COUNT(*) AS VARCHAR) || ':' || "
+            "CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR) "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()[0]
+        con.close()
+        assert fp in PINS, f"no pin for {fp} — run scripts/pin_bpe_merges.py"
+        docs = load_table(spark, sf_dir, "documents")
+        refit = [tuple(m) for m in bpe_train(docs, "text", n_merges=N_MERGES)]
+        assert refit == [tuple(m) for m in PINS[fp]]
+
 
 def test_strip_markup_semantics(spark):
     from gdelt_extractor_spark.functions.text import strip_markup
