@@ -874,6 +874,10 @@ def _related_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdelt_extractor_spark.operators.graph import pagerank
     from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
 
+    # the contracted country graph is ≤ 200² edges: pagerank's r11
+    # bounded driver finish runs the iteration vectorized (the
+    # distributed loop was paying ~0.7s of task scheduling per round
+    # on an 8-node frame — measured 9.9s → ~2s isolated)
     dyads = actor_dyad_rollup(read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv"))
     sym = dyads.unionByName(
         dyads.select(

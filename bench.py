@@ -375,6 +375,18 @@ def reset_gc_cycle(spark) -> None:
 # whole run well inside the budget guard.
 N_REPS = 5
 
+# every query whose interleaved median exceeds this gets a
+# fresh-session isolated median in BENCH_FULL (VERDICT r10 #1: the
+# isolated number is the one to read for cross-round regression
+# calls; 2s is where in-suite medians stop being plan signal on this
+# host — the r10 canary documented a 3x pure-compute spread)
+ISO_THRESHOLD_S = 2.0
+
+# r10's committed record — the first round with an in-record host
+# canary — is the normalization anchor for cross-round ratios
+R10_CANARY_S = 0.360
+R10_R4SET_S = 54.841
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -485,18 +497,13 @@ def main() -> None:
         if ts and n not in errors
     }
 
-    # Isolation pass (VERDICT r6 #3): the top-10 most expensive
-    # queries re-run OUTSIDE the suite — full GC + storage/broadcast
-    # cleanup first, then back-to-back reps of that query alone — so
-    # a driver-record spike on identical code (dedup_semantic 4.35s
-    # committed vs 6.60s driver, r6) is attributable in-file: a plan
-    # regression moves BOTH numbers, long-lived-JVM/suite contention
-    # moves only the interleaved one.  ~60-90s at sf0.1; skipped for
-    # subset runs (they ARE isolation experiments already).
-    # The isolation reps share the interleaved passes' wall budget
-    # (plus a 20% allowance): if a regressed query already ate the
-    # budget, shipping the interleaved record beats losing the whole
-    # BENCH file to a driver-harness timeout.
+    # Isolation pass (VERDICT r6 #3, widened r11 per VERDICT r10 #1):
+    # EVERY query whose in-suite median exceeds ISO_THRESHOLD_S re-run
+    # OUTSIDE the suite, so a driver-record spike on identical code
+    # (dedup_semantic 4.35s committed vs 6.60s driver, r6) is
+    # attributable in-file: a plan regression moves BOTH numbers,
+    # long-lived-JVM/suite contention moves only the interleaved one.
+    # Skipped for subset runs (they ARE isolation experiments already).
     isolated: dict[str, float] = {}
     if not subset and timings:
         # r10: isolation runs in a FRESH SparkSession.  Measured: the
@@ -511,7 +518,18 @@ def main() -> None:
         spark.stop()
         spark = get_spark("gdelt-extractor-bench-isolated")
         spark.sparkContext.setLogLevel("ERROR")
-        top10 = sorted(timings, key=timings.get, reverse=True)[:10]
+        # r11 protocol fix (VERDICT r10 #5): each isolated query gets
+        # one UNTIMED sf0.001 warmup before its timed reps, the same
+        # JIT/codegen first-touch the interleaved medians enjoy from
+        # the suite's warmup passes — without it the fresh session's
+        # cold-start landed hardest on the first heavy iterative
+        # query measured (related_actors 10.2s "isolated" r10, vs
+        # 7.5s interleaved on an unchanged plan).
+        heavy = [
+            n
+            for n in sorted(timings, key=timings.get, reverse=True)
+            if timings[n] > ISO_THRESHOLD_S
+        ]
         # VERDICT r7 #3: ALSO isolate any mid-pack query whose
         # interleaved median exceeds 2x its own best rep — the
         # bimodal contention signature (dedup_embedding reps
@@ -529,11 +547,25 @@ def main() -> None:
             and timings.get(n, 0.0) >= 0.3
             and timings[n] > 2.0 * min(ts)
         ]
-        for name in top10 + [n for n in bimodal if n not in top10]:
-            if time.perf_counter() - t_meas0 > budget_s * 1.2:
+        # the isolation pass has its own wall budget, spent on the
+        # most expensive (most adjudication-worthy) queries first; at
+        # r10's profile (42 queries >2s summing 160s of medians) the
+        # full pass fits comfortably
+        t_iso0 = time.perf_counter()
+        iso_budget_s = float(
+            os.environ.get("SPARK_GRAFT_BENCH_ISO_BUDGET_S", "")
+            or budget_s * 0.6
+        )
+        for name in heavy + [n for n in bimodal if n not in heavy]:
+            if time.perf_counter() - t_iso0 > iso_budget_s:
                 break
             reset_gc_cycle(spark)
             iso_ts = []
+            try:
+                materialize(queries[name](spark, "/root/testdata/sf0.001"))
+            except Exception:  # noqa: BLE001 — already timed in-suite
+                continue
+            release(spark, gc_every)
             for _ in range(3):
                 t0 = time.perf_counter()
                 try:
@@ -574,6 +606,21 @@ def main() -> None:
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # canary-normalized cross-round ratios (VERDICT r10 #1): raw
+    # round-over-round suite ratios conflate plan changes with host
+    # speed; dividing by the canary ratio removes the host term.
+    # host_adjusted ≈ 1.0 → the r4set cost moved with the host, not
+    # the plans.
+    if canary_s and not subset and len(r4set) == len(R4_HEADLINE):
+        _cm = statistics.median(canary_s)
+        _r4 = full["subtotal_r4set"]
+        full["canary_normalized"] = {
+            "r4set_vs_r10": round(_r4 / R10_R4SET_S, 3),
+            "canary_vs_r10": round(_cm / R10_CANARY_S, 3),
+            "r4set_vs_r10_host_adjusted": round(
+                (_r4 / R10_R4SET_S) / (_cm / R10_CANARY_S), 3
+            ),
+        }
     # Full per-query medians + raw reps go to a repo file (committed
     # each round); stdout gets ONE COMPACT line.  The driver captures
     # only a bounded tail of stdout (~2 KB) and parses the JSON line

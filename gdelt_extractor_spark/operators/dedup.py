@@ -732,19 +732,24 @@ def dedup_eval(
     keep their one partial shingle — ``dedup_ngram_jaccard``'s
     window semantics), checkpointed once:
 
-    - PRED consumes the full-window subset (docs ≥ n tokens — the
-      md5-MinHash contract) through the exact
+    - PRED candidates come from the full-window subset (docs ≥ n
+      tokens — the md5-MinHash contract) through the exact
       ``_dedup_minhash_lsh_md5`` plan: slot minima + band buckets →
-      bucket-join candidates → exact-Jaccard verify on distinct-h0
-      sets.
-    - TRUTH runs ``dedup_ngram_jaccard``'s capped-candidate logic on
+      bucket-join pairs.
+    - TRUTH candidates run ``dedup_ngram_jaccard``'s capped logic on
       the SAME rows: hot/cold window count, lossless upper-bound
-      prune, then verification as an (id, h0) equi-join count —
-      set algebra is hash-agnostic, so the pair set and jaccard
-      values are identical to the xxhash64 baseline (modulo 48-bit
-      collisions, which the DuckDB oracle shares bit-for-bit on the
-      pred side and which are ~1e-4-improbable on the string-replay
-      truth side at tested scales).
+      prune — set algebra is hash-agnostic, so the pair set and
+      jaccard values are identical to the xxhash64 baseline (modulo
+      48-bit collisions, which the DuckDB oracle shares bit-for-bit
+      on the pred side and which are ~1e-4-improbable on the
+      string-replay truth side at tested scales).
+    - ONE unified verify pass (r11, VERDICT r10 #3): pred candidates
+      contain only full-window docs, whose shp rows ARE their rows
+      rows, so both sides' exact Jaccard is the same count over the
+      same distinct-h0 sets — the tagged union of both candidate
+      frames is verified in a single (id, h0) equi-join pass and
+      split by tag after scoring (was: two independent 2-join
+      corpus-scale verifies).
 
     Degenerate-input note (documented divergence from the naive
     composition): a NULL text and an empty text both hash their one
@@ -772,18 +777,40 @@ def dedup_eval(
         sh_all.select("id", "_n", "h0").distinct().localCheckpoint(eager=True)
     )
 
-    # --- pred: md5 MinHash+LSH, the _dedup_minhash_lsh_md5 plan from
-    # its sh0 frame onward (full windows only: docs >= n tokens)
-    shp = rows.filter(F.col("_n") >= n).select("id", "h0")
-    sig = shp.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
+    # --- per-doc sufficient statistics in ONE corpus aggregate (r11,
+    # VERDICT r10 #3): set size / hot-shingle count / token length /
+    # the 32 permutation slot minima all come from a single
+    # groupBy(id) over the (window-flagged) rows — formerly the pred
+    # signature and the truth stats each shuffled the corpus by id
+    # separately.  Checkpointed: one row per doc, consumed by the
+    # band build, the truth prune and the unified verify's size
+    # joins.  Short docs (_n < n) compute minima they never use (the
+    # band build filters them) — 32 integer ops per row, cheaper than
+    # a second aggregate pass.
+    if max_shingle_df is not None:
+        w_sh = Window.partitionBy("h0")
+        flagged = rows.withColumn(
+            "nd", F.count(F.lit(1)).over(w_sh)
+        ).localCheckpoint(eager=True)
+        hot_flag = (F.col("nd") > max_shingle_df).cast("int")
+    else:
+        flagged = rows.withColumn("nd", F.lit(0))
+        hot_flag = F.lit(0)
+    stats = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum(hot_flag).alias("h"),
+        F.min("_n").alias("_n"),
         *[
             F.min((F.col("h0") * F.lit(a) + F.lit(b)) % F.lit(mod)).alias(f"_s{i}")
             for i, (a, b) in enumerate(consts)
         ],
-    )
+    ).localCheckpoint(eager=True)
+
+    # --- pred candidates: md5 MinHash+LSH, the _dedup_minhash_lsh_md5
+    # plan from its signature onward (full windows only: docs >= n
+    # tokens)
     band_rows = _expand_bands(
-        sig.select(
+        stats.filter(F.col("_n") >= n).select(
             "id",
             F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"),
         ),
@@ -801,81 +828,79 @@ def dedup_eval(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-    )
-    inter_p = (
-        candidates.join(shp.select(F.col("id").alias("id_a"), "h0"), "id_a")
-        .join(shp.select(F.col("id").alias("id_b"), "h0"), ["id_b", "h0"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    counts = sig.select("id", "n_sh")
-    pred = (
-        inter_p.join(
-            counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", F.lit(1).alias("_p"), F.lit(0).alias("_t"))
     )
 
-    # --- truth: dedup_ngram_jaccard's capped exact-Jaccard logic on
-    # the same distinct rows (verification by equi-join count instead
-    # of re-tokenizing pair texts)
+    # --- truth candidates: dedup_ngram_jaccard's capped-candidate
+    # logic on the same distinct rows; the self-join emits slim
+    # (id_a, id_b) pairs and the per-doc sizes/hot-counts join back
+    # from the stats checkpoint (doc-sized, AQE broadcasts it)
     if max_shingle_df is not None:
-        w_sh = Window.partitionBy("h0")
-        flagged = rows.withColumn("nd", F.count(F.lit(1)).over(w_sh))
-        stats = flagged.groupBy("id").agg(
-            F.count(F.lit(1)).alias("sz"),
-            F.sum((F.col("nd") > max_shingle_df).cast("int")).alias("h"),
-        )
-        cold = (
-            flagged.filter(F.col("nd") <= max_shingle_df)
-            .select("id", "h0")
-            .join(stats, "id")
-            .localCheckpoint(eager=True)
-        )
+        cold = flagged.filter(F.col("nd") <= max_shingle_df).select("id", "h0")
     else:
-        stats = rows.groupBy("id").agg(
-            F.count(F.lit(1)).alias("sz"), F.lit(0).alias("h")
-        )
-        cold = rows.join(stats, "id").localCheckpoint(eager=True)
+        cold = rows.select("id", "h0")
     ca, cb = cold.alias("a"), cold.alias("b")
     cand_t = (
         ca.join(
             cb,
             (F.col("a.h0") == F.col("b.h0")) & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-            F.col("a.h").alias("h_a"),
-            F.col("b.h").alias("h_b"),
-        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("nc"))
+        .join(
+            stats.select(
+                F.col("id").alias("id_a"),
+                F.col("sz").alias("sz_a"),
+                F.col("h").alias("h_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            stats.select(
+                F.col("id").alias("id_b"),
+                F.col("sz").alias("sz_b"),
+                F.col("h").alias("h_b"),
+            ),
+            "id_b",
+        )
     )
     ubc = F.col("nc") + F.least(F.col("h_a"), F.col("h_b"))
-    cand_t = cand_t.filter(
-        ubc / (F.col("sz_a") + F.col("sz_b") - ubc) >= threshold
-    ).select("id_a", "id_b", "sz_a", "sz_b")
-    truth = (
-        cand_t.join(rows.select(F.col("id").alias("id_a"), "h0"), "id_a")
+    cand_t = (
+        cand_t.filter(ubc / (F.col("sz_a") + F.col("sz_b") - ubc) >= threshold)
+        .select("id_a", "id_b", F.lit(0).alias("_p"), F.lit(1).alias("_t"))
+    )
+
+    # --- ONE unified verify pass (r11, VERDICT r10 #3: pred and
+    # truth each ran their own 2-join corpus-scale verify).  Pred
+    # candidates contain only full-window docs (sig is built from
+    # shp), and a full-window doc's shp rows ARE its rows rows, so
+    # both sides' exact Jaccard is the same count over the same
+    # distinct-h0 sets — verify the tagged pair union once, split by
+    # tag after scoring.  Pair frames are bounded (band buckets /
+    # capped h0 blocks), so the union groupBy is a small shuffle.
+    allc = (
+        candidates.unionByName(cand_t)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("_p").alias("_p"), F.max("_t").alias("_t"))
+    )
+    st = stats.select("id", "sz", "_n")
+    scored = (
+        allc.join(rows.select(F.col("id").alias("id_a"), "h0"), "id_a")
         .join(rows.select(F.col("id").alias("id_b"), "h0"), ["id_b", "h0"])
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .groupBy("id_a", "id_b", "_p", "_t")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(
+            st.select(
+                F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
+            ),
+            "id_a",
+        )
+        .join(
+            st.select(
+                F.col("id").alias("id_b"), F.col("sz").alias("sz_b")
+            ),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -885,8 +910,10 @@ def dedup_eval(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # consumed by both tag splits
     )
+    pred = scored.filter(F.col("_p") == 1).select("id_a", "id_b")
+    truth = scored.filter(F.col("_t") == 1).select("id_a", "id_b")
     return dedup_pair_eval(pred, truth)
 
 

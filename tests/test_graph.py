@@ -53,6 +53,54 @@ def test_weighted_edges_shift_rank(spark):
 def test_empty_graph(spark):
     e = _edges(spark, [], "src string, dst string")
     assert pagerank(e).count() == 0
+    # both paths agree on empty
+    assert pagerank(e, driver_finish_max_edges=0).count() == 0
+
+
+def test_driver_finish_equals_distributed(spark):
+    """The below-cap vectorized driver finish (r11) must match the
+    distributed power iteration to within summation-order float noise
+    on a graph exercising weights, dangling nodes and a personalized
+    reset — and the cap must actually route: driver_finish_max_edges=0
+    forces the distributed loop, a cap below the edge count too."""
+    rows = [
+        ("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0),
+        ("c", "d", 2.0), ("d", "a", 1.0), ("a", "e", 3.0),
+        # e dangling (no out-edges)
+    ]
+    e = _edges(spark, rows, "src string, dst string, w double")
+    seeds = spark.createDataFrame([("a", 1.0)], "node string, w double")
+    for kw in (
+        {},
+        {"weight": "w"},
+        {"weight": "w", "reset": seeds, "damping": 0.5, "tol": 1e-4},
+    ):
+        fast = {r.node: r.rank for r in pagerank(e, **kw).collect()}
+        slow = {
+            r.node: r.rank
+            for r in pagerank(e, driver_finish_max_edges=0, **kw).collect()
+        }
+        assert fast.keys() == slow.keys(), kw
+        for node in fast:
+            assert abs(fast[node] - slow[node]) < 1e-7, (kw, node)
+    # a cap smaller than the edge count routes to the distributed loop
+    # (same results again, proving the LIMIT cap+1 probe is correct)
+    mid = {
+        r.node: r.rank
+        for r in pagerank(e, weight="w", driver_finish_max_edges=3).collect()
+    }
+    full = {
+        r.node: r.rank
+        for r in pagerank(e, weight="w", driver_finish_max_edges=0).collect()
+    }
+    assert mid == full
+
+
+def test_driver_finish_seed_outside_graph_raises(spark):
+    e = _edges(spark, [("a", "b", 1.0)], "src string, dst string, w double")
+    seeds = spark.createDataFrame([("zzz", 1.0)], "node string, w double")
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(e, weight="w", reset=seeds)
 
 
 class TestLabelPropagation:
@@ -324,10 +372,12 @@ def test_no_forced_broadcast_of_node_sized_frames():
     forced hint bypasses AQE's size check (driver/executor OOM the
     moment nodes outgrow a few GB).  The only F.broadcast sites
     allowed are the genuinely small ones: the seed reset vector
-    (``rv``, seed-set-sized) and the 1-row dangling-mass aggregate
-    (``dang``).  Source pin, not a plan pin: every iterative op
-    checkpoints its pre-loop frames, so the hint is invisible in any
-    returned DataFrame's plan."""
+    (``rv``, seed-set-sized), the 1-row dangling-mass aggregate
+    (``dang``), and the driver-finish path's ``nodes_df`` (bounded by
+    driver_finish_max_edges — it only exists when the whole edge list
+    already fit on the driver).  Source pin, not a plan pin: every
+    iterative op checkpoints its pre-loop frames, so the hint is
+    invisible in any returned DataFrame's plan."""
     import inspect
     import re
 
@@ -335,4 +385,4 @@ def test_no_forced_broadcast_of_node_sized_frames():
 
     src = inspect.getsource(G)
     hints = re.findall(r"F\.broadcast\((\w+)", src)
-    assert set(hints) <= {"rv", "dang"}, hints
+    assert set(hints) <= {"rv", "dang", "nodes_df"}, hints
