@@ -2362,6 +2362,26 @@ def _bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full unigram-LM tokenizer pipeline over documents (Kudo 2018,
+    SentencePiece-style — the BPE sibling, r10 verdict item 8): train
+    the piece table from the distributed word-frequency table
+    (bounded driver EM loop), Viterbi-encode the corpus (one Arrow
+    pass) → (doc_id, n_pieces, score_sum).  Hash-gated via the
+    bpe_subwords pin discipline: the deterministic piece table is
+    data-pinned (scripts/pin_unigram_pieces.py) and the oracle
+    replays the exact integer Viterbi DP (``_unigram_oracle_sql``),
+    so the gate covers train + encode end-to-end."""
+    from gdelt_extractor_spark.operators.tokenizer import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _docs(spark, sf_dir, width=0)
+    pieces = unigram_train(docs, "text")
+    return unigram_encode(docs, "doc_id", "text", pieces)
+
+
 def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR evaluation closing the ANN loop: brute-force cosine top-10
     as the ranked results, same-label vectors as binary qrels →
@@ -3549,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hapax_stats": _hapax_stats,  # r7
         "prefix_clusters": _prefix_clusters,  # r7
         "bpe_subwords": _bpe_subwords,  # hash-gated r11 (pinned merges)
+        "unigram_subwords": _unigram_subwords,  # r11: SentencePiece-style sibling
         # --- rows-only (driver records no_oracle; property-tested
         # against exact baselines locally) ---
         "person_influence": _person_influence,
@@ -3906,6 +3927,95 @@ def _bpe_oracle_sql() -> str:
 
 _NDCG_DISC_VALUES = "(1, 1.0), (2, 0.6309297535714575), (3, 0.5), (4, 0.43067655807339306), (5, 0.38685280723454163), (6, 0.3562071871080222), (7, 0.3333333333333333), (8, 0.31546487678572877), (9, 0.3010299956639812), (10, 0.2890648263178879)"
 _NDCG_IDCG_VALUES = "(1, 1.0), (2, 1.6309297535714575), (3, 2.1309297535714578), (4, 2.5616063116448506), (5, 2.9484591188793923), (6, 3.3046663059874146), (7, 3.637999639320748), (8, 3.953464516106477), (9, 4.254494511770458), (10, 4.543559338088346)"
+
+
+def _unigram_oracle_sql() -> str:
+    """The unigram_subwords oracle (r11 — the bpe_subwords pin
+    discipline applied to the SentencePiece-style sibling): the EM-
+    learned piece table is pinned per data fingerprint
+    (scripts/pin_unigram_pieces.py), and the oracle replays ONLY the
+    Viterbi encode — an EXACT 64-bit integer DP (each piece
+    transition adds score_u·2^20 − 1, so max-sum is lexicographic
+    (score, fewer-pieces) as long as words stay under 2^20 chars) via
+    the actor_cores list-state recursive CTE idiom: per word, the
+    candidate (i, transition) lists are precomputed per end position
+    by an equi-join of substrings against the pinned pieces (plus the
+    single-char UNK fallback), then the DP vector grows one position
+    per recursion step.  Fingerprint mismatch empties the pin join
+    and every word degrades to UNK single chars — loudly different
+    from the live-trained Spark side."""
+    from gdelt_extractor_spark.operators._unigram_pins import PINS
+    from gdelt_extractor_spark.operators.tokenizer import (
+        _UG_MULT,
+        _UG_UNK_SCORE_U,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({q(fp)}, {q(p)}, CAST({s} AS BIGINT))"
+        for fp, pieces in PINS.items()
+        for p, s in pieces
+    )
+    maxlen = max(
+        (len(p) for pieces in PINS.values() for p, _ in pieces), default=1
+    )
+    return f"""
+        WITH RECURSIVE
+        fpq AS (
+          SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
+            CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR) AS fp
+          FROM documents),
+        tok AS (
+          SELECT doc_id, unnest({_toks('text')}) AS w FROM documents),
+        wds AS (SELECT DISTINCT w FROM tok WHERE w <> ''),
+        allpins(fp, piece, su) AS (VALUES {vals}),
+        pins AS (
+          SELECT piece, su FROM allpins JOIN fpq USING (fp)),
+        pos AS (
+          SELECT w, length(w) AS n, unnest(range(1, length(w) + 1)) AS j
+          FROM wds),
+        m0 AS (
+          SELECT p.w, u.i AS i, p.j, pn.su * {_UG_MULT} - 1 AS ts
+          FROM pos p
+          CROSS JOIN unnest(range(greatest(0, p.j - {maxlen}), p.j)) AS u(i)
+          JOIN pins pn ON pn.piece =
+            substr(p.w, CAST(u.i AS INTEGER) + 1, CAST(p.j - u.i AS INTEGER))),
+        unk AS (
+          SELECT p.w, p.j - 1 AS i, p.j,
+            CAST({_UG_UNK_SCORE_U} AS BIGINT) * {_UG_MULT} - 1 AS ts
+          FROM pos p
+          LEFT JOIN pins pn ON pn.piece = substr(p.w, CAST(p.j AS INTEGER), 1)
+          WHERE pn.piece IS NULL),
+        mm AS (SELECT * FROM m0 UNION ALL SELECT * FROM unk),
+        cl AS (
+          SELECT w, j, list(struct_pack(i := i, ts := ts)) AS cands
+          FROM mm GROUP BY 1, 2),
+        cll AS (
+          SELECT cl.w, any_value(p.n) AS n, list(cands ORDER BY j) AS cj
+          FROM cl JOIN (SELECT DISTINCT w, n FROM pos) p USING (w)
+          GROUP BY cl.w),
+        st(w, n, cj, it, dp) AS (
+          SELECT w, n, cj, 0, [CAST(0 AS BIGINT)] FROM cll
+          UNION ALL
+          SELECT w, n, cj, it + 1,
+            list_append(dp, list_aggregate(
+              list_transform(cj[it + 1], c -> dp[c.i + 1] + c.ts), 'max'))
+          FROM st WHERE it < n),
+        fin AS (SELECT w, dp[n + 1] AS total FROM st WHERE it = n),
+        wsc AS (
+          SELECT w, (-total) % {_UG_MULT} AS c,
+            (total + ((-total) % {_UG_MULT})) // {_UG_MULT} AS s
+          FROM fin),
+        agg AS (
+          SELECT doc_id, SUM(c) AS np, SUM(s) AS sc
+          FROM tok JOIN wsc USING (w) GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(agg.np, 0) AS BIGINT) AS n_pieces,
+          CAST(COALESCE(agg.sc, 0) AS BIGINT) AS score_sum
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6101,6 +6211,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "bpe_subwords": _bpe_oracle_sql(),
+        "unigram_subwords": _unigram_oracle_sql(),
         "gdelt_v2_daily": f"""
             SELECT SQLDATE AS sqldate, QuadClass AS quad_class,
               COUNT(*) AS n_events,

@@ -57,6 +57,7 @@ HEADLINE = [
     "schema_drift",
     "actor_communities",
     "bpe_subwords",
+    "unigram_subwords",
     "retrieval_eval",
     "incremental_stats",
     "equidepth_histogram",

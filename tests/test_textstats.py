@@ -593,6 +593,72 @@ class TestBpeTokenizer:
         assert refit == [tuple(m) for m in PINS[fp]]
 
 
+class TestUnigramTokenizer:
+    def test_train_deterministic_and_partition_independent(self, spark):
+        from gdelt_extractor_spark.operators.tokenizer import unigram_train
+
+        df = spark.createDataFrame(
+            [(i, "sharding shards reshard sharded " * (i % 3 + 1))
+             for i in range(12)],
+            "doc_id long, text string",
+        )
+        p1 = unigram_train(df, "text", vocab_size=20)
+        assert p1 == unigram_train(df, "text", vocab_size=20)
+        assert p1 == unigram_train(df.repartition(5), "text", vocab_size=20)
+        # char floor: every training character is a piece
+        pieces = {p for p, _ in p1}
+        assert {"s", "h", "a", "r", "d"} <= pieces
+        # learned at least one multi-char piece from the repeated stem
+        assert any(len(p) > 1 for p in pieces)
+
+    def test_viterbi_tie_prefers_fewer_pieces(self):
+        from gdelt_extractor_spark.operators.tokenizer import (
+            _UG_MULT,
+            _ug_viterbi,
+        )
+
+        # score("ab") == score("a") + score("b"): the combined
+        # objective (score·2^20 − count) must pick the 1-piece split
+        scores = {"ab": -10, "a": -4, "b": -6}
+        total = _ug_viterbi("ab", scores, 2)
+        assert (-total) % _UG_MULT == 1
+        assert (total + 1) // _UG_MULT == -10
+
+    def test_encode_unknown_chars_fall_back_per_char(self, spark):
+        from gdelt_extractor_spark.operators.tokenizer import (
+            _UG_UNK_SCORE_U,
+            unigram_encode,
+        )
+
+        df = spark.createDataFrame([(1, "zzq")], "doc_id long, text string")
+        out = unigram_encode(df, "doc_id", "text", [("a", -1)]).collect()[0]
+        assert out.n_pieces == 3  # three UNK single chars
+        assert out.score_sum == 3 * _UG_UNK_SCORE_U
+
+    def test_pinned_pieces_match_refit(self, spark):
+        """Record-time certification replayed in CI (the bpe pin
+        discipline): the committed _unigram_pins literals must equal
+        a fresh unigram_train refit at sf0.001."""
+        import duckdb
+
+        from gdelt_extractor_spark.operators._unigram_pins import PINS
+        from gdelt_extractor_spark.operators.tokenizer import unigram_train
+        from gdelt_extractor_spark.sources.tables import load_table
+
+        sf_dir = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        fp = con.sql(
+            "SELECT CAST(COUNT(*) AS VARCHAR) || ':' || "
+            "CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR) "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()[0]
+        con.close()
+        assert fp in PINS, f"no pin for {fp} — run scripts/pin_unigram_pieces.py"
+        docs = load_table(spark, sf_dir, "documents")
+        refit = [(p, int(s)) for p, s in unigram_train(docs, "text")]
+        assert refit == [(p, int(s)) for p, s in PINS[fp]]
+
+
 def test_strip_markup_semantics(spark):
     from gdelt_extractor_spark.functions.text import strip_markup
 
