@@ -3336,12 +3336,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     committed output (CORRECTNESS_FULL_LOCAL.json) covers the full
     registry every round.
 
-    r10 rotation (the _R10_HEAD reorder below): the new hash-gated
-    incremental-minhash twin + the 9 never-driver-graded rows-only
-    entries + the 4 entries whose only driver record is a stale
-    r4/r5 ``no_oracle`` row + the 4 entries whose implementation
-    materially changed this round (re-grade), then the
-    oldest-verified entries (r5 cohort, then r6) fill the window."""
+    r11 rotation (the _R11_HEAD reorder below): the 3 never-graded
+    new entries (both reader gates + the unigram tokenizer), the BPE
+    entry graduated to a hash gate, the 5 entries whose
+    implementation materially changed this round (align NaN fix,
+    dedup_eval unified verify, the PageRank family's driver finish),
+    then the oldest-verified entries (the full r6 cohort + the first
+    r7 names) fill the window."""
     reg = {
         # (historical r9 head order below — superseded by the
         # _R10_HEAD reorder at the end of this function)
@@ -3586,71 +3587,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_audio": _dedup_audio,  # r9
         "dedup_incremental_minhash_portable": _dedup_incremental_minhash_portable,  # new r10, hash-gated twin
     }
-    head = [k for k in _R10_HEAD if k in reg]
+    head = [k for k in _R11_HEAD if k in reg]
     out = {k: reg[k] for k in head}
     out.update({k: v for k, v in reg.items() if k not in out})
     return out
 
 
-# Round-10 driver window (first 50 graded): new hash-gated entry,
-# the 9 never-driver-graded rows-only entries, the 4 stale r4/r5
-# no_oracle records, the 4 implementations that changed in r10
-# (embedding_align GEMM engine, winnowing explode-first, dedup_eval
-# shared pass, ann_pq rounding), then the oldest-verified cohort
-# (r5-graded, then r6) fills the remaining slots.
-_R10_HEAD = [
-    "dedup_incremental_minhash_portable",  # new r10
-    "person_influence",            # never graded (rows-only)
-    "dedup_incremental_minhash",   # never graded (rows-only)
-    "bpe_subwords",                # never graded (rows-only)
-    "actor_pagerank",              # never graded (rows-only)
-    "compression_stats",           # never graded (rows-only)
-    "sketch_rollup",               # never graded (rows-only)
-    "text_repair",                 # never graded (rows-only)
-    "related_actors",              # never graded (rows-only)
-    "dedup_audio",                 # never graded (rows-only)
-    "dedup_minhash_lsh",           # stale r4 no_oracle record
-    "dedup_simhash",               # stale r4 no_oracle record
-    "approx_distinct_users",       # stale r5 no_oracle record
-    "approx_quantiles",            # stale r5 no_oracle record
-    "embedding_align",             # changed r10: GEMM engine
-    "winnow_dup_pairs",            # changed r10: explode-first hashing
-    "dedup_eval",                  # changed r10: shared shingle pass
-    "ann_pq_topk",                 # changed r10: HALF_UP rounding
-    # oldest-verified cohort: graded r5
-    "cube_volume",
-    "dedup_first_by_key",
-    "enrich_articles",
-    "event_funnel",
-    "event_spikes",
-    "events_gap_fill",
-    "keyword_freq",
-    "order_price_ranks",
-    "props_json_extract",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q20_excess_stock",
-    "q4_priority_exists",
-    "q8_market_share",
-    "range_count_clicks_after_error",
-    "user_retention",
-    "user_set_ops",
-    "user_top_event",
-    "window_running",
-    # graded r6 (alphabetical prefix fills the window to 50)
-    "actor_dyads",
-    "bm25_search",
-    "bpe_pairs",
-    "cdc_apply",
-    "cluster_split",
-    "cluster_stats",
-    "corpus_diff",
-    "corpus_report",
-    "curation_pipeline",
-    "curriculum_mixture",
-    "cut_spans",
-    "dedup_containment",
-    "dedup_incremental",
+# Round-11 driver window (first 50 graded): the 3 never-graded new
+# entries, the BPE graduation re-grade, the 5 implementations that
+# changed in r11 (align_embeddings NaN-element fix, dedup_eval
+# one-aggregate + unified verify, the PageRank family's bounded
+# driver finish), then the oldest-verified cohort (the whole
+# r6-graded set + the first r7-graded names) fills the window.
+_R11_HEAD = [
+    "gdelt_v2_daily",        # new r11 (61-col reader gate)
+    "gdelt_mentions_daily",  # new r11 (16-col reader gate)
+    "unigram_subwords",      # new r11 (SentencePiece-style sibling)
+    "bpe_subwords",          # graduated r11: rows-only -> hash gate
+    "embedding_align",       # changed r11: dirty-element drop (ADVICE high)
+    "dedup_eval",            # changed r11: one-aggregate + unified verify
+    "related_actors",        # changed r11: pagerank driver finish
+    "person_influence",      # changed r11: pagerank driver finish
+    "actor_pagerank",        # changed r11: pagerank driver finish
+    # oldest-verified cohort: graded r6
+    "dedup_lines",
+    "dedup_pipeline",
+    "doc_chunks",
+    "dup_spans",
+    "equidepth_histogram",
+    "event_transitions",
+    "event_trends",
+    "fuzzy_join",
+    "gdelt_clean",
+    "gdelt_v1_daily",
+    "geo_grid_join",
+    "gkg_theme_daily",
+    "heavy_hitters",
+    "incremental_stats",
+    "jsonl_corpus_stats",
+    "k_anonymity",
+    "length_buckets",
+    "lm_score",
+    "mention_stats",
+    "mixture_weights",
+    "ngram_repetition",
+    "profile_orders",
+    "quantize_embeddings",
+    "retrieval_eval",
+    "scd2_customers",
+    "schema_drift",
+    "semantic_decontam",
+    "session_paths",
+    "shard_manifest",
+    "source_overlap",
+    "source_quality_filter",
+    "span_dup_stats",
+    "strip_markup",
+    "url_filter",
+    "vocab_coverage",
+    "vocab_divergence",
+    "weighted_sample",
+    # graded r7 (alphabetical prefix fills the window to 50)
+    "asof_next_click",
+    "auc_ranking",
+    "basket_rules",
+    "benford_values",
 ]
 
 
