@@ -742,7 +742,9 @@ def dedup_eval(
       jaccard values are identical to the xxhash64 baseline (modulo
       48-bit collisions, which the DuckDB oracle shares bit-for-bit
       on the pred side and which are ~1e-4-improbable on the
-      string-replay truth side at tested scales).
+      string-replay truth side at tested scales; the divergence is
+      pinned with a REAL birthday-searched collision in
+      tests/test_dedup.py::test_dedup_eval_48bit_collision_divergence).
     - ONE unified verify pass (r11, VERDICT r10 #3): pred candidates
       contain only full-window docs, whose shp rows ARE their rows
       rows, so both sides' exact Jaccard is the same count over the

@@ -779,6 +779,47 @@ def test_dedup_eval_shared_pass_matches_composition(spark, docs):
     assert shared.n_true >= 1 and shared.n_pred >= 1
 
 
+def test_dedup_eval_48bit_collision_divergence(spark):
+    """Pin the DOCUMENTED truth-side divergence (r10 ADVICE low) with
+    a REAL 48-bit collision: md5('mhlsh-v1:c8304179') and
+    md5('mhlsh-v1:c22770794') share the first 12 hex chars
+    (3fe03f9f567d — found by birthday search), so dedup_eval's
+    hash-set truth sees the two tokens as one shared shingle while
+    dedup_ngram_jaccard's exact string sets do not.  Two docs
+    differing only in the collided token: string Jaccard 2/4 = 0.5,
+    hash Jaccard 3/3 = 1.0 — at threshold 0.7 the string baseline
+    reports no pair but the hash-set audit counts one."""
+    import hashlib
+
+    a, b = "c8304179", "c22770794"
+    assert a != b
+    assert (
+        hashlib.md5(f"mhlsh-v1:{a}".encode()).hexdigest()[:12]
+        == hashlib.md5(f"mhlsh-v1:{b}".encode()).hexdigest()[:12]
+        == "3fe03f9f567d"
+    )
+    df = spark.createDataFrame(
+        [(1, f"{a} x1 x2"), (2, f"{b} x1 x2")], "doc_id long, text string"
+    )
+    # exact string sets: jaccard 0.5 < 0.7 → no pair
+    assert (
+        D.dedup_ngram_jaccard(df, "text", "doc_id", n=1, threshold=0.7).count()
+        == 0
+    )
+    # hash sets: the collision merges the differing tokens → jaccard
+    # 1.0 → the audit's truth side counts the pair
+    ev = D.dedup_eval(df, "text", "doc_id", n=1, threshold=0.7).collect()[0]
+    assert ev.n_true == 1
+    # below both jaccards the two sides agree again — the divergence
+    # is exactly the collision, nothing else
+    assert (
+        D.dedup_ngram_jaccard(df, "text", "doc_id", n=1, threshold=0.4).count()
+        == 1
+    )
+    ev_lo = D.dedup_eval(df, "text", "doc_id", n=1, threshold=0.4).collect()[0]
+    assert ev_lo.n_true == 1
+
+
 def test_dedup_incremental_minhash_md5_portable(spark, docs):
     """The md5-portable incremental path (r10 hash-gated twin): an
     indexed near-dup arriving in the batch drops, genuinely new docs
