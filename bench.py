@@ -454,10 +454,12 @@ def main() -> None:
     # default scales with suite size: at 231 queries a flat 1500s cut
     # the r9 full run to 3 reps, and 3-rep medians let single-pass GC
     # stalls through (embedding_align spiked 2.5s → 52s in exactly one
-    # pass); ~8s/query keeps all 5 passes at any plausible suite size
+    # pass); r11: 8s/query cut the 235-query run to 4 reps (pass wall
+    # ~350s with release/GC overhead on a median-speed host) — 9s
+    # keeps all 5 passes with margin at any plausible suite size
     budget_s = float(
         os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "")
-        or max(1500, 8 * len(headline))
+        or max(1500, 9 * len(headline))
     )
     t_meas0 = time.perf_counter()
     reps: dict[str, list[float]] = {n: [] for n in headline}
