@@ -508,6 +508,7 @@ def main() -> None:
     # long-lived-JVM/suite contention moves only the interleaved one.
     # Skipped for subset runs (they ARE isolation experiments already).
     isolated: dict[str, float] = {}
+    canary_iso_s: list[float] = []
     if not subset and timings:
         # r10: isolation runs in a FRESH SparkSession.  Measured: the
         # old in-place isolation pass ran at the END of a 232-query ×
@@ -559,9 +560,24 @@ def main() -> None:
             os.environ.get("SPARK_GRAFT_BENCH_ISO_BUDGET_S", "")
             or budget_s * 0.6
         )
+        iso_n = 0
         for name in heavy + [n for n in bimodal if n not in heavy]:
             if time.perf_counter() - t_iso0 > iso_budget_s:
                 break
+            # host-speed canary every 8 isolated queries: the r11 full
+            # run's isolation phase hit a transient host-load window
+            # that inflated its medians 2-3x vs identical code minutes
+            # earlier, and nothing in the record could prove it wasn't
+            # a plan regression — the in-suite canaries had already
+            # finished.  canary_isolated_sec makes the isolation
+            # evidence self-adjudicating the same way.
+            if iso_n % 8 == 0:
+                t_c = time.perf_counter()
+                spark.range(2_000_000).selectExpr(
+                    "bit_xor(xxhash64(id)) s"
+                ).collect()
+                canary_iso_s.append(round(time.perf_counter() - t_c, 3))
+            iso_n += 1
             reset_gc_cycle(spark)
             iso_ts = []
             try:
@@ -607,6 +623,10 @@ def main() -> None:
         "canary_median": (
             round(statistics.median(canary_s), 3) if canary_s else None
         ),
+        # host-speed canaries timed INSIDE the isolation phase (every
+        # 8 isolated queries): compare to canary_median before trusting
+        # isolated medians for cross-round calls
+        "canary_isolated_sec": canary_iso_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # canary-normalized cross-round ratios (VERDICT r10 #1): raw

@@ -824,6 +824,33 @@ def bpe_pair_counts(
     )
 
 
+def _feature_hash_counts(
+    toks: DataFrame, dim: int, seed: str, hash_fn: str
+) -> DataFrame:
+    """(id, t) non-empty token rows → (id, b, c) signed bucket
+    counts — the Weinberger hashing-trick core shared by
+    ``hashed_embedding`` and ``hybrid_search``'s dense tower (r11:
+    one definition of the md5/xxhash bucket+sign idiom)."""
+    if hash_fn == "md5":
+        hx = F.md5(F.concat(F.lit(seed + ":"), F.col("t")))
+        h = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+        sign_even = (
+            F.pmod(F.conv(F.substring(hx, 13, 1), 16, 10).cast("long"), F.lit(2))
+            == 0
+        )
+    else:
+        h = F.xxhash64(F.col("t"), F.lit(seed))
+        sign_even = (
+            F.pmod(F.xxhash64(F.col("t"), F.lit(seed + ":sign")), F.lit(2)) == 0
+        )
+    bucketed = toks.select(
+        "id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("b"),
+        F.when(sign_even, -1.0).otherwise(1.0).alias("s"),
+    )
+    return bucketed.groupBy("id", "b").agg(F.sum("s").alias("c"))
+
+
 def hashed_embedding(
     df: DataFrame,
     id_col: str,
@@ -878,24 +905,7 @@ def hashed_embedding(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     ).filter(F.col("t") != "")
-    if hash_fn == "md5":
-        hx = F.md5(F.concat(F.lit(seed + ":"), F.col("t")))
-        h = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
-        sign_even = (
-            F.pmod(F.conv(F.substring(hx, 13, 1), 16, 10).cast("long"), F.lit(2))
-            == 0
-        )
-    else:
-        h = F.xxhash64(F.col("t"), F.lit(seed))
-        sign_even = (
-            F.pmod(F.xxhash64(F.col("t"), F.lit(seed + ":sign")), F.lit(2)) == 0
-        )
-    bucketed = toks.select(
-        "id",
-        F.pmod(h, F.lit(dim)).cast("int").alias("b"),
-        F.when(sign_even, -1.0).otherwise(1.0).alias("s"),
-    )
-    counts = bucketed.groupBy("id", "b").agg(F.sum("s").alias("c"))
+    counts = _feature_hash_counts(toks, dim, seed, hash_fn)
     if layout == "long":
         # codegen path: ids × bucket grid → left-join counts + norms;
         # Σc² over the nonzero buckets equals the dense bucket-order
@@ -1009,13 +1019,29 @@ def bm25_search(
         F.explode(tokens(text_col)).alias("_t"),
         F.size(tokens(text_col)).alias("_dl"),
     )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"),
+                       (F.sum(F.size(tokens(text_col)))).alias("_toks"))
+    return _bm25_scored(toks, n_docs, terms, k1, b, top_k, id_col)
+
+
+def _bm25_scored(
+    toks: DataFrame,
+    n_docs: DataFrame,
+    terms: list[str],
+    k1: float,
+    b: float,
+    top_k: int,
+    id_col: str,
+) -> DataFrame:
+    """BM25 scoring core over a prepared (_id, _t, _dl) token frame
+    and a 1-row (_n, _toks) corpus-stats frame — split out (r11) so
+    ``hybrid_search`` can feed both towers from ONE tokenized corpus
+    scan instead of re-tokenizing per ranker."""
     tf = (
         toks.filter(F.col("_t").isin(terms))
         .groupBy("_id", "_t")
         .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
     )
-    n_docs = df.select(F.count(F.lit(1)).alias("_n"), 
-                       (F.sum(F.size(tokens(text_col)))).alias("_toks"))
     dfreq = (
         tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     )
@@ -1072,14 +1098,30 @@ def hybrid_search(
     decimal-sums its per-bucket products (both embeddings unit-L2
     from ``hashed_embedding``), so bucket order can't flip ranks.
 
-    Plan shape at scale: BM25 = one corpus scan + tiny broadcast
-    joins + TakeOrdered; dense = one corpus scan (bucket aggregates)
-    + a broadcast join with the 64-row query vector + TakeOrdered;
-    fusion = a full-outer join of two ≤top_k-row frames.  No global
-    window ever sees a corpus-sized frame — both rankers cut to
-    top_k with distributed TakeOrdered BEFORE row_number runs on the
-    bounded result."""
-    lex = bm25_search(df, id_col, text_col, query_terms, top_k=top_k)
+    Plan shape at scale (r11): ONE tokenized corpus scan feeds both
+    towers — the per-doc token arrays are checkpointed once and BM25
+    (explode + term filter), the corpus stats (count + Σlen) and the
+    dense bucket aggregates all read that materialization instead of
+    re-tokenizing the corpus per ranker (three tokenize passes →
+    one).  BM25 = tiny broadcast joins + TakeOrdered; dense = bucket
+    aggregates + a broadcast join with the 64-row query vector; only
+    the NONZERO buckets score (zero-bucket rows add exact decimal
+    zeros, so values are unchanged vs the dense grid); fusion = a
+    full-outer join of two ≤top_k-row frames.  No global window ever
+    sees a corpus-sized frame — both rankers cut to top_k with
+    distributed TakeOrdered BEFORE row_number runs on the bounded
+    result."""
+    terms = [t.lower() for t in query_terms]
+    base = (
+        df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_tk"))
+        .withColumn("_dl", F.size("_tk"))
+        .localCheckpoint(eager=True)
+    )
+    toks = base.select("_id", F.explode("_tk").alias("_t"), "_dl")
+    n_docs = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_toks")
+    )
+    lex = _bm25_scored(toks, n_docs, terms, 1.2, 0.75, top_k, id_col)
     from pyspark.sql import Window
 
     w_lex = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -1088,8 +1130,23 @@ def hybrid_search(
         F.row_number().over(w_lex).alias("r_lex"),
     )
 
-    emb = hashed_embedding(
-        df, id_col, text_col, hash_fn="md5", layout="long"
+    counts = _feature_hash_counts(
+        toks.filter(F.col("_t") != "").select(
+            F.col("_id").alias("id"), F.col("_t").alias("t")
+        ),
+        dim=64,
+        seed="hash-emb-v1",
+        hash_fn="md5",
+    )
+    nrm = counts.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("_n")
+    )
+    emb = counts.join(nrm, "id").select(
+        F.col("id").alias("_eid"),
+        F.col("b").alias("bucket"),
+        F.when(F.col("_n") > 0, F.col("c") / F.col("_n"))
+        .otherwise(F.lit(0.0))
+        .alias("value"),
     )
     spark = df.sparkSession
     qdf = spark.createDataFrame(
@@ -1100,7 +1157,7 @@ def hybrid_search(
     ).select("bucket", F.col("value").alias("_qv"))
     dense = (
         emb.join(F.broadcast(qemb), "bucket")
-        .groupBy(F.col(emb.columns[0]).alias("_id"))
+        .groupBy(F.col("_eid").alias("_id"))
         .agg(
             F.sum(
                 (F.col("value") * F.col("_qv")).cast("decimal(38,18)")
@@ -1108,6 +1165,16 @@ def hybrid_search(
             .cast("double")
             .alias("_cos")
         )
+    )
+    # zero-token docs have no bucket rows but the old dense-grid
+    # layout still gave them cosine 0.0 (and thus top-k eligibility
+    # on tiny corpora) — restore them with a doc-keyed left join so
+    # the scan-sharing rewrite is value-identical
+    dense = (
+        base.select("_id")
+        .distinct()
+        .join(dense, "_id", "left")
+        .withColumn("_cos", F.coalesce("_cos", F.lit(0.0)))
     )
     dense_top = dense.orderBy(
         F.col("_cos").desc(), F.col("_id").asc()
