@@ -3888,6 +3888,7 @@ def _bpe_oracle_sql() -> str:
     counts vs the live-trained Spark side — the same loud-failure
     contract as the kmeans pins."""
     from gdelt_extractor_spark.operators._bpe_pins import PINS
+    from gdelt_extractor_spark.operators.tokenizer import DOC_FINGERPRINT_SQL
 
     sep = chr(31)
 
@@ -3908,9 +3909,7 @@ def _bpe_oracle_sql() -> str:
     union = "\n              UNION ALL ".join(branches)
     return f"""
         WITH fpq AS (
-          SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
-            CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR) AS fp
-          FROM documents),
+          SELECT {DOC_FINGERPRINT_SQL} AS fp FROM documents),
         tok AS (
           SELECT doc_id, unnest({_toks('text')}) AS w FROM documents),
         wds AS (SELECT DISTINCT w FROM tok WHERE w <> ''),
@@ -3949,6 +3948,7 @@ def _unigram_oracle_sql() -> str:
     from gdelt_extractor_spark.operators.tokenizer import (
         _UG_MULT,
         _UG_UNK_SCORE_U,
+        DOC_FINGERPRINT_SQL,
     )
 
     def q(s: str) -> str:
@@ -3965,9 +3965,7 @@ def _unigram_oracle_sql() -> str:
     return f"""
         WITH RECURSIVE
         fpq AS (
-          SELECT CAST(COUNT(*) AS VARCHAR) || ':' ||
-            CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR) AS fp
-          FROM documents),
+          SELECT {DOC_FINGERPRINT_SQL} AS fp FROM documents),
         tok AS (
           SELECT doc_id, unnest({_toks('text')}) AS w FROM documents),
         wds AS (SELECT DISTINCT w FROM tok WHERE w <> ''),

@@ -131,6 +131,10 @@ def pagerank(
         # normalize over the seeds PRESENT IN THE GRAPH — a seed
         # outside the node set would otherwise silently leak reset
         # mass and ranks would no longer sum to 1
+        # aggregate per node BEFORE the rank-frame join: duplicate
+        # seed rows would otherwise duplicate node rows in nodes_f
+        # and double-count their mass every round (r11 review; the
+        # driver finish sums duplicates the same way)
         r = (
             reset.select(
                 F.col(reset.columns[0]).cast("string").alias("node"),
@@ -138,6 +142,8 @@ def pagerank(
             )
             .filter(F.col("_w") > 0)
             .join(nodes, "node")
+            .groupBy("node")
+            .agg(F.sum("_w").alias("_w"))
         )
         tw = r.agg(F.sum("_w")).first()[0]
         if not tw:

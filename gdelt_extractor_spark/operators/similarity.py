@@ -1101,13 +1101,15 @@ def align_embeddings(
       approximation.  Mixed-width corpora should use ``engine="sql"``
       or be aligned per width group.
 
-    Dirty vectors (all numpy engines, r10 ADVICE fix): a vector whose
-    ELEMENTS contain NULL / NaN / ±Inf is dropped by a codegen
-    ``forall`` filter before the kernels (``_finite_vec``) — it would
-    otherwise become NaN inside the GEMM and INT64_MIN in the integer
-    micro round, corrupting neighborhood averages of clean pairs.
-    This matches ``engine="sql"``, where such rows null their cosine
-    and fall out of the margin filter.
+    Dirty vectors (ALL engines, r10 ADVICE fix + r11 review): a
+    vector whose ELEMENTS contain NULL / NaN / ±Inf is dropped by a
+    codegen ``forall`` filter (``_finite_vec``) before any scoring.
+    In the numpy engines such a row would become NaN inside the GEMM
+    and INT64_MIN in the integer micro round, corrupting neighborhood
+    averages of clean pairs; in the sql engine a NULL element falls
+    out naturally (NULL cosine) but a NaN element would sort FIRST
+    under ``cos.desc()`` and hijack the forward top-k — the shared
+    filter gives all three engines identical drop semantics.
 
     Engine-portable numerics: cosines are rounded HALF_UP to 6
     decimals (``sign(x)·floor(|x|·1e6+0.5)/1e6`` — Spark ``F.round``
@@ -1146,6 +1148,14 @@ def align_embeddings(
         return _align_ivf(
             av, bv, k, margin_threshold, id_dt_a, id_dt_b, m, nprobe
         )
+    # sql engine: NULL elements already null the zip_with dot and fall
+    # out of the margin filter, but a NaN/Inf ELEMENT would make the
+    # pair's cosine NaN — NaN sorts FIRST under cos.desc() in Spark,
+    # hijacking the forward top-k (and ANSI mode aborts on the decimal
+    # cast) — so the three engines share the same explicit drop
+    # (r11 review finding)
+    av = av.filter(_finite_vec("va"))
+    bv = bv.filter(_finite_vec("vb"))
     av = av.withColumn("na", _norm(F.col("va")))
     bv = bv.withColumn("nb", _norm(F.col("vb")))
     dot = F.aggregate(

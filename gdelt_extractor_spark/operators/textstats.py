@@ -1080,6 +1080,8 @@ def hybrid_search(
     top_k: int = 20,
     rrf_k: int = 60,
     final_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
     Büttcher, SIGIR 2009: "Reciprocal rank fusion outperforms Condorcet
@@ -1121,7 +1123,7 @@ def hybrid_search(
     n_docs = base.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_toks")
     )
-    lex = _bm25_scored(toks, n_docs, terms, 1.2, 0.75, top_k, id_col)
+    lex = _bm25_scored(toks, n_docs, terms, k1, b, top_k, id_col)
     from pyspark.sql import Window
 
     w_lex = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -1138,6 +1140,10 @@ def hybrid_search(
         seed="hash-emb-v1",
         hash_fn="md5",
     )
+    # unit-L2 normalization per hashed_embedding's long-layout
+    # contract (value = c / sqrt(Σc²), zero-norm → 0.0): keep this
+    # expression in lockstep with hashed_embedding — the docstring
+    # promises the dense tower IS that embedding's cosine
     nrm = counts.groupBy("id").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("_n")
     )

@@ -175,6 +175,16 @@ def _bpe_encode_udf(merges: list[tuple[str, str]]):
 _UG_MULT = 1 << 20  # count term headroom: words < 2^20 chars
 _UG_UNK_SCORE_U = -20_000_000  # pinned fallback for unseen single chars
 
+# THE documents-table data fingerprint (DuckDB SQL) keying the BPE and
+# unigram pins — single definition imported by both pin scripts, both
+# oracle fpq CTEs and the refit==pin CI tests, so pin generation can
+# never desynchronize from oracle dispatch (r11 review; the
+# _kmeans_pins.FINGERPRINT_SQL discipline)
+DOC_FINGERPRINT_SQL = (
+    "CAST(COUNT(*) AS VARCHAR) || ':' || "
+    "CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR)"
+)
+
 
 def _half_up_micro(x: float) -> int:
     import math

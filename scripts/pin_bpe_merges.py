@@ -46,16 +46,13 @@ SF_DIRS = [
 
 N_MERGES = 50  # must match __spark_entry__._bpe_subwords
 
-FINGERPRINT_SQL = (
-    "CAST(COUNT(*) AS VARCHAR) || ':' || "
-    "CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR)"
-)
-
 
 def fingerprint(sf_dir: str) -> str:
+    from gdelt_extractor_spark.operators.tokenizer import DOC_FINGERPRINT_SQL
+
     con = duckdb.connect()
     return con.sql(
-        f"SELECT {FINGERPRINT_SQL} FROM '{sf_dir}/documents.parquet'"
+        f"SELECT {DOC_FINGERPRINT_SQL} FROM '{sf_dir}/documents.parquet'"
     ).fetchone()[0]
 
 

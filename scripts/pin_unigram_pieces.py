@@ -33,14 +33,11 @@ SF_DIRS = [
     "/root/testdata/sf0.1",
 ]
 
-FINGERPRINT_SQL = (
-    "CAST(COUNT(*) AS VARCHAR) || ':' || "
-    "CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR) AS fp"
-)
-
-
 def main() -> None:
-    from gdelt_extractor_spark.operators.tokenizer import unigram_train
+    from gdelt_extractor_spark.operators.tokenizer import (
+        DOC_FINGERPRINT_SQL,
+        unigram_train,
+    )
     from gdelt_extractor_spark.session import get_spark
     from gdelt_extractor_spark.sources.tables import load_table
 
@@ -50,7 +47,7 @@ def main() -> None:
     pins: dict[str, list[tuple[str, int]]] = {}
     for sf_dir in SF_DIRS:
         fp = con.sql(
-            f"SELECT {FINGERPRINT_SQL} FROM '{sf_dir}/documents.parquet'"
+            f"SELECT {DOC_FINGERPRINT_SQL} FROM '{sf_dir}/documents.parquet'"
         ).fetchone()[0]
         docs = load_table(spark, sf_dir, "documents")
         pieces = unigram_train(docs, "text")

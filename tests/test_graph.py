@@ -96,6 +96,35 @@ def test_driver_finish_equals_distributed(spark):
     assert mid == full
 
 
+def test_duplicate_reset_seeds_sum_on_both_paths(spark):
+    """Duplicate seed rows sum into one teleport entry on BOTH the
+    driver finish and the distributed loop (r11 review: the
+    distributed join used to duplicate the node's rank rows and
+    double-count its mass)."""
+    rows = [("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 1.0)]
+    e = _edges(spark, rows, "src string, dst string, w double")
+    dup = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.5)], "node string, w double"
+    )
+    single = spark.createDataFrame([("a", 1.0)], "node string, w double")
+    for cap in (100_000, 0):
+        got_dup = {
+            r.node: r.rank
+            for r in pagerank(
+                e, weight="w", reset=dup, driver_finish_max_edges=cap
+            ).collect()
+        }
+        got_one = {
+            r.node: r.rank
+            for r in pagerank(
+                e, weight="w", reset=single, driver_finish_max_edges=cap
+            ).collect()
+        }
+        assert len(got_dup) == 3, cap  # one row per node, no dups
+        for n in got_one:
+            assert abs(got_dup[n] - got_one[n]) < 1e-7, (cap, n)
+
+
 def test_driver_finish_seed_outside_graph_raises(spark):
     e = _edges(spark, [("a", "b", 1.0)], "src string, dst string, w double")
     seeds = spark.createDataFrame([("zzz", 1.0)], "node string, w double")

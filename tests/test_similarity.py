@@ -493,7 +493,7 @@ def test_align_embeddings_dirty_elements_drop(spark):
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
         "vec_id long, embedding array<double>",
     )
-    for eng in ("gemm", "ivf"):
+    for eng in ("gemm", "ivf", "sql"):
         got = {
             r.id_a: r.id_b
             for r in S.align_embeddings(

@@ -576,14 +576,16 @@ class TestBpeTokenizer:
         import duckdb
 
         from gdelt_extractor_spark.operators._bpe_pins import N_MERGES, PINS
-        from gdelt_extractor_spark.operators.tokenizer import bpe_train
+        from gdelt_extractor_spark.operators.tokenizer import (
+            DOC_FINGERPRINT_SQL,
+            bpe_train,
+        )
         from gdelt_extractor_spark.sources.tables import load_table
 
         sf_dir = "/root/testdata/sf0.001"
         con = duckdb.connect()
         fp = con.sql(
-            "SELECT CAST(COUNT(*) AS VARCHAR) || ':' || "
-            "CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR) "
+            f"SELECT {DOC_FINGERPRINT_SQL} "
             f"FROM '{sf_dir}/documents.parquet'"
         ).fetchone()[0]
         con.close()
@@ -642,14 +644,16 @@ class TestUnigramTokenizer:
         import duckdb
 
         from gdelt_extractor_spark.operators._unigram_pins import PINS
-        from gdelt_extractor_spark.operators.tokenizer import unigram_train
+        from gdelt_extractor_spark.operators.tokenizer import (
+            DOC_FINGERPRINT_SQL,
+            unigram_train,
+        )
         from gdelt_extractor_spark.sources.tables import load_table
 
         sf_dir = "/root/testdata/sf0.001"
         con = duckdb.connect()
         fp = con.sql(
-            "SELECT CAST(COUNT(*) AS VARCHAR) || ':' || "
-            "CAST(CAST(SUM(length(text)) AS BIGINT) AS VARCHAR) "
+            f"SELECT {DOC_FINGERPRINT_SQL} "
             f"FROM '{sf_dir}/documents.parquet'"
         ).fetchone()[0]
         con.close()
