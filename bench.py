@@ -374,7 +374,33 @@ def reset_gc_cycle(spark) -> None:
 # query at random; a median of 5 stays clean with up to two spiked
 # reps where a median of 3 does not.  ~85s/pass at sf0.1 keeps the
 # whole run well inside the budget guard.
+#
+# SUITE-GROWTH POLICY (r12, VERDICT r11 #5): the per-query wall
+# budget (9s/query) was sized for ~235 queries at 5 reps; at the
+# observed +3 entries/round the 5-rep wall breaks near ~260.  The
+# standing decision: when the headline crosses REPS_DOWNSHIFT_AT
+# queries, the interleaved passes drop to 3 reps and the ISOLATED
+# block (fresh session, per-query untimed warmups, in-phase
+# canaries — already the documented authoritative signal for every
+# query >2s) carries regression adjudication alone; in-suite medians
+# below 2s are treated as coarse presence/err evidence only.  A
+# fixed-anchor/rotating split was considered and rejected: it would
+# fork the record into two incomparable series, while the isolated
+# block already gives per-query fresh-state numbers independent of
+# suite size.  The downshift is computed from the actual headline
+# length so subset runs keep 5 reps.
+REPS_DOWNSHIFT_AT = 260
 N_REPS = 5
+
+# Standing A/B adjudication pairs (VERDICT r11 #1): entries whose
+# RELATIVE cost is a documented claim (a perf anchor vs its
+# engine-portable twin).  Each record run times the pair back-to-back
+# A,B,A,B,... in the fresh isolation session after untimed warmups of
+# both, so the comparison shares JVM state and host load like-for-like
+# — cross-phase comparisons of the two (the r11 "inversion") proved to
+# be pure host variance (r12 A/B: anchor 4.49s vs portable 4.98s
+# medians, anchor faster in every post-JIT aligned rep).
+AB_PAIRS = [("dedup_incremental_minhash", "dedup_incremental_minhash_portable")]
 
 # every query whose interleaved median exceeds this gets a
 # fresh-session isolated median in BENCH_FULL (VERDICT r10 #1: the
@@ -402,6 +428,7 @@ def main() -> None:
         headline = HEADLINE
         missing = sorted(set(queries) - set(HEADLINE))
         assert not missing, f"queries() entries missing from bench HEADLINE: {missing}"
+    n_reps = N_REPS if len(headline) <= REPS_DOWNSHIFT_AT else 3
 
     # One broken query must not sink the whole bench (r3 lost ALL perf
     # data to a single warmup AnalysisException): catch per query,
@@ -466,7 +493,7 @@ def main() -> None:
     reps_run = 0
     last_pass_s = 0.0
     canary_s: list[float] = []
-    for _rep in range(N_REPS):
+    for _rep in range(n_reps):
         elapsed = time.perf_counter() - t_meas0
         if _rep > 0 and elapsed + last_pass_s > budget_s:
             break
@@ -599,6 +626,42 @@ def main() -> None:
             if iso_ts:
                 isolated[name] = round(statistics.median(iso_ts), 3)
 
+    # Standing A/B pairs (AB_PAIRS docstring): alternating same-session
+    # reps in the fresh isolation session — the only protocol under
+    # which "anchor vs twin" cost claims are adjudicable on this host
+    # (fresh-session medians taken minutes apart moved 2-3x on
+    # identical code, r11).
+    ab: dict[str, dict] = {}
+    if not subset and timings:
+        for a_name, b_name in AB_PAIRS:
+            if a_name in errors or b_name in errors:
+                continue
+            reset_gc_cycle(spark)
+            try:
+                for nm in (a_name, b_name):  # untimed warmups, both sides
+                    materialize(queries[nm](spark, "/root/testdata/sf0.001"))
+                    release(spark, gc_every)
+                    materialize(queries[nm](spark, sf_dir))
+                    release(spark, gc_every)
+                ab_ts: dict[str, list[float]] = {a_name: [], b_name: []}
+                for _ in range(5):
+                    for nm in (a_name, b_name):
+                        t0 = time.perf_counter()
+                        materialize(queries[nm](spark, sf_dir))
+                        ab_ts[nm].append(round(time.perf_counter() - t0, 3))
+                        release(spark, gc_every)
+                ab[f"{a_name}__vs__{b_name}"] = {
+                    "times": ab_ts,
+                    "median": {
+                        nm: round(statistics.median(ts), 3)
+                        for nm, ts in ab_ts.items()
+                    },
+                }
+            except Exception as exc:  # noqa: BLE001 — A/B is evidence, not a gate
+                ab[f"{a_name}__vs__{b_name}"] = {
+                    "err": f"{type(exc).__name__}: {exc}"[:200]
+                }
+
     # r4-comparable subtotal: the 58-query set BENCH_r04 timed, so the
     # headline "value" growing with the suite doesn't read as a
     # regression round-over-round.
@@ -619,7 +682,7 @@ def main() -> None:
         "runs": {n: ts for n, ts in reps.items() if ts},
         "n_errors": len(errors),
         "reps_run": reps_run,
-        "incomplete": bool(errors) or bool(subset) or reps_run < N_REPS,
+        "incomplete": bool(errors) or bool(subset) or reps_run < n_reps,
         # per-pass host-speed canary (fixed spark.range compute): the
         # round-over-round divisor for suite totals; r9's committed
         # number ran on a host measured ~2x slower with no in-record
@@ -632,6 +695,10 @@ def main() -> None:
         # 8 isolated queries): compare to canary_median before trusting
         # isolated medians for cross-round calls
         "canary_isolated_sec": canary_iso_s,
+        # alternating same-session A/B medians for the standing
+        # adjudication pairs (AB_PAIRS) — read THESE, never two
+        # separate fresh-session medians, for anchor-vs-twin claims
+        "ab": ab,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # canary-normalized cross-round ratios (VERDICT r10 #1): raw
@@ -678,7 +745,7 @@ def main() -> None:
             json.dump(full, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the stdout line still carries the summary
-    compact = {k: v for k, v in full.items() if k not in ("runs", "isolated")}
+    compact = {k: v for k, v in full.items() if k not in ("runs", "isolated", "ab")}
     budget = 1800  # chars; driver tail observed ~2048
     # error strings are capped hard in the compact line (full text
     # lives in BENCH_FULL.json): uncapped they alone could overflow

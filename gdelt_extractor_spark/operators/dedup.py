@@ -2300,7 +2300,14 @@ def minhash_band_index(
     48-bit salted-md5 shingle hashes, ``_md5_perm_consts``
     permutations, md5 band buckets — every value a DuckDB oracle
     regenerates.  The xxhash64 default stays the production fast
-    path (~2.5× cheaper fingerprints)."""
+    path: the r12 standing A/B (bench.py AB_PAIRS — alternating
+    same-session reps, the only protocol that survives this host's
+    2-3× cross-session variance) measures the full incremental query
+    ~10% faster end-to-end (4.49s vs 4.98s medians, anchor faster in
+    every post-JIT aligned rep); the gap is modest because join +
+    scheduler fixed costs dominate the query, but at 100 TB the
+    fingerprint scan is the corpus-sized term and xxhash64 avoids
+    both the md5 digest and the string→bigint conv per shingle."""
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sig = (
