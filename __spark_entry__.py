@@ -8,18 +8,19 @@ SUM(CAST(x AS DECIMAL(25,6))) then back to double — order-independent
 decimal addition makes results bit-identical across engines and
 partitionings (see gdelt_extractor_spark/plans/queries.py docstring).
 
-Entries without an oracle (rows-only gate): dedup_minhash_lsh,
-dedup_simhash, dedup_semantic, ann_lsh_topk, ann_ivf_topk,
-approx_distinct_users, approx_quantiles (approximate/hash-seeded
-operators whose exactness is instead property-tested against their
-exact baselines in tests/), compression_stats (zlib DEFLATE is
-not SQL-expressible; bounds/ordering/determinism property-tested),
-actor_pagerank (iterative fixed-point — last-bit partition-order
-sensitivity; mass/hub/dangling contracts property-tested),
-pca_embeddings (eigensolver floats; algebra property-tested), and
-sketch_rollup (binary DataSketches HLL; mergeability property-tested),
-and actor_cores (iterative H-index peeling; pinned to exact naive
-Matula-Beck peeling in tests).
+Entries without an oracle (rows-only gate), 9 after the r12 PageRank
+graduation: dedup_minhash_lsh, dedup_simhash,
+dedup_incremental_minhash (xxhash64 perf anchors — not
+DuckDB-replayable; each has a hash-gated md5 portable twin),
+approx_distinct_users, approx_quantiles (engine-seeded sketches;
+property-tested against exact baselines), compression_stats (zlib
+DEFLATE is not SQL-expressible), dedup_audio (FFT is not
+SQL-expressible; exact fixture pinned), sketch_rollup (binary
+DataSketches HLL; mergeability property-tested), text_repair
+(CP1252 byte-table round-trip; pinned fixtures).  The PageRank
+family (actor_pagerank / related_actors / person_influence)
+graduated to value-hash gates in r12 via the exact integer
+fixed-point ``pagerank_micro`` + recursive-CTE oracle replay.
 """
 
 from __future__ import annotations
@@ -772,10 +773,15 @@ def _c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _person_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-influence composition the GKG V2.1 parse feeds: weighted
     PageRank over the person co-mention network (edge weight =
-    supporting-record count).  Rows-only gate like actor_pagerank
-    (iterative fixed-point); determinism and mass conservation are
-    pinned by the pagerank property tests."""
-    from gdelt_extractor_spark.operators.graph import pagerank
+    supporting-record count).  HASH-GATED since r12 (VERDICT r11 #2)
+    via ``pagerank_micro``: the power iteration runs in exact integer
+    fixed point (1e-12 internal units, rational damping 17/20,
+    integer-floor update rule), so the DuckDB oracle replays every
+    iteration value-for-value with a list-state recursive CTE — the
+    ``actor_cores``/``unigram_subwords`` int64-DP discipline.  The
+    float operator's property tests (mass conservation, determinism)
+    still cover the distributed path."""
+    from gdelt_extractor_spark.operators.graph import pagerank_micro
     from gdelt_extractor_spark.sources.gdelt import gkg_comentions
 
     edges = gkg_comentions(_gkg_fixture(spark), min_records=1)
@@ -792,10 +798,10 @@ def _person_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # max_iter=8: influence ORDERING on a co-mention graph stabilizes
     # in a handful of power iterations; each extra iteration is a
-    # full job round at any scale
-    return pagerank(
+    # full job round at any scale (tol 1e-3 = 1e9 scale units)
+    return pagerank_micro(
         sym, src="person_a", dst="person_b", weight="n_records",
-        max_iter=8, tol=1e-3,
+        max_iter=8, tol_units=10**9,
     )
 
 
@@ -850,16 +856,21 @@ def _jsonl_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _actor_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Influence ranking of country actors: weighted PageRank over
     the actor-dyad interaction matrix (edge weight = event count).
-    Iterative fixed-point arithmetic is partition-order-sensitive in
-    the last float bits → rows-only for the driver gate; the
-    algorithm's contracts are property-tested in tests/test_graph.py
-    (mass conservation, hub dominance, dangling redistribution)."""
-    from gdelt_extractor_spark.operators.graph import pagerank
+    HASH-GATED since r12 (VERDICT r11 #2) via ``pagerank_micro``:
+    exact integer fixed-point iteration (operators/graph.py), every
+    step replayed by the oracle's recursive CTE — float
+    partition-order sensitivity, the original rows-only reason, no
+    longer exists on this path.  The float operator's contracts stay
+    property-tested in tests/test_graph.py (mass conservation, hub
+    dominance, dangling redistribution)."""
+    from gdelt_extractor_spark.operators.graph import pagerank_micro
     from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
 
     dyads = actor_dyad_rollup(read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv"))
-    return pagerank(
-        dyads, src="actor1_cc", dst="actor2_cc", weight="n_events", tol=1e-5
+    # tol 1e-5 = 1e7 scale units
+    return pagerank_micro(
+        dyads, src="actor1_cc", dst="actor2_cc", weight="n_events",
+        tol_units=10**7,
     )
 
 
@@ -867,11 +878,14 @@ def _related_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (Haveliwala 2002) over the actor-dyad
     network, seeded at USA: ranks countries by relatedness TO THE
     SEED rather than global influence — the related-entities query
-    every knowledge-graph surface serves.  Rows-only like
-    actor_pagerank (iterative fixed point); seed locality, mass
-    conservation, uniform-reset equivalence and dangling-to-seed
-    teleport are property-tested in tests/test_graph.py."""
-    from gdelt_extractor_spark.operators.graph import pagerank
+    every knowledge-graph surface serves.  HASH-GATED since r12 like
+    actor_pagerank (``pagerank_micro`` exact integer fixed point;
+    the oracle replays teleport-to-seed, dangling-to-seed and the
+    rank_micro>0 reachability filter value-for-value); seed
+    locality, mass conservation, uniform-reset equivalence and
+    dangling-to-seed teleport stay property-tested in
+    tests/test_graph.py."""
+    from gdelt_extractor_spark.operators.graph import pagerank_micro
     from gdelt_extractor_spark.sources.gdelt import actor_dyad_rollup, read_gdelt_v2
 
     # the contracted country graph is ≤ 200² edges: pagerank's r11
@@ -887,15 +901,16 @@ def _related_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[c for c in dyads.columns if c not in ("actor1_cc", "actor2_cc", "n_events")],
         ).select(*dyads.columns)
     )
-    seeds = spark.createDataFrame([("USA", 1.0)], "node string, w double")
+    seeds = spark.createDataFrame([("USA", 1)], "node string, w bigint")
     # damping 0.5 is the similarity-PPR convention (short walks near
     # the seed) and halves the round count vs 0.85 — from a point-mass
     # start the L1 delta shrinks as damping^k, so 0.85 needs ~2x the
     # rounds of the uniform-start classic to hit the same tol
-    return pagerank(
+    # (tol 1e-4 = 1e8 scale units; damping 0.5 as the exact 1/2)
+    return pagerank_micro(
         sym, src="actor1_cc", dst="actor2_cc", weight="n_events",
-        damping=0.5, tol=1e-4, reset=seeds,
-    ).filter(F.col("rank") > 0)
+        damping_num=1, damping_den=2, tol_units=10**8, reset=seeds,
+    ).filter(F.col("rank_micro") > 0)
 
 
 def _gdelt_v1_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3571,17 +3586,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_clusters": _prefix_clusters,  # r7
         "bpe_subwords": _bpe_subwords,  # hash-gated r11 (pinned merges)
         "unigram_subwords": _unigram_subwords,  # r11: SentencePiece-style sibling
+        # person_influence / actor_pagerank / related_actors:
+        # hash-gated r12 (pagerank_micro exact fixed point)
+        "person_influence": _person_influence,
+        "actor_pagerank": _actor_pagerank,
+        "related_actors": _related_actors,
         # --- rows-only (driver records no_oracle; property-tested
         # against exact baselines locally) ---
-        "person_influence": _person_influence,
         "dedup_incremental_minhash": _dedup_incremental_minhash,
-        "actor_pagerank": _actor_pagerank,
         "compression_stats": _compression_stats,
         "sketch_rollup": _sketch_rollup,
         "approx_quantiles": Q.approx_value_quantiles,
         "approx_distinct_users": Q.approx_distinct_users,
         "text_repair": _text_repair,
-        "related_actors": _related_actors,
         "dedup_simhash": _dedup_simhash,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_audio": _dedup_audio,  # r9
@@ -4014,6 +4031,109 @@ def _unigram_oracle_sql() -> str:
           CAST(COALESCE(agg.np, 0) AS BIGINT) AS n_pieces,
           CAST(COALESCE(agg.sc, 0) AS BIGINT) AS score_sum
         FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+def _pagerank_micro_sql(
+    ed0_sql: str,
+    num: int,
+    den: int,
+    max_iter: int,
+    tol_units: int,
+    pre_ctes: str = "",
+    seeds_values: str | None = None,
+    positive_only: bool = False,
+) -> str:
+    """The PageRank-family oracle (r12 graduation, VERDICT r11 #2):
+    replays ``operators/graph.py pagerank_micro``'s exact integer
+    fixed-point power iteration with a list-state recursive CTE (the
+    actor_cores/unigram idiom).  ``ed0_sql`` must yield (u, v, w)
+    directed integer-weighted edges built the same way the Spark
+    entry builds them; the CTE chain derives sorted node indexing
+    (binary collation == Python sorted for these ASCII keys),
+    per-node in-edge struct lists, the out-weight and dangling
+    vectors, and the integer reset vector (uniform scale//n, or
+    ``seeds_values`` rows (node, w) normalized over graph-resident
+    seeds).  Every term is HUGEINT floor arithmetic — identical to
+    the operator's Python-int math — including the Σ|Δ| <
+    ``tol_units`` early stop carried as the previous transition's
+    delta, so the iteration COUNT matches too.  Output (node,
+    rank_micro) in HALF_UP micro-units; ``positive_only`` appends
+    the related_actors reachability filter."""
+    scale = 10**12
+    if seeds_values is None:
+        rv_ctes = f"""
+            rvt AS (SELECT list_transform(range(1, n + 1),
+                      x -> CAST({scale} // n AS BIGINT)) AS rv
+                    FROM cnt)"""
+    else:
+        rv_ctes = f"""
+            sd AS (SELECT node, CAST(SUM(w) AS BIGINT) AS w
+                   FROM ({seeds_values}) s0(node, w)
+                   WHERE w > 0 GROUP BY 1),
+            sj AS (SELECT nd.idx AS idx, sd.w AS w
+                   FROM nd LEFT JOIN sd ON sd.node = nd.node),
+            twt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM sj),
+            rvt AS (SELECT list(CAST(CASE WHEN sj.w IS NULL THEN 0
+                      ELSE (CAST({scale} AS HUGEINT) * sj.w) // twt.tw
+                      END AS BIGINT) ORDER BY sj.idx) AS rv
+                    FROM sj, twt)"""
+    sel = f"""
+            SELECT nd.node,
+              CAST((CAST(vals[nd.idx] AS HUGEINT) * 1000000
+                    + {scale // 2}) // {scale} AS BIGINT) AS rank_micro
+            FROM nd, fin"""
+    if positive_only:
+        sel = f"SELECT * FROM ({sel}) WHERE rank_micro > 0"
+    return f"""
+        WITH RECURSIVE {pre_ctes}
+        ed0 AS ({ed0_sql}),
+        nd AS (SELECT node, row_number() OVER (ORDER BY node) AS idx
+               FROM (SELECT u AS node FROM ed0 UNION SELECT v FROM ed0)),
+        cnt AS (SELECT COUNT(*) AS n FROM nd),
+        ow AS (SELECT u, CAST(SUM(w) AS BIGINT) AS outw FROM ed0 GROUP BY 1),
+        ed AS (SELECT nu.idx AS ui, nv.idx AS vi,
+                 CAST(ed0.w AS BIGINT) AS w, ow.outw
+               FROM ed0 JOIN nd nu ON nu.node = ed0.u
+               JOIN nd nv ON nv.node = ed0.v JOIN ow ON ow.u = ed0.u),
+        aj AS (SELECT nd.idx AS vi,
+                 list(struct_pack(ui := ed.ui, w := ed.w, ow := ed.outw))
+                   FILTER (WHERE ed.ui IS NOT NULL) AS ie
+               FROM nd LEFT JOIN ed ON ed.vi = nd.idx GROUP BY 1),
+        ajt AS (SELECT list(ie ORDER BY vi) AS ajl FROM aj),
+        hot AS (SELECT list(CASE WHEN ow.u IS NULL THEN 0 ELSE 1 END
+                  ORDER BY nd.idx) AS ho
+                FROM nd LEFT JOIN ow ON ow.u = nd.node),
+        {rv_ctes},
+        state(it, d, vals) AS (
+          SELECT 0, CAST(NULL AS HUGEINT), (SELECT rv FROM rvt)
+          UNION ALL
+          SELECT it + 1,
+            list_sum(list_transform(range(1, len(nv) + 1),
+              x -> abs(CAST(nv[x] AS HUGEINT) - vals[x]))),
+            nv
+          FROM (
+            SELECT s.it, s.d, s.vals,
+              list_transform(range(1, len(s.vals) + 1), x ->
+                CAST(
+                  (({den} - {num}) * CAST(r.rv[x] AS HUGEINT)) // {den}
+                  + ({num} * (
+                      coalesce(list_sum(list_transform(
+                        coalesce(a.ajl[x], []),
+                        e -> (CAST(s.vals[e.ui] AS HUGEINT) * e.w)
+                             // e.ow)), 0)
+                      + (coalesce(list_sum(list_transform(
+                           range(1, len(s.vals) + 1),
+                           y -> CASE WHEN h.ho[y] = 0
+                                THEN CAST(s.vals[y] AS HUGEINT)
+                                ELSE CAST(0 AS HUGEINT) END)), 0)
+                         * CAST(r.rv[x] AS HUGEINT)) // {scale}
+                    )) // {den}
+                AS BIGINT)) AS nv
+            FROM state s, ajt a, hot h, rvt r) t
+          WHERE it < {max_iter} AND (it = 0 OR d >= {tol_units})),
+        fin AS (SELECT vals FROM state ORDER BY it DESC LIMIT 1)
+        {sel}
     """
 
 
@@ -6200,6 +6320,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT nd.node, CAST(vals[nd.idx] AS INTEGER) AS coreness
             FROM nd, fin
         """,
+        # r12 graduation (VERDICT r11 #2): the PageRank family moves
+        # off rows-only — pagerank_micro's exact integer fixed-point
+        # iteration is replayed end-to-end (edge build included) by
+        # _pagerank_micro_sql's recursive CTE
+        "actor_pagerank": _pagerank_micro_sql(
+            f"""SELECT Actor1CountryCode AS u, Actor2CountryCode AS v,
+                  CAST(COUNT(*) AS BIGINT) AS w
+                FROM {_duck_tsv('v2_events.tsv', V2_EVENTS_SCHEMA)}
+                WHERE Actor1CountryCode IS NOT NULL
+                  AND Actor2CountryCode IS NOT NULL
+                GROUP BY 1, 2""",
+            num=17, den=20, max_iter=30, tol_units=10**7,
+        ),
+        "related_actors": _pagerank_micro_sql(
+            "SELECT u, v, w FROM dy UNION ALL SELECT v, u, w FROM dy",
+            num=1, den=2, max_iter=30, tol_units=10**8,
+            pre_ctes=f"""dy AS (
+                SELECT Actor1CountryCode AS u, Actor2CountryCode AS v,
+                  CAST(COUNT(*) AS BIGINT) AS w
+                FROM {_duck_tsv('v2_events.tsv', V2_EVENTS_SCHEMA)}
+                WHERE Actor1CountryCode IS NOT NULL
+                  AND Actor2CountryCode IS NOT NULL
+                GROUP BY 1, 2),""",
+            seeds_values="VALUES ('USA', CAST(1 AS BIGINT))",
+            positive_only=True,
+        ),
+        "person_influence": _pagerank_micro_sql(
+            "SELECT u, v, w FROM pc UNION ALL SELECT v, u, w FROM pc",
+            num=17, den=20, max_iter=8, tol_units=10**9,
+            pre_ctes=f"""b AS (
+                SELECT GKGRECORDID,
+                  unnest(string_split(V2Persons, ';')) AS blk
+                FROM {_duck_tsv('v2_gkg.tsv', GKG_SCHEMA)}),
+              n0 AS (
+                SELECT DISTINCT GKGRECORDID,
+                  string_split(blk, ',')[1] AS name
+                FROM b WHERE blk <> '' AND blk <> '-'),
+              pc AS (
+                SELECT a.name AS u, b2.name AS v,
+                  CAST(COUNT(*) AS BIGINT) AS w
+                FROM n0 a JOIN n0 b2
+                  ON a.GKGRECORDID = b2.GKGRECORDID AND a.name < b2.name
+                GROUP BY 1, 2),""",
+        ),
         "gdelt_v1_daily": f"""
             SELECT SQLDATE AS sqldate, EventRootCode AS root_code,
               COUNT(*) AS n_events,

@@ -22,11 +22,14 @@ runs vectorized on the driver: the GDELT callers rank CONTRACTED
 graphs (country dyads, person co-mentions) whose corpus-sized work is
 the upstream distributed rollup, and a sub-kilobyte rank frame pays
 more per round in task scheduling than the whole computation costs in
-numpy.  Iterative fixed-point arithmetic is
-partition-order-sensitive in the last float bits, so the operator is
-declared rows-only for the oracle gate and property-tested instead
+numpy.  The float operator's iterative arithmetic is
+partition-order-sensitive in the last bits, so it is property-tested
 (mass conservation, known-graph ranks, dangling handling,
-driver-vs-distributed equality).
+driver-vs-distributed equality) rather than oracle-gated; its exact
+sibling ``pagerank_micro`` (r12) runs the same power iteration in
+integer fixed point — order-free, so a DuckDB recursive CTE replays
+it value-for-value, which is what graduated the PageRank query
+family to the value-hash gate.
 """
 
 from __future__ import annotations
@@ -276,6 +279,134 @@ def _pagerank_driver(
     return spark.createDataFrame(
         [(nodes[i], float(rounded[i])) for i in range(n)],
         "node string, rank double",
+    )
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    max_iter: int = 30,
+    tol_units: int = 10**6,
+    reset: DataFrame | None = None,
+    scale: int = 10**12,
+    max_edges: int = 100_000,
+) -> DataFrame:
+    """EXACT fixed-point PageRank — the oracle-replayable sibling of
+    ``pagerank`` (r12, VERDICT r11 #2): every arithmetic step runs in
+    integers, so the result is a deterministic pure function of the
+    edge list that a DuckDB recursive CTE replays value-for-value
+    (the ``unigram_subwords``/``actor_cores`` int64-DP discipline).
+    Returns (node, rank_micro) with ``rank_micro`` = the converged
+    rank in HALF_UP-rounded micro-units (1e-6); internal precision is
+    1/``scale`` (default 1e-12), so quantization error vs the float
+    operator is ~max_iter/scale — far below the emitted resolution
+    (equivalence to ``pagerank`` within 1e-5 is property-tested).
+
+    Exact update rule, with damping the rational
+    ``damping_num/damping_den`` (default 17/20 = 0.85) and all
+    divisions floor (non-negative operands, so floor == truncate in
+    every engine):
+
+        contrib[v] = Σ_{u→v} (rank[u]·w_uv) // outw[u]
+        rank'[i]   = ((den−num)·rv[i]) // den
+                     + (num·(contrib[i] + (dang·rv[i]) // scale)) // den
+
+    where ``rv`` is the (integer) reset vector — uniform
+    ``scale // n``, or personalized ``(scale·w_i) // Σw`` over the
+    graph-resident seeds (``pagerank``'s reset semantics; seed
+    weights are cast to BIGINT, so the exact contract requires
+    integer seed weights) — ``dang`` the dangling-rank sum, and the
+    loop stops when Σ|Δ| < ``tol_units`` (in ``scale`` units) or
+    after ``max_iter`` rounds.  Integer addition is associative, so
+    unlike the float operator NO term is partition-order-sensitive —
+    which is exactly what makes the value-hash gate possible.
+
+    Contract: edge weights must be positive integers (counts — the
+    dyad/co-mention callers' shape; the weight column is cast to
+    BIGINT), and the edge frame must fit ``max_edges`` (loud error
+    otherwise): this variant always runs the ``pagerank`` bounded
+    DRIVER finish, because its callers rank CONTRACTED graphs whose
+    corpus-scale work is the upstream distributed rollup.  A
+    genuinely large graph belongs on ``pagerank``'s distributed
+    float loop, where a hash gate is impossible anyway (float
+    partial-aggregation order) and rows-only property gates apply.
+    Python's arbitrary-precision ints make every intermediate exact;
+    the DuckDB twin runs the same steps in HUGEINT.
+    """
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+        w.alias("w"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("w") > 0))
+    rows = e.limit(max_edges + 1).collect()
+    if len(rows) > max_edges:
+        raise ValueError(
+            f"pagerank_micro: edge frame exceeds max_edges={max_edges}; "
+            "use pagerank() (distributed float loop) for large graphs"
+        )
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "node string, rank_micro bigint")
+    nodes = sorted({r.src for r in rows} | {r.dst for r in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outw = [0] * n
+    for r in rows:
+        outw[idx[r.src]] += r.w
+    if reset is None:
+        rv = [scale // n] * n
+    else:
+        # bound the collect by the (small, by this path's contract)
+        # node set — a corpus-sized reset frame must not ship whole
+        nodes_df = spark.createDataFrame([(v,) for v in nodes], "node string")
+        seed_rows = (
+            reset.select(
+                F.col(reset.columns[0]).cast("string").alias("node"),
+                F.col(reset.columns[1]).cast("long").alias("_w"),
+            )
+            .filter(F.col("_w") > 0)
+            .join(F.broadcast(nodes_df), "node")
+            .collect()
+        )
+        sw = [0] * n
+        for row in seed_rows:
+            sw[idx[row.node]] += row._w
+        tw = sum(sw)
+        if not tw:
+            raise ValueError(
+                "pagerank_micro(reset=...): no seed with positive weight "
+                "is present in the graph's node set"
+            )
+        rv = [(scale * x) // tw for x in sw]
+    num, den = damping_num, damping_den
+    src_i = [idx[r.src] for r in rows]
+    dst_i = [idx[r.dst] for r in rows]
+    ws = [r.w for r in rows]
+    ranks = rv[:]
+    for _ in range(max_iter):
+        dang = sum(ranks[i] for i in range(n) if outw[i] == 0)
+        contrib = [0] * n
+        for si, di, wi in zip(src_i, dst_i, ws):
+            contrib[di] += (ranks[si] * wi) // outw[si]
+        new = [
+            ((den - num) * r_i) // den
+            + (num * (c + (dang * r_i) // scale)) // den
+            for r_i, c in zip(rv, contrib)
+        ]
+        delta = sum(abs(a - b) for a, b in zip(new, ranks))
+        ranks = new
+        if delta < tol_units:
+            break
+    # HALF_UP to micro-units (non-negative, so +half then floor)
+    micro = [(x * 1_000_000 + scale // 2) // scale for x in ranks]
+    return spark.createDataFrame(
+        [(nodes[i], micro[i]) for i in range(n)],
+        "node string, rank_micro bigint",
     )
 
 

@@ -415,3 +415,117 @@ def test_no_forced_broadcast_of_node_sized_frames():
     src = inspect.getsource(G)
     hints = re.findall(r"F\.broadcast\((\w+)", src)
     assert set(hints) <= {"rv", "dang", "nodes_df"}, hints
+
+
+class TestPagerankMicro:
+    """Exact fixed-point sibling (r12, VERDICT r11 #2): the value-hash
+    gate path.  Every test also guards the DuckDB oracle contract —
+    pagerank_micro must stay a deterministic pure function of the
+    edge list in integer arithmetic."""
+
+    def test_matches_float_pagerank(self, spark):
+        from gdelt_extractor_spark.operators.graph import pagerank_micro
+
+        e = spark.createDataFrame(
+            [("a", "b", 2), ("b", "a", 1), ("b", "c", 1), ("c", "a", 3),
+             ("a", "d", 1)],
+            "src string, dst string, w long",
+        )
+        fl = {r.node: r.rank for r in pagerank(e, weight="w").collect()}
+        mi = {
+            r.node: r.rank_micro / 1e6
+            for r in pagerank_micro(e, weight="w").collect()
+        }
+        assert set(fl) == set(mi)
+        for k in fl:
+            # 1e-12 internal quantization x <=30 iterations, emitted at
+            # 1e-6: the two paths agree to the emitted resolution
+            assert abs(fl[k] - mi[k]) < 2e-5, k
+
+    def test_mass_conservation_micro(self, spark):
+        from gdelt_extractor_spark.operators.graph import pagerank_micro
+
+        e = spark.createDataFrame(
+            [(x, "h") for x in ["a", "b", "c", "d"]], "src string, dst string"
+        )
+        out = {r.node: r.rank_micro for r in pagerank_micro(e).collect()}
+        # floor quantization leaks < n units per iteration at 1e-12,
+        # invisible at micro resolution
+        assert abs(sum(out.values()) - 1_000_000) <= 5
+        assert out["h"] == max(out.values())
+
+    def test_personalized_matches_float(self, spark):
+        from gdelt_extractor_spark.operators.graph import pagerank_micro
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y")],
+            "src string, dst string",
+        )
+        seeds_f = spark.createDataFrame([("a", 1.0)], "node string, w double")
+        seeds_i = spark.createDataFrame([("a", 1)], "node string, w bigint")
+        fl = {
+            r.node: r.rank
+            for r in pagerank(e, damping=0.5, reset=seeds_f).collect()
+        }
+        mi = {
+            r.node: r.rank_micro / 1e6
+            for r in pagerank_micro(
+                e, damping_num=1, damping_den=2, reset=seeds_i
+            ).collect()
+        }
+        for k in fl:
+            assert abs(fl[k] - mi[k]) < 2e-5, k
+        # unreachable component gets exactly zero in the exact path
+        assert mi["x"] == 0.0 and mi["y"] == 0.0
+
+    def test_cap_guard_raises(self, spark):
+        from gdelt_extractor_spark.operators.graph import pagerank_micro
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        with pytest.raises(ValueError, match="max_edges"):
+            pagerank_micro(e, max_edges=2)
+
+    def test_empty_graph_micro(self, spark):
+        from gdelt_extractor_spark.operators.graph import pagerank_micro
+
+        e = spark.createDataFrame([], "src string, dst string")
+        assert pagerank_micro(e).count() == 0
+
+    def test_seed_outside_graph_raises_micro(self, spark):
+        from gdelt_extractor_spark.operators.graph import pagerank_micro
+
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        seeds = spark.createDataFrame([("zz", 3)], "node string, w bigint")
+        with pytest.raises(ValueError, match="no seed"):
+            pagerank_micro(e, reset=seeds)
+
+    def test_duckdb_replay_matches_operator(self, spark):
+        """End-to-end engine parity on a small graph with a dangling
+        node and duplicate directed edges — the exact CTE the oracle
+        entries use, via _pagerank_micro_sql."""
+        import duckdb
+
+        from __spark_entry__ import _pagerank_micro_sql
+        from gdelt_extractor_spark.operators.graph import pagerank_micro
+
+        rows = [
+            ("a", "b", 2), ("b", "a", 1), ("b", "c", 1), ("c", "a", 3),
+            ("a", "d", 1), ("c", "a", 2),  # duplicate directed pair
+        ]
+        e = spark.createDataFrame(rows, "src string, dst string, w long")
+        got = {
+            r.node: r.rank_micro
+            for r in pagerank_micro(e, weight="w").collect()
+        }
+        vals = ", ".join(
+            f"('{u}', '{v}', CAST({w} AS BIGINT))" for u, v, w in rows
+        )
+        sql = _pagerank_micro_sql(
+            f"SELECT * FROM (VALUES {vals}) t(u, v, w)",
+            num=17, den=20, max_iter=30, tol_units=10**6,
+        )
+        con = duckdb.connect()
+        want = dict(con.sql(sql).fetchall())
+        assert got == want
