@@ -70,6 +70,15 @@ JSONL_FIXTURE = os.path.join(
     "tests", "fixtures", "jsonl", "documents.jsonl",
 )
 
+# unigram_subwords gate-corpus cap (r12, VERDICT r11 #4): the encode
+# side of the gate runs on the UNIGRAM_GATE_DOCS docs with the
+# smallest md5(salt:doc_id) — deterministic, engine-portable, and
+# independent of corpus size, so the oracle's per-distinct-word
+# recursive-CTE Viterbi stays bounded at any SF.  Training and the
+# pin fingerprint always see the full corpus.
+UNIGRAM_GATE_SALT = "ugate-v1"
+UNIGRAM_GATE_DOCS = 150
+
 
 def _docs(spark: SparkSession, sf_dir: str, width: int | None = None) -> DataFrame:
     """documents scan with an explicit parallelism posture.
@@ -945,10 +954,18 @@ def _gdelt_v2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(day, QuadClass) rollup — the direct oracle gate for
     read_gdelt_v2 (r10 verdict item 6; previously only transitively
     gated through mention_stats).  The oracle's read_csv columns are
-    generated FROM the Spark schema (``_duck_tsv``), and the rollup
-    deliberately touches the v2-only ADM2 column (mid-row) plus the
-    tail columns (DATEADDED, SOURCEURL): any offset error in the
-    61-column layout shifts those and the value hash catches it."""
+    generated FROM the Spark schema (``_duck_tsv``), so this gate
+    checks PARSER/TYPING parity — both engines reading the same file
+    under the same declared contract.  It does NOT check the declared
+    schema against the real GDELT codebook: a column-order error in
+    the schema would shift both sides identically (ADVICE r11).  The
+    codebook layout itself is pinned independently by
+    tests/test_sources_gdelt.py::test_v2_fixture_known_values, which
+    asserts literal fixture values (a specific SOURCEURL/DATEADDED)
+    at their documented positions without deriving expectations from
+    the schema.  The rollup still touches the v2-only ADM2 column
+    (mid-row) plus the tail columns so parser drift anywhere in the
+    61 columns breaks the hash."""
     from gdelt_extractor_spark.sources.gdelt import read_gdelt_v2
 
     ev = read_gdelt_v2(spark, f"{GDELT_FIXTURES}/v2_events.tsv")
@@ -980,8 +997,12 @@ def _gdelt_mentions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Touches the head (GLOBALEVENTID, MentionTimeDate), middle
     (MentionSourceName, InRawText) and tail (Confidence,
     MentionDocLen, MentionDocTone, MentionDocTranslationInfo)
-    columns, so a column-offset error anywhere in the 16-column
-    layout breaks the hash."""
+    columns, so PARSER drift anywhere in the 16-column layout breaks
+    the hash.  Like _gdelt_v2_daily, the oracle's columns are
+    generated from the same declared schema, so schema-vs-codebook
+    order is NOT what this gate checks (ADVICE r11) — that is pinned
+    by literal fixture values in
+    tests/test_sources_gdelt.py::test_mentions_fixture_known_values."""
     from gdelt_extractor_spark.sources.gdelt import read_gdelt_mentions
 
     mn = read_gdelt_mentions(spark, f"{GDELT_FIXTURES}/v2_mentions.tsv")
@@ -2381,12 +2402,24 @@ def _unigram_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full unigram-LM tokenizer pipeline over documents (Kudo 2018,
     SentencePiece-style — the BPE sibling, r10 verdict item 8): train
     the piece table from the distributed word-frequency table
-    (bounded driver EM loop), Viterbi-encode the corpus (one Arrow
-    pass) → (doc_id, n_pieces, score_sum).  Hash-gated via the
-    bpe_subwords pin discipline: the deterministic piece table is
-    data-pinned (scripts/pin_unigram_pieces.py) and the oracle
-    replays the exact integer Viterbi DP (``_unigram_oracle_sql``),
-    so the gate covers train + encode end-to-end."""
+    (bounded driver EM loop), Viterbi-encode → (doc_id, n_pieces,
+    score_sum).  Hash-gated via the bpe_subwords pin discipline: the
+    deterministic piece table is data-pinned
+    (scripts/pin_unigram_pieces.py) and the oracle replays the exact
+    integer Viterbi DP (``_unigram_oracle_sql``), so the gate covers
+    train + encode end-to-end.
+
+    Bounded gate corpus (r12, VERDICT r11 #4): training (and the pin
+    fingerprint) stays on the FULL corpus, but the encode side of the
+    gate runs on a deterministic salted-md5-capped doc subset
+    (UNIGRAM_GATE_SALT, smallest UNIGRAM_GATE_DOCS hashes — the
+    stratified_sample idiom), replayed identically by the oracle.
+    The DuckDB recursive-CTE Viterbi is per-DISTINCT-WORD, so an
+    uncapped corpus made this the registry's most expensive oracle
+    (~148s at sf0.01, ~half the full local verification); the cap
+    makes replay cost corpus-size-independent, like the pins already
+    are.  The operator itself is unchanged — ``unigram_encode`` runs
+    full corpora in one Arrow pass and keeps its own unit tests."""
     from gdelt_extractor_spark.operators.tokenizer import (
         unigram_encode,
         unigram_train,
@@ -2394,7 +2427,21 @@ def _unigram_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir, width=0)
     pieces = unigram_train(docs, "text")
-    return unigram_encode(docs, "doc_id", "text", pieces)
+    gate = (
+        docs.withColumn(
+            "_h",
+            F.md5(
+                F.concat(
+                    F.lit(UNIGRAM_GATE_SALT + ":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(UNIGRAM_GATE_DOCS)
+        .drop("_h")
+    )
+    return unigram_encode(gate, "doc_id", "text", pieces)
 
 
 def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3960,7 +4007,10 @@ def _unigram_oracle_sql() -> str:
     single-char UNK fallback), then the DP vector grows one position
     per recursion step.  Fingerprint mismatch empties the pin join
     and every word degrades to UNK single chars — loudly different
-    from the live-trained Spark side."""
+    from the live-trained Spark side.  r12 (VERDICT r11 #4): the
+    replay runs over the bounded gate corpus ``gd`` (salted-md5
+    doc cap, see UNIGRAM_GATE_DOCS) — the fingerprint CTE still
+    reads the FULL table, so the pin-key contract is unchanged."""
     from gdelt_extractor_spark.operators._unigram_pins import PINS
     from gdelt_extractor_spark.operators.tokenizer import (
         _UG_MULT,
@@ -3983,8 +4033,13 @@ def _unigram_oracle_sql() -> str:
         WITH RECURSIVE
         fpq AS (
           SELECT {DOC_FINGERPRINT_SQL} AS fp FROM documents),
+        gd AS (
+          SELECT doc_id, text FROM documents
+          ORDER BY md5('{UNIGRAM_GATE_SALT}:' || CAST(doc_id AS VARCHAR)),
+            doc_id
+          LIMIT {UNIGRAM_GATE_DOCS}),
         tok AS (
-          SELECT doc_id, unnest({_toks('text')}) AS w FROM documents),
+          SELECT doc_id, unnest({_toks('text')}) AS w FROM gd),
         wds AS (SELECT DISTINCT w FROM tok WHERE w <> ''),
         allpins(fp, piece, su) AS (VALUES {vals}),
         pins AS (
@@ -4030,7 +4085,7 @@ def _unigram_oracle_sql() -> str:
         SELECT d.doc_id,
           CAST(COALESCE(agg.np, 0) AS BIGINT) AS n_pieces,
           CAST(COALESCE(agg.sc, 0) AS BIGINT) AS score_sum
-        FROM documents d LEFT JOIN agg USING (doc_id)
+        FROM gd d LEFT JOIN agg USING (doc_id)
     """
 
 
@@ -4895,10 +4950,18 @@ def oracle_sql() -> dict[str, str]:
             FROM anch
         """,
         "embedding_align": """
+            -- finiteness filter mirrors _finite_vec (ADVICE r11):
+            -- the Spark engines drop vectors with NULL/NaN/Inf
+            -- elements BEFORE the kernels; without this filter a NaN
+            -- cosine would sort FIRST under cos DESC here and hijack
+            -- the top-k ranking only on the DuckDB side
             WITH v AS (
               SELECT vec_id,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-              FROM embeddings),
+              FROM embeddings
+              WHERE list_aggregate(
+                list_transform(embedding,
+                  x -> x IS NOT NULL AND isfinite(x)), 'bool_and')),
             n AS (
               SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nrm
               FROM v),

@@ -172,7 +172,17 @@ def _bpe_encode_udf(merges: list[tuple[str, str]]):
 # recursive CTE replays bit-for-bit (the bpe_subwords pin
 # discipline; see __spark_entry__._unigram_oracle_sql).
 
-_UG_MULT = 1 << 20  # count term headroom: words < 2^20 chars
+# count term headroom: the count term stays below the score term for
+# words < 2^20 chars.  The BINDING bound is tighter (ADVICE r11): an
+# all-UNK word contributes _UG_UNK_SCORE_U·_UG_MULT − 1 ≈ −2.097e13
+# per char to the DP total, so a single word beyond ~4.3×10^5 UNK
+# chars overflows INT64 — DuckDB's BIGINT DP would error/wrap while
+# Python's arbitrary-precision side stays exact, a silent gate
+# divergence rather than a loud failure.  Oracle-gated corpora must
+# keep whitespace-delimited words under ~4×10^5 chars (the testdata
+# and any real text corpus are orders of magnitude below; a corpus
+# of megabyte-long unbroken tokens needs pre-chunking anyway).
+_UG_MULT = 1 << 20
 _UG_UNK_SCORE_U = -20_000_000  # pinned fallback for unseen single chars
 
 # THE documents-table data fingerprint (DuckDB SQL) keying the BPE and

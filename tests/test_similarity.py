@@ -777,3 +777,32 @@ class TestPRFExpandSearch:
             )
         )
         assert a == b and len(a) == 4 * 7
+
+
+def test_embedding_align_oracle_drops_dirty_vectors():
+    """ADVICE r12: the embedding_align DuckDB oracle must mirror
+    _finite_vec — a NaN element yields a NaN cosine that DuckDB ranks
+    FIRST under cos DESC, so an unfiltered oracle would crown the
+    dirty vector top-1 while the Spark engines drop it pre-kernel.
+    Runs the REAL registry oracle SQL over a constructed embeddings
+    view containing one NaN vector and asserts it never appears."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    con.sql("""
+        CREATE VIEW embeddings AS
+        SELECT * FROM (VALUES
+          (0, 'l', [1.0, 0.0, 0.0]),
+          (2, 'l', [0.0, 1.0, 0.0]),
+          (1, 'l', [0.9, 0.1, 0.0]),
+          (3, 'l', [0.1, 0.9, 0.0]),
+          (5, 'l', ['nan'::DOUBLE, 1.0, 1.0])
+        ) t(vec_id, label, embedding)
+    """)
+    out = con.sql(E.oracle_sql()["embedding_align"]).df()
+    assert 5 not in set(out["id_b"]), "NaN vector hijacked the ranking"
+    # the clean pairs still align 0-1 / 2-3
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs and (2, 3) in pairs

@@ -669,3 +669,55 @@ def test_gkg_translation_parse(spark, tmp_path):
     got = {(r.GKGRECORDID, r.src_lang, r.engine)
            for r in G.gkg_translation(gkg).collect()}
     assert got == {("r1", "fra", "Moses 2.1.1")}
+
+
+def test_v2_fixture_known_values(spark):
+    """ADVICE r11: the gdelt_v2_daily oracle derives its read_csv
+    columns FROM the declared Spark schema, so that gate cannot catch
+    a schema-vs-codebook column-order error (both sides would shift
+    identically).  This test pins the codebook layout independently:
+    literal fixture values asserted at their DOCUMENTED positions
+    (GDELT 2.0 event codebook), with NO expectation derived from the
+    schema object."""
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "gdelt")
+    ev = G.read_gdelt_v2(spark, os.path.join(fix, "v2_events.tsv"))
+    r = ev.filter("GLOBALEVENTID = 1000").collect()[0]
+    # head: cols 1-8 of the public codebook
+    assert r.SQLDATE == 20240210
+    assert r.MonthYear == 202402 and r.Year == 2024
+    assert r.Actor1Code == "GOV"
+    assert r.Actor1Name == "ACTOR 1000"
+    assert r.Actor1CountryCode == "USA"
+    # tail: cols 57-61 (ActionGeo_Lat/Long/FeatureID, DATEADDED,
+    # SOURCEURL)
+    assert r.ActionGeo_Lat == -87.8
+    assert r.ActionGeo_Long == -176.6
+    assert r.ActionGeo_FeatureID == "F100002"
+    assert r.DATEADDED == 20240210000000
+    assert r.SOURCEURL == "http://site0.example.com/articles/1000"
+
+
+def test_mentions_fixture_known_values(spark):
+    """Mentions sibling of test_v2_fixture_known_values: the 16-col
+    mentions codebook layout pinned by literal fixture values."""
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "gdelt")
+    m = G.read_gdelt_mentions(spark, os.path.join(fix, "v2_mentions.tsv"))
+    r = (
+        m.filter("GLOBALEVENTID = 1000")
+        .orderBy("MentionIdentifier")
+        .collect()[0]
+    )
+    assert r.EventTimeDate == 20240210000000
+    assert r.MentionTimeDate == 20240211065400
+    assert r.MentionType == 1
+    assert r.MentionSourceName == "site35.example.com"
+    assert r.MentionIdentifier == "http://site35.example.com/mention/1000-0"
+    assert r.SentenceID == 0
+    assert r.Actor1CharOffset == 100
+    assert r.Actor2CharOffset == 200
+    assert r.ActionCharOffset == 300
+    assert r.InRawText == 0
+    assert r.Confidence == 40
+    assert r.MentionDocLen == 500
+    assert r.MentionDocTone == -2.7
+    assert r.MentionDocTranslationInfo == "srclc:fra"
