@@ -3011,6 +3011,14 @@ def _trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+        # r12: eager checkpoint — ≤n_nations² rows, but its lineage is
+        # the full lineitem⋈orders fact join, and it feeds the
+        # threshold agg AND (via edges) triangle_count's canon/deg
+        # branches: without materialization the fact join re-ran once
+        # per consumer branch (guide §5 cut-the-lineage / §3.3).
+        # Same-session alternating A/B at sf0.1: 4.17s → 2.71s
+        # median, values identical.
+        .localCheckpoint(eager=True)
     )
     thr = pairs.agg(F.avg("n_orders").alias("_thr"))
     edges = pairs.crossJoin(F.broadcast(thr)).filter(F.col("n_orders") > F.col("_thr"))
