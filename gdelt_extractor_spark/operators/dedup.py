@@ -2389,6 +2389,16 @@ def dedup_incremental_minhash(
     )
 
     a, b = nb.alias("a"), nb.alias("b")
+    # r12 (guide §2.4): the two drop lists anti-join the batch as ONE
+    # deduplicated union — the old shape paid a distinct exchange per
+    # list, an extra anti join pruning hist candidates by the internal
+    # list, and TWO survivor anti joins; set algebra is identical
+    # (batch ∖ (internal ∪ hist) == (batch ∖ internal) ∖ hist, and a
+    # doc dropped by both lists is dropped either way), so survivors
+    # are value-identical (asserted row-for-row in the A/B).
+    # Same-session alternating A/B at sf0.1: anchor 4.05s → 3.61s,
+    # portable 4.63s → 4.22s medians; twin hash gate green.  At scale
+    # this also turns three candidate-bounded shuffles into one.
     internal_drop = (
         a.join(
             b,
@@ -2403,11 +2413,9 @@ def dedup_incremental_minhash(
         )
         .filter(_est_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes) >= threshold)
         .select(F.col("id_b").alias("id"))
-        .distinct()
     )
     hist_drop = (
-        nb.join(internal_drop, "id", "left_anti")
-        .join(
+        nb.join(
             index.select(
                 F.col("sig").alias("sig_h"), F.col("band"), F.col("bucket")
             ),
@@ -2415,15 +2423,11 @@ def dedup_incremental_minhash(
         )
         .filter(_est_jaccard(F.col("sig"), F.col("sig_h"), num_hashes) >= threshold)
         .select("id")
-        .distinct()
     )
-    survivors = (
-        new_docs.join(
-            internal_drop.withColumnRenamed("id", id_col), id_col, "left_anti"
-        )
-        .join(hist_drop.withColumnRenamed("id", id_col), id_col, "left_anti")
+    drops = internal_drop.unionByName(hist_drop).distinct()
+    return new_docs.join(
+        drops.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
-    return survivors
 
 
 def updated_band_index(

@@ -1155,12 +1155,37 @@ def hybrid_search(
         .alias("value"),
     )
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
-        [(0, " ".join(query_terms))], "qid long, qtext string"
+    # r12 (guide §1.2 / §5): the query-side embedding is O(|terms|)
+    # work on a 1-row frame, but routing it through the distributed
+    # hashed_embedding pipeline cost ~4 exchanges+jobs per search.
+    # Computed driver-side instead with the IDENTICAL md5 bucket/sign
+    # idiom and IEEE double ops (sign sums are exact small integers,
+    # so addition order cannot matter; sqrt/div are the same doubles
+    # the JVM produces) — value-for-value equal to
+    # hashed_embedding(layout="long"), pinned by
+    # tests/test_textstats.py::test_hybrid_query_embedding_driver_twin.
+    # Zero-valued buckets are omitted: their join terms added exact
+    # decimal zeros to the cosine sum (the dense-grid note below).
+    import hashlib as _hl
+    import math as _math
+    import re as _re
+
+    _qnorm = _re.sub(r"\s+", " ", " ".join(query_terms).lower()).strip()
+    _cnt: dict[int, float] = {}
+    for _t in _qnorm.split(" "):
+        if _t == "":
+            continue
+        _hx = _hl.md5(f"hash-emb-v1:{_t}".encode()).hexdigest()
+        _b = int(_hx[:12], 16) % 64
+        _s = -1.0 if int(_hx[12], 16) % 2 == 0 else 1.0
+        _cnt[_b] = _cnt.get(_b, 0.0) + _s
+    _nrm = _math.sqrt(sum(_c * _c for _c in _cnt.values()))
+    _qrows = (
+        [(int(_b), _c / _nrm) for _b, _c in sorted(_cnt.items()) if _c != 0.0]
+        if _nrm > 0
+        else []
     )
-    qemb = hashed_embedding(
-        qdf, "qid", "qtext", hash_fn="md5", layout="long"
-    ).select("bucket", F.col("value").alias("_qv"))
+    qemb = spark.createDataFrame(_qrows, "bucket int, _qv double")
     dense = (
         emb.join(F.broadcast(qemb), "bucket")
         .groupBy(F.col("_eid").alias("_id"))
@@ -1176,9 +1201,13 @@ def hybrid_search(
     # layout still gave them cosine 0.0 (and thus top-k eligibility
     # on tiny corpora) — restore them with a doc-keyed left join so
     # the scan-sharing rewrite is value-identical
+    # r12: ids are unique per the retrieval contract (duplicate ids
+    # already merge upstream in every groupBy("_id")), so the old
+    # ``.distinct()`` here was a corpus-wide exchange that never
+    # changed a row — dropped (guide §2.4 "a distinct on data that is
+    # already unique").
     dense = (
         base.select("_id")
-        .distinct()
         .join(dense, "_id", "left")
         .withColumn("_cos", F.coalesce("_cos", F.lit(0.0)))
     )

@@ -441,6 +441,56 @@ class TestHybridSearch:
         # a doc hit by both rankers outranks a lexical-zero doc
         assert rows[4].rank < rows[3].rank if 3 in rows else True
 
+    def test_hybrid_query_embedding_driver_twin(self, spark):
+        """r12: hybrid_search computes the query-side hashed
+        embedding on the driver (pure hashlib/math) instead of
+        running a 1-row frame through the distributed
+        hashed_embedding pipeline.  This pins the two bit-identical:
+        for several query strings (incl. repeated terms — sign sums —
+        and mixed case/whitespace — the normalize contract), the
+        driver arithmetic must reproduce hashed_embedding's md5
+        long-layout values exactly, bucket for bucket."""
+        import hashlib
+        import math
+        import re
+
+        from gdelt_extractor_spark.operators.textstats import (
+            hashed_embedding,
+        )
+
+        for qtext in [
+            "spark hash join window",
+            "spark spark spark hash",
+            "  Mixed   CASE\tquery terms  ",
+            "one",
+        ]:
+            qdf = spark.createDataFrame(
+                [(0, qtext)], "qid long, qtext string"
+            )
+            want = {
+                r.bucket: r.value
+                for r in hashed_embedding(
+                    qdf, "qid", "qtext", hash_fn="md5", layout="long"
+                ).collect()
+                if r.value != 0.0
+            }
+            norm = re.sub(r"\s+", " ", qtext.lower()).strip()
+            cnt: dict[int, float] = {}
+            for t in norm.split(" "):
+                if t == "":
+                    continue
+                hx = hashlib.md5(f"hash-emb-v1:{t}".encode()).hexdigest()
+                b = int(hx[:12], 16) % 64
+                s = -1.0 if int(hx[12], 16) % 2 == 0 else 1.0
+                cnt[b] = cnt.get(b, 0.0) + s
+            nrm = math.sqrt(sum(c * c for c in cnt.values()))
+            got = (
+                {b: c / nrm for b, c in cnt.items() if c != 0.0}
+                if nrm > 0
+                else {}
+            )
+            assert got == want, qtext
+
     def test_partition_independent(self, spark):
         from gdelt_extractor_spark.operators.textstats import hybrid_search
 
