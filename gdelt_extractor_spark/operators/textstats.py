@@ -553,11 +553,17 @@ def lm_score(
     the token) — then each DISTINCT bigram's probability is computed
     once on the model side and joined back to per-document bigram
     instances (shuffle on the bigram key, content-derived and
-    uniform), and one final per-doc aggregate.  The model is never
-    collected or broadcast: vocab² does not fit a driver; a join
-    scales.  log-probs are rounded to ``round_to`` decimals before
-    the decimal-sum mean so the value gate is engine-stable (the
-    same ln convention tfidf uses).
+    uniform), and one final per-doc aggregate.  The vocabulary size
+    is c1's own row count (it IS the distinct-unigram count), so
+    the c1 exchange is reused at runtime instead of a fourth
+    tokenize+countDistinct pass (r12; a full per-(doc, w1, bigram)
+    pre-aggregate was also A/B'd and REJECTED — it added a
+    full-token-stream shuffle with almost no partial reduction,
+    1.67s → 2.30s).  The model is never collected or broadcast:
+    vocab² does not fit a driver; a join scales.  log-probs are
+    rounded to ``round_to`` decimals before the decimal-sum mean so
+    the value gate is engine-stable (the same ln convention tfidf
+    uses).
     """
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
@@ -584,7 +590,7 @@ def lm_score(
     )
     unigrams = base.select(F.explode(toks).alias("w1"))
     c1 = unigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = unigrams.agg(F.countDistinct("w1").alias("v"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     probs = (
         c2.join(c1, "w1")
         .join(F.broadcast(vocab))
@@ -1461,54 +1467,75 @@ def rouge_n(
     either side has fewer than ``n`` tokens report zero counts on
     that side and NULL metrics from the 0/0 divisions.
 
-    Scale shape: one n-gram count pass per side (explode + partial-
-    aggregated count on (pair, gram)), an equi-join on the same
-    (pair, gram) key — content-derived and uniform, never all-pairs
-    — then one per-pair rollup.  A full-outer gram join is avoided:
-    only matched grams contribute to n_match, so an inner join plus
-    the two per-side totals carried from the count passes suffices.
+    Scale shape (r12): the two sides are STACKED into one tagged
+    stream off a single scan of ``pairs`` — explode a 2-struct array
+    per pair, tokenize each side once — then ONE partial-aggregated
+    count on (pair, gram) carries per-side conditional counts, and
+    ONE per-pair rollup produces n_match/n_cand/n_ref together
+    (Σ least(c_cand, c_ref) ≡ the inner-join-of-matched-grams sum,
+    because an unmatched gram contributes least(c, 0) = 0).  The
+    pre-r12 shape ran a gram-count pass per side plus an inner join
+    plus three per-pair aggregates joined back onto the pair
+    universe — five corpus-lineage evaluations and three broadcast
+    joins collapse to zero joins and two shuffles.  A NULL-gram
+    sentinel row per gram-less side (explode_outer over the
+    position sequence) keeps every pair in the rollup, restoring
+    the zero counts the old left joins provided.
     """
     from ..functions.text import tokens
 
-    def gram_counts(col: str, side: str) -> DataFrame:
-        # drop the split-tokenizer's empty-text artifact ([""]) so an
-        # empty side scores 0 n-grams, not one empty unigram
-        toks = F.filter(tokens(col), lambda x: x != "")
-        # explode-the-positions-THEN-project: the n-gram string is a
-        # plain codegen concat after the explode; the previous
-        # transform+slice array form ran on the interpreted
-        # expression walker (same rewrite as shingle_hash_rows —
-        # measured ~4x on this operator at sf0.1).  Sides shorter
-        # than n emit no rows; the final left joins off the pair
-        # universe restore their zero counts.
-        staged = pairs.select(
-            F.col(pair_col).alias("pair"), toks.alias("_t")
-        ).withColumn("_n", F.size("_t"))
-        gram = F.concat_ws(
-            " ",
-            *[F.get(F.col("_t"), (F.col("_i") + k).cast("int")) for k in range(n)],
-        )
-        return (
-            staged.filter(F.col("_n") >= n)
-            .select(
-                "pair",
-                F.explode(F.sequence(F.lit(0), F.col("_n") - n)).alias("_i"),
-                "_t",
+    stacked = pairs.select(
+        F.col(pair_col).alias("pair"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("side"), F.col(cand_col).alias("txt")
+                ),
+                F.struct(
+                    F.lit(1).alias("side"), F.col(ref_col).alias("txt")
+                ),
             )
-            .select("pair", gram.alias("gram"))
-            .groupBy("pair", "gram")
-            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
-        )
-
-    base = pairs.select(F.col(pair_col).alias("pair"))
-    c = gram_counts(cand_col, "cand")
-    r = gram_counts(ref_col, "ref")
-    tot_c = c.groupBy("pair").agg(F.sum("c_cand").alias("n_cand"))
-    tot_r = r.groupBy("pair").agg(F.sum("c_ref").alias("n_ref"))
-    matched = (
-        c.join(r, ["pair", "gram"])
-        .groupBy("pair")
-        .agg(F.sum(F.least("c_cand", "c_ref")).alias("n_match"))
+        ).alias("_s"),
+    ).select("pair", F.col("_s.side").alias("side"), F.col("_s.txt").alias("txt"))
+    # drop the split-tokenizer's empty-text artifact ([""]) so an
+    # empty side scores 0 n-grams, not one empty unigram
+    toks = F.filter(tokens("txt"), lambda x: x != "")
+    staged = stacked.select("pair", "side", toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    # explode-the-positions-THEN-project: the n-gram string is a
+    # plain codegen concat after the explode; the transform+slice
+    # array form ran on the interpreted expression walker (same
+    # rewrite as shingle_hash_rows — measured ~4x on this operator
+    # at sf0.1)
+    gram = F.concat_ws(
+        " ",
+        *[F.get(F.col("_t"), (F.col("_i") + k).cast("int")) for k in range(n)],
+    )
+    rows = staged.select(
+        "pair",
+        "side",
+        F.explode_outer(
+            F.when(F.col("_n") >= n, F.sequence(F.lit(0), F.col("_n") - n))
+        ).alias("_i"),
+        "_t",
+    ).select(
+        "pair",
+        "side",
+        F.when(F.col("_i").isNotNull(), gram).alias("gram"),
+    )
+    counts = rows.groupBy("pair", "gram").agg(
+        F.count_if(
+            (F.col("side") == 0) & F.col("gram").isNotNull()
+        ).alias("c_cand"),
+        F.count_if(
+            (F.col("side") == 1) & F.col("gram").isNotNull()
+        ).alias("c_ref"),
+    )
+    per_pair = counts.groupBy("pair").agg(
+        F.sum(F.least("c_cand", "c_ref")).alias("n_match"),
+        F.sum("c_cand").alias("n_cand"),
+        F.sum("c_ref").alias("n_ref"),
     )
     # ANSI-safe divisions: a side with zero n-grams yields NULL P/R;
     # zero matches over non-empty sides is a defined 0.0 F-score.
@@ -1530,14 +1557,11 @@ def rouge_n(
         .when((F.col("n_cand") > 0) & (F.col("n_ref") > 0), F.lit(0.0))
     )
     return (
-        base.join(tot_c, "pair", "left")
-        .join(tot_r, "pair", "left")
-        .join(matched, "pair", "left")
-        .select(
+        per_pair.select(
             F.col("pair").alias(pair_col),
-            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
-            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
-            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.col("n_match").cast("long").alias("n_match"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_ref").cast("long").alias("n_ref"),
         )
         .withColumn("rouge_p", F.round(p, 6))
         .withColumn("rouge_r", F.round(r_, 6))
