@@ -1933,17 +1933,19 @@ def span_dup_fraction(
     Returns (doc_id, n_windows, n_dup_windows, dup_frac); docs
     shorter than ``k`` tokens report 0 windows and 0.0 fraction.
 
-    Plan shape: the window projection feeds two consumers — the
-    corpus rollup (two partial-agg shuffles, see ``duplicate_spans``)
-    and the per-doc join — and is EVALUATED TWICE (Catalyst does not
-    common-subexpress across subtrees).  That is the scale-correct
-    choice: the exploded window frame is ~tokens×k rows, so storing
-    it (cache/localCheckpoint) costs far more than re-running a
-    scan-speed tokenize+slice projection.  The join on the span
-    string is a content-derived uniform key; the duplicate-span side
-    is small at any realistic dup rate but NOT broadcast by hint —
-    its size is data-dependent and unbounded, so the equi-join stays
-    a shuffle join and AQE promotes it to broadcast at runtime when
+    Plan shape (r12): the window projection feeds ONE per-(span,
+    doc) partial-aggregated shuffle, and BOTH consumers — the
+    corpus dup rollup and the per-doc score — aggregate from that
+    same frame, so the exchange is runtime-reused and the window
+    projection is evaluated once (pre-r12 the per-doc score joined
+    the RAW window stream against the dup list, re-evaluating the
+    tokenize+hash projection; n_windows ≡ Σ _c and n_dup_windows ≡
+    Σ _c·is_dup make the per-(span, doc) counts a lossless proxy —
+    guide §8's decide-with-small-rows rule).  The join on the span
+    key is content-derived and uniform; the duplicate-span side is
+    small at any realistic dup rate but NOT broadcast by hint — its
+    size is data-dependent and unbounded, so the equi-join stays a
+    shuffle join and AQE promotes it to broadcast at runtime when
     it fits.
 
     The span never needs to be REPORTED here, so the DEFAULT keys
@@ -1962,11 +1964,13 @@ def span_dup_fraction(
         .select("span", F.lit(1).alias("_is_dup"))
     )
     scored = (
-        win.join(dup, "span", "left")
+        per_doc.join(dup, "span", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.coalesce(F.col("_is_dup"), F.lit(0))).alias("n_dup_windows"),
+            F.sum("_c").alias("n_windows"),
+            F.sum(
+                F.col("_c") * F.coalesce(F.col("_is_dup"), F.lit(0))
+            ).alias("n_dup_windows"),
         )
     )
     return (
