@@ -555,7 +555,13 @@ def _dedup_minhash_lsh_md5(
     # (measured 4.6s → ~2s cold at sf0.1).  The eager checkpoint
     # feeds signatures AND both verify sides (A/B'd vs persist():
     # one write barrier beats re-reading the cache through the
-    # countDistinct expand, 2.7s vs 3.7s at sf0.1).
+    # countDistinct expand, 2.7s vs 3.7s at sf0.1).  A collect_list
+    # + numpy signature kernel (the simhash_md5 r12 move) was A/B'd
+    # FLAT here (3.09s vs 3.00s, 9 reps) and rejected: the
+    # min-aggregates partial-aggregate to 33 longs per doc map-side,
+    # while collect_list ships every shingle occurrence into the
+    # exchange — strictly more shuffle bytes at scale for no local
+    # gain.
     sh0 = _md5_shingle_rows(df, text_col, id_col, n, salt).localCheckpoint(
         eager=True
     )
@@ -1093,6 +1099,31 @@ def simhash_md5(
     h = tok.select(
         "id", F.md5(F.concat(F.lit(salt + ":"), F.col("t"))).alias("h")
     )
+    if out == "long":
+        # r12 (guide §4.2): pack each token's 16 md5 hex digits into
+        # ONE int64 with the same bit convention as the vote indices
+        # (bit i = digit(i//4) >> (i%4) & 1 — nibble j lands at bits
+        # 4j..4j+3), then run the 64-way bit vote in the SAME numpy
+        # pandas-UDF kernel the xxhash64 path uses.  Votes are
+        # integer sums (order-free, exact), so the fingerprint is
+        # bit-identical to the former 64 codegen sum aggregates —
+        # which were the measured cost center (~0.6s of the 0.8s
+        # fingerprint phase at sf0.1; the md5 itself is ~0.2s) —
+        # while md5 + nibble packing stay JVM-side codegen.
+        packed = F.lit(0).cast("long")
+        for j in range(16):
+            packed = packed.bitwiseOR(
+                F.shiftleft(
+                    F.conv(F.substring("h", j + 1, 1), 16, 10).cast("long"),
+                    4 * j,
+                )
+            )
+        arr = (
+            h.select("id", packed.alias("_th"))
+            .groupBy("id")
+            .agg(F.collect_list("_th").alias("th"))
+        )
+        return arr.select("id", _simhash_fp_udf()("th").alias("simhash"))
     digs = h.select(
         "id",
         *[
@@ -1118,22 +1149,6 @@ def simhash_md5(
             )
         return d
 
-    if out == "long":
-        # same bits packed into one int64: bit i = (vote_i > 0), so
-        # chunk c of hamming_pairs (bits 16c..16c+15) covers exactly
-        # hex chars 4c..4c+3 of the "hex" form — identical pair sets,
-        # JVM-native bit math instead of string candidates
-        lo = F.lit(0).cast("long")
-        for i in range(32):
-            lo = lo + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        hi = F.lit(0).cast("long")
-        for i in range(32, 64):
-            hi = hi + F.when(F.col(f"v{i}") > 0, F.lit(1 << (i - 32))).otherwise(
-                F.lit(0)
-            )
-        return votes.select(
-            "id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash")
-        )
     return votes.select(
         "id",
         F.concat(
