@@ -1016,7 +1016,15 @@ def winnow_dup_pairs(
     a boilerplate fingerprint shared by k docs costs O(k²) pair rows;
     the cap bounds the join without touching genuine pair evidence on
     bounded corpora — pass None to disable)."""
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w, salt=salt)
+    # The fingerprint lineage (tokenize + rolling-min window + distinct)
+    # feeds the hot-fp aggregate, the anti join, AND both sides of the
+    # pair self-join — four static evaluations of the corpus-scale
+    # subtree.  The sampled index is tiny next to the corpus, so
+    # materializing it once is the cheaper side of the trade at any
+    # scale (same discipline as triangle_count's canon/deg split).
+    fps = winnow_fingerprints(
+        df, text_col, id_col, k=k, w=w, salt=salt
+    ).localCheckpoint(eager=True)
     if max_fp_df is not None:
         hot = (
             fps.groupBy("fp")

@@ -13,6 +13,13 @@ toggle at DataFrame-BUILD time) — asserts the two outputs are
 row-identical (sorted collect compare), runs untimed warmups of
 both, then times them alternating A,B,A,B,... with the noop sink and
 prints one JSON line with per-rep times and medians.
+
+Each timed rep REBUILDS the DataFrame (bench.py's own methodology:
+``materialize(queries[name](spark, sf_dir))`` inside the timer), so
+build-time work — eager localCheckpoints in particular — is charged
+to the variant that performs it.  Timing a pre-built frame would
+credit a checkpointing variant with the materialization it did for
+free at build time.
 """
 from __future__ import annotations
 
@@ -60,18 +67,19 @@ def main() -> None:
     mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
     assert not mism, [(a[i], b[i]) for i in mism]
 
-    def run(df) -> float:
+    def run(variant: str) -> float:
         t0 = time.time()
+        df = build(variant)  # build INSIDE the timer, like bench.py
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    for df in (old_df, new_df):  # untimed warmups
-        run(df)
+    for v in ("old", "new"):  # untimed warmups
+        run(v)
     times: dict[str, list[float]] = {"old": [], "new": []}
     for _ in range(reps):
-        for name, df in (("old", old_df), ("new", new_df)):
+        for name in ("old", "new"):
             spark.sparkContext.setJobDescription(f"ab:{query}:{name}")
-            times[name].append(round(run(df), 3))
+            times[name].append(round(run(name), 3))
     out = {
         "query": query,
         "rows": len(a),
