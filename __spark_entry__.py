@@ -2524,9 +2524,19 @@ def _curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdelt_extractor_spark.operators.ranking import global_ntile
 
     docs = _docs(spark, sf_dir, width=0)
-    q = TS.quality_score(docs, "doc_id", "text")
+    # global_ntile's partition-count collect is a SEPARATE job from
+    # the final query (two Catalyst plans — shuffle map outputs are
+    # not shared across them), so the quality_score lineage
+    # (tokenize + regex over the corpus) would run twice.  The
+    # narrow (doc_id, quality) frame is O(n_docs)×12B — materialize
+    # it once and both jobs read the checkpoint.
+    q = (
+        TS.quality_score(docs, "doc_id", "text")
+        .select("doc_id", "quality")
+        .localCheckpoint(eager=True)
+    )
     tiers = global_ntile(
-        q.select("doc_id", "quality"),
+        q,
         4,
         [F.col("quality").asc(), F.col("doc_id").asc()],
     ).withColumn(

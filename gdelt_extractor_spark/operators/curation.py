@@ -562,7 +562,6 @@ def source_overlap(
         )
     else:
         raise ValueError(f"granularity must be 'doc' or 'shingle', got {granularity!r}")
-    totals = h.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     # pair generation per fingerprint, NOT an exploded self-join (the
     # gkg_theme_cooccurrence discipline): one shuffle groups each
     # fingerprint's carrier-source set, pairs come from a nested
@@ -581,10 +580,22 @@ def source_overlap(
             ),
         )
     )
+    byfp = h.groupBy("fp").agg(srcs.alias("_srcs"))
+    # per-source totals fall out of the SAME carrier-set aggregate
+    # the pair branch consumes: h is distinct (source, fp), so
+    # exploding each fingerprint's carrier set re-emits each
+    # (source, fp) exactly once and the per-source count IS the
+    # distinct-fingerprint total.  All three consumers (pairs,
+    # n_a, n_b) now hang off one identical exchange subtree —
+    # ReuseExchange evaluates the corpus lineage once, where the
+    # naive shape scanned it three times.
+    totals = (
+        byfp.select(F.explode("_srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = (
-        h.groupBy("fp")
-        .agg(srcs.alias("_srcs"))
-        .filter(F.size("_srcs") > 1)
+        byfp.filter(F.size("_srcs") > 1)
         .select(F.explode(pair).alias("p"))
         .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -1485,16 +1485,29 @@ def source_similarity(
         return a, b
 
     mask = (1 << 48) - 1
-    slot_vals = F.array(
-        *[
-            ((F.col("_h0") * F.lit(a) + F.lit(b)) % F.lit(mask + 1)).alias(f"_s{i}")
-            for i, (a, b) in ((i, _perm(i)) for i in range(m))
-        ]
+    # the m slot minima are m wide aggregate expressions over the
+    # distinct-shingle stream, not a posexplode ×m followed by a
+    # (source, slot) min: the per-slot arithmetic is identical, but
+    # no m-fold row expansion is ever materialized and the partial
+    # aggregate reduces to ONE row of m longs per source per task
+    # before the exchange (A/B flat at sf0.1 — md5+distinct dominate
+    # locally — and strictly fewer generated rows at scale)
+    mins = [
+        F.min(
+            (F.col("_h0") * F.lit(a) + F.lit(b)) % F.lit(mask + 1)
+        ).alias(f"_m{i}")
+        for i, (a, b) in ((i, _perm(i)) for i in range(m))
+    ]
+    sig = (
+        h0.groupBy("source")
+        .agg(*mins)
+        .select(
+            "source",
+            F.posexplode(
+                F.array(*[F.col(f"_m{i}") for i in range(m)])
+            ).alias("slot", "mh"),
+        )
     )
-    hashed = h0.select(
-        "source", F.posexplode(slot_vals).alias("slot", "h")
-    )
-    sig = hashed.groupBy("source", "slot").agg(F.min("h").alias("mh"))
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
