@@ -5,6 +5,8 @@ All pure JVM expressions — these run at scan speed on 100 TB.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -913,6 +915,13 @@ def hashed_embedding(
     ).filter(F.col("t") != "")
     counts = _feature_hash_counts(toks, dim, seed, hash_fn)
     if layout == "long":
+        # the bucket aggregate feeds BOTH the (id, bucket) grid join
+        # and the nrm_l rollup — two static evaluations of the
+        # tokenize+hash corpus lineage (different exchange keys, so
+        # no ReuseExchange).  The frame is narrow and bounded
+        # (n_docs × ≤dim rows of (id, int, double)); one eager
+        # materialization runs the corpus scan once (r12, guide §5).
+        counts = counts.localCheckpoint(eager=True)
         # codegen path: ids × bucket grid → left-join counts + norms;
         # Σc² over the nonzero buckets equals the dense bucket-order
         # sum exactly (counts are integer-valued doubles — exact,
