@@ -18,6 +18,7 @@ for min/max/mean.  The mean uses the decimal-sum convention
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1020,6 +1021,11 @@ def ks_test(
         .groupBy("v")
         .agg(F.sum("_o").alias("co"), F.sum("_n").alias("cn"))
     )
+    # per_v (narrow: one row per distinct value) feeds the running-sum
+    # machinery AND the totals aggregate as separate jobs/subtrees —
+    # eager materialization runs the two-scan union lineage once
+    # (r12, guide §5; A/B 1.61s → 1.48s at sf0.1)
+    per_v = per_v.localCheckpoint(eager=True)
     run = global_running_sum(
         per_v, order_by=["v"], weight_col=["co", "cn"], out_col=["ro", "rn"]
     )
