@@ -277,6 +277,11 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_xy"))
     )
+    # the joint table is ≤ |X|·|Y| rows but its lineage is the full
+    # scan: every consumer (nx, ny, tot, the per-cell join) would
+    # re-evaluate it — eager materialization scans the data ONCE
+    # (r12, guide §5; 12 scans → 1 in the static plan)
+    joint = joint.localCheckpoint(eager=True)
     nx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
     ny = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
     tot = joint.agg(F.sum("n_xy").alias("n"))
@@ -426,6 +431,11 @@ def chi_square(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_xy"))
     )
+    # the joint table is ≤ |X|·|Y| rows but its lineage is the full
+    # scan: every consumer (nx, ny, tot, the per-cell join) would
+    # re-evaluate it — eager materialization scans the data ONCE
+    # (r12, guide §5; 12 scans → 1 in the static plan)
+    joint = joint.localCheckpoint(eager=True)
     nx = joint.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
     ny = joint.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
     tot = joint.agg(
