@@ -216,6 +216,11 @@ def psi_drift(
         )
 
     j = binned(old, "old").join(binned(new, "new"), "bin", "full")
+    # j is ≤ n_bins rows but carries both sides' scan lineage; the
+    # totals, the per-bin projection and the psi rollup would each
+    # re-evaluate it (8 scans in the static plan) — one eager
+    # materialization scans each side once (r12, guide §5)
+    j = j.localCheckpoint(eager=True)
     tot = j.agg(
         F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
     )
