@@ -935,9 +935,18 @@ def ranking_metrics(
         F.col(doc_col).alias("_d"),
         F.col(rank_col).alias(rank_col),
     ).filter(F.col(rank_col) <= k)
-    rel = qrels.select(
-        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
-    ).distinct()
+    # rel feeds BOTH the hits join and the n_rel aggregate — two
+    # static evaluations of the qrels-build lineage (an eval-set
+    # bounded frame with corpus-scale inputs); one eager
+    # materialization runs it once (r12, guide §5; A/B flat at
+    # sf0.1 where the lineage is a cheap filtered join).
+    rel = (
+        qrels.select(
+            F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_rel = rel.groupBy("_q").agg(F.count(F.lit(1)).alias("n_relevant"))
 
     hits = (
