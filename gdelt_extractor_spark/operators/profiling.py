@@ -852,6 +852,13 @@ def bootstrap_ci(
         .alias("xu"),
         F.col(id_col).cast("string").alias("_id"),
     )
+    # v feeds BOTH the B-resample explode and the n/Σx stats
+    # aggregate — two static evaluations of the value lineage (a
+    # tokenize scan in the doc-length entry); the frame is narrow
+    # (n_rows × (long, string)), so one eager materialization runs
+    # the corpus pass once (r12, guide §5; A/B flat at sf0.1 where
+    # the ×B explode dominates).
+    v = v.localCheckpoint(eager=True)
     # 12 lowercase hex chars compare lexicographically == numerically;
     # codegen CSE evaluates the md5 subtree once per row despite the
     # nine comparisons (measured: inline chain == single-md5 cost)
