@@ -163,8 +163,13 @@ def lang_id_ngram(
         ).alias("bucket"),
     )
     train = grams.filter(F.col("split") == "train")
-    counts = train.groupBy("bucket", F.col("lang_true").alias("lang")).agg(
-        F.count(F.lit(1)).alias("_c")
+    # the (bucket, lang) count table (≤ B·K rows) feeds lang_tot AND
+    # weights — two static evaluations of the train-gram corpus pass;
+    # one eager materialization runs it once (r12, guide §5)
+    counts = (
+        train.groupBy("bucket", F.col("lang_true").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
     b = F.lit(n_buckets).cast("long")
     lang_tot = counts.groupBy("lang").agg(F.sum("_c").alias("_n_lang"))
@@ -173,16 +178,23 @@ def lang_id_ngram(
         "lang",
         F.log((F.col("_c") + 1) / (F.col("_n_lang") + b).cast("double")).alias("_w"),
     )
-    # per-lang prior + unseen-gram default, one tiny frame (K rows)
-    d_tot = base.filter(F.col("split") == "train").agg(
-        F.count(F.lit(1)).alias("_d"),
-        F.countDistinct("lang_true").alias("_k"),
-    )
-    lang_model = (
+    # per-lang prior + unseen-gram default, one tiny frame (K rows);
+    # d_tot is DERIVED from it — _d = Σ per-lang doc counts (incl. a
+    # NULL-lang group), _k = #non-NULL lang rows ≡
+    # countDistinct(lang_true) — so the prior needs one base pass,
+    # not two (r12)
+    per_lang = (
         base.filter(F.col("split") == "train")
         .groupBy(F.col("lang_true").alias("lang"))
         .agg(F.count(F.lit(1)).alias("_d_lang"))
-        .join(F.broadcast(lang_tot), "lang")
+        .localCheckpoint(eager=True)
+    )
+    d_tot = per_lang.agg(
+        F.sum("_d_lang").alias("_d"),
+        F.count("lang").alias("_k"),
+    )
+    lang_model = (
+        per_lang.join(F.broadcast(lang_tot), "lang")
         .crossJoin(F.broadcast(d_tot))
         .select(
             "lang",
