@@ -1742,7 +1742,18 @@ def class_tfidf(
     t = df.select(
         F.col(class_col).alias("class"), F.explode(tokens(text_col)).alias("term")
     )
-    ct = t.groupBy("class", "term").agg(F.count(F.lit(1)).alias("n"))
+    # ct (classes × vocab, ≪ corpus) feeds cls_tot, term_tot AND the
+    # scored join.  AQE's stage cache reuses the ct exchange for
+    # cls_tot/scored, but term_tot's twin subtree canonicalizes
+    # DIFFERENTLY (the inner join on class infers isnotnull(class)
+    # onto the other branches only), so the corpus tokenize ran
+    # twice at runtime; one eager materialization runs it once
+    # (r12, guide §5 — A/B 1.09s → 0.86s at sf0.1, 7/7 pairwise).
+    ct = (
+        t.groupBy("class", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     cls_tot = ct.groupBy("class").agg(F.sum("n").alias("_n_class"))
     term_tot = ct.groupBy("term").agg(F.sum("n").alias("_f_t"))
     avg_a = cls_tot.agg(
