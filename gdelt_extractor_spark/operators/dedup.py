@@ -1959,14 +1959,14 @@ def span_dup_fraction(
     shorter than ``k`` tokens report 0 windows and 0.0 fraction.
 
     Plan shape (r12): the window projection feeds ONE per-(span,
-    doc) partial-aggregated shuffle, and BOTH consumers — the
-    corpus dup rollup and the per-doc score — aggregate from that
-    same frame, so the exchange is runtime-reused and the window
-    projection is evaluated once (pre-r12 the per-doc score joined
-    the RAW window stream against the dup list, re-evaluating the
-    tokenize+hash projection; n_windows ≡ Σ _c and n_dup_windows ≡
-    Σ _c·is_dup make the per-(span, doc) counts a lossless proxy —
-    guide §8's decide-with-small-rows rule).  The join on the span
+    doc) partial-aggregated shuffle, eagerly materialized, and BOTH
+    consumers — the corpus dup rollup and the per-doc score —
+    aggregate from that frame, so the window projection is evaluated
+    once (pre-r12 the per-doc score joined the RAW window stream
+    against the dup list, re-evaluating the tokenize+hash
+    projection; n_windows ≡ Σ _c and n_dup_windows ≡ Σ _c·is_dup
+    make the per-(span, doc) counts a lossless proxy — guide §8's
+    decide-with-small-rows rule).  The join on the span
     key is content-derived and uniform; the duplicate-span side is
     small at any realistic dup rate but NOT broadcast by hint — its
     size is data-dependent and unbounded, so the equi-join stays a
@@ -1981,7 +1981,19 @@ def span_dup_fraction(
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
     win = _span_window_rows(base, k, hashed=not exact_strings)
-    per_doc = win.groupBy("span", "doc_id").agg(F.count(F.lit(1)).alias("_c"))
+    # the per-(span, doc) counts (3 longs/row, ≈ one row per distinct
+    # window occurrence pair) feed the corpus dup rollup AND the
+    # per-doc score.  The two static subtrees canonicalize
+    # DIFFERENTLY — the outer left join infers isnotnull(doc_id)
+    # onto the score branch only — so the runtime stage cache never
+    # reuses the exchange and the window projection ran twice; one
+    # eager materialization runs it once (r12, guide §5 — A/B
+    # 1.31s → 1.11s at sf0.1, 6/7 pairwise).
+    per_doc = (
+        win.groupBy("span", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
     dup = (
         per_doc.groupBy("span")
         .agg(F.sum("_c").alias("_tot"))
