@@ -737,6 +737,11 @@ def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("n_neg"),
         )
     )
+    # g (one row per distinct score) feeds global_running_sum AND
+    # the totals aggregate — two static evaluations of the scan
+    # lineage (the ks_test shape); one eager materialization runs it
+    # once (r12, guide §5; A/B flat at sf0.1).
+    g = g.localCheckpoint(eager=True)
     with_fp = global_running_sum(
         g,
         [F.col("score").desc()],
