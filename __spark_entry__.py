@@ -3175,6 +3175,12 @@ def _user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.to_date("ts")).alias("first_d"),
         F.max(F.to_date("ts")).alias("last_d"),
     )
+    # per_user feeds the horizon aggregate AND the subject frame —
+    # two static evaluations of the events scan+groupBy (no runtime
+    # reuse: the crossJoin branch canonicalizes differently); one
+    # eager materialization of the n_users×3 frame runs it once
+    # (r12, guide §5; A/B flat at sf0.1).
+    per_user = per_user.localCheckpoint(eager=True)
     horizon = per_user.agg(F.max("last_d").alias("maxd"))
     subj = per_user.crossJoin(F.broadcast(horizon)).select(
         F.datediff("last_d", "first_d").alias("duration"),
