@@ -820,10 +820,23 @@ def test_span_ops_default_hashed_shuffle_keys(spark):
             q.explain("formatted")
         return buf.getvalue()
 
-    for fn in (D.duplicate_spans, D.span_dup_fraction, D.cut_duplicate_spans):
+    for fn in (D.duplicate_spans, D.cut_duplicate_spans):
         assert "xxhash64" in plan(fn(df, k=3)), fn.__name__
-    # string mode never hashes (span_dup_fraction has no other hash use)
-    assert "xxhash64" not in plan(D.span_dup_fraction(df, k=3, exact_strings=True))
+    # span_dup_fraction eagerly materializes the per-(span, doc)
+    # counts (r12), so the xxhash64 projection runs at build time
+    # inside the checkpointed subtree and no longer prints in the
+    # final query plan.  The same contract — 8-byte hashed shuffle
+    # keys by default, raw strings only on opt-in — is pinned
+    # through the checkpoint boundary by the span column's TYPE
+    # (long columns print as span#<n>L, strings as span#<n>).
+    import re
+
+    hashed_plan = plan(D.span_dup_fraction(df, k=3))
+    assert re.search(r"\bspan#\d+L", hashed_plan)
+    assert not re.search(r"\bspan#\d+(?!\d|L)", hashed_plan)
+    exact_plan = plan(D.span_dup_fraction(df, k=3, exact_strings=True))
+    assert "xxhash64" not in exact_plan
+    assert re.search(r"\bspan#\d+(?!\d|L)", exact_plan)
 
 
 def test_pair_generator_default_is_capped(spark):
