@@ -169,23 +169,6 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     ).distinct()
 
 
-def _attach_pair_texts(
-    cand: DataFrame, df: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
-    """Join the pruned candidate PAIRS back to both documents' text —
-    one linear chain (cand appears once in the plan, so the cold
-    self-join beneath it runs once), with AQE broadcasting the tiny
-    pair set into each scan.  The expensive shingle arrays are then
-    computed in the caller's FINAL projection over only the matched
-    rows — the full-corpus array frame (formerly built, persisted,
-    and held for the whole query) never exists."""
-    return cand.join(
-        df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t_a")), "id_a"
-    ).join(
-        df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b")), "id_b"
-    )
-
-
 def dedup_ngram_jaccard(
     df: DataFrame,
     text_col: str,
@@ -242,12 +225,10 @@ def dedup_ngram_jaccard(
 
     # capped path: hot shingles NEVER enter a self-join — their
     # O(k²) pair rows are never formed anywhere.  Candidates come
-    # from the cold self-join; verification joins the PRUNED
-    # candidate pairs to per-doc raw shingle arrays built only for
-    # candidate docs (_candidate_shingle_sets) — array_intersect /
-    # array_union are set-ops, so raw multiset arrays give the same
-    # exact jaccard as distinct arrays while skipping the per-row
-    # array_distinct.  A true pair is missed only if ALL its shared
+    # from the cold self-join; verification counts the PRUNED
+    # candidate pairs' full distinct intersections against the
+    # checkpointed (id, shingle) index (r12 — no corpus text
+    # re-read).  A true pair is missed only if ALL its shared
     # shingles are hot.
     rows = shingle_hash_rows(
         df.select(F.col(id_col).alias("id"), text_col), text_col, n, ["id"]
@@ -259,7 +240,18 @@ def dedup_ngram_jaccard(
     # exact layout the self-join needs, so Spark reuses the exchange
     # for both join branches.
     w_sh = Window.partitionBy("shingle")
-    flagged = rows.withColumn("nd", F.count(F.lit(1)).over(w_sh))
+    # ONE corpus materialization for the whole query (r12, the
+    # dedup_eval discipline): the distinct (id, shingle, nd) index is
+    # checkpointed, and stats / cold / the VERIFY all read it — the
+    # former shape checkpointed only the cold+stats rows and then
+    # re-scanned the corpus text twice in _attach_pair_texts,
+    # re-tokenizing every matched pair's text to rebuild shingle sets
+    # the index already holds.  |A∪B| = sz_a + sz_b − |A∩B| over
+    # distinct sets, so the (id, shingle) equi-join count gives the
+    # identical jaccard.
+    flagged = rows.withColumn(
+        "nd", F.count(F.lit(1)).over(w_sh)
+    ).localCheckpoint(eager=True)
     # per-doc stats in ONE id-keyed pass: distinct-set size sz AND
     # hot-shingle count h (the prune bound needs both; r2 derived h
     # as sz - cold_sz from two separate groupBys)
@@ -273,27 +265,39 @@ def dedup_ngram_jaccard(
     # than re-shuffling the much larger PAIR frame) so the pair
     # groupBy below carries them as grouping keys for free — the r2
     # version paid four sort-merge re-exchanges of the 1.13M-pair
-    # frame to attach the same four numbers afterwards.
-    # eager localCheckpoint: the cold-row frame feeds BOTH self-join
-    # branches; without it each branch re-runs explode → distinct →
-    # window → stats join (measured: 2× recompute plus AQE re-plan
-    # jitter, 9-16s at sf0.1).  The frame is 4 longs + a hash per
-    # distinct (doc, cold-shingle) — a sliver of the corpus — and at
-    # cluster scale the same role is played by the shuffle files a
-    # reused exchange would leave behind.
+    # frame to attach the same four numbers afterwards.  Both
+    # self-join branches re-derive cold from the flagged CHECKPOINT
+    # (filter + stats join over in-memory blocks — the corpus-scale
+    # lineage beneath the checkpoint runs once).
     cold = (
         flagged.filter(F.col("nd") <= max_shingle_df)
         .select("id", "shingle")
         .join(stats, "id")
-        .localCheckpoint(eager=True)
     )
     a, b = cold.alias("a"), cold.alias("b")
     # pair dedup doubles as the COLD-INTERSECTION counter: the
     # groupBy((id_a,id_b)) shuffle is the exact same exchange a
     # ``.distinct()`` would pay, but the count comes back for free
     # and powers a lossless candidate prune (below)
+    #
+    # length filter (Arasu 2006 / prefix-filter family): J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|), so a pair whose FULL distinct sizes
+    # differ by more than the threshold ratio can never verify — the
+    # predicate rides the self-join itself (sz is already on every
+    # cold row), killing those pairs' rows BEFORE the pair-count
+    # shuffle.  The 1e-6 slack keeps it lossless under the verify's
+    # round(jac, 6) ≥ τ acceptance (a pair with true J ≥ τ - 5e-7 can
+    # round up into the output; min/max ≥ J > τ - 1e-6 keeps it).
+    _lf = F.least(F.col("a.sz"), F.col("b.sz")) >= F.lit(
+        threshold - 1e-6
+    ) * F.greatest(F.col("a.sz"), F.col("b.sz"))
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & _lf,
+        )
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -304,27 +308,32 @@ def dedup_ngram_jaccard(
         )
         .agg(F.count(F.lit(1)).alias("nc"))
     )
-    # lossless upper-bound prune before the full-array verify join.
+    # lossless upper-bound prune before the index verify join.
     # With per-doc distinct sizes sz and hot-shingle counts h:
     #   n_common_full ≤ nc + min(h_a, h_b)          (hot overlap bound)
     #   jaccard = ncf / (sz_a + sz_b - ncf)  — increasing in ncf —
     #   so ub = (nc+min(h)) / (sz_a+sz_b-(nc+min(h))) ≥ true jaccard.
     # Random pairs share few cold shingles → ub ≪ τ → the verify join
-    # collapses to ~the true near-dup set (measured at sf0.1:
-    # 1,130,536 candidates → 256 verify pairs = the exact output set).
+    # collapses to ~the true near-dup set (measured at sf0.1 before
+    # the length filter: 1,130,536 candidates → 256 verify pairs =
+    # the exact output set).
     ubc = F.col("nc") + F.least(F.col("h_a"), F.col("h_b"))
     cand = cand.filter(
         ubc / (F.col("sz_a") + F.col("sz_b") - ubc) >= threshold
-    ).select("id_a", "id_b")
-    sh_a = shingle_hashes_from_tokens(tokens(F.col("_t_a")), n, distinct=False)
-    sh_b = shingle_hashes_from_tokens(tokens(F.col("_t_b")), n, distinct=False)
+    )
     verified = (
-        _attach_pair_texts(cand, df, text_col, id_col)
+        cand.select("id_a", "id_b", "sz_a", "sz_b")
+        .join(flagged.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            flagged.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("ncf"))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect(sh_a, sh_b))
-                / F.size(F.array_union(sh_a, sh_b)),
+                F.col("ncf") / (F.col("sz_a") + F.col("sz_b") - F.col("ncf")),
                 6,
             ),
         )
@@ -849,6 +858,13 @@ def dedup_eval(
         cold = flagged.filter(F.col("nd") <= max_shingle_df).select("id", "h0")
     else:
         cold = rows.select("id", "h0")
+    # NOT length-filtered (r12 negative, recorded): riding sz onto
+    # these cold rows for the join-time min/max ratio prune costs a
+    # NEW row-level join against stats (in dedup_ngram_jaccard the
+    # ride is free — its cold rows join stats anyway), and the A/B
+    # was flat-to-negative at sf0.1 (3/9, 5/9 pairwise over two
+    # 9-rep sessions); the ub-prune below already implies the ratio
+    # bound at pair level.
     ca, cb = cold.alias("a"), cold.alias("b")
     cand_t = (
         ca.join(
@@ -2052,7 +2068,7 @@ def dedup_containment(
     are pruned by the lossless upper bound
     ub = (nc + min(h_a, h_b)) / min(sz_a, sz_b) ≥ true containment
     (containment is increasing in the full intersection) before the
-    full-array verify — identical reported values, 4.3× faster at
+    index verify — identical reported values, 4.3× faster at
     sf0.1 (14.1 s → 3.3 s; the min-size denominator makes the bound
     less selective than Jaccard's, so more candidates survive to
     verify than in the jaccard twin).  A true pair is missed only if
@@ -2063,7 +2079,19 @@ def dedup_containment(
             df.select(F.col(id_col).alias("id"), text_col), text_col, n, ["id"]
         ).distinct()
         w_sh = Window.partitionBy("shingle")
-        flagged = rows.withColumn("nd", F.count(F.lit(1)).over(w_sh))
+        # ONE corpus materialization for the whole query (r12, the
+        # dedup_eval discipline): the distinct (id, shingle, nd)
+        # index is checkpointed, and stats / cold / the VERIFY all
+        # read it — the former shape checkpointed only the cold+stats
+        # rows and then re-scanned the corpus text twice in
+        # _attach_pair_texts, re-tokenizing every matched pair's text
+        # to rebuild shingle sets the index already holds.
+        # array_intersect over raw arrays counts DISTINCT common
+        # shingles, exactly what the (id, shingle) equi-join counts —
+        # identical containment values.
+        flagged = rows.withColumn(
+            "nd", F.count(F.lit(1)).over(w_sh)
+        ).localCheckpoint(eager=True)
         stats = flagged.groupBy("id").agg(
             F.count(F.lit(1)).alias("sz"),
             F.sum((F.col("nd") > max_shingle_df).cast("int")).alias("h"),
@@ -2072,7 +2100,6 @@ def dedup_containment(
             flagged.filter(F.col("nd") <= max_shingle_df)
             .select("id", "shingle")
             .join(stats, "id")
-            .localCheckpoint(eager=True)
         )
         a, b = cold.alias("a"), cold.alias("b")
         cand = (
@@ -2091,16 +2118,20 @@ def dedup_containment(
         cand = cand.filter(
             ubc / F.least(F.col("sz_a"), F.col("sz_b")) >= threshold
         ).select("id_a", "id_b", "sz_a", "sz_b")
-        sh_a = shingle_hashes_from_tokens(tokens(F.col("_t_a")), n, distinct=False)
-        sh_b = shingle_hashes_from_tokens(tokens(F.col("_t_b")), n, distinct=False)
         verified = (
-            _attach_pair_texts(cand, df, text_col, id_col)
+            cand.join(
+                flagged.select(F.col("id").alias("id_a"), "shingle"), "id_a"
+            )
+            .join(
+                flagged.select(F.col("id").alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("ncf"))
             .withColumn(
                 "containment",
                 F.round(
-                    F.size(F.array_intersect(sh_a, sh_b))
-                    / F.least(F.col("sz_a"), F.col("sz_b")),
-                    6,
+                    F.col("ncf") / F.least(F.col("sz_a"), F.col("sz_b")), 6
                 ),
             )
             .filter(F.col("containment") >= threshold)
