@@ -822,16 +822,33 @@ def semantic_decontaminate(
     larger eval sets, route through ``dedup_semantic``'s IVF cells
     instead.
     """
-    from .similarity import cosine as _cos
-    from .similarity import _as_double
+    from .similarity import _as_double, _dot, _norm
 
+    # r13 norm hoist (see similarity._with_norm): each side's norm is
+    # computed once per INPUT row below the cross join instead of once
+    # per pair (the corpus norm |eval|×, the eval norm |corpus|×);
+    # cos = dot/(ncv·nev) multiplies in cosine()'s exact order, so the
+    # 6-rounded values and the drop set are bit-identical.  A/B at
+    # sf0.1: 1.12s → 0.854s median, 7/7 pairwise; hash gates green.
     ev = F.broadcast(
-        eval_set.select(_as_double(vec_col).alias("_ev"))
+        eval_set.select(_as_double(vec_col).alias("_ev")).withColumn(
+            "_nev", _norm(F.col("_ev"))
+        )
     )
     hits = (
-        corpus.select(F.col(id_col).alias("_cid"), _as_double(vec_col).alias("_cv"))
+        corpus.select(
+            F.col(id_col).alias("_cid"), _as_double(vec_col).alias("_cv")
+        )
+        .withColumn("_ncv", _norm(F.col("_cv")))
         .join(ev)
-        .filter(F.round(_cos(F.col("_cv"), F.col("_ev")), 6) >= threshold)
+        .filter(
+            F.round(
+                _dot(F.col("_cv"), F.col("_ev"))
+                / (F.col("_ncv") * F.col("_nev")),
+                6,
+            )
+            >= threshold
+        )
         .select("_cid")
         .distinct()
     )

@@ -249,6 +249,19 @@ def dedup_ngram_jaccard(
     # the index already holds.  |A∪B| = sz_a + sz_b − |A∩B| over
     # distinct sets, so the (id, shingle) equi-join count gives the
     # identical jaccard.
+    #
+    # Memory bound (r12 ADVICE): the checkpoint holds the FULL
+    # distinct (id, shingle, nd) index INCLUDING hot-shingle rows —
+    # worst case O(Σ distinct shingles per doc), so a pathological
+    # mega-hot shingle (present in every doc) keeps O(n_docs) rows
+    # resident per such shingle.  Hot rows can't be filtered before
+    # materialization (the VERIFY counts full distinct intersections,
+    # hot shingles included — dropping them would change reported
+    # jaccard values); localCheckpoint stores MEMORY_AND_DISK, so
+    # overflow spills to executor-local disk instead of OOM, and the
+    # blocks release with the query (bench release()/ContextCleaner).
+    # Bounded-footprint behavior under an everywhere-hot shingle is
+    # pinned by tests/test_dedup.py::test_hot_shingle_checkpoint_bound.
     flagged = rows.withColumn(
         "nd", F.count(F.lit(1)).over(w_sh)
     ).localCheckpoint(eager=True)
@@ -815,6 +828,10 @@ def dedup_eval(
     # a second aggregate pass.
     if max_shingle_df is not None:
         w_sh = Window.partitionBy("h0")
+        # Memory bound (r12 ADVICE): full (id, _n, h0, nd) index incl.
+        # hot rows — see the dedup_ngram_jaccard flagged comment for
+        # the worst case and the MEMORY_AND_DISK spill rationale;
+        # behavior pinned by test_hot_shingle_checkpoint_bound.
         flagged = rows.withColumn(
             "nd", F.count(F.lit(1)).over(w_sh)
         ).localCheckpoint(eager=True)
@@ -2096,6 +2113,10 @@ def dedup_containment(
         # array_intersect over raw arrays counts DISTINCT common
         # shingles, exactly what the (id, shingle) equi-join counts —
         # identical containment values.
+        # Memory bound (r12 ADVICE): full (id, shingle, nd) index
+        # incl. hot rows — see the dedup_ngram_jaccard flagged
+        # comment for the worst case and the MEMORY_AND_DISK spill
+        # rationale; pinned by test_hot_shingle_checkpoint_bound.
         flagged = rows.withColumn(
             "nd", F.count(F.lit(1)).over(w_sh)
         ).localCheckpoint(eager=True)
@@ -2463,32 +2484,50 @@ def dedup_incremental_minhash(
         if hash_fn == "md5"
         else minhash_signatures(new_docs, text_col, id_col, num_hashes, n)
     )
-    nb = _expand_bands(sig_new, num_hashes, bands, hash_fn).localCheckpoint(
-        eager=True
+    # r13 slim bands (guide §2.3 "shuffle keys and metadata instead of
+    # payloads", §8's decide-with-small-rows rule; the r12 carried
+    # lead): the batch's band rows no longer carry the num_hashes-long
+    # signature array through the checkpoint and both candidate joins
+    # — they slim to (id, band, bucket) (~0.4 KB/doc at 16 bands vs
+    # ~4.5 KB/doc with a 32-slot sig on every band row), and the
+    # signatures join back BY ID from the one-row-per-doc checkpointed
+    # signature frame only where the estimator actually needs them:
+    # on the band-collision candidates (a bounded set by the LSH
+    # contract).  At 100 TB this cuts the batch-side shuffle bytes of
+    # the self-join and the index join ~10×; the index side is
+    # untouched (its rows still carry sig, so historical candidates
+    # verify with no index join-back — the index contract of
+    # ``minhash_band_index`` stands).  Estimator inputs, values and
+    # the drop set are identical (asserted row-for-row in the A/B);
+    # the internal estimate now runs once per DISTINCT candidate pair
+    # instead of once per colliding band row — the same pairs pass.
+    sig_new = sig_new.localCheckpoint(eager=True)
+    nb = _expand_bands(sig_new, num_hashes, bands, hash_fn).select(
+        "id", "band", "bucket"
     )
 
     a, b = nb.alias("a"), nb.alias("b")
     # r12 (guide §2.4): the two drop lists anti-join the batch as ONE
-    # deduplicated union — the old shape paid a distinct exchange per
-    # list, an extra anti join pruning hist candidates by the internal
-    # list, and TWO survivor anti joins; set algebra is identical
-    # (batch ∖ (internal ∪ hist) == (batch ∖ internal) ∖ hist, and a
-    # doc dropped by both lists is dropped either way), so survivors
-    # are value-identical (asserted row-for-row in the A/B).
-    # Same-session alternating A/B at sf0.1: anchor 4.05s → 3.61s,
-    # portable 4.63s → 4.22s medians; twin hash gate green.  At scale
-    # this also turns three candidate-bounded shuffles into one.
-    internal_drop = (
+    # deduplicated union — set algebra identical (batch ∖ (internal ∪
+    # hist) == (batch ∖ internal) ∖ hist); survivors value-identical.
+    cand_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("b.sig").alias("sig_b"),
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    internal_drop = (
+        cand_pairs.join(
+            sig_new.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig_new.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
         )
         .filter(_est_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes) >= threshold)
         .select(F.col("id_b").alias("id"))
@@ -2500,6 +2539,8 @@ def dedup_incremental_minhash(
             ),
             ["band", "bucket"],
         )
+        .select("id", "sig_h")
+        .join(sig_new, "id")
         .filter(_est_jaccard(F.col("sig"), F.col("sig_h"), num_hashes) >= threshold)
         .select("id")
     )

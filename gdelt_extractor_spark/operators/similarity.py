@@ -53,11 +53,44 @@ def _finite_vec(vec_col: str | Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
-    return dot / (_norm(a) * _norm(b))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
+    """Attach ``_norm(vec)`` as a column BELOW the scoring join.
+
+    The higher-order zip_with/aggregate norm fold runs on Catalyst's
+    interpreted expression walker (the repo's measured 7× vs codegen),
+    and ``cosine()`` inlined above a scoring join evaluates THREE such
+    folds per joined PAIR — dot, ‖q‖ and ‖v‖ — so each side's norm is
+    recomputed once per pair instead of once per row (|Q|× on the
+    corpus side, |V|× on the query side).  Hoisting the norms into the
+    input frames evaluates each exactly once per input row (broadcast
+    side: once per query, total); the pair expression keeps only the
+    irreducible dot.  cos = dot/(nq·nv) multiplies in cosine()'s exact
+    order, so values are IEEE-bit-identical (same discipline as
+    embedding_align's na/nb hoist, similarity.py:1168) and every
+    oracle gate replays unchanged.  guide §2.3 project-early /
+    §1.2 per-task work.  r13 A/B: flat at sf0.1 on the ann family
+    (fixed costs dominate 2000×8 pairs), semantic_decontam −24%
+    (7/7 pairwise); kept family-wide on strictly-less-work grounds —
+    corpus-side norms drop |Q|-fold, query-side norms |V|-fold."""
+    return df.withColumn(out, _norm(F.col(vec)))
+
+
+def _pair_cosine() -> "callable":
+    """cos expression for a scoring join whose sides carry hoisted
+    norms ``_nq``/``_nv`` (see _with_norm)."""
+    return lambda q, v: _dot(F.col(q), F.col(v)) / (
+        F.col("_nq") * F.col("_nv")
+    )
 
 
 def ann_bruteforce(
@@ -73,15 +106,23 @@ def ann_bruteforce(
     Ties broken by neighbor id for determinism.  ``queries`` must be
     small (it is broadcast).
     """
-    v = vectors.select(
-        F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v")
+    v = _with_norm(
+        vectors.select(
+            F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v")
+        ),
+        "v",
+        "_nv",
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    q = _with_norm(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        ),
+        "qv",
+        "_nq",
     )
     scored = (
         v.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+        .withColumn("cos", _pair_cosine()("qv", "v"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return (
@@ -192,12 +233,19 @@ def prf_expand_search(
             id_col=id_col,
             vec_col=vec_col,
         )
-    v = vectors.select(
-        F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v")
+    v = _with_norm(
+        vectors.select(
+            F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v")
+        ),
+        "v",
+        "_nv",
     )
     scored = (
-        v.join(F.broadcast(q2), F.col("nbr_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+        v.join(
+            F.broadcast(_with_norm(q2, "qv", "_nq")),
+            F.col("nbr_id") != F.col("query_id"),
+        )
+        .withColumn("cos", _pair_cosine()("qv", "v"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("nbr_id").asc()
@@ -445,21 +493,25 @@ def ann_ivf(
     cents = ivf_fit_centroids(vectors, m=m, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     assign = _ivf_assign_udf(cents)
     probe = _ivf_probe_udf(cents, nprobe)
-    v = (
+    v = _with_norm(
         vectors.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v"))
-        .withColumn("cell", assign("v"))
+        .withColumn("cell", assign("v")),
+        "v",
+        "_nv",
     )
-    q = (
+    q = _with_norm(
         queries.select(
             F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
         )
         .withColumn("cells", probe("qv"))
-        .select("query_id", "qv", F.explode("cells").alias("cell"))
+        .select("query_id", "qv", F.explode("cells").alias("cell")),
+        "qv",
+        "_nq",
     )
     scored = (
         v.join(F.broadcast(q), "cell")
         .filter(F.col("nbr_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+        .withColumn("cos", _pair_cosine()("qv", "v"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return (
@@ -550,14 +602,22 @@ def ann_lsh(
         .select("query_id", "nbr_id")
         .distinct()
     )
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    qv = _with_norm(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        ),
+        "qv",
+        "_nq",
     )
-    vv = vectors.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v"))
+    vv = _with_norm(
+        vectors.select(F.col(id_col).alias("nbr_id"), _as_double(vec_col).alias("v")),
+        "v",
+        "_nv",
+    )
     scored = (
         candidates.join(F.broadcast(qv), "query_id")
         .join(vv, "nbr_id")
-        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+        .withColumn("cos", _pair_cosine()("qv", "v"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return (

@@ -878,3 +878,51 @@ def test_updated_band_index_md5_roundtrip(spark, docs):
         resubmit, idx2, bands=16, threshold=0.5, hash_fn="md5"
     )
     assert again.count() == 0
+
+
+def test_hot_shingle_checkpoint_bound(spark):
+    """r12 ADVICE (low): the capped path's flagged checkpoint keeps
+    hot-shingle rows resident — they are excluded from CANDIDATE
+    GENERATION only, because the verify counts full distinct
+    intersections (hot shingles included).  Pin both halves of that
+    contract on an everywhere-hot-shingle corpus:
+
+    (a) correctness — docs sharing ONLY the hot shingle never pair
+        (no cold candidate path), while a true near-dup pair still
+        verifies with the hot shingle counted in its exact jaccard;
+    (b) footprint — every block the query leaves persisted (the
+        flagged index checkpoint included) carries a storage level
+        with DISK enabled, so a pathological mega-hot shingle spills
+        to executor-local disk instead of growing the heap unbounded
+        (localCheckpoint's MEMORY_AND_DISK default, documented at the
+        flagged sites in dedup.py).
+    """
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    for rdd in sc._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+    n_docs = 30
+    rows = [
+        (i, f"hot stuff here w{i}a w{i}b w{i}c w{i}d w{i}e")
+        for i in range(n_docs - 2)
+    ]
+    # 28/29: near-dup pair sharing cold shingles beyond the hot one
+    rows.append((28, "hot stuff here same same same same tail one"))
+    rows.append((29, "hot stuff here same same same same tail two"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.dedup_ngram_jaccard(
+        df, "text", "doc_id", n=3, threshold=0.05, max_shingle_df=5
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    # (a) only the cold-shingle near-dup pair survives; its jaccard
+    # counts the hot shingle: |A∩B|=5 (1 hot + 4 cold), |A∪B|=7
+    assert set(pairs) == {(28, 29)}
+    assert pairs[(28, 29)] == round(5 / 7, 6)
+    # (b) everything left persisted (flagged index + bounded result
+    # checkpoints) must be allowed to spill
+    jrdds = list(sc._jsc.getPersistentRDDs().values())
+    assert jrdds, "expected the flagged/result checkpoints to be persisted"
+    assert all(r.getStorageLevel().useDisk() for r in jrdds)
+    for rdd in jrdds:
+        rdd.unpersist()
