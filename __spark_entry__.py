@@ -488,7 +488,11 @@ def _doc_length_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdelt_extractor_spark.operators.profiling import bootstrap_ci
     from gdelt_extractor_spark.functions.text import tokens as _tk
 
-    docs = _docs(spark, sf_dir).select(
+    # width=0 (r13): the ×200 md5-resample explode inherits the scan
+    # partitioning through bootstrap_ci's narrow checkpoint — on the
+    # single-row-group local file that meant ~n_docs×200 md5s on one
+    # task.  A/B at sf0.1: 1.68s → 1.53s median, 6/7 pairwise.
+    docs = _docs(spark, sf_dir, width=0).select(
         "doc_id", F.size(_tk("text")).cast("double").alias("n_tokens")
     )
     return bootstrap_ci(docs, "n_tokens", "doc_id", n_resamples=200)
@@ -1596,6 +1600,10 @@ def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     member).  Composes dedup.py's three stages end-to-end — the
     oracle re-derives the same pairs, closes them with a recursive
     CTE, and anti-joins the same drop list."""
+    # width=0 (parallelized scan) A/B'd SLOWER here (r13: 4.33s →
+    # 5.78s median) — the pipeline is candidate-join-dominated, not
+    # scan-dominated, and the repartition charges an extra stage to
+    # BOTH consumers of docs (the pairs build and keep_canonical).
     docs = _docs(spark, sf_dir)
     pairs = D.dedup_ngram_jaccard(
         docs, "text", "doc_id", n=3, threshold=0.6, max_shingle_df=100

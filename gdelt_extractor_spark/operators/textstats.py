@@ -938,6 +938,12 @@ def hashed_embedding(
         # Σc² over the nonzero buckets equals the dense bucket-order
         # sum exactly (counts are integer-valued doubles — exact,
         # order-independent addition)
+        # norm via window-over-the-grid was A/B'd flat-to-negative
+        # (r13: 2.13s vs 2.17s, 3/7 pairwise) and is structurally
+        # WORSE at scale: the window sorts the full n_docs×dim grid
+        # while this aggregate runs on the smaller nonzero-counts
+        # frame (contrast hybrid_search's dense tower, where the
+        # window input IS the counts frame and the swap won 7/7).
         nrm_l = counts.groupBy("id").agg(
             F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("_n")
         )
@@ -1177,10 +1183,19 @@ def hybrid_search(
     # contract (value = c / sqrt(Σc²), zero-norm → 0.0): keep this
     # expression in lockstep with hashed_embedding — the docstring
     # promises the dense tower IS that embedding's cosine
-    nrm = counts.groupBy("id").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("_n")
-    )
-    emb = counts.join(nrm, "id").select(
+    # r13 (guide §2.2): the norm rides a window over the counts frame
+    # instead of a groupBy(id) aggregate + sort-merge join-back — the
+    # window input IS the nonzero-bucket counts frame (≤ the old
+    # join's left side at any scale), so this strictly drops the
+    # aggregate exchange and the join (plan: 24 → 18 Exchange refs).
+    # Values are identical: window SUM over the same rows, and Σc² of
+    # integer-valued doubles is exact order-free addition (the
+    # hashed_embedding long-layout precedent).  A/B at sf0.1:
+    # 3.64s → 3.05s median, 7/7 pairwise, rows identical.
+    w_id = Window.partitionBy("id")
+    emb = counts.withColumn(
+        "_n", F.sqrt(F.sum(F.col("c") * F.col("c")).over(w_id))
+    ).select(
         F.col("id").alias("_eid"),
         F.col("b").alias("bucket"),
         F.when(F.col("_n") > 0, F.col("c") / F.col("_n"))
