@@ -511,6 +511,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 10,
+    driver_finish_max_edges: int = 100_000,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     2007): every node repeatedly adopts the most frequent label among
@@ -540,10 +541,38 @@ def label_propagation(
     the update job (previous label carried as ``_old`` through the
     checkpoint; the changed count is a trivial scan) — one heavy job
     plus one scan per round, the same fold pagerank got in r7.
+
+    Bounded driver finish (r13 — the ``pagerank``/
+    ``connected_components`` discipline): when the edge frame fits
+    ``driver_finish_max_edges`` (one LIMIT cap+1 job decides), the
+    synchronous rounds run on the driver instead of paying two jobs
+    of scheduler latency per round on a sub-kilobyte frame.  Unlike
+    pagerank's float power iteration, every LPA update is INTEGER
+    counts + an order comparison on the label type, so the driver
+    path is EXACTLY equal to the distributed loop (property-pinned
+    by tests/test_graph.py), and hash-gated callers keep their
+    oracle gates.  The GDELT caller (``actor_communities``) ranks a
+    CONTRACTED country×country dyad graph, orders below the cap by
+    construction; above the cap the distributed loop runs unchanged
+    (``driver_finish_max_edges=0`` forces it).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
     )
+
+    if (
+        driver_finish_max_edges > 0
+        # the driver finish unions u- and v-values into one label
+        # domain; mixed src/dst types route to the distributed loop,
+        # whose unionByName coercion defines the semantics there
+        and e.schema["u"].dataType == e.schema["v"].dataType
+    ):
+        head = e.limit(driver_finish_max_edges + 1).collect()
+        if len(head) <= driver_finish_max_edges:
+            return _label_propagation_driver(
+                edges.sparkSession, head, max_iter, e.schema["u"].dataType
+            )
+
     undirected = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -594,6 +623,53 @@ def label_propagation(
     return labels.select("node", F.col("label").alias("community"))
 
 
+def _label_propagation_driver(spark, rows: list, max_iter: int, node_type) -> DataFrame:
+    """Exact driver-side finish of ``label_propagation`` over a
+    collected (u, v) edge list — same symmetrize/self-vote edge
+    semantics, same synchronous (count desc, label asc) argmax, same
+    early-stop.  Every update is integer counting plus an order
+    comparison on the label values (Python's tuple ``min`` ==
+    Catalyst's (n desc, label asc) row_number ordering for the int
+    and string label domains — UTF-8 binary order is code-point
+    order), so the result is EXACTLY the distributed loop's —
+    property-pinned driver-vs-distributed in tests/test_graph.py."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", node_type, True),
+            StructField("community", node_type, True),
+        ]
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    # sym = distinct(undirected ∪ self-loops), as adjacency sets
+    adj: dict = {}
+    for r in rows:
+        u, v = r.u, r.v
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for n in adj:
+        adj[n].add(n)  # the self-vote edge, added once
+    labels = {n: n for n in adj}
+    for _ in range(max_iter):
+        new = {}
+        changed = 0
+        for n, nbrs in adj.items():
+            cnt: dict = {}
+            for v in nbrs:
+                lv = labels[v]
+                cnt[lv] = cnt.get(lv, 0) + 1
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+            if best != labels[n]:
+                changed += 1
+        labels = new
+        if changed == 0:
+            break
+    return spark.createDataFrame(sorted(labels.items()), schema)
+
+
 def k_core(
     edges: DataFrame,
     src: str = "src",
@@ -625,6 +701,17 @@ def k_core(
     ``label_propagation``.
     Rounds needed in practice ≲ graph diameter; loud error if
     ``max_iter`` is hit without convergence.
+
+    NO bounded driver finish here, deliberately (r13 negative twin of
+    ``label_propagation``'s): the H-index iteration converges in ~2
+    rounds on the contracted dyad callers, so the distributed loop
+    already sits at the ~0.5s fixed cost of materializing + sorting a
+    driver-built local relation — BOTH probe shapes (pre-checkpoint
+    LIMIT cap+1, and count-after-the-sym-checkpoint) A/B'd SLOWER
+    than this loop (0.68s vs 0.92s / 0.69s vs 1.02s medians, 9/9
+    pairwise, sf0.1).  A driver finish pays only when rounds × jobs
+    clear that floor (LPA ~4 voting rounds, pagerank ≤30 power
+    rounds); see OPTIMIZATION_r13.md.
     """
     e = edges.select(
         F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v")

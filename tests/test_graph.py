@@ -183,6 +183,79 @@ def test_label_propagation_string_labels(spark):
     assert len({got["US"], got["CN"], got["RU"]} & {got["FR"]}) == 0
 
 
+class TestGraphDriverFinishEquality:
+    """The r13 bounded driver finish of label_propagation must be
+    EXACTLY the distributed loop (unlike pagerank's float finish,
+    every LPA update is integer counts + an order comparison, so
+    equality is exact, not within-tolerance) — and the cap must
+    actually route: driver_finish_max_edges=0 forces the distributed
+    loop, a small cap (< |E|) falls through to it.  (k_core has NO
+    driver finish — both probe shapes A/B'd slower than its ~2-round
+    loop; the negative twin is recorded in OPTIMIZATION_r13.md.)"""
+
+    def _graphs(self):
+        from itertools import combinations
+
+        c1 = list(combinations([1, 2, 3, 4], 2))
+        c2 = list(combinations([11, 12, 13, 14], 2))
+        chain = [(i, i + 1) for i in range(20)] + [(0, 10), (5, 15)]
+        dense = [
+            (a, b)
+            for a, b in combinations(range(24), 2)
+            if (a * 7 + b * 13) % 5 == 0 or b - a == 1
+        ]
+        return [c1 + c2 + [(4, 11)], chain, dense]
+
+    def test_label_propagation_driver_equals_distributed(self, spark):
+        from gdelt_extractor_spark.operators.graph import label_propagation
+
+        for pairs in self._graphs():
+            e = spark.createDataFrame(pairs, "src long, dst long")
+            drv = {r.node: r.community
+                   for r in label_propagation(e).collect()}
+            dist = {r.node: r.community
+                    for r in label_propagation(
+                        e, driver_finish_max_edges=0).collect()}
+            assert drv == dist
+
+    def test_label_propagation_driver_equals_distributed_strings(self, spark):
+        from gdelt_extractor_spark.operators.graph import label_propagation
+
+        e = spark.createDataFrame(
+            [("US", "CN"), ("CN", "RU"), ("FR", "DE"), ("DE", "FR")],
+            "src string, dst string",
+        )
+        drv = {r.node: r.community for r in label_propagation(e).collect()}
+        dist = {r.node: r.community
+                for r in label_propagation(
+                    e, driver_finish_max_edges=0).collect()}
+        assert drv == dist
+
+    def test_small_cap_falls_through_to_distributed(self, spark):
+        from gdelt_extractor_spark.operators.graph import label_propagation
+
+        pairs = [(i, i + 1) for i in range(10)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        lp = {r.node: r.community
+              for r in label_propagation(
+                  e, driver_finish_max_edges=3).collect()}
+        assert lp == {r.node: r.community
+                      for r in label_propagation(e).collect()}
+
+    def test_mixed_node_types_route_distributed(self, spark):
+        # src int / dst string: the driver finish must decline and the
+        # distributed loop's unionByName coercion define the result
+        from gdelt_extractor_spark.operators.graph import label_propagation
+
+        e = spark.createDataFrame(
+            [(1, "2"), (2, "3")], "src int, dst string"
+        )
+        out = {r.node: r.community for r in label_propagation(e).collect()}
+        assert out == {r.node: r.community
+                       for r in label_propagation(
+                           e, driver_finish_max_edges=0).collect()}
+
+
 class TestTriangleCount:
     def _tc(self, spark, pairs):
         from gdelt_extractor_spark.operators.graph import triangle_count
@@ -328,7 +401,10 @@ class TestScalarFoldJobCounts:
             "src string, dst string",
         )
         n = self._jobs_during(
-            spark, lambda: label_propagation(e, max_iter=3).collect()
+            spark,
+            lambda: label_propagation(
+                e, max_iter=3, driver_finish_max_edges=0
+            ).collect(),
         )
         # setup (sym + labels checkpoints) = 2, 3 rounds × (1 update
         # checkpoint + 1 changed-count scan) = 6, final collect = 1.
